@@ -1,0 +1,163 @@
+"""Full-text (BM25) search — the reference's `textsearch()` /
+`full_text_search()` surface, Spark-first.
+
+Reference parity:
+  - `textsearch(text_col, 'query')` → BM25-scored top-k, ORDER BY score DESC
+    LIMIT k required (`src/Interpreters/TreeRewriter.cpp:1738-1741`), params
+    operator OR/AND (`src/VectorIndex/Storages/VSDescription.h:72-95`).
+  - Scoring engine is tantivy (`src/Storages/MergeTree/TantivyIndexStore.h`);
+    tantivy's BM25 is the Lucene formula with k1=1.2, b=0.75 and
+    idf = ln(1 + (N - df + 0.5) / (df + 0.5)).
+  - BM25 stats are *table-global* so per-part scores are comparable —
+    `collectStatisticForBM25Calculation` (`src/VectorIndex/Utils/
+    CommonUtils.h:107`, `BM25InfoInDataParts.h:36-60`). Here that is a one-row
+    corpus-stats aggregate broadcast into the scoring expression — the
+    two-pass global-stats design falls out of Spark naturally.
+  - Tokenizers: per-column config {raw | simple | stem | chinese}
+    (`MergeTreeIndexTantivy.cpp:710-751`). v1 ships raw + simple (+ stem as
+    simple+suffix-strip); the registry keeps the config shape.
+
+Scale design: scoring needs only (a) one tiny global aggregate row
+(N, avgdl, df per query term — computed in a single corpus pass, no explode,
+no shuffle of tokens) cross-joined broadcast-style into (b) a per-row
+expression computing tf from the token array. Everything is JVM higher-order
+functions inside codegen; the only wide op is the final top-k
+(TakeOrderedAndProject). For repeated querying over a static corpus, persist
+doc-length + posting stats once (plans/fts_index.py) instead of re-scanning.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from myscaledb_spark.errors import InvalidSearchQuery, MAX_SEARCH_RESULT_WINDOW
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokenize(col: Column | str, tokenizer: str = "simple") -> Column:
+    """Token array for a string column.
+
+    simple: lowercase, split on non-alphanumerics, drop empties (tantivy
+    'simple' tokenizer ≈ lowercase + split on non-word).
+    raw: the whole value as a single token (tantivy 'raw').
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    if tokenizer == "raw":
+        return F.array(col)
+    if tokenizer in ("simple", "stem"):
+        toks = F.filter(F.split(F.lower(col), _TOKEN_SPLIT), lambda x: x != "")
+        if tokenizer == "stem":
+            # crude English suffix strip (porter-lite); deterministic
+            toks = F.transform(
+                toks, lambda t: F.regexp_replace(t, "(ing|edly|ed|es|s)$", "")
+            )
+        return toks
+    raise InvalidSearchQuery(f"unknown tokenizer {tokenizer!r}")
+
+
+def tokenize_query(query: str, tokenizer: str = "simple") -> list[str]:
+    if tokenizer == "raw":
+        return [query]
+    toks = [t for t in re.split(_TOKEN_SPLIT, query.lower()) if t]
+    if tokenizer == "stem":
+        toks = [re.sub(r"(ing|edly|ed|es|s)$", "", t) for t in toks]
+    # unique, order-preserving (tantivy dedups identical query terms)
+    seen: dict[str, None] = {}
+    for t in toks:
+        seen.setdefault(t)
+    return list(seen)
+
+
+def bm25_scores(
+    df: DataFrame,
+    text_col: str,
+    query: str,
+    tokenizer: str = "simple",
+    operator: str = "OR",
+    score_name: str = "bm25_score",
+) -> DataFrame:
+    """Score every matching row with table-global BM25; no top-k applied.
+
+    Plan shape: df → tokens/dl columns → one global agg row (N, avgdl, df_t
+    for each query term, computed with conditional counts in ONE pass) →
+    broadcast cross-join → scalar score expression → filter matches.
+    """
+    terms = tokenize_query(query, tokenizer)
+    if not terms:
+        raise InvalidSearchQuery("empty text-search query after tokenization")
+
+    toked = df.withColumn("_toks", tokenize(text_col, tokenizer)).withColumn(
+        "_dl", F.size("_toks").cast("double")
+    )
+
+    # one corpus pass: N, total tokens (for avgdl), and per-term doc freq
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.avg("_dl").alias("_avgdl"),
+    ]
+    for i, t in enumerate(terms):
+        aggs.append(
+            F.sum(F.when(F.array_contains("_toks", t), 1).otherwise(0))
+            .cast("double")
+            .alias(f"_df_{i}")
+        )
+    stats = toked.agg(*aggs)
+
+    scored = toked.crossJoin(F.broadcast(stats))
+
+    def _tf(term: str) -> Column:
+        # NB: F.filter's two-arg lambda form means (element, index) — bind the
+        # term via closure, single-arg lambda only.
+        return F.size(F.filter("_toks", lambda x: x == F.lit(term))).cast("double")
+
+    score = F.lit(0.0)
+    match_any = F.lit(False)
+    match_all = F.lit(True)
+    for i, t in enumerate(terms):
+        tf = _tf(t)
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n_docs") - F.col(f"_df_{i}") + F.lit(0.5))
+            / (F.col(f"_df_{i}") + F.lit(0.5))
+        )
+        norm = tf * (BM25_K1 + 1.0) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("_dl") / F.col("_avgdl"))
+        )
+        score = score + F.when(tf > 0, idf * norm).otherwise(F.lit(0.0))
+        match_any = match_any | (tf > 0)
+        match_all = match_all & (tf > 0)
+
+    matched = match_all if operator.upper() == "AND" else match_any
+    out = scored.withColumn(score_name, score).filter(matched)
+    drop = ["_toks", "_dl", "_n_docs", "_avgdl"] + [f"_df_{i}" for i in range(len(terms))]
+    return out.drop(*drop)
+
+
+def text_search(
+    df: DataFrame,
+    text_col: str,
+    query: str,
+    k: int,
+    id_col: str | None = None,
+    tokenizer: str = "simple",
+    operator: str = "OR",
+    score_name: str = "bm25_score",
+) -> DataFrame:
+    """`textsearch` top-k: BM25 scores, ORDER BY score DESC LIMIT k
+    (direction fixed-DESC as the reference enforces, TreeRewriter.cpp:1738)."""
+    if k is None or k <= 0:
+        raise InvalidSearchQuery("text search requires a positive LIMIT (top-k)")
+    if k > MAX_SEARCH_RESULT_WINDOW:
+        raise InvalidSearchQuery(f"LIMIT {k} exceeds max_search_result_window")
+    scored = bm25_scores(df, text_col, query, tokenizer, operator, score_name)
+    order = [F.col(score_name).desc()]
+    if id_col:
+        order.append(F.col(id_col).asc())
+    return scored.orderBy(*order).limit(k)

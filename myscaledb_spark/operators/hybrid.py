@@ -1,0 +1,127 @@
+"""Hybrid search — vector + text candidate generation fused with RSF / RRF.
+
+Reference parity (`src/VectorIndex/Utils/HybridSearchUtils.cpp`):
+  - both searches run with num_candidates = k × hybrid_search_top_k_multiple_base
+    (default 3, `src/Core/Settings.h:921`), then fuse, then top-k DESC
+    (`MergeTreeHybridSearchManager.cpp:114-151`).
+  - RRF (RankFusion, HybridSearchUtils.cpp:163-209):
+        score = Σ over lists containing the row of 1 / (fusion_k + rank),
+    rank 1-based within each candidate list; fusion_k default 60
+    (`Settings.h:920`).
+  - RSF (RelativeScoreFusion, HybridSearchUtils.cpp:211-314):
+        min-max normalize each list's scores (all-equal list → 1.0);
+        fused = norm_bm25 * w + dist_part * (1-w), where dist_part is
+        norm_dist for DESC metrics (IP) and (1 - norm_dist) for ASC metrics
+        (L2/Cosine); w = fusion_weight default 0.5 (`Settings.h:919`).
+
+Spark design: the two candidate DataFrames (each already top-k′, tiny —
+≤ 3k×10000 rows) are fused with a full-outer join on the id, window-free
+min-max via a broadcast one-row agg, then global top-k. Candidate generation
+is where all the data-scale work happens and it reuses vector_topk /
+text_search (scan-local, no wide shuffle); fusion cost is O(k′).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from myscaledb_spark.errors import InvalidSearchQuery
+from myscaledb_spark.functions.text import text_search
+from myscaledb_spark.functions.vector import METRIC_ASCENDING
+from myscaledb_spark.operators.topk import vector_topk
+
+DEFAULT_FUSION_K = 60  # src/Core/Settings.h:920
+DEFAULT_FUSION_WEIGHT = 0.5  # src/Core/Settings.h:919
+DEFAULT_CANDIDATE_MULTIPLE = 3  # src/Core/Settings.h:921
+
+
+def _ranked(df: DataFrame, score_col: str, ascending: bool, id_col: str) -> DataFrame:
+    order = [F.col(score_col).asc() if ascending else F.col(score_col).desc(), F.col(id_col).asc()]
+    w = Window.orderBy(*order)
+    return df.select(id_col, score_col).withColumn("_rank", F.row_number().over(w))
+
+
+def _minmax_norm(df: DataFrame, score_col: str, out_col: str) -> DataFrame:
+    """Min-max normalize; all-equal list → 1.0 (HybridSearchUtils.cpp:296-302)."""
+    stats = df.agg(
+        F.min(score_col).alias("_mn"), F.max(score_col).alias("_mx")
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            out_col,
+            F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0)).otherwise(
+                (F.col(score_col) - F.col("_mn")) / (F.col("_mx") - F.col("_mn"))
+            ),
+        )
+        .drop("_mn", "_mx")
+    )
+
+
+def hybrid_search(
+    df: DataFrame,
+    vec_col: str,
+    text_col: str,
+    qvec: Sequence[float],
+    qtext: str,
+    k: int,
+    id_col: str,
+    fusion_type: str = "rsf",
+    metric: str = "L2",
+    fusion_weight: float = DEFAULT_FUSION_WEIGHT,
+    fusion_k: int = DEFAULT_FUSION_K,
+    candidate_multiple: int = DEFAULT_CANDIDATE_MULTIPLE,
+    tokenizer: str = "simple",
+    score_name: str = "fusion_score",
+) -> DataFrame:
+    """`hybridsearch('fusion_type=rsf|rrf')(vec, text, qvec, 'qtext')` top-k.
+
+    Returns df rows (by id) with `fusion_score`, ordered DESC, limit k.
+    """
+    ft = fusion_type.lower()
+    if ft not in ("rsf", "rrf"):
+        raise InvalidSearchQuery(f"fusion_type must be rsf|rrf, got {fusion_type!r}")
+    if k is None or k <= 0:
+        raise InvalidSearchQuery("hybrid search requires a positive LIMIT (top-k)")
+    kprime = k * candidate_multiple
+    asc = METRIC_ASCENDING.get(metric, True)
+
+    vec_cand = vector_topk(df, vec_col, qvec, kprime, metric, None, id_col, "_vdist").select(
+        id_col, "_vdist"
+    )
+    txt_cand = text_search(
+        df, text_col, qtext, kprime, id_col, tokenizer, score_name="_bm25"
+    ).select(id_col, "_bm25")
+
+    if ft == "rrf":
+        v = _ranked(vec_cand, "_vdist", asc, id_col).select(
+            F.col(id_col), (F.lit(1.0) / (F.lit(float(fusion_k)) + F.col("_rank"))).alias("_vs")
+        )
+        t = _ranked(txt_cand, "_bm25", False, id_col).select(
+            F.col(id_col), (F.lit(1.0) / (F.lit(float(fusion_k)) + F.col("_rank"))).alias("_ts")
+        )
+        fused = v.join(t, id_col, "full_outer").select(
+            F.col(id_col),
+            (F.coalesce("_vs", F.lit(0.0)) + F.coalesce("_ts", F.lit(0.0))).alias(score_name),
+        )
+    else:
+        v = _minmax_norm(vec_cand, "_vdist", "_vnorm").select(
+            F.col(id_col),
+            (
+                (F.col("_vnorm") if not asc else (F.lit(1.0) - F.col("_vnorm")))
+                * F.lit(1.0 - fusion_weight)
+            ).alias("_vs"),
+        )
+        t = _minmax_norm(txt_cand, "_bm25", "_tnorm").select(
+            F.col(id_col), (F.col("_tnorm") * F.lit(float(fusion_weight))).alias("_ts"),
+        )
+        fused = v.join(t, id_col, "full_outer").select(
+            F.col(id_col),
+            (F.coalesce("_vs", F.lit(0.0)) + F.coalesce("_ts", F.lit(0.0))).alias(score_name),
+        )
+
+    return fused.orderBy(F.col(score_name).desc(), F.col(id_col).asc()).limit(k)

@@ -1,0 +1,166 @@
+"""Relational helpers for reference constructs Spark lacks a literal
+spelling for: LIMIT n BY, ASOF JOIN, FINAL dedup, ORDER BY ... WITH FILL.
+
+Each is a thin DataFrame composition — Catalyst plans/optimizes them; there
+is no imperative execution here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def limit_by(
+    df: DataFrame,
+    by: Sequence[str],
+    order: Sequence[Column],
+    n: int,
+    offset: int = 0,
+) -> DataFrame:
+    """`LIMIT n [OFFSET m] BY cols` — top-n per group
+    (reference: `src/Processors/Transforms/LimitByTransform.cpp`,
+    parser `ASTSelectQuery.h:29-31`).
+
+    Spark plan: ranked window partitioned by the BY columns. The window
+    shuffle partitions by group key — at scale that's the minimal data
+    movement (same as the reference's per-group counters after a sort).
+    """
+    w = Window.partitionBy(*by).orderBy(*order)
+    rn = F.row_number().over(w)
+    return (
+        df.withColumn("_rn", rn)
+        .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + n))
+        .drop("_rn")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    by_left: Sequence[str] = (),
+    by_right: Sequence[str] = (),
+    direction: str = "backward",
+    strict: bool = False,
+    how: str = "inner",
+    right_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """ASOF JOIN — for each left row, match the single right row with the
+    greatest `right_on` ≤ `left_on` (backward; `<` if strict) or the smallest
+    `right_on` ≥ `left_on` (forward), within equal `by` keys.
+
+    Reference: JoinStrictness::Asof (`src/Core/Joins.h:38,56-63`), hash-join
+    asof maps in `src/Interpreters/HashJoin.cpp`.
+
+    Spark plan (no native asof): union the two sides tagged, sort within
+    `by`-partition by the time key, propagate the last-seen right row to left
+    rows with `last(..., ignoreNulls)` over an ordered window. ONE shuffle on
+    the by-keys (same cost as the reference's partitioned hash build); avoids
+    the O(n·m) range-join blowup of the naive join+filter+row_number plan and
+    is skew-safe under AQE.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be backward|forward")
+    if how not in ("inner", "left"):
+        raise ValueError("how must be inner|left")
+    by_left = list(by_left)
+    by_right = list(by_right)
+    if len(by_left) != len(by_right):
+        raise ValueError("by_left and by_right must have equal length")
+
+    rcols = [c for c in (right_cols or right.columns) if c not in (*by_right, right_on)]
+    rtype = "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in rcols) + ">"
+    ltype = "struct<" + ",".join(f"{c}:{dict(left.dtypes)[c]}" for c in left.columns) + ">"
+    # tag & harmonize schemas for the union
+    lkey = [F.col(c).alias(f"_by{i}") for i, c in enumerate(by_left)]
+    rkey = [F.col(c).alias(f"_by{i}") for i, c in enumerate(by_right)]
+    lt = left.select(
+        *lkey,
+        F.col(left_on).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast(rtype).alias("_rrow"),
+    )
+    rt = right.select(
+        *rkey,
+        F.col(right_on).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(ltype).alias("_lrow"),
+        F.struct(*[F.col(c) for c in rcols]).alias("_rrow"),
+    )
+    u = lt.unionByName(rt)
+
+    bys = [f"_by{i}" for i in range(len(by_left))]
+    # Equal-time tie-break decides strictness: non-strict lets a right row at
+    # t == left.t match (right sorts before left), strict excludes it.
+    tiebreak = F.col("_side").desc() if strict else F.col("_side").asc()
+    torder = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+    w = (
+        Window.partitionBy(*bys)
+        .orderBy(torder, tiebreak)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = u.withColumn("_mrow", F.last("_rrow", ignorenulls=True).over(w))
+
+    out = matched.filter(F.col("_side") == 1)
+    if how == "inner":
+        out = out.filter(F.col("_mrow").isNotNull())
+    sel = [F.col(f"_lrow.{c}").alias(c) for c in left.columns] + [
+        F.col(f"_mrow.{c}").alias(c) for c in rcols
+    ]
+    return out.select(*sel)
+
+
+def final_dedup(
+    df: DataFrame, key: Sequence[str], version: Column | str, keep: str = "max"
+) -> DataFrame:
+    """FINAL / ReplacingMergeTree semantics: one row per key, the one with the
+    max (or min) version (reference: merge-on-read dedup,
+    `src/Processors/QueryPlan/PartsSplitter.cpp`, test `00039_test_final.sh`,
+    `00031_mqvs_support_replacing_merge_tree.sql`)."""
+    version = F.col(version) if isinstance(version, str) else version
+    order = version.desc() if keep == "max" else version.asc()
+    w = Window.partitionBy(*key).orderBy(order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def with_fill(
+    df: DataFrame,
+    fill_col: str,
+    step: Any,
+    from_value: Any | None = None,
+    to_value: Any | None = None,
+    interpolate: Sequence[str] = (),
+) -> DataFrame:
+    """ORDER BY ... WITH FILL [FROM a] [TO b] [STEP s] [INTERPOLATE cols] —
+    densify a numeric/date axis, inserting missing grid points
+    (reference: `src/Processors/Transforms/FillingTransform.cpp`).
+
+    Spark plan: one-row min/max agg → `sequence()` literal grid → explode →
+    left join original → optional last-value interpolation window. The grid
+    is tiny (axis cardinality), so the join broadcasts the grid; original
+    data is never reshuffled except the final join on the fill key.
+    """
+    bounds = df.agg(
+        F.min(fill_col).alias("_mn"), F.max(fill_col).alias("_mx")
+    ).collect()[0]
+    lo = from_value if from_value is not None else bounds["_mn"]
+    hi = to_value if to_value is not None else bounds["_mx"]
+    if lo is None:
+        return df
+    spark = df.sparkSession
+    grid = spark.range(1).select(
+        F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(step))).alias(fill_col)
+    )
+    joined = grid.join(df, on=fill_col, how="left")
+    if interpolate:
+        w = Window.orderBy(fill_col).rowsBetween(Window.unboundedPreceding, 0)
+        for c in interpolate:
+            joined = joined.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return joined.orderBy(fill_col)

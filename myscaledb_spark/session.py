@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32); the same
+configs are the ones we would set on a 1000-executor cluster reading 100 TB:
+AQE on (runtime re-plan, skew-join splitting, partition coalescing), sane
+shuffle partitioning, Arrow for every pandas-UDF boundary, UTC session time.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that are safe & beneficial at every scale. At 100 TB the only knobs
+# that change are shuffle partition count (set ~2-3x total cores, AQE coalesces
+# down) and maxPartitionBytes (keep scan tasks ~128-256 MB).
+ENGINE_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # events.parquet stores TIMESTAMP(NANOS); read as long, catalog converts
+    # to microsecond timestamps (same ns→µs truncation DuckDB applies).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Small dims (region/nation/supplier at TPC-H shape) must broadcast.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def get_spark(app_name: str = "myscaledb-spark", master: str | None = None) -> SparkSession:
+    """Create (or get) a SparkSession with engine defaults applied."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(master or f"local[{cpus}]")
+    builder = builder.config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an externally-provided session
+    (the driver passes its own SparkSession to ``entry``/``queries``)."""
+    for k, v in ENGINE_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static confs on a running session — keep going
+    return spark

@@ -1,0 +1,137 @@
+"""BM25 text search + hybrid fusion vs pure-python oracles.
+
+Oracle implements tantivy/Lucene BM25 (k1=1.2, b=0.75,
+idf = ln(1 + (N - df + 0.5)/(df + 0.5))) and the reference fusion formulas
+(HybridSearchUtils.cpp:163-314)."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pytest
+
+from myscaledb_spark.functions.text import text_search, tokenize_query
+from myscaledb_spark.operators.hybrid import hybrid_search
+
+K1, B = 1.2, 0.75
+
+
+def _tok(s):
+    return [t for t in re.split("[^a-z0-9]+", s.lower()) if t]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return [(r.doc_id, _tok(r.text)) for r in spark.table("documents").select("doc_id", "text").collect()]
+
+
+def _bm25_oracle(docs, query, operator="OR"):
+    terms = tokenize_query(query)
+    n = len(docs)
+    avgdl = sum(len(t) for _, t in docs) / n
+    df = {t: sum(1 for _, toks in docs if t in toks) for t in terms}
+    out = []
+    for doc_id, toks in docs:
+        tfs = {t: toks.count(t) for t in terms}
+        if operator == "AND" and not all(tfs[t] > 0 for t in terms):
+            continue
+        if not any(tfs[t] > 0 for t in terms):
+            continue
+        score = 0.0
+        for t in terms:
+            tf = tfs[t]
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            score += idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * len(toks) / avgdl))
+        out.append((doc_id, score))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+QUERY = "vector search fast"
+
+
+def test_bm25_topk_matches_oracle(spark, docs):
+    got = text_search(
+        spark.table("documents"), "text", QUERY, 15, id_col="doc_id"
+    ).select("doc_id", "bm25_score").collect()
+    want = _bm25_oracle(docs, QUERY)[:15]
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+    np.testing.assert_allclose(
+        [r.bm25_score for r in got], [s for _, s in want], rtol=1e-9
+    )
+
+
+def test_bm25_and_operator(spark, docs):
+    got = text_search(
+        spark.table("documents"), "text", QUERY, 15, id_col="doc_id", operator="AND"
+    ).select("doc_id").collect()
+    want = _bm25_oracle(docs, QUERY, operator="AND")[:15]
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+
+
+def _fusion_oracle(vec_list, txt_list, kind, k, asc=True, w=0.5, k0=60):
+    """vec_list: [(id, dist)] ordered; txt_list: [(id, score)] ordered desc."""
+    scores = {}
+    if kind == "rrf":
+        for rank, (i, _) in enumerate(vec_list, 1):
+            scores[i] = scores.get(i, 0.0) + 1.0 / (k0 + rank)
+        for rank, (i, _) in enumerate(txt_list, 1):
+            scores[i] = scores.get(i, 0.0) + 1.0 / (k0 + rank)
+    else:
+        def norm(lst):
+            vals = [s for _, s in lst]
+            mn, mx = min(vals), max(vals)
+            if mn == mx:
+                return {i: 1.0 for i, _ in lst}
+            return {i: (s - mn) / (mx - mn) for i, s in lst}
+        tn = norm(txt_list)
+        vn = norm(vec_list)
+        for i, s in tn.items():
+            scores[i] = scores.get(i, 0.0) + s * w
+        for i, s in vn.items():
+            d = s if not asc else (1.0 - s)
+            scores[i] = scores.get(i, 0.0) + d * (1 - w)
+    out = sorted(scores.items(), key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+@pytest.mark.parametrize("kind", ["rsf", "rrf"])
+def test_hybrid_search(spark, docs, kind):
+    # documents has no vector column — join embeddings on row id for the test
+    d = spark.table("documents")
+    e = spark.table("embeddings")
+    df = d.join(e, d.doc_id == e.vec_id).select("doc_id", "text", "embedding")
+
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal(64).tolist()
+    k = 8
+
+    got = hybrid_search(
+        df, "embedding", "text", q, QUERY, k, "doc_id", fusion_type=kind
+    ).collect()
+
+    # oracle candidate lists from our own (already numpy-verified) primitives
+    from myscaledb_spark.operators.topk import vector_topk
+    from myscaledb_spark.functions.text import text_search as ts
+
+    vec_list = [
+        (r.doc_id, r.dist)
+        for r in vector_topk(df, "embedding", q, 3 * k, "L2", id_col="doc_id")
+        .select("doc_id", "dist")
+        .collect()
+    ]
+    txt_list = [
+        (r.doc_id, r.bm25_score)
+        for r in ts(df, "text", QUERY, 3 * k, id_col="doc_id")
+        .select("doc_id", "bm25_score")
+        .collect()
+    ]
+    want = _fusion_oracle(vec_list, txt_list, kind, k)
+    assert [r.doc_id for r in got] == [i for i, _ in want]
+    np.testing.assert_allclose(
+        [r.fusion_score for r in got], [s for _, s in want], rtol=1e-9
+    )

@@ -1,0 +1,107 @@
+"""Vector search correctness vs a numpy exact oracle (mirrors the reference's
+brute-force semantics, tests/queries/2_vector_search/00001_mqvs_distance.*)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from myscaledb_spark.errors import InvalidSearchQuery
+from myscaledb_spark.operators.topk import (
+    batch_vector_topk,
+    two_stage_topk,
+    vector_topk,
+)
+from tests.conftest import SF_DIR
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb_np(spark):
+    rows = spark.table("embeddings").select("vec_id", "embedding", "label").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    labels = np.array([r.label for r in rows])
+    return ids, mat, labels
+
+
+def _qvec(dim=64, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(dim).astype(np.float32).astype(np.float64)
+
+
+def _np_topk(ids, mat, q, k, metric):
+    if metric == "L2":
+        d = np.sqrt(((mat - q) ** 2).sum(axis=1))
+        order = np.lexsort((ids, d))
+    elif metric == "Cosine":
+        d = 1.0 - (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        order = np.lexsort((ids, d))
+    elif metric == "IP":
+        d = mat @ q
+        order = np.lexsort((ids, -d))
+    return ids[order[:k]], d[order[:k]]
+
+
+@pytest.mark.parametrize("metric", ["L2", "Cosine", "IP"])
+def test_vector_topk_matches_numpy(spark, emb_np, metric):
+    ids, mat, _ = emb_np
+    q = _qvec()
+    got = vector_topk(
+        spark.table("embeddings"), "embedding", q.tolist(), K, metric, id_col="vec_id"
+    ).select("vec_id", "dist").collect()
+    want_ids, want_d = _np_topk(ids, mat, q, K, metric)
+    assert [r.vec_id for r in got] == list(want_ids)
+    np.testing.assert_allclose([r.dist for r in got], want_d, rtol=1e-9, atol=1e-9)
+
+
+def test_filtered_search(spark, emb_np):
+    ids, mat, labels = emb_np
+    q = _qvec()
+    mask = labels == 1
+    got = vector_topk(
+        spark.table("embeddings"),
+        "embedding",
+        q.tolist(),
+        K,
+        "L2",
+        where=F.col("label") == 1,
+        id_col="vec_id",
+    ).select("vec_id").collect()
+    want_ids, _ = _np_topk(ids[mask], mat[mask], q, K, "L2")
+    assert [r.vec_id for r in got] == list(want_ids)
+
+
+def test_batch_distance(spark, emb_np):
+    ids, mat, _ = emb_np
+    qs = [_qvec(seed=s) for s in (1, 2, 3)]
+    got = batch_vector_topk(
+        spark.table("embeddings"), "embedding", [q.tolist() for q in qs], 5, "L2",
+        id_col="vec_id",
+    ).select("query_id", "vec_id").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    for i, q in enumerate(qs):
+        want_ids, _ = _np_topk(ids, mat, q, 5, "L2")
+        assert by_q[i] == list(want_ids), f"query {i}"
+
+
+def test_two_stage_equals_exact(spark, emb_np):
+    ids, mat, _ = emb_np
+    q = _qvec(seed=11)
+    got = two_stage_topk(
+        spark.table("embeddings"), "embedding", q.tolist(), K, "L2", id_col="vec_id"
+    ).select("vec_id").collect()
+    want_ids, _ = _np_topk(ids, mat, q, K, "L2")
+    assert [r.vec_id for r in got] == list(want_ids)
+
+
+def test_validations(spark):
+    df = spark.table("embeddings")
+    with pytest.raises(InvalidSearchQuery):
+        vector_topk(df, "embedding", [0.0] * 64, 0)
+    with pytest.raises(InvalidSearchQuery):
+        vector_topk(df, "embedding", [0.0] * 64, 10_001)
