@@ -1,0 +1,205 @@
+"""Deduplication operators for LLM training-data pipelines: exact dedup,
+MinHash+LSH, SimHash, n-gram Jaccard verification.
+
+Design for 100 TB:
+  - every hash is a *portable deterministic* 48-bit md5 prefix (same value in
+    any engine — lets the DuckDB oracle reproduce results bit-for-bit, and
+    makes re-runs/stage-recovery idempotent),
+  - MinHash signatures are computed in ONE pass over exploded shingles
+    (H conditional mins in a single groupBy — no per-hash shuffle),
+  - LSH banding turns the O(n²) pair problem into groupBy(band_key) buckets —
+    the only shuffles are (doc → shingle explode → groupBy doc) and
+    (signature → groupBy band), both linear in corpus size,
+  - exact-Jaccard verification joins shingle sets only for candidate pairs
+    (tiny compared to the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_48(col: Column) -> Column:
+    """Portable 48-bit hash: first 12 hex chars of md5 as a bigint.
+    Identical in Spark (`conv(substr(md5(x),1,12),16,10)`) and DuckDB
+    (`('0x' || substr(md5(x),1,12))::BIGINT`)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 12), 16, 10).cast("long")
+
+
+def md5_48_seeded(col: Column, seed: int) -> Column:
+    return md5_48(F.concat(F.lit(f"{seed}:"), col))
+
+
+def shingles(tokens: Column, n: int = 3, sep: str = " ") -> Column:
+    """Word n-gram shingles of a token array (array<string>)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(tokens) - F.lit(n - 1))),
+        lambda i: F.array_join(F.slice(tokens, i, n), sep),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str, text_col: str, normalize: bool = True
+) -> DataFrame:
+    """Hash-groupBy exact duplicate detection. Returns one row per duplicated
+    content hash: (content_hash, n_copies, keep_id = min id)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " ")) if normalize else F.col(text_col)
+    hashed = df.select(F.col(id_col), md5_48(norm).alias("content_hash"))
+    return (
+        hashed.groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingle_sets(df: DataFrame, id_col: str, tokens_col: Column, n: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs — the set representation."""
+    return (
+        df.select(F.col(id_col), F.explode(shingles(tokens_col, n)).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str, num_hashes: int = 12
+) -> DataFrame:
+    """One-pass MinHash: H seeded hashes per shingle, min per doc per seed."""
+    aggs = [
+        F.min(md5_48_seeded(F.col("sh"), s)).alias(f"mh{s}") for s in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str, num_hashes: int = 12, bands: int = 4
+) -> DataFrame:
+    """Band the signature, bucket-join: pairs sharing any band. Returns
+    distinct (id_a, id_b) with id_a < id_b."""
+    rows = num_hashes // bands
+    pieces = []
+    for b in range(bands):
+        key = F.concat_ws(
+            ",", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+        )
+        pieces.append(
+            sig.select(
+                F.lit(b).alias("band"), key.alias("band_key"), F.col(id_col).alias("id")
+            )
+        )
+    banded = pieces[0]
+    for p in pieces[1:]:
+        banded = banded.unionAll(p)
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard(
+    sh: DataFrame, pairs: DataFrame, id_col_a: str = "id_a", id_col_b: str = "id_b"
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs from their shingle sets."""
+    sizes = sh.groupBy(sh.columns[0]).agg(F.count(F.lit(1)).alias("n"))
+    idc = sh.columns[0]
+    inter = (
+        pairs.join(sh.withColumnRenamed(idc, id_col_a), id_col_a)
+        .withColumnRenamed("sh", "sh_a")
+        .join(
+            sh.withColumnRenamed(idc, id_col_b).withColumnRenamed("sh", "sh_b"),
+            on=[id_col_b],
+        )
+        .filter(F.col("sh_a") == F.col("sh_b"))
+        .groupBy(id_col_a, id_col_b)
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(idc, id_col_a).withColumnRenamed("n", "n_a"), id_col_a)
+        .join(sizes.withColumnRenamed(idc, id_col_b).withColumnRenamed("n", "n_b"), id_col_b)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                4,
+            ),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup detection: candidates via banding,
+    verified with exact Jaccard ≥ threshold."""
+    sh = shingle_sets(df, id_col, tokens_col, n)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    jac = exact_jaccard(sh, cands)
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, tokens_col: Column, bits: int = 48) -> DataFrame:
+    """Per-doc SimHash fingerprint: token-frequency-weighted bit votes.
+
+    Plan: explode tokens → per-token 48-bit hash → explode bit index →
+    ±1 votes summed per (doc, bit) → fingerprint = Σ (vote>0) << bit.
+    Two shuffles (groupBy doc,bit then groupBy doc), all JVM expressions.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_col).alias("tok"))
+    hashed = toks.select(id_col, md5_48(F.col("tok")).alias("h"))
+    bitted = hashed.select(
+        id_col,
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    ).select(
+        id_col,
+        "b",
+        F.when(F.expr("shiftright(h, b)").bitwiseAND(F.lit(1)) == 1, 1)
+        .otherwise(-1)
+        .alias("vote"),
+    )
+    votes = bitted.groupBy(id_col, "b").agg(F.sum("vote").alias("v"))
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two bigint fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,80 @@
+"""Structured Streaming surface mirroring the reference's WINDOW VIEW
+(`src/Storages/WindowView/StorageWindowView.h:21-93`):
+
+  tumble(t, INTERVAL)        → window(t, size)
+  hop(t, slide, size)        → window(t, size, slide)
+  WATERMARK BOUNDED(i)       → withWatermark(t, i)
+  Kafka/FileLog engines      → readStream sources (file source here; kafka
+                               format is available on clusters with the
+                               kafka connector jar)
+  TO target table            → writeStream.toTable / memory sink
+
+The reference fires windows continuously on inserts; Spark's availableNow
+trigger gives the same results batch-deterministically (every window emitted
+in `complete` mode), which is what the correctness oracle checks. At scale
+the same code runs against Kafka with a real trigger + watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def tumble(ts: Column | str, size: str) -> Column:
+    """tumble(t, INTERVAL x) → non-overlapping windows (StorageWindowView.h:26)."""
+    return F.window(ts, size)
+
+
+def hop(ts: Column | str, slide: str, size: str) -> Column:
+    """hop(t, slide, size) → overlapping windows (StorageWindowView.h:39-51).
+    NB reference arg order is (slide, size); Spark's is (size, slide)."""
+    return F.window(ts, size, slide)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (≈ FileLog engine)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    # file source requires a directory; glob-filter to the events file
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Run a streaming aggregation to completion (availableNow) into a memory
+    sink and return the materialized result table."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df.sparkSession
+    return spark.table(name)

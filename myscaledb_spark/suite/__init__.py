@@ -1,0 +1,53 @@
+"""Query suite registry — every entry is (spark_fn, duckdb_oracle_sql|None).
+
+The driver's correctness gate runs each registered query on Spark and its
+oracle on DuckDB side-by-side (row-count + schema + order-insensitive
+value-hash). Registration keeps __spark_entry__ a thin shim.
+
+Float discipline (makes the value-hash deterministic):
+  - money arithmetic in DECIMAL on both sides (exact, order-independent),
+  - float expressions computed with the SAME double association order on
+    both sides, then ROUND(x, 4),
+  - every top-k / LIMIT tie-broken by a unique id column on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, tuple[SparkQuery, str | None]] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate suite entry {name}")
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every suite module (side effect: fills REGISTRY)."""
+    from myscaledb_spark.suite import (  # noqa: F401
+        relational,
+        search,
+        text_pipeline,
+        dedup,
+        streaming,
+    )
+
+
+def queries() -> dict[str, SparkQuery]:
+    load_all()
+    return {k: fn for k, (fn, _) in REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    load_all()
+    return {k: sql for k, (_, sql) in REGISTRY.items() if sql is not None}

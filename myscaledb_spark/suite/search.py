@@ -1,0 +1,251 @@
+"""Vector / text / hybrid search coverage (SURVEY.md §2.9 — the MyScale core).
+
+Every accelerated path's oracle is the exact computation; DuckDB reproduces
+the same double math so value hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from myscaledb_spark.catalog import load_table
+from myscaledb_spark.suite import register
+
+
+def make_qvec(dim: int = 64, seed: int = 7) -> list[float]:
+    """Deterministic pseudo-random query vector (LCG), reproducible as a SQL
+    literal — no RNG libs so the same literals appear in the oracle."""
+    x = seed
+    out = []
+    for _ in range(dim):
+        x = (1103515245 * x + 12345) % (2**31)
+        out.append(round((x / 2**31) * 2.0 - 1.0, 6))
+    return out
+
+
+QV = make_qvec()
+QV2 = make_qvec(seed=21)
+QV3 = make_qvec(seed=99)
+QTEXT = "vector search fast"
+
+
+def sql_qvec(qvec: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in qvec) + "]"
+
+
+def sql_l2(vec_expr: str, qvec: list[float], dims: int | None = None) -> str:
+    """DuckDB L2 with Spark's exact left-to-right double summation.
+    dims limits to a prefix of the vector (two-stage coarse ranking)."""
+    q = sql_qvec(qvec)
+    upper = str(dims + 1) if dims else f"len({vec_expr})+1"
+    diff = f"(CAST({vec_expr}[i] AS DOUBLE) - ({q})[i])"
+    return (
+        f"sqrt(list_reduce(list_transform(range(1, {upper}), "
+        f"i -> {diff} * {diff}), (a, b) -> a + b))"
+    )
+
+
+def sql_ip(vec_expr: str, qvec: list[float]) -> str:
+    q = sql_qvec(qvec)
+    return (
+        f"list_reduce(list_transform(range(1, len({vec_expr})+1), "
+        f"i -> CAST({vec_expr}[i] AS DOUBLE) * ({q})[i]), (a, b) -> a + b)"
+    )
+
+
+def sql_cosine(vec_expr: str, qvec: list[float]) -> str:
+    """Matches functions.vector.cosine_distance's struct-accumulator order:
+    dot and self-norm accumulated pairwise left-to-right, then
+    1 - dot/(sqrt(na)*qnorm) with qnorm a Python-folded constant."""
+    import math
+
+    q = sql_qvec(qvec)
+    qnorm = repr(math.sqrt(sum(float(x) * float(x) for x in qvec)))
+    dot = (
+        f"list_reduce(list_transform(range(1, len({vec_expr})+1), "
+        f"i -> CAST({vec_expr}[i] AS DOUBLE) * ({q})[i]), (a, b) -> a + b)"
+    )
+    na = (
+        f"list_reduce(list_transform(range(1, len({vec_expr})+1), "
+        f"i -> CAST({vec_expr}[i] AS DOUBLE) * CAST({vec_expr}[i] AS DOUBLE)), (a, b) -> a + b)"
+    )
+    return f"(1.0 - ({dot}) / (sqrt({na}) * {qnorm}))"
+
+
+# --- distance() topk, per metric (00001_mqvs_distance, 00014 cosine) ----------
+@register(
+    "vec_l2_topk",
+    f"""
+    SELECT vec_id, label, ROUND({sql_l2('embedding', QV)}, 4) AS dist
+    FROM embeddings
+    ORDER BY {sql_l2('embedding', QV)} ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def vec_l2_topk(spark, sf_dir):
+    from myscaledb_spark.operators.topk import vector_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = vector_topk(emb, "embedding", QV, 10, "L2", id_col="vec_id")
+    return out.select("vec_id", "label", F.round("dist", 4).alias("dist"))
+
+
+@register(
+    "vec_cosine_topk",
+    f"""
+    SELECT vec_id, ROUND({sql_cosine('embedding', QV2)}, 4) AS dist
+    FROM embeddings
+    ORDER BY {sql_cosine('embedding', QV2)} ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def vec_cosine_topk(spark, sf_dir):
+    from myscaledb_spark.operators.topk import vector_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = vector_topk(emb, "embedding", QV2, 10, "Cosine", id_col="vec_id")
+    return out.select("vec_id", F.round("dist", 4).alias("dist"))
+
+
+@register(
+    "vec_ip_topk",
+    f"""
+    SELECT vec_id, ROUND({sql_ip('embedding', QV3)}, 4) AS dist
+    FROM embeddings
+    ORDER BY {sql_ip('embedding', QV3)} DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def vec_ip_topk(spark, sf_dir):
+    from myscaledb_spark.operators.topk import vector_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = vector_topk(emb, "embedding", QV3, 10, "IP", id_col="vec_id")
+    return out.select("vec_id", F.round("dist", 4).alias("dist"))
+
+
+# --- filtered search (00004_mqvs_filter_by_distance; prefilter §2.9) ----------
+@register(
+    "vec_l2_filtered",
+    f"""
+    SELECT vec_id, ROUND({sql_l2('embedding', QV2)}, 4) AS dist
+    FROM embeddings WHERE label = 1
+    ORDER BY {sql_l2('embedding', QV2)} ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def vec_l2_filtered(spark, sf_dir):
+    from myscaledb_spark.operators.topk import vector_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = vector_topk(
+        emb, "embedding", QV2, 10, "L2", where=F.col("label") == 1, id_col="vec_id"
+    )
+    return out.select("vec_id", F.round("dist", 4).alias("dist"))
+
+
+# --- batch_distance + LIMIT n BY (00002_mqvs_batch_distance) ------------------
+@register(
+    "batch_distance_l2",
+    f"""
+    WITH q AS (
+      SELECT * FROM (VALUES (0, {sql_qvec(QV)}), (1, {sql_qvec(QV2)}), (2, {sql_qvec(QV3)}))
+      AS t(query_id, qv)
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             sqrt(list_reduce(list_transform(range(1, len(e.embedding)+1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - qv[i]) * (CAST(e.embedding[i] AS DOUBLE) - qv[i])),
+               (a, b) -> a + b)) AS d
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, ROUND(d, 4) AS dist
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def batch_distance_l2(spark, sf_dir):
+    from myscaledb_spark.operators.topk import batch_vector_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = batch_vector_topk(
+        emb, "embedding", [QV, QV2, QV3], 5, "L2", id_col="vec_id"
+    )
+    return out.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "vec_id",
+        F.round("dist", 4).alias("dist"),
+    )
+
+
+# --- two-stage search (00035_mqvs_two_stage_search.sql) -----------------------
+# Stage 1 ranks k×3 candidates by a compressed representation (first 32 dims ≈
+# the reference's compressed first stage); stage 2 re-ranks exactly. The
+# oracle reproduces BOTH stages, so the (intentionally approximate) candidate
+# pruning is itself verified.
+_COARSE = sql_l2("embedding", QV[:32], dims=32)
+
+
+@register(
+    "two_stage_l2",
+    f"""
+    WITH cands AS (
+      SELECT vec_id, embedding FROM embeddings
+      ORDER BY {_COARSE} ASC, vec_id ASC
+      LIMIT 24
+    )
+    SELECT vec_id, ROUND({sql_l2('embedding', QV)}, 4) AS dist
+    FROM cands
+    ORDER BY {sql_l2('embedding', QV)} ASC, vec_id ASC
+    LIMIT 8
+    """,
+)
+def two_stage_l2(spark, sf_dir):
+    from myscaledb_spark.operators.topk import two_stage_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = two_stage_topk(
+        emb, "embedding", QV, 8, "L2", id_col="vec_id", coarse_dims=32
+    )
+    return out.select("vec_id", F.round("dist", 4).alias("dist"))
+
+
+# --- BM25 text search (00040 textsearch; tantivy formula) ---------------------
+def _bm25_oracle_sql(terms: list[str], k: int, table: str = "documents") -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END)::DOUBLE AS df{i}"
+        for i, t in enumerate(terms)
+    )
+    score_terms = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN ln(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) "
+        f"* (tf{i} * (1.2 + 1.0)) / (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0 END)"
+        for i in range(len(terms))
+    )
+    match_any = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+    return f"""
+        WITH toked AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+          FROM {table}
+        ),
+        d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, {tf_cols} FROM toked),
+        stats AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(len(toks))::DOUBLE AS avgdl, {df_cols} FROM toked)
+        SELECT doc_id, ROUND({score_terms}, 4) AS bm25_score
+        FROM d CROSS JOIN stats
+        WHERE {match_any}
+        ORDER BY ({score_terms}) DESC, doc_id ASC
+        LIMIT {k}
+    """
+
+
+@register("bm25_topk", _bm25_oracle_sql(["vector", "search", "fast"], 15))
+def bm25_topk(spark, sf_dir):
+    from myscaledb_spark.functions.text import text_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_search(docs, "text", QTEXT, 15, id_col="doc_id")
+    return out.select("doc_id", F.round("bm25_score", 4).alias("bm25_score"))

@@ -1,0 +1,172 @@
+"""Text-analysis operators for LLM training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting. (Driver brief:
+first-class components alongside SURVEY.md §2.)
+
+All pure column expressions — at 100 TB these run as a single narrow scan
+projection, no shuffle except final aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from myscaledb_spark.catalog import load_table
+from myscaledb_spark.suite import register
+
+# tiny deterministic stopword marker sets per language (shared with oracle SQL)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "for", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "las"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "est", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "von", "den", "ein", "eine", "mit"],
+    "zh": ["de5", "shi4", "zai4", "le5", "he2", "you3", "wo3", "ta1", "zhe4", "bu4"],
+}
+
+
+def _sql_tokens(col: str = "text") -> str:
+    return f"list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _marker_hits_sql(lang: str) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+    return f"len(list_filter(toks, t -> list_contains({lst}, t)))"
+
+
+def _marker_hits_col(lang: str):
+    lst = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter("_toks", lambda t: F.array_contains(lst, t)))
+
+
+# --- language identification (n-gram/stopword heuristic) ----------------------
+@register(
+    "lang_id_scores",
+    f"""
+    WITH toked AS (SELECT doc_id, lang, {_sql_tokens()} AS toks FROM documents)
+    SELECT doc_id, lang AS true_lang,
+           {_marker_hits_sql('en')} AS hits_en,
+           {_marker_hits_sql('es')} AS hits_es,
+           {_marker_hits_sql('fr')} AS hits_fr,
+           {_marker_hits_sql('de')} AS hits_de,
+           len(toks) AS n_tokens
+    FROM toked WHERE doc_id < 200
+    """,
+)
+def lang_id_scores(spark, sf_dir):
+    from myscaledb_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toked = docs.withColumn("_toks", tokenize("text"))
+    return toked.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        _marker_hits_col("en").alias("hits_en"),
+        _marker_hits_col("es").alias("hits_es"),
+        _marker_hits_col("fr").alias("hits_fr"),
+        _marker_hits_col("de").alias("hits_de"),
+        F.size("_toks").alias("n_tokens"),
+    )
+
+
+# --- quality scoring (length / punctuation / stopword / uniqueness ratios) ----
+@register(
+    "doc_quality_scores",
+    f"""
+    WITH toked AS (
+      SELECT doc_id, text, {_sql_tokens()} AS toks FROM documents
+    )
+    SELECT doc_id,
+           length(text) AS n_chars_m,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_unique,
+           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS uniq_ratio,
+           ROUND(CAST(length(text) AS DOUBLE) / len(toks), 4) AS chars_per_token,
+           ROUND(CAST({_marker_hits_sql('en')} AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+           (length(text) - length(replace(text, '.', ''))) AS n_periods
+    FROM toked WHERE len(toks) > 0 AND doc_id < 300
+    """,
+)
+def doc_quality_scores(spark, sf_dir):
+    from myscaledb_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toked = docs.withColumn("_toks", tokenize("text")).filter(F.size("_toks") > 0)
+    n_tok = F.size("_toks")
+    return toked.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).alias("n_unique"),
+        F.round(F.size(F.array_distinct("_toks")).cast("double") / n_tok, 4).alias(
+            "uniq_ratio"
+        ),
+        F.round(F.length("text").cast("double") / n_tok, 4).alias("chars_per_token"),
+        F.round(_marker_hits_col("en").cast("double") / n_tok, 4).alias("stopword_ratio"),
+        (F.length("text") - F.length(F.regexp_replace("text", "\\.", ""))).alias(
+            "n_periods"
+        ),
+    )
+
+
+# --- token counting (whitespace + BPE-ish subword estimate) -------------------
+@register(
+    "token_counts",
+    f"""
+    WITH toked AS (SELECT doc_id, source, {_sql_tokens()} AS toks FROM documents)
+    SELECT source,
+           SUM(len(toks)) AS total_tokens,
+           SUM(list_reduce(list_transform(toks, t -> 1 + (length(t) // 4)), (a, b) -> a + b)) AS est_bpe_tokens,
+           COUNT(*) AS n_docs
+    FROM toked GROUP BY source
+    """,
+)
+def token_counts(spark, sf_dir):
+    from myscaledb_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.withColumn("_toks", tokenize("text"))
+    # BPE-ish: every token ≈ 1 + len//4 subword units (deterministic estimate)
+    bpe = F.aggregate(
+        F.transform("_toks", lambda t: F.lit(1) + (F.length(t).cast("long") / F.lit(4)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return toked.groupBy("source").agg(
+        F.sum(F.size("_toks")).alias("total_tokens"),
+        F.sum(bpe).alias("est_bpe_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# --- document fingerprinting (min-k of shingle hashes; portable md5-based) ----
+def _sql_md5_48(expr: str) -> str:
+    # first 12 hex chars of md5 → 48-bit int (portable across engines)
+    return f"CAST(('0x' || substr(md5({expr}), 1, 12)) AS BIGINT)"
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    WITH toked AS (SELECT doc_id, {_sql_tokens()} AS toks FROM documents WHERE doc_id < 100),
+    shingles AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM toked, UNNEST(range(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 3
+    ),
+    hashed AS (SELECT DISTINCT doc_id, {_sql_md5_48('sh')} AS h FROM shingles)
+    SELECT doc_id, MIN(h) AS fp_min, COUNT(*) AS n_shingles
+    FROM hashed GROUP BY doc_id
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    from myscaledb_spark.functions.text import tokenize
+    from myscaledb_spark.operators.dedup import md5_48, shingles
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toked = docs.withColumn("_toks", tokenize("text")).filter(F.size("_toks") >= 3)
+    sh = toked.select(
+        "doc_id", F.explode(shingles(F.col("_toks"), 3)).alias("sh")
+    ).distinct()
+    hashed = sh.select("doc_id", md5_48(F.col("sh")).alias("h")).distinct()
+    return hashed.groupBy("doc_id").agg(
+        F.min("h").alias("fp_min"), F.count(F.lit(1)).alias("n_shingles")
+    )

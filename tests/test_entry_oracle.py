@@ -52,8 +52,8 @@ def test_query_matches_oracle(spark, duck_oracle, name):
     # driver sorts columns by name before hashing values — emulate
     sidx = sorted(range(len(scols)), key=lambda i: scols[i])
     didx = sorted(range(len(dcols)), key=lambda i: dcols[i])
-    a = sorted(tuple(_norm(r[i]) for i in sidx) for r in srows)
-    b = sorted(tuple(_norm(r[i]) for i in didx) for r in drows)
+    a = sorted((tuple(_norm(r[i]) for i in sidx) for r in srows), key=repr)
+    b = sorted((tuple(_norm(r[i]) for i in didx) for r in drows), key=repr)
     for ra, rb in zip(a, b):
         for va, vb in zip(ra, rb):
             if isinstance(va, float) or isinstance(vb, float):
