@@ -1,0 +1,115 @@
+"""Funnel / retention / sequence analytics aggregates
+(`src/AggregateFunctions/registerAggregateFunctions.cpp:35-36,59,76`).
+
+windowFunnel replicates `AggregateFunctionWindowFunnel.h:154-215` exactly
+(default mode, no strict flags): events sorted by (ts, cond_idx); a cond-1
+event (re)starts a chain (stores its ts); a cond-k event upgrades the chain
+iff level k-1 was reached and ts ≤ chain_start + window, *propagating the
+chain-start timestamp*; result is the deepest level reached.
+
+Implementation is a pure Catalyst expression: explode matching conditions →
+collect_list(struct(ts, idx)) → array_sort → aggregate() state machine with
+a struct accumulator. One shuffle (groupBy user); per-group state is O(1).
+No Python UDFs — the state machine compiles into codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _entries(df: DataFrame, ts_col: str, user_col: str, conds: Sequence[Column]) -> DataFrame:
+    """(user, struct(ts_micros, cond_idx)) — one row per condition an event
+    matches (an event may match several)."""
+    tagged = F.array(
+        *[
+            F.when(
+                cond,
+                F.struct(
+                    F.unix_micros(F.col(ts_col)).alias("ts"),
+                    F.lit(i + 1).cast("int").alias("idx"),
+                ),
+            )
+            for i, cond in enumerate(conds)
+        ]
+    )
+    return df.select(
+        F.col(user_col).alias("user"),
+        F.explode(F.filter(tagged, lambda x: x.isNotNull())).alias("e"),
+    )
+
+
+def window_funnel(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    conds: Sequence[Column],
+    window_seconds: int,
+) -> DataFrame:
+    """Returns (user, level) with level ∈ [0, len(conds)]."""
+    n = len(conds)
+    win = int(window_seconds) * 1_000_000  # micros
+    ent = _entries(df, ts_col, user_col, conds)
+    grouped = ent.groupBy("user").agg(F.array_sort(F.collect_list("e")).alias("evs"))
+
+    zero = F.struct(
+        *[F.lit(None).cast("long").alias(f"l{k}") for k in range(1, n + 1)]
+    )
+
+    def merge(acc: Column, e: Column) -> Column:
+        fields = [F.when(e["idx"] == 1, e["ts"]).otherwise(acc["l1"]).alias("l1")]
+        for k in range(2, n + 1):
+            prev = acc[f"l{k-1}"]
+            fields.append(
+                F.when(
+                    (e["idx"] == k) & prev.isNotNull() & (e["ts"] <= prev + F.lit(win)),
+                    prev,
+                )
+                .otherwise(acc[f"l{k}"])
+                .alias(f"l{k}")
+            )
+        return F.struct(*fields)
+
+    def finish(acc: Column) -> Column:
+        level = F.lit(0)
+        for k in range(1, n + 1):
+            level = F.when(acc[f"l{k}"].isNotNull(), k).otherwise(level)
+        return level
+
+    return grouped.select(
+        "user", F.aggregate("evs", zero, merge, finish).cast("int").alias("level")
+    )
+
+
+def retention(
+    df: DataFrame, user_col: str, conds: Sequence[Column]
+) -> DataFrame:
+    """retention(cond1, cond2, ...): r1 = cond1 ever true; r_i (i>1) =
+    cond1 AND cond_i both ever true (AggregateFunctionRetention semantics).
+    Returns (user, r1..rn as 0/1 ints)."""
+    aggs = [F.max(F.when(conds[0], 1).otherwise(0)).alias("r1")]
+    for i, c in enumerate(conds[1:], start=2):
+        aggs.append(F.max(F.when(c, 1).otherwise(0)).alias(f"_c{i}"))
+    g = df.groupBy(F.col(user_col).alias("user")).agg(*aggs)
+    out = [F.col("r1")]
+    for i in range(2, len(conds) + 1):
+        out.append((F.col("r1") * F.col(f"_c{i}")).alias(f"r{i}"))
+    return g.select("user", *out)
+
+
+def sequence_match(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    conds: Sequence[Column],
+) -> DataFrame:
+    """sequenceMatch('(?1).*(?2)...') — ordered subsequence exists ⇔
+    windowFunnel with an unbounded window reaches the last level."""
+    huge = 10**12  # seconds; effectively unbounded
+    lv = window_funnel(df, ts_col, user_col, conds, huge)
+    return lv.select(
+        "user", (F.col("level") == len(conds)).cast("int").alias("matched")
+    )

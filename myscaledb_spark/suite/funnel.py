@@ -1,0 +1,135 @@
+"""Funnel / retention / sequence suite entries. The DuckDB oracle replicates
+the windowFunnel state machine (AggregateFunctionWindowFunnel.h:154-215) with
+a struct-state list_reduce — same sort, same chain-start propagation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from myscaledb_spark.catalog import load_table
+from myscaledb_spark.suite import register
+
+FUNNEL_TYPES = ["view", "click", "purchase"]
+WINDOW_S = 7200  # 2 hours
+
+
+def _funnel_level_sql(window_s: int) -> str:
+    """DuckDB: level per user for the view→click→purchase funnel.
+
+    Window-function formulation of the reference state machine (equivalent to
+    the fold because chain state only ever carries the LAST l1 / last
+    successful-l2 chain start):
+      l1run(t) = ts of last idx-1 event ≤ t,
+      s2       = chain start for a *successful* idx-2 event (ts ≤ l1run + W),
+      l2run(t) = s2 of last successful idx-2 event ≤ t,
+      level 3 iff any idx-3 event with ts ≤ l2run + W.
+    (NOT expressed with list_reduce: DuckDB 1.0's list_reduce returns
+    row-order-dependent results under vectorized multi-row execution — found
+    by cross-checking against a pure-python reference run.)
+    """
+    win_us = window_s * 1_000_000
+    idx_case = (
+        "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 "
+        "WHEN 'purchase' THEN 3 END"
+    )
+    return f"""
+    ent AS (
+      SELECT user_id AS u, epoch_us(ts) AS ts, {idx_case} AS idx
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    w1 AS (
+      SELECT u, ts, idx,
+             MAX(CASE WHEN idx = 1 THEN ts END)
+               OVER (PARTITION BY u ORDER BY ts, idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l1run
+      FROM ent
+    ),
+    w2 AS (
+      SELECT u, ts, idx,
+             CASE WHEN idx = 2 AND ts <= l1run + {win_us} THEN l1run END AS s2
+      FROM w1
+    ),
+    w3 AS (
+      SELECT u, ts, idx, s2,
+             LAST_VALUE(s2 IGNORE NULLS)
+               OVER (PARTITION BY u ORDER BY ts, idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS l2run
+      FROM w2
+    ),
+    levels AS (
+      SELECT u AS user,
+             MAX(CASE WHEN idx = 3 AND ts <= l2run + {win_us} THEN 3
+                      WHEN s2 IS NOT NULL THEN 2
+                      WHEN idx = 1 THEN 1 ELSE 0 END) AS level
+      FROM w3 GROUP BY u
+    )
+    """
+
+
+@register(
+    "window_funnel_levels",
+    f"""
+    WITH {_funnel_level_sql(WINDOW_S)}
+    SELECT level, COUNT(*) AS n_users FROM levels GROUP BY level
+    """,
+)
+def window_funnel_levels(spark, sf_dir):
+    from myscaledb_spark.operators.funnel import window_funnel
+
+    ev = load_table(spark, sf_dir, "events")
+    conds = [F.col("event_type") == t for t in FUNNEL_TYPES]
+    lv = window_funnel(ev, "ts", "user_id", conds, WINDOW_S)
+    return lv.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "retention_cohort",
+    """
+    WITH per_user AS (
+      SELECT user_id AS user,
+             MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r1,
+             MAX(CASE WHEN event_type = 'click' AND ts >= TIMESTAMP '2024-01-10' THEN 1 ELSE 0 END) AS c2,
+             MAX(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END) AS c3
+      FROM events GROUP BY user_id
+    )
+    SELECT SUM(r1) AS n_r1, SUM(r1 * c2) AS n_r2, SUM(r1 * c3) AS n_r3, COUNT(*) AS n_users
+    FROM per_user
+    """,
+)
+def retention_cohort(spark, sf_dir):
+    from myscaledb_spark.operators.funnel import retention
+
+    ev = load_table(spark, sf_dir, "events")
+    conds = [
+        F.col("event_type") == "signup",
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= F.lit("2024-01-10").cast("timestamp")),
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.lit("2024-01-20").cast("timestamp")),
+    ]
+    r = retention(ev, "user_id", conds)
+    return r.agg(
+        F.sum("r1").alias("n_r1"),
+        F.sum("r2").alias("n_r2"),
+        F.sum("r3").alias("n_r3"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+@register(
+    "sequence_match_users",
+    f"""
+    WITH {_funnel_level_sql(10**12)}
+    SELECT SUM(CASE WHEN level = 3 THEN 1 ELSE 0 END) AS n_matched, COUNT(*) AS n_users
+    FROM levels
+    """,
+)
+def sequence_match_users(spark, sf_dir):
+    from myscaledb_spark.operators.funnel import sequence_match
+
+    ev = load_table(spark, sf_dir, "events")
+    conds = [F.col("event_type") == t for t in FUNNEL_TYPES]
+    m = sequence_match(ev, "ts", "user_id", conds)
+    return m.agg(
+        F.sum("matched").alias("n_matched"), F.count(F.lit(1)).alias("n_users")
+    )

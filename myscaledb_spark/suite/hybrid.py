@@ -1,0 +1,175 @@
+"""Hybrid search suite — RSF and RRF fusion end-to-end with full SQL oracles
+(the oracle reproduces candidate generation, ranking/normalization, and the
+fusion formulas from HybridSearchUtils.cpp:163-314 exactly), plus
+binary-vector search (sign-bit fingerprints; Hamming / bit-Jaccard).
+
+The corpus joins documents⋈embeddings 1:1 on doc_id=vec_id — same hybrid
+shape as the reference's (vector column + text column on one table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from myscaledb_spark.catalog import load_table
+from myscaledb_spark.suite import register
+from myscaledb_spark.suite.search import QTEXT, QV, sql_l2
+
+K = 8
+KPRIME = 3 * K  # hybrid_search_top_k_multiple_base = 3 (Settings.h:921)
+FUSION_K = 60  # Settings.h:920
+W = 0.5  # Settings.h:919
+
+_BM25_TERMS = ["vector", "search", "fast"]
+
+
+def _bm25_scored_sql() -> str:
+    """BM25 over the joined corpus — mirrors functions.text.bm25_scores."""
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END)::DOUBLE AS df{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    score = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN ln(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)) "
+        f"* (tf{i} * (1.2 + 1.0)) / (tf{i} + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ELSE 0 END)"
+        for i in range(len(_BM25_TERMS))
+    )
+    match_any = " OR ".join(f"tf{i} > 0" for i in range(len(_BM25_TERMS)))
+    return f"""
+    corpus AS (
+      SELECT d.doc_id, d.text, e.embedding
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ),
+    toked AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM corpus
+    ),
+    tf AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, {tf_cols} FROM toked),
+    stats AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(len(toks))::DOUBLE AS avgdl, {df_cols} FROM toked),
+    txt_cand AS (
+      SELECT doc_id, ({score}) AS bm25
+      FROM tf CROSS JOIN stats
+      WHERE {match_any}
+      ORDER BY ({score}) DESC, doc_id ASC
+      LIMIT {KPRIME}
+    ),
+    vec_cand AS (
+      SELECT doc_id, {sql_l2('embedding', QV)} AS d
+      FROM corpus
+      ORDER BY {sql_l2('embedding', QV)} ASC, doc_id ASC
+      LIMIT {KPRIME}
+    )
+    """
+
+
+@register(
+    "hybrid_search_rrf",
+    f"""
+    WITH {_bm25_scored_sql()},
+    v AS (SELECT doc_id, 1.0 / ({FUSION_K} + ROW_NUMBER() OVER (ORDER BY d ASC, doc_id ASC)) AS vs
+          FROM vec_cand),
+    t AS (SELECT doc_id, 1.0 / ({FUSION_K} + ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC)) AS ts
+          FROM txt_cand)
+    SELECT COALESCE(v.doc_id, t.doc_id) AS doc_id,
+           ROUND(COALESCE(vs, 0) + COALESCE(ts, 0), 6) AS fusion_score
+    FROM v FULL OUTER JOIN t ON v.doc_id = t.doc_id
+    ORDER BY (COALESCE(vs, 0) + COALESCE(ts, 0)) DESC, COALESCE(v.doc_id, t.doc_id) ASC
+    LIMIT {K}
+    """,
+)
+def hybrid_search_rrf(spark, sf_dir):
+    from myscaledb_spark.operators.hybrid import hybrid_search
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = d.join(e, d.doc_id == e.vec_id).select("doc_id", "text", "embedding")
+    out = hybrid_search(
+        corpus, "embedding", "text", QV, QTEXT, K, "doc_id", fusion_type="rrf"
+    )
+    return out.select("doc_id", F.round("fusion_score", 6).alias("fusion_score"))
+
+
+@register(
+    "hybrid_search_rsf",
+    f"""
+    WITH {_bm25_scored_sql()},
+    vstats AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM vec_cand),
+    tstats AS (SELECT MIN(bm25) AS mn, MAX(bm25) AS mx FROM txt_cand),
+    v AS (SELECT doc_id,
+                 (1.0 - (CASE WHEN mx = mn THEN 1.0 ELSE (d - mn) / (mx - mn) END)) * {1.0 - W} AS vs
+          FROM vec_cand CROSS JOIN vstats),
+    t AS (SELECT doc_id,
+                 (CASE WHEN mx = mn THEN 1.0 ELSE (bm25 - mn) / (mx - mn) END) * {W} AS ts
+          FROM txt_cand CROSS JOIN tstats)
+    SELECT COALESCE(v.doc_id, t.doc_id) AS doc_id,
+           ROUND(COALESCE(vs, 0) + COALESCE(ts, 0), 6) AS fusion_score
+    FROM v FULL OUTER JOIN t ON v.doc_id = t.doc_id
+    ORDER BY (COALESCE(vs, 0) + COALESCE(ts, 0)) DESC, COALESCE(v.doc_id, t.doc_id) ASC
+    LIMIT {K}
+    """,
+)
+def hybrid_search_rsf(spark, sf_dir):
+    from myscaledb_spark.operators.hybrid import hybrid_search
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = d.join(e, d.doc_id == e.vec_id).select("doc_id", "text", "embedding")
+    out = hybrid_search(
+        corpus, "embedding", "text", QV, QTEXT, K, "doc_id", fusion_type="rsf"
+    )
+    return out.select("doc_id", F.round("fusion_score", 6).alias("fusion_score"))
+
+
+# --- binary vectors (00038_mqvs_binary_vector: Hamming / Jaccard) -------------
+# 48-bit sign fingerprints derived from the float embeddings (dim%8==0 rule,
+# CommonUtils.cpp:86-96); Hamming = popcount(xor), Jaccard = 1-|and|/|or|.
+_QBITS_SQL = (
+    "list_reduce(list_transform(range(1, 49), "
+    "i -> CASE WHEN ([{q}])[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END), (a,b) -> a + b)"
+).format(q=", ".join(repr(v) for v in QV[:48]))
+
+_VBITS_SQL = (
+    "list_reduce(list_transform(range(1, 49), "
+    "i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 THEN (1::BIGINT << (i - 1)) ELSE 0 END), (a,b) -> a + b)"
+)
+
+
+@register(
+    "binary_hamming_topk",
+    f"""
+    WITH bits AS (SELECT vec_id, {_VBITS_SQL} AS vb FROM embeddings),
+    q AS (SELECT {_QBITS_SQL} AS qb)
+    SELECT vec_id, bit_count(xor(vb, qb)) AS dist
+    FROM bits CROSS JOIN q
+    ORDER BY bit_count(xor(vb, qb)) ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def binary_hamming_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qb = 0
+    for i, v in enumerate(QV[:48]):
+        if v > 0:
+            qb |= 1 << i
+    # sign-bit fingerprint: Σ (embedding[i] > 0) << (i-1), i ≤ 48 — JVM-side.
+    # 2^(i-1) via pow(double) is exact for i ≤ 48 (< 2^53).
+    idx = F.sequence(F.lit(1), F.lit(48))
+    a = F.col("embedding").cast("array<double>")
+    vb = F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(a, i.cast("int")) > 0,
+            F.pow(F.lit(2.0), (i - 1).cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    scored = emb.select(
+        "vec_id", F.bit_count(vb.bitwiseXOR(F.lit(qb))).alias("dist")
+    )
+    return scored.orderBy(F.col("dist").asc(), F.col("vec_id").asc()).limit(10)
