@@ -1,0 +1,149 @@
+"""Multimodal columns: image/audio/video as opaque BinaryType + typed
+metadata (driver brief: first-class training-data-pipeline components;
+reference analog: ObjectToFetch + getObject(),
+`src/DataTypes/DataTypeObjectToFetch.h:9-31`, `src/Functions/getObject.cpp`).
+
+Spark-side plumbing is REAL and tested: schemas, Arrow-batched mapInPandas
+transforms, partition sizing, deterministic fake feature extraction. The
+actual codec calls (PIL/ffmpeg/soundfile) are STUBBED behind import-guards —
+those libraries are not in this container — with a clearly-marked
+NotImplementedError fallback and a deterministic fake used by tests.
+
+Scale notes: media blobs make rows huge — transforms use mapInPandas (Arrow
+batches stream through Python without materializing a partition in memory)
+and `media_repartition` targets a fixed MB-per-task budget so 100 TB of
+blobs doesn't create 10-GB tasks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("content", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_sha", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def _try_decode_image(content: bytes):
+    """Real decode if PIL exists; else a deterministic failure."""
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+
+        return Image.open(io.BytesIO(content))
+    except ImportError:
+        raise NotImplementedError(
+            "image decode requires Pillow (not in this container) — "
+            "use fake_features for the tested pipeline path"
+        )
+
+
+def fake_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for an embedding model: sha256-seeded floats.
+    Same bytes → same vector on every executor, every run."""
+    h = hashlib.sha256(content).digest()
+    out = []
+    for i in range(dim):
+        b = h[(2 * i) % 32] << 8 | h[(2 * i + 1) % 32]
+        out.append(round((b / 65535.0) * 2.0 - 1.0, 6))
+    return out
+
+
+def extract_features(df: DataFrame, use_real_decoder: bool = False) -> DataFrame:
+    """content → feature vector, Arrow-batched. The mapInPandas shape here
+    (iterator of batches in, iterator out, column-pruned) is the template for
+    any real model inference step."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats, shas, nb = [], [], []
+            for content in pdf["content"]:
+                raw = bytes(content)
+                if use_real_decoder:
+                    _try_decode_image(raw)  # raises if codec missing
+                feats.append(fake_features(raw))
+                shas.append(hashlib.sha256(raw).hexdigest())
+                nb.append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": nb,
+                    "content_sha": shas,
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(_batches, _FEATURES_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video → frame-timestamp plan (decode stubbed): one row per sampled
+    frame timestamp, derived from duration metadata JVM-side — the explode
+    happens BEFORE any Python so Spark sizes partitions on the fanned-out
+    rows."""
+    n_frames = F.greatest(
+        (F.col("duration_ms") / every_ms).cast("int"), F.lit(1)
+    )
+    return (
+        df.filter(F.col("kind") == "video")
+        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1)))
+        .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+        .select("media_id", "frame_idx", "frame_ts_ms", "content")
+    )
+
+
+def media_repartition(df: DataFrame, target_mb_per_task: int = 64) -> DataFrame:
+    """Repartition by blob volume, not row count: counts bytes once and
+    repartitions so each task carries ~target MB of media."""
+    total = df.agg(F.sum(F.length("content")).alias("b")).collect()[0]["b"] or 0
+    parts = max(1, int(total / (target_mb_per_task * 1024 * 1024)))
+    return df.repartition(parts)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB: real path needs Pillow. Raises clearly; kept so the API surface
+    and schema contract are pinned by tests."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for content in pdf["content"]:
+                _try_decode_image(bytes(content))
+            yield pdf
+
+    return df.mapInPandas(_batches, df.schema)

