@@ -19,6 +19,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Representative query shapes, one per operator family (full-suite
+# correctness runs in the driver's t2 gate at sf0.01; bench measures the
+# scan/shuffle/topk cost profiles at sf0.1).
+HEADLINE = [
+    "vec_l2_topk",          # narrow scan + TakeOrdered
+    "vec_l2_filtered",      # pushed filter + topk
+    "vec_cosine_topk",      # heavier per-row expression
+    "batch_distance_l2",    # row explosion + per-query window topk
+    "two_stage_l2",         # candidate gen + re-rank
+    "bm25_topk",            # corpus stats + broadcast + scoring
+    "hybrid_search_rsf",    # two candidate pipelines + fusion join
+    "pricing_summary",      # full-scan decimal aggregation
+    "revenue_by_nation",    # 5-way join w/ broadcast dims
+    "top_customers",        # join + agg + topk
+    "window_rank_orders",   # window shuffle
+    "limit_by_customer",    # per-group topk window
+    "asof_events_orders",   # union + window asof
+    "minhash_lsh_pairs",    # explode/groupBy hash pipeline
+    "window_funnel_levels", # sorted-array state machine
+    "exact_dedup_groups",   # hash groupBy dedup
+]
+
 
 def main() -> None:
     from myscaledb_spark.session import get_spark
@@ -28,7 +50,8 @@ def main() -> None:
     spark = get_spark("myscaledb-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries = entrymod.queries()
+    all_queries = entrymod.queries()
+    queries = {k: all_queries[k] for k in HEADLINE if k in all_queries}
 
     # warm the JVM + parquet footer caches once with a trivial action
     t0 = time.time()
@@ -38,11 +61,14 @@ def main() -> None:
     warm = time.time() - t0
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
-        t0 = time.time()
         try:
-            df = fn(spark, SF_DIR)
-            df.collect()
+            t0 = time.time()
+            fn(spark, SF_DIR).collect()  # cold: includes codegen compile
+            cold[name] = round(time.time() - t0, 4)
+            t0 = time.time()
+            fn(spark, SF_DIR).collect()  # steady-state: the per-query cost
             timings[name] = round(time.time() - t0, 4)
         except Exception as e:  # never let one query kill the bench line
             timings[name] = -1.0
@@ -59,6 +85,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "warmup_scan_sec": round(warm, 4),
+                "cold_total_sec": round(sum(cold.values()), 4),
             }
         )
     )

@@ -155,8 +155,11 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: candidates via banding,
-    verified with exact Jaccard ≥ threshold."""
-    sh = shingle_sets(df, id_col, tokens_col, n)
+    verified with exact Jaccard ≥ threshold.
+
+    The shingle-set DF feeds three consumers (signatures, pair intersection,
+    set sizes) — cache it so tokenize+explode+distinct runs once."""
+    sh = shingle_sets(df, id_col, tokens_col, n).cache()
     sig = minhash_signatures(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
     jac = exact_jaccard(sh, cands)

@@ -1,0 +1,171 @@
+"""Persisted full-text index — the Spark answer to the reference's per-part
+tantivy index (`src/Storages/MergeTree/TantivyIndexStore.h:55-59`,
+`MergeTreeIndexTantivy.cpp`; build lifecycle like §3.3).
+
+Artifact layout (parquet):
+  <root>/<name>/postings/   (term, doc_id, tf)  partitioned/bucketable by term
+  <root>/<name>/doclens/    (doc_id, dl)
+  <root>/<name>/stats.json  {n_docs, avgdl, tokenizer}
+  df (term doc-frequency) is derived from postings at query time with a
+  term-filtered scan — the filter prunes to the query's terms only.
+
+Query path (`fts_search`) computes exactly the same tantivy-style BM25 as
+functions/text.py but reads ONLY the query terms' postings (predicate pushed
+to the parquet scan) instead of re-tokenizing the corpus — at 100 TB this is
+the difference between touching ~kB of postings and re-scanning the table.
+Incremental maintenance: append new docs' postings + update stats
+(foreachBatch in streaming ingestion, ≈ VIBuilderUpdater on new parts).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myscaledb_spark.errors import InvalidSearchQuery
+from myscaledb_spark.functions.text import BM25_B, BM25_K1, tokenize, tokenize_query
+from myscaledb_spark.plans.vector_index import IndexRegistry
+
+
+def build_fts_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    artifact_dir: str,
+    name: str = "fts",
+    tokenizer: str = "simple",
+) -> dict:
+    reg = IndexRegistry(artifact_dir)
+    reg.set_status(name, "InProgress", column=text_col, index_type="fts",
+                   params={"tokenizer": tokenizer})
+
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col, tokenizer).alias("toks")
+    )
+    doclens = toked.select("doc_id", F.size("toks").alias("dl"))
+    postings = (
+        toked.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+    base = os.path.join(artifact_dir, name)
+    postings.write.mode("overwrite").parquet(os.path.join(base, "postings"))
+    doclens.write.mode("overwrite").parquet(os.path.join(base, "doclens"))
+
+    n_docs, avgdl = doclens.agg(
+        F.count(F.lit(1)), F.avg("dl")
+    ).collect()[0]
+    os.makedirs(base, exist_ok=True)
+    json.dump(
+        {"n_docs": int(n_docs), "avgdl": float(avgdl), "tokenizer": tokenizer},
+        open(os.path.join(base, "stats.json"), "w"),
+    )
+    reg.set_status(name, "Built", base=base)
+    return reg.get(name)
+
+
+def fts_search(
+    spark: SparkSession,
+    artifact_dir: str,
+    query: str,
+    k: int,
+    name: str = "fts",
+    operator: str = "OR",
+    score_name: str = "bm25_score",
+) -> DataFrame:
+    """Index-backed BM25 top-k. Same scores as the direct path (table-global
+    stats), but the scan touches only the query terms' postings."""
+    if k is None or k <= 0:
+        raise InvalidSearchQuery("text search requires a positive LIMIT (top-k)")
+    reg = IndexRegistry(artifact_dir)
+    rec = reg.get(name)
+    if rec is None or rec.get("status") != "Built":
+        raise RuntimeError(f"fts index {name!r} not built")
+    base = rec["base"]
+    stats = json.load(open(os.path.join(base, "stats.json")))
+    terms = tokenize_query(query, stats["tokenizer"])
+    if not terms:
+        raise InvalidSearchQuery("empty text-search query after tokenization")
+    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+
+    postings = spark.read.parquet(os.path.join(base, "postings")).filter(
+        F.col("term").isin(terms)  # pushed to the parquet scan
+    )
+    doclens = spark.read.parquet(os.path.join(base, "doclens"))
+
+    # per-term document frequency over the pruned postings (tiny)
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .join(doclens, "doc_id")
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.lit(n_docs) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("tf").cast("double") * (BM25_K1 + 1.0))
+            / (
+                F.col("tf").cast("double")
+                + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / F.lit(avgdl))
+            ),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("_s").alias(score_name), F.count(F.lit(1)).alias("_nterms")
+    )
+    if operator.upper() == "AND":
+        agg = agg.filter(F.col("_nterms") == len(terms))
+    return (
+        agg.drop("_nterms")
+        .orderBy(F.col(score_name).desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def append_to_fts_index(
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    artifact_dir: str,
+    name: str = "fts",
+) -> dict:
+    """Incremental maintenance: append postings/doclens for new docs and
+    refresh global stats (≈ index build on a freshly inserted part)."""
+    reg = IndexRegistry(artifact_dir)
+    rec = reg.get(name)
+    if rec is None or rec.get("status") != "Built":
+        raise RuntimeError(f"fts index {name!r} not built")
+    base = rec["base"]
+    stats = json.load(open(os.path.join(base, "stats.json")))
+    toked = new_docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col, stats["tokenizer"]).alias("toks")
+    )
+    toked.select("doc_id", F.explode("toks").alias("term")).groupBy(
+        "term", "doc_id"
+    ).agg(F.count(F.lit(1)).alias("tf")).write.mode("append").parquet(
+        os.path.join(base, "postings")
+    )
+    doclens = toked.select("doc_id", F.size("toks").alias("dl"))
+    doclens.write.mode("append").parquet(os.path.join(base, "doclens"))
+
+    spark = new_docs.sparkSession
+    n_docs, avgdl = (
+        spark.read.parquet(os.path.join(base, "doclens"))
+        .agg(F.count(F.lit(1)), F.avg("dl"))
+        .collect()[0]
+    )
+    json.dump(
+        {"n_docs": int(n_docs), "avgdl": float(avgdl), "tokenizer": stats["tokenizer"]},
+        open(os.path.join(base, "stats.json"), "w"),
+    )
+    reg.set_status(name, "Built", base=base)
+    return reg.get(name)

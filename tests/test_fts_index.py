@@ -1,0 +1,74 @@
+"""FTS index: build → search == direct BM25 path → incremental append keeps
+global stats correct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from myscaledb_spark.functions.text import text_search
+from myscaledb_spark.plans.fts_index import append_to_fts_index, build_fts_index, fts_search
+
+QUERY = "vector search fast"
+
+
+@pytest.fixture(scope="module")
+def fts_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("fts"))
+    rec = build_fts_index(spark.table("documents"), "text", "doc_id", d)
+    assert rec["status"] == "Built"
+    return d
+
+
+def test_index_search_equals_direct(spark, fts_dir):
+    via_index = fts_search(spark, fts_dir, QUERY, 15).collect()
+    direct = (
+        text_search(spark.table("documents"), "text", QUERY, 15, id_col="doc_id")
+        .select("doc_id", "bm25_score")
+        .collect()
+    )
+    assert [(r.doc_id, round(r.bm25_score, 9)) for r in via_index] == [
+        (r.doc_id, round(r.bm25_score, 9)) for r in direct
+    ]
+
+
+def test_and_operator(spark, fts_dir):
+    via_index = fts_search(spark, fts_dir, QUERY, 15, operator="AND").collect()
+    direct = (
+        text_search(
+            spark.table("documents"), "text", QUERY, 15, id_col="doc_id", operator="AND"
+        )
+        .select("doc_id")
+        .collect()
+    )
+    assert [r.doc_id for r in via_index] == [r.doc_id for r in direct]
+
+
+def test_term_pruned_scan(spark, fts_dir):
+    plan = (
+        fts_search(spark, fts_dir, QUERY, 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "term" in plan
+
+
+def test_incremental_append(spark, fts_dir, tmp_path_factory):
+    # build a separate index over half the docs, append the other half,
+    # result must equal the full direct computation
+    d = str(tmp_path_factory.mktemp("fts_inc"))
+    docs = spark.table("documents")
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    second = docs.filter(F.col("doc_id") % 2 == 1)
+    build_fts_index(first, "text", "doc_id", d)
+    append_to_fts_index(second, "text", "doc_id", d)
+    via_index = fts_search(spark, d, QUERY, 10).collect()
+    direct = (
+        text_search(docs, "text", QUERY, 10, id_col="doc_id")
+        .select("doc_id", "bm25_score")
+        .collect()
+    )
+    assert [(r.doc_id, round(r.bm25_score, 9)) for r in via_index] == [
+        (r.doc_id, round(r.bm25_score, 9)) for r in direct
+    ]
