@@ -1,0 +1,93 @@
+"""Mutations on immutable columnar storage — the reference's lightweight
+DELETE (`src/Interpreters/InterpreterDeleteQuery.cpp:81-84` `_row_exists`
+mask) and ALTER UPDATE (`src/Storages/MergeTree/MutateTask.cpp`) re-expressed
+for parquet tables.
+
+Two modes, mirroring the reference's two mechanisms:
+  - **masked (lightweight)**: keep a deletes side-table of keys; reads apply
+    an anti-join mask (≈ `_row_exists` bitmap applied at scan). O(deleted)
+    write cost; read cost = one broadcast anti-join.
+  - **rewrite (mutation)**: materialize a new table version without the
+    deleted rows / with updated values (≈ background mutation merging parts).
+
+A tiny table-version layout keeps this atomic without a lakehouse dependency:
+<root>/v=N/ parquet + <root>/_current containing N (write new version, then
+flip the pointer — readers see old or new, never a mix). Delta Lake would
+subsume this on a real deployment; the semantics here are engine-parity.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _ptr(self) -> str:
+        return os.path.join(self.root, "_current")
+
+    def current_version(self) -> int:
+        p = self._ptr()
+        return int(open(p).read().strip()) if os.path.exists(p) else -1
+
+    def _vdir(self, v: int) -> str:
+        return os.path.join(self.root, f"v={v}")
+
+    def write(self, df: DataFrame) -> int:
+        v = self.current_version() + 1
+        df.write.mode("overwrite").parquet(self._vdir(v))
+        tmp = self._ptr() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._ptr())  # atomic pointer flip
+        return v
+
+    def read(self) -> DataFrame:
+        v = self.current_version()
+        if v < 0:
+            raise FileNotFoundError(f"no version in {self.root}")
+        df = self.spark.read.parquet(self._vdir(v))
+        mask = self._mask_path()
+        if os.path.exists(mask):
+            deleted = self.spark.read.parquet(mask)
+            df = df.join(
+                F.broadcast(deleted), on=list(deleted.columns), how="left_anti"
+            )
+        return df
+
+    # --- lightweight delete (masked) ---------------------------------------
+    def _mask_path(self) -> str:
+        return os.path.join(self.root, f"deletes_v={self.current_version()}")
+
+    def delete_where(self, cond: Column, key_cols: list[str]) -> int:
+        """Lightweight DELETE: append matching keys to the delete mask.
+        Returns number of newly masked rows."""
+        v = self.current_version()
+        base = self.spark.read.parquet(self._vdir(v))
+        keys = base.filter(cond).select(*key_cols).distinct()
+        n = keys.count()
+        keys.write.mode("append").parquet(self._mask_path())
+        return n
+
+    # --- full mutation (rewrite) -------------------------------------------
+    def mutate(
+        self,
+        delete_cond: Column | None = None,
+        set_exprs: dict[str, Column] | None = None,
+    ) -> int:
+        """ALTER DELETE/UPDATE as a table rewrite → new version; clears the
+        delete mask (mutations fold masks in, like part merges do)."""
+        df = self.read()
+        if delete_cond is not None:
+            df = df.filter(~delete_cond)
+        for name, expr in (set_exprs or {}).items():
+            df = df.withColumn(name, expr)
+        df = df.localCheckpoint()  # materialize before overwriting the source
+        return self.write(df)

@@ -36,6 +36,7 @@ def load_all() -> None:
     """Import every suite module (side effect: fills REGISTRY)."""
     from myscaledb_spark.suite import (  # noqa: F401
         relational,
+        relational2,
         search,
         hybrid,
         funnel,
