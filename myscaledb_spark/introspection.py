@@ -1,0 +1,50 @@
+"""Introspection — the reference's system tables (`system.tables`,
+`system.columns`, `system.vector_indices`, `attachSystemTables.cpp:144-145`)
+as DataFrames over the Spark catalog + our index registries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def system_tables(spark: SparkSession) -> DataFrame:
+    """≈ SELECT * FROM system.tables."""
+    rows = [
+        (t.namespace[0] if t.namespace else "", t.name, t.tableType, t.isTemporary)
+        for t in spark.catalog.listTables()
+    ]
+    return spark.createDataFrame(
+        rows, "database string, name string, engine string, is_temporary boolean"
+    )
+
+
+def system_columns(spark: SparkSession, table: str) -> DataFrame:
+    """≈ SELECT * FROM system.columns WHERE table = ..."""
+    rows = [
+        (table, c.name, c.dataType, c.nullable)
+        for c in spark.catalog.listColumns(table)
+    ]
+    return spark.createDataFrame(
+        rows, "table string, name string, type string, nullable boolean"
+    )
+
+
+def system_vector_indices(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    """≈ SELECT * FROM system.vector_indices — from the index registry."""
+    from myscaledb_spark.plans.vector_index import IndexRegistry
+
+    recs = IndexRegistry(artifact_dir).list()
+    rows = [
+        (
+            r.get("name"),
+            r.get("column"),
+            r.get("index_type"),
+            str(r.get("params")),
+            r.get("status"),
+        )
+        for r in recs
+    ]
+    return spark.createDataFrame(
+        rows, "name string, column string, type string, params string, status string"
+    )

@@ -1,0 +1,350 @@
+"""ClickHouse-flavored SQL → Spark SQL rewriter.
+
+`ch_sql(spark, "SELECT toStartOfMonth(d), uniq(u) FROM t GROUP BY 1")` lets a
+user of the reference run their queries verbatim: ClickHouse function names
+(including parametric `quantile(0.9)(x)` syntax and the `distance(vec,
+[q...])` vector-search function) are rewritten to Spark SQL expressions, and
+the result goes through the ordinary `spark.sql` path so Catalyst plans it.
+
+This is a *function-name* dialect shim, not a full grammar: ClickHouse's
+ANSI-compatible core (SELECT/WHERE/GROUP BY/HAVING/ORDER BY/LIMIT/JOIN/CTE/
+subqueries/window clauses) is already valid Spark SQL and passes through
+untouched. Constructs with dedicated operators (LIMIT BY, WITH FILL, ASOF
+JOIN, SAMPLE, FINAL) have API helpers in operators/ — the rewriter raises a
+clear error naming the helper when it sees them.
+
+Rewrite engine: a paren-matching scanner (string-literal aware) that rewrites
+innermost calls first, so nested expressions like
+`uniqExact(toStartOfDay(ts))` compose.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+# name → template with {0},{1},...; {*} = all args joined by ', '
+TEMPLATES: dict[str, str] = {
+    # date/time
+    "toStartOfYear": "date_trunc('year', {0})",
+    "toStartOfQuarter": "date_trunc('quarter', {0})",
+    "toStartOfMonth": "date_trunc('month', {0})",
+    "toStartOfWeek": "date_trunc('week', {0})",
+    "toStartOfDay": "date_trunc('day', {0})",
+    "toStartOfHour": "date_trunc('hour', {0})",
+    "toStartOfMinute": "date_trunc('minute', {0})",
+    "toYear": "year({0})",
+    "toMonth": "month({0})",
+    "toDayOfMonth": "day({0})",
+    "toDayOfWeek": "(((dayofweek({0}) + 5) % 7) + 1)",
+    "toHour": "hour({0})",
+    "toMinute": "minute({0})",
+    "toSecond": "second({0})",
+    "toDate": "to_date({0})",
+    "toYYYYMM": "(year({0}) * 100 + month({0}))",
+    "toYYYYMMDD": "(year({0}) * 10000 + month({0}) * 100 + day({0}))",
+    "toUnixTimestamp": "unix_timestamp({0})",
+    "fromUnixTimestamp": "timestamp_seconds({0})",
+    "now": "current_timestamp()",
+    "today": "current_date()",
+    "addDays": "({0} + make_interval(0, 0, 0, {1}))",
+    "addMonths": "add_months({0}, {1})",
+    "subtractDays": "({0} - make_interval(0, 0, 0, {1}))",
+    "yesterday": "date_sub(current_date(), 1)",
+    # conversions
+    "toInt8": "cast({0} as tinyint)",
+    "toInt16": "cast({0} as smallint)",
+    "toInt32": "cast({0} as int)",
+    "toInt64": "cast({0} as bigint)",
+    "toUInt8": "cast({0} as int)",
+    "toUInt16": "cast({0} as int)",
+    "toUInt32": "cast({0} as bigint)",
+    "toUInt64": "cast({0} as bigint)",
+    "toFloat32": "cast({0} as float)",
+    "toFloat64": "cast({0} as double)",
+    "toString": "cast({0} as string)",
+    "toDateTime": "cast({0} as timestamp)",
+    # arithmetic
+    "plus": "({0} + {1})",
+    "minus": "({0} - {1})",
+    "multiply": "({0} * {1})",
+    "divide": "({0} / {1})",
+    "intDiv": "({0} div {1})",
+    "modulo": "({0} % {1})",
+    "negate": "(-{0})",
+    "intDivOrZero": "(case when {1} = 0 then 0 else {0} div {1} end)",
+    # conditionals
+    "ifNull": "coalesce({0}, {1})",
+    "nullIf": "nullif({0}, {1})",
+    "assumeNotNull": "{0}",
+    # strings
+    "lengthUTF8": "length({0})",
+    "lowerUTF8": "lower({0})",
+    "upperUTF8": "upper({0})",
+    "substringUTF8": "substring({*})",
+    "mid": "substring({*})",
+    "position": "instr({0}, {1})",
+    "positionCaseInsensitive": "instr(lower({0}), lower({1}))",
+    "match": "({0} rlike {1})",
+    "replaceAll": "replace({0}, {1}, {2})",
+    "replaceRegexpAll": "regexp_replace({0}, {1}, {2})",
+    "extract": "regexp_extract({0}, {1}, 1)",
+    "splitByChar": "split({1}, {0})",
+    "empty": "(length({0}) = 0)",
+    "notEmpty": "(length({0}) > 0)",
+    "trimBoth": "trim({0})",
+    "leftPad": "lpad({0}, {1}, {2})",
+    "rightPad": "rpad({0}, {1}, {2})",
+    "startsWith": "startswith({0}, {1})",
+    "endsWith": "endswith({0}, {1})",
+    "hasToken": "array_contains(split(lower({0}), '[^a-z0-9]+'), lower({1}))",
+    # arrays
+    "arrayJoin": "explode({0})",
+    "has": "array_contains({0}, {1})",
+    "hasAll": "(size(array_except({1}, {0})) = 0)",
+    "hasAny": "arrays_overlap({0}, {1})",
+    "indexOf": "array_position({0}, {1})",
+    "arrayDistinct": "array_distinct({0})",
+    "arraySort": "array_sort({0})",
+    "arrayReverse": "reverse({0})",
+    "arrayConcat": "concat({*})",
+    "arraySlice": "slice({0}, {1}, {2})",
+    "arrayStringConcat": "array_join({0}, {1})",
+    "arrayFlatten": "flatten({0})",
+    "arrayCompact": "array_compact({0})",
+    "arrayMap": "transform({1}, {0})",
+    "arrayFilter": "filter({1}, {0})",
+    "arrayExists": "exists({1}, {0})",
+    "arrayAll": "forall({1}, {0})",
+    "arraySum": "aggregate({0}, cast(0.0 as double), (acc, x) -> acc + x)",
+    "arrayAvg": "(aggregate({0}, cast(0.0 as double), (acc, x) -> acc + x) / size({0}))",
+    "arrayMin": "array_min({0})",
+    "arrayMax": "array_max({0})",
+    "arrayEnumerate": "sequence(1, size({0}))",
+    "range": "sequence(0, {0} - 1)",
+    # json
+    "JSONExtractString": "get_json_object({0}, concat('$.', {1}))",
+    "JSONExtractInt": "cast(get_json_object({0}, concat('$.', {1})) as bigint)",
+    "JSONExtractFloat": "cast(get_json_object({0}, concat('$.', {1})) as double)",
+    "JSONHas": "(get_json_object({0}, concat('$.', {1})) is not null)",
+    "visitParamExtractString": "get_json_object({0}, concat('$.', {1}))",
+    # hash / encoding
+    "xxHash64": "xxhash64({0})",
+    "cityHash64": "xxhash64({0})",
+    "sipHash64": "xxhash64({0})",
+    "MD5": "md5(cast({0} as binary))",
+    "SHA256": "sha2(cast({0} as binary), 256)",
+    "hex": "hex({0})",
+    "unhex": "unhex({0})",
+    "base64Encode": "base64(cast({0} as binary))",
+    "base64Decode": "cast(unbase64({0}) as string)",
+    # aggregates
+    "count": "count({*})",
+    "countIf": "count_if({0})",
+    "sumIf": "sum(case when {1} then {0} end)",
+    "avgIf": "avg(case when {1} then {0} end)",
+    "minIf": "min(case when {1} then {0} end)",
+    "maxIf": "max(case when {1} then {0} end)",
+    "uniq": "approx_count_distinct({0})",
+    "uniqExact": "count(distinct {0})",
+    "uniqCombined": "approx_count_distinct({0})",
+    "uniqHLL12": "approx_count_distinct({0})",
+    "groupArray": "collect_list({0})",
+    "groupUniqArray": "collect_set({0})",
+    "argMax": "max_by({0}, {1})",
+    "argMin": "min_by({0}, {1})",
+    "anyLast": "last({0})",
+    "any": "first({0})",
+    "median": "percentile({0}, 0.5)",
+    "varPop": "var_pop({0})",
+    "varSamp": "var_samp({0})",
+    "stddevPop": "stddev_pop({0})",
+    "stddevSamp": "stddev_samp({0})",
+    "covarPop": "covar_pop({0}, {1})",
+    "covarSamp": "covar_samp({0}, {1})",
+    "avgWeighted": "(sum({0} * {1}) / sum({1}))",
+    "sumMap": "map_from_entries(array_sort(collect_list(struct({0}, {1}))))",
+    "topK": "slice(array_sort(collect_list({0})), 1, 10)",
+    # vector search (§2.9): exact expression forms
+    "L2Distance": (
+        "sqrt(aggregate(zip_with(cast({0} as array<double>), cast({1} as array<double>), "
+        "(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, v) -> acc + v))"
+    ),
+    "distance": (
+        "sqrt(aggregate(zip_with(cast({0} as array<double>), cast({1} as array<double>), "
+        "(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, v) -> acc + v))"
+    ),
+    "L2SquaredDistance": (
+        "aggregate(zip_with(cast({0} as array<double>), cast({1} as array<double>), "
+        "(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, v) -> acc + v)"
+    ),
+    "dotProduct": (
+        "aggregate(zip_with(cast({0} as array<double>), cast({1} as array<double>), "
+        "(x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+    ),
+    "arrayDotProduct": (
+        "aggregate(zip_with(cast({0} as array<double>), cast({1} as array<double>), "
+        "(x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v)"
+    ),
+    "cosineDistance": (
+        "(1.0 - aggregate(zip_with(cast({0} as array<double>), cast({1} as array<double>), "
+        "(x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v) / "
+        "(sqrt(aggregate(cast({0} as array<double>), cast(0.0 as double), (acc, v) -> acc + v * v)) * "
+        "sqrt(aggregate(cast({1} as array<double>), cast(0.0 as double), (acc, v) -> acc + v * v))))"
+    ),
+    "L2Norm": "sqrt(aggregate(cast({0} as array<double>), cast(0.0 as double), (acc, v) -> acc + v * v))",
+}
+
+# parametric CH syntax: name(params)(args) → template with p0..., a0...
+PARAMETRIC: dict[str, str] = {
+    "quantile": "percentile({a0}, {p0})",
+    "quantileExact": "percentile({a0}, {p0})",
+    "quantileTDigest": "percentile_approx({a0}, {p0})",
+    "quantiles": "percentile({a0}, array({p*}))",
+    "quantilesExact": "percentile({a0}, array({p*}))",
+    "topK": "slice(array_sort(collect_list({a0})), 1, {p0})",
+    "uniqUpTo": "least(count(distinct {a0}), {p0} + 1)",
+}
+
+UNSUPPORTED_SYNTAX = {
+    r"\bLIMIT\s+\d+\s+BY\b": "LIMIT n BY → myscaledb_spark.operators.relational.limit_by",
+    r"\bWITH\s+FILL\b": "WITH FILL → myscaledb_spark.operators.relational.with_fill",
+    r"\bASOF\s+JOIN\b": "ASOF JOIN → myscaledb_spark.operators.relational.asof_join",
+    r"\bFINAL\b": "FINAL → myscaledb_spark.operators.relational.final_dedup",
+    r"\bSAMPLE\s+[\d.]+": "SAMPLE → DataFrame.sample",
+    r"\btextsearch\s*\(": "textsearch → myscaledb_spark.functions.text.text_search",
+    r"\bhybridsearch\s*\(": "hybridsearch → myscaledb_spark.operators.hybrid.hybrid_search",
+    r"\bbatch_distance\s*\(": "batch_distance → myscaledb_spark.operators.topk.batch_vector_topk",
+}
+
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+class ChSqlError(ValueError):
+    pass
+
+
+def _find_call_end(s: str, open_idx: int) -> int:
+    """Index just past the matching ')' for the '(' at open_idx; string-aware."""
+    depth = 0
+    i = open_idx
+    while i < len(s):
+        c = s[i]
+        if c == "'":
+            i += 1
+            while i < len(s):
+                if s[i] == "'" and (i + 1 >= len(s) or s[i + 1] != "'"):
+                    break
+                i += 2 if s[i] == "'" else 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ChSqlError(f"unbalanced parentheses at {open_idx}")
+
+
+def _split_args(s: str) -> list[str]:
+    """Split a call's argument string at top-level commas (string-aware)."""
+    args, depth, cur, i = [], 0, [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "'":
+            j = i + 1
+            while j < len(s):
+                if s[j] == "'" and (j + 1 >= len(s) or s[j + 1] != "'"):
+                    break
+                j += 2 if s[j] == "'" else 1
+            cur.append(s[i : j + 1])
+            i = j + 1
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        if c == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        args.append(tail)
+    return args
+
+
+def _apply(template: str, args: list[str]) -> str:
+    out = template.replace("{*}", ", ".join(args))
+    for i, a in enumerate(args):
+        out = out.replace("{" + str(i) + "}", a)
+    return out
+
+
+def rewrite(sql: str) -> str:
+    """Rewrite CH function names in a SQL string to Spark SQL."""
+    for pat, hint in UNSUPPORTED_SYNTAX.items():
+        if re.search(pat, sql, flags=re.IGNORECASE):
+            raise ChSqlError(f"construct not supported in SQL dialect shim: {hint}")
+
+    out = []
+    i = 0
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < len(sql):
+                if sql[j] == "'" and (j + 1 >= len(sql) or sql[j + 1] != "'"):
+                    break
+                j += 2 if sql[j] == "'" else 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        m = _IDENT_RE.match(sql, i)
+        if m:
+            name = m.group(0)
+            j = m.end()
+            while j < len(sql) and sql[j] in " \t":
+                j += 1
+            if j < len(sql) and sql[j] == "(":
+                call_end = _find_call_end(sql, j)
+                inner = rewrite(sql[j + 1 : call_end - 1])
+                args = _split_args(inner)
+                # parametric form name(params)(args)?
+                k = call_end
+                while k < len(sql) and sql[k] in " \t":
+                    k += 1
+                if name in PARAMETRIC and k < len(sql) and sql[k] == "(":
+                    call2_end = _find_call_end(sql, k)
+                    inner2 = rewrite(sql[k + 1 : call2_end - 1])
+                    real_args = _split_args(inner2)
+                    t = PARAMETRIC[name]
+                    t = t.replace("{p*}", ", ".join(args))
+                    for n_, p in enumerate(args):
+                        t = t.replace("{p" + str(n_) + "}", p)
+                    for n_, a in enumerate(real_args):
+                        t = t.replace("{a" + str(n_) + "}", a)
+                    out.append(t)
+                    i = call2_end
+                    continue
+                if name in TEMPLATES:
+                    out.append(_apply(TEMPLATES[name], args))
+                else:
+                    out.append(f"{name}({', '.join(args)})")
+                i = call_end
+                continue
+            out.append(name)
+            i = m.end()
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def ch_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataFrame:
+    """Run a ClickHouse-flavored SQL query on Spark."""
+    translated = rewrite(sql)
+    return spark.sql(translated, args=args) if args else spark.sql(translated)

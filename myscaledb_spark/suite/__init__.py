@@ -37,6 +37,8 @@ def load_all() -> None:
     from myscaledb_spark.suite import (  # noqa: F401
         relational,
         relational2,
+        combinators,
+        dialect,
         search,
         hybrid,
         funnel,

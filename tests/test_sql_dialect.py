@@ -1,0 +1,131 @@
+"""CH SQL dialect rewriter: ClickHouse-flavored SQL runs on Spark and matches
+DuckDB-computed expectations."""
+
+from __future__ import annotations
+
+import pytest
+
+from myscaledb_spark.sql_dialect import ChSqlError, ch_sql, rewrite
+
+
+def test_rewrite_simple_names():
+    assert rewrite("SELECT toYear(d) FROM t") == "SELECT year(d) FROM t"
+    assert (
+        rewrite("SELECT toStartOfMonth(o_orderdate) FROM orders")
+        == "SELECT date_trunc('month', o_orderdate) FROM orders"
+    )
+    assert rewrite("SELECT uniq(x), uniqExact(y) FROM t") == (
+        "SELECT approx_count_distinct(x), count(distinct y) FROM t"
+    )
+
+
+def test_rewrite_nested_and_strings():
+    s = rewrite("SELECT uniqExact(toStartOfDay(ts)) FROM t WHERE s = 'toYear(x)'")
+    assert s == (
+        "SELECT count(distinct date_trunc('day', ts)) FROM t WHERE s = 'toYear(x)'"
+    )
+
+
+def test_rewrite_parametric():
+    assert rewrite("SELECT quantile(0.9)(x) FROM t") == "SELECT percentile(x, 0.9) FROM t"
+    assert (
+        rewrite("SELECT quantiles(0.5, 0.9)(x) FROM t")
+        == "SELECT percentile(x, array(0.5, 0.9)) FROM t"
+    )
+    assert rewrite("SELECT topK(3)(et) FROM t") == (
+        "SELECT slice(array_sort(collect_list(et)), 1, 3) FROM t"
+    )
+
+
+def test_unsupported_constructs_raise_with_hint():
+    with pytest.raises(ChSqlError, match="limit_by"):
+        rewrite("SELECT * FROM t LIMIT 3 BY k")
+    with pytest.raises(ChSqlError, match="asof_join"):
+        rewrite("SELECT * FROM a ASOF JOIN b ON ...")
+    with pytest.raises(ChSqlError, match="text_search"):
+        rewrite("SELECT textsearch(text, 'q') FROM docs")
+
+
+def test_ch_sql_end_to_end_dates_aggs(spark, duck):
+    got = {
+        tuple(r)
+        for r in ch_sql(
+            spark,
+            """
+            SELECT toYYYYMM(o_orderdate) AS ym,
+                   uniqExact(o_custkey) AS nc,
+                   countIf(o_totalprice > 150000) AS big
+            FROM orders
+            GROUP BY toYYYYMM(o_orderdate)
+            """,
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in duck.sql(
+            """
+            SELECT (EXTRACT(year FROM o_orderdate)*100 + EXTRACT(month FROM o_orderdate))::INT,
+                   COUNT(DISTINCT o_custkey),
+                   SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+            FROM orders GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_ch_sql_vector_distance(spark):
+    """The MyScale flagship query shape, verbatim CH syntax, via ch_sql."""
+    spark.table("embeddings").createOrReplaceTempView("emb")
+    q = [0.1] * 64
+    lit = "array(" + ", ".join(repr(v) for v in q) + ")"
+    df = ch_sql(
+        spark,
+        f"""
+        SELECT vec_id, distance(embedding, {lit}) AS d
+        FROM emb
+        ORDER BY d ASC, vec_id ASC
+        LIMIT 5
+        """,
+    )
+    rows = df.collect()
+    assert len(rows) == 5
+    # equals the operator API result
+    from myscaledb_spark.operators.topk import vector_topk
+
+    want = vector_topk(spark.table("embeddings"), "embedding", q, 5, "L2", id_col="vec_id")
+    assert [r.vec_id for r in rows] == [r.vec_id for r in want.collect()]
+    d = [r.d for r in rows]
+    assert d == sorted(d)
+
+
+def test_ch_sql_arrays_json(spark):
+    r = ch_sql(
+        spark,
+        """
+        SELECT arraySum(arrayMap(x -> x * 2, array(1.0, 2.0))) AS s,
+               has(array(1, 2, 3), 2) AS h,
+               JSONExtractInt(props, 'k') AS k
+        FROM events LIMIT 1
+        """,
+    ).first()
+    assert r.s == 6.0 and r.h and r.k is not None
+
+
+def test_ch_sql_parametric_quantile(spark, duck):
+    got = {
+        r[0]: r[1]
+        for r in ch_sql(
+            spark,
+            "SELECT l_returnflag, round(quantile(0.9)(l_quantity), 4) AS p90 "
+            "FROM lineitem GROUP BY l_returnflag",
+        ).collect()
+    }
+    want = {
+        r[0]: r[1]
+        for r in duck.sql(
+            "SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.9), 4) "
+            "FROM lineitem GROUP BY l_returnflag"
+        ).fetchall()
+    }
+    assert got == want
