@@ -902,6 +902,51 @@ def bin_(a):
 
 
 # ---------------------------------------------------------------------------
+# IP functions (FunctionsCodingIP.cpp) — pure bit arithmetic, JVM-side
+# ---------------------------------------------------------------------------
+def IPv4NumToString(a):
+    """uint32 → dotted quad."""
+    col = _c(a).cast("long")
+    return F.concat_ws(
+        ".",
+        (F.shiftright(col, 24).bitwiseAND(F.lit(255))).cast("string"),
+        (F.shiftright(col, 16).bitwiseAND(F.lit(255))).cast("string"),
+        (F.shiftright(col, 8).bitwiseAND(F.lit(255))).cast("string"),
+        (col.bitwiseAND(F.lit(255))).cast("string"),
+    )
+
+
+def IPv4StringToNum(a):
+    """dotted quad → uint32 (as long)."""
+    parts = F.split(_c(a), r"\.")
+    return (
+        F.element_at(parts, 1).cast("long") * 16777216
+        + F.element_at(parts, 2).cast("long") * 65536
+        + F.element_at(parts, 3).cast("long") * 256
+        + F.element_at(parts, 4).cast("long")
+    )
+
+
+def isIPv4AddressInRange(addr, cidr: str):
+    """isIPAddressInRange(addr, 'a.b.c.d/p') for IPv4 (string addr)."""
+    import ipaddress
+
+    net = ipaddress.ip_network(cidr, strict=False)
+    lo = int(net.network_address)
+    hi = int(net.broadcast_address)
+    num = IPv4StringToNum(addr)
+    return (num >= F.lit(lo)) & (num <= F.lit(hi))
+
+
+def IPv4CIDRToRange(a, prefix: int):
+    mask = (0xFFFFFFFF << (32 - prefix)) & 0xFFFFFFFF
+    num = _c(a).cast("long")
+    lo = num.bitwiseAND(F.lit(mask))
+    hi = lo + F.lit((1 << (32 - prefix)) - 1)
+    return F.struct(lo.alias("lo"), hi.alias("hi"))
+
+
+# ---------------------------------------------------------------------------
 # aggregates (registerAggregateFunctions.cpp) — return aggregate Columns
 # ---------------------------------------------------------------------------
 def count():

@@ -39,6 +39,7 @@ def load_all() -> None:
         relational2,
         combinators,
         dialect,
+        stat_tests,
         search,
         hybrid,
         funnel,

@@ -1,0 +1,150 @@
+"""Hypothesis-test aggregates, oracle-checked: the statistics are plain
+closed-form aggregations so DuckDB reproduces them exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from myscaledb_spark.catalog import load_table
+from myscaledb_spark.suite import register
+
+
+@register(
+    "welch_ttest_purchase_vs_view",
+    """
+    WITH m AS (
+      SELECT COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)::DOUBLE AS na,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END)::DOUBLE AS nb,
+             AVG(CASE WHEN event_type = 'purchase' THEN value END) AS ma,
+             AVG(CASE WHEN event_type = 'view' THEN value END) AS mb,
+             VAR_SAMP(CASE WHEN event_type = 'purchase' THEN value END) AS va,
+             VAR_SAMP(CASE WHEN event_type = 'view' THEN value END) AS vb
+      FROM events WHERE event_type IN ('purchase', 'view')
+    )
+    SELECT ROUND((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+           ROUND((va / na + vb / nb) * (va / na + vb / nb) /
+                 ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)), 4) AS dof
+    FROM m
+    """,
+)
+def welch_ttest_q(spark, sf_dir):
+    from myscaledb_spark.operators.stats import welch_ttest
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    out = welch_ttest(ev, "value", F.col("event_type") == "purchase")
+    return out.select(
+        F.round("t_stat", 6).alias("t_stat"), F.round("dof", 4).alias("dof")
+    )
+
+
+@register(
+    "student_ttest_segments",
+    """
+    WITH m AS (
+      SELECT COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)::DOUBLE AS na,
+             COUNT(CASE WHEN o_orderstatus <> 'F' THEN 1 END)::DOUBLE AS nb,
+             AVG(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS ma,
+             AVG(CASE WHEN o_orderstatus <> 'F' THEN o_totalprice END) AS mb,
+             VAR_SAMP(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS va,
+             VAR_SAMP(CASE WHEN o_orderstatus <> 'F' THEN o_totalprice END) AS vb
+      FROM orders
+    )
+    SELECT ROUND((ma - mb) / sqrt((((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)) * (1 / na + 1 / nb)), 6) AS t_stat,
+           (na + nb - 2) AS dof
+    FROM m
+    """,
+)
+def student_ttest_q(spark, sf_dir):
+    from myscaledb_spark.operators.stats import student_ttest
+
+    o = load_table(spark, sf_dir, "orders")
+    out = student_ttest(o, "o_totalprice", F.col("o_orderstatus") == "F")
+    return out.select(F.round("t_stat", 6).alias("t_stat"), F.col("dof"))
+
+
+@register(
+    "mann_whitney_click_error",
+    """
+    WITH tagged AS (
+      SELECT value AS v, (event_type = 'click') AS a
+      FROM events WHERE event_type IN ('click', 'error')
+    ),
+    ranked AS (
+      SELECT a, RANK() OVER (ORDER BY v) + (COUNT(*) OVER (PARTITION BY v) - 1) / 2.0 AS r
+      FROM tagged
+    ),
+    agg AS (
+      SELECT SUM(CASE WHEN a THEN r END) AS r1,
+             COUNT(CASE WHEN a THEN 1 END)::DOUBLE AS n1,
+             COUNT(CASE WHEN NOT a THEN 1 END)::DOUBLE AS n2
+      FROM ranked
+    )
+    SELECT ROUND(r1 - n1 * (n1 + 1) / 2, 4) AS u_stat, n1, n2 FROM agg
+    """,
+)
+def mann_whitney_q(spark, sf_dir):
+    from myscaledb_spark.operators.stats import mann_whitney_u
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    out = mann_whitney_u(ev, "value", F.col("event_type") == "click")
+    return out.select(F.round("u_stat", 4).alias("u_stat"), "n1", "n2")
+
+
+@register(
+    "rank_corr_qty_price",
+    """
+    WITH base AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+    ranked AS (
+      SELECT RANK() OVER (ORDER BY x) + (COUNT(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+             RANK() OVER (ORDER BY y) + (COUNT(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+      FROM base
+    )
+    SELECT ROUND(corr(rx, ry), 6) AS rank_corr FROM ranked
+    """,
+)
+def rank_corr_q(spark, sf_dir):
+    from myscaledb_spark.operators.stats import rank_corr
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return rank_corr(li, "l_quantity", "l_extendedprice").select(
+        F.round("rank_corr", 6).alias("rank_corr")
+    )
+
+
+@register(
+    "cramers_v_status_priority",
+    """
+    WITH obs AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*)::DOUBLE AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, SUM(o) AS row_n FROM obs GROUP BY a),
+    cb AS (SELECT b, SUM(o) AS col_n FROM obs GROUP BY b),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    j AS (
+      SELECT obs.o, ra.row_n * cb.col_n / tot.n AS e, obs.a, obs.b, tot.n
+      FROM obs JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT SUM((o - e) * (o - e) / e) AS chi2,
+             COUNT(DISTINCT a)::DOUBLE AS r, COUNT(DISTINCT b)::DOUBLE AS c,
+             ANY_VALUE(n) AS n
+      FROM j
+    )
+    SELECT ROUND(sqrt(chi2 / (n * (LEAST(r, c) - 1))), 6) AS cramers_v,
+           ROUND(chi2, 4) AS chi2
+    FROM agg
+    """,
+)
+def cramers_v_q(spark, sf_dir):
+    from myscaledb_spark.operators.stats import cramers_v
+
+    o = load_table(spark, sf_dir, "orders")
+    out = cramers_v(o, "o_orderstatus", "o_orderpriority")
+    return out.select(
+        F.round("cramers_v", 6).alias("cramers_v"), F.round("chi2", 4).alias("chi2")
+    )

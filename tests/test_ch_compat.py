@@ -188,3 +188,21 @@ def test_conversion_family(spark):
     )
     assert r.i == 42 and r.f == 1.5 and r.s == "7" and r.bad is None
     assert str(r.d) == "1.24"
+
+
+def test_ip_family(spark):
+    r = (
+        spark.range(1)
+        .select(
+            ch.IPv4NumToString(F.lit(3232235777)).alias("s"),  # 192.168.1.1
+            ch.IPv4StringToNum(F.lit("10.0.0.255")).alias("n"),
+            ch.isIPv4AddressInRange(F.lit("192.168.1.77"), "192.168.1.0/24").alias("in1"),
+            ch.isIPv4AddressInRange(F.lit("192.168.2.77"), "192.168.1.0/24").alias("in2"),
+            ch.IPv4CIDRToRange(F.lit(3232235777), 24).alias("rng"),
+        )
+        .first()
+    )
+    assert r.s == "192.168.1.1"
+    assert r.n == 10 * 16777216 + 255
+    assert r.in1 and not r.in2
+    assert r.rng.lo == 3232235776 and r.rng.hi == 3232236031
