@@ -74,6 +74,57 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# bench error {name}: {e}", file=sys.stderr)
 
+    # --- vector index sweep: mirrors the reference harness structure
+    # (tests/vector_search/benchmark.py: index type x search param), with
+    # recall@k pinned against the exact oracle (BASELINE.md requirement).
+    sweep: dict[str, dict] = {}
+    try:
+        import tempfile
+
+        from myscaledb_spark.catalog import load_table
+        from myscaledb_spark.plans.pq_index import build_pq_index, pq_recall, pq_search
+        from myscaledb_spark.plans.vector_index import (
+            build_ivf_index,
+            ivf_recall,
+            ivf_search,
+        )
+        from myscaledb_spark.suite.search import make_qvec
+
+        art = tempfile.mkdtemp(prefix="bench_idx_")
+        emb = load_table(spark, SF_DIR, "embeddings").cache()
+        emb.count()
+        q = make_qvec(seed=77)
+
+        t0 = time.time()
+        build_ivf_index(emb, "embedding", "vec_id", art, num_centroids=16)
+        ivf_build = round(time.time() - t0, 3)
+        for nprobe in (1, 2, 4, 8):
+            t0 = time.time()
+            ivf_search(spark, art, q, 10, nprobe=nprobe).collect()
+            sweep[f"ivf_nprobe{nprobe}"] = {
+                "sec": round(time.time() - t0, 4),
+                "recall@10": round(ivf_recall(emb, spark, art, q, 10, nprobe=nprobe), 3),
+            }
+        sweep["ivf_build_sec"] = ivf_build
+
+        t0 = time.time()
+        build_pq_index(emb, "embedding", "vec_id", art, m=8, ks=16)
+        pq_build = round(time.time() - t0, 3)
+        for mult in (3, 10):
+            t0 = time.time()
+            pq_search(spark, art, q, 10, candidate_multiple=mult).collect()
+            sweep[f"pq_cand{mult}x"] = {
+                "sec": round(time.time() - t0, 4),
+                "recall@10": round(
+                    pq_recall(emb, spark, art, q, 10, candidate_multiple=mult), 3
+                ),
+            }
+        sweep["pq_build_sec"] = pq_build
+        emb.unpersist()
+    except Exception as e:
+        sweep["error"] = str(e)[:200]
+        print(f"# vector sweep error: {e}", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -86,6 +137,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "warmup_scan_sec": round(warm, 4),
                 "cold_total_sec": round(sum(cold.values()), 4),
+                "vector_sweep": sweep,
             }
         )
     )

@@ -117,17 +117,18 @@ def lsh_candidate_pairs(
 def exact_jaccard(
     sh: DataFrame, pairs: DataFrame, id_col_a: str = "id_a", id_col_b: str = "id_b"
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs from their shingle sets."""
+    """Exact Jaccard for candidate pairs from their shingle sets.
+
+    The second shingle join is keyed on (id, shingle) — an equi-join — so
+    the intermediate is |A∩B| rows per pair, never |A|x|B|."""
     sizes = sh.groupBy(sh.columns[0]).agg(F.count(F.lit(1)).alias("n"))
     idc = sh.columns[0]
     inter = (
         pairs.join(sh.withColumnRenamed(idc, id_col_a), id_col_a)
-        .withColumnRenamed("sh", "sh_a")
         .join(
-            sh.withColumnRenamed(idc, id_col_b).withColumnRenamed("sh", "sh_b"),
-            on=[id_col_b],
+            sh.withColumnRenamed(idc, id_col_b),
+            on=[id_col_b, "sh"],  # equi-join: only shared shingles survive
         )
-        .filter(F.col("sh_a") == F.col("sh_b"))
         .groupBy(id_col_a, id_col_b)
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -158,8 +159,10 @@ def minhash_dedup_pairs(
     verified with exact Jaccard ≥ threshold.
 
     The shingle-set DF feeds three consumers (signatures, pair intersection,
-    set sizes) — cache it so tokenize+explode+distinct runs once."""
-    sh = shingle_sets(df, id_col, tokens_col, n).cache()
+    set sizes); measured at sf0.1, recomputing it per consumer beats
+    .cache() — the cached exploded rows cost more to serialize/store than
+    three codegen re-scans of the (columnar, compressed) source."""
+    sh = shingle_sets(df, id_col, tokens_col, n)
     sig = minhash_signatures(sh, id_col, num_hashes)
     cands = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
     jac = exact_jaccard(sh, cands)

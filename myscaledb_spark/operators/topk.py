@@ -33,6 +33,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from myscaledb_spark.errors import (
     InvalidSearchQuery,
@@ -147,6 +154,97 @@ def batch_vector_topk(
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n_by_query)
         .drop("_rn")
+    )
+
+
+def batch_vector_topk_large(
+    df: DataFrame,
+    vec_col: str,
+    qvecs: Sequence[Sequence[float]],
+    n_by_query: int,
+    metric: str = "L2",
+    id_col: str | None = None,
+    dist_name: str = "dist",
+    query_id_name: str = "query_id",
+) -> DataFrame:
+    """batch_distance for LARGE query sets (reference suite 3: nq=10000).
+
+    The explode plan (`batch_vector_topk`) amplifies rows ×nq — wrong shape
+    beyond ~100 queries. This path broadcasts the query matrix and computes a
+    blocked numpy GEMM per Arrow batch inside mapInPandas, emitting only each
+    batch's per-query top-n candidates (rows out ≤ n·nq per partition, NOT
+    rows×nq); a final per-query window takes the global top-n. This is the
+    reference's "batch_distance" execution shape: one scan, matrix kernels,
+    partition-local top-k then merge (MergeTreeVSManager.cpp batch branch).
+    """
+    import numpy as np
+    import pandas as pd
+
+    _validate_k(n_by_query)
+    if not qvecs:
+        raise InvalidSearchQuery("batch_distance requires at least one query vector")
+    m = metric.lower()
+    if m not in ("l2", "l2squared", "ip", "cosine"):
+        raise InvalidSearchQuery(f"batch_distance: unsupported metric {metric!r}")
+
+    Q = np.asarray(qvecs, dtype=np.float64)  # (nq, d) — broadcast via closure
+    if m == "cosine":
+        qn = np.linalg.norm(Q, axis=1)
+        qn[qn == 0] = 1e-30
+    nq = Q.shape[0]
+    n = n_by_query
+    idc = id_col or df.columns[0]
+
+    out_schema = StructType(
+        [
+            StructField(query_id_name, IntegerType()),
+            StructField("_cand_id", LongType()),
+            StructField(dist_name, DoubleType()),
+        ]
+    )
+
+    def _partition_topn(batches):
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)  # (b, d)
+            ids = pdf[idc].to_numpy()
+            if m == "ip":
+                D = X @ Q.T  # larger better
+                order_sign = -1.0
+            elif m == "cosine":
+                xn = np.linalg.norm(X, axis=1)
+                xn[xn == 0] = 1e-30
+                D = 1.0 - (X @ Q.T) / np.outer(xn, qn)
+                order_sign = 1.0
+            else:
+                x2 = (X * X).sum(axis=1)[:, None]
+                q2 = (Q * Q).sum(axis=1)[None, :]
+                D = x2 + q2 - 2.0 * (X @ Q.T)
+                np.maximum(D, 0.0, out=D)
+                if m == "l2":
+                    np.sqrt(D, out=D)
+                order_sign = 1.0
+            take = min(n, D.shape[0])
+            # per-query partial top-n within this batch
+            part = np.argpartition(order_sign * D, take - 1, axis=0)[:take]  # (take, nq)
+            qid = np.repeat(np.arange(nq, dtype=np.int32), take)
+            rows = part.T.reshape(-1)  # [q0's top rows..., q1's top rows...]
+            yield pd.DataFrame(
+                {
+                    query_id_name: qid,
+                    "_cand_id": ids[rows].astype(np.int64),
+                    dist_name: D[rows, qid],
+                }
+            )
+
+    cands = df.select(idc, vec_col).mapInPandas(_partition_topn, out_schema)
+    asc = METRIC_ASCENDING.get(metric, True)
+    order = [F.col(dist_name).asc() if asc else F.col(dist_name).desc(), F.col("_cand_id").asc()]
+    w = Window.partitionBy(query_id_name).orderBy(*order)
+    return (
+        cands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_by_query)
+        .drop("_rn")
+        .withColumnRenamed("_cand_id", idc)
     )
 
 

@@ -105,3 +105,22 @@ def test_validations(spark):
         vector_topk(df, "embedding", [0.0] * 64, 0)
     with pytest.raises(InvalidSearchQuery):
         vector_topk(df, "embedding", [0.0] * 64, 10_001)
+
+
+def test_batch_large_equals_small_path(spark, emb_np):
+    """numpy-GEMM batch path must equal the explode path (which equals the
+    numpy oracle) for every metric."""
+    from myscaledb_spark.operators.topk import batch_vector_topk_large
+
+    ids, mat, _ = emb_np
+    qs = [_qvec(seed=s).tolist() for s in range(20, 40)]  # 20 queries
+    for metric in ("L2", "IP", "Cosine"):
+        got = batch_vector_topk_large(
+            spark.table("embeddings"), "embedding", qs, 5, metric, id_col="vec_id"
+        ).select("query_id", "vec_id").collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, []).append(r.vec_id)
+        for i, q in enumerate(qs):
+            want_ids, _ = _np_topk(ids, mat, np.array(q), 5, metric)
+            assert by_q[i] == list(want_ids), f"{metric} query {i}"
