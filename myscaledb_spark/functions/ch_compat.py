@@ -902,6 +902,57 @@ def bin_(a):
 
 
 # ---------------------------------------------------------------------------
+# URL functions (src/Functions/URL/) — parse_url + regexp, JVM-side
+# ---------------------------------------------------------------------------
+def protocol(u):
+    return F.parse_url(_c(u), F.lit("PROTOCOL"))
+
+
+def domain(u):
+    return F.parse_url(_c(u), F.lit("HOST"))
+
+
+def topLevelDomain(u):
+    return F.regexp_extract(F.parse_url(_c(u), F.lit("HOST")), r"\.([^.]+)$", 1)
+
+
+def domainWithoutWWW(u):
+    return F.regexp_replace(F.parse_url(_c(u), F.lit("HOST")), r"^www\.", "")
+
+
+def path(u):
+    return F.parse_url(_c(u), F.lit("PATH"))
+
+
+def queryString(u):
+    return F.parse_url(_c(u), F.lit("QUERY"))
+
+
+def fragment(u):
+    return F.parse_url(_c(u), F.lit("REF"))
+
+
+def extractURLParameter(u, name: str):
+    return F.parse_url(_c(u), F.lit("QUERY"), F.lit(name))
+
+
+def cutQueryString(u):
+    return F.regexp_replace(_c(u), r"\?.*$", "")
+
+
+def pathFull(u):
+    return F.concat(
+        F.parse_url(_c(u), F.lit("PATH")),
+        F.coalesce(F.concat(F.lit("?"), F.parse_url(_c(u), F.lit("QUERY"))), F.lit("")),
+    )
+
+
+def firstSignificantSubdomain(u):
+    host = F.parse_url(_c(u), F.lit("HOST"))
+    return F.regexp_extract(host, r"([^.]+)\.[^.]+$", 1)
+
+
+# ---------------------------------------------------------------------------
 # IP functions (FunctionsCodingIP.cpp) — pure bit arithmetic, JVM-side
 # ---------------------------------------------------------------------------
 def IPv4NumToString(a):

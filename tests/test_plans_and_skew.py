@@ -1,0 +1,77 @@
+"""Plan audits for headline queries (perf properties as test assertions) +
+skew helpers correctness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from myscaledb_spark.operators.skew import salted_agg, salted_join
+from myscaledb_spark.plan_audit import (
+    assert_broadcast_join,
+    assert_no_python_in_plan,
+    assert_pushed_filter,
+    assert_take_ordered,
+    codegen_stage_count,
+)
+from myscaledb_spark.operators.topk import vector_topk
+from tests.conftest import SF_DIR
+
+
+def test_vector_topk_plan(spark):
+    df = vector_topk(
+        spark.table("embeddings"), "embedding", [0.0] * 64, 10, "L2",
+        where=F.col("label") == 1, id_col="vec_id",
+    )
+    assert_take_ordered(df)
+    assert_pushed_filter(df, "label")
+    assert_no_python_in_plan(df)
+    assert codegen_stage_count(df) >= 1
+
+
+def test_bm25_plan_no_python(spark):
+    from myscaledb_spark.functions.text import text_search
+
+    df = text_search(spark.table("documents"), "text", "vector search", 10, id_col="doc_id")
+    assert_no_python_in_plan(df)
+    assert_take_ordered(df)
+
+
+def test_join_broadcasts_dims(spark):
+    import __spark_entry__ as m
+
+    df = m.queries()["revenue_by_nation"](spark, SF_DIR)
+    assert_broadcast_join(df)
+    assert_no_python_in_plan(df)
+
+
+def test_funnel_plan_no_python(spark):
+    import __spark_entry__ as m
+
+    df = m.queries()["window_funnel_levels"](spark, SF_DIR)
+    assert_no_python_in_plan(df)
+
+
+def test_salted_agg_matches_plain(spark):
+    ev = spark.table("events")
+    plain = {
+        (r.event_type,): (r.n, r.mx)
+        for r in ev.groupBy("event_type")
+        .agg(F.count("value").alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r.event_type,): (r.n, r.mx)
+        for r in salted_agg(
+            ev, ["event_type"], {"n": ("count", "value"), "mx": ("max", "value")}
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark):
+    o = spark.table("orders")
+    c = spark.table("customer")
+    plain = o.join(c, o.o_custkey == c.c_custkey).count()
+    salted = salted_join(o, c, "o_custkey", "c_custkey").count()
+    assert plain == salted
