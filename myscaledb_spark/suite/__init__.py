@@ -41,6 +41,7 @@ def load_all() -> None:
         dialect,
         stat_tests,
         search,
+        search2,
         hybrid,
         funnel,
         text_pipeline,

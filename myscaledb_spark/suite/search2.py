@@ -1,0 +1,164 @@
+"""Index-machinery gate entries + information-theoretic aggregates.
+
+pq_rerank_topk runs the FULL PQ pipeline (codebook training → encoding → ADC
+candidate scan → exact re-rank) with candidates covering the corpus, so the
+final result is provably the exact top-k — giving the index machinery a
+bit-exact oracle through the driver gate. ivf_search_topk is the genuinely
+approximate path → rows-only.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from myscaledb_spark.catalog import load_table
+from myscaledb_spark.suite import register
+from myscaledb_spark.suite.search import QV, sql_l2
+
+
+@register(
+    "pq_rerank_topk",
+    f"""
+    SELECT vec_id, ROUND({sql_l2('embedding', QV)}, 4) AS dist
+    FROM embeddings
+    ORDER BY {sql_l2('embedding', QV)} ASC, vec_id ASC
+    LIMIT 6
+    """,
+)
+def pq_rerank_topk(spark, sf_dir):
+    from myscaledb_spark.plans.pq_index import build_pq_index, pq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    art = tempfile.mkdtemp(prefix="gate_pq_")
+    build_pq_index(emb, "embedding", "vec_id", art, m=8, ks=16)
+    n = emb.count()
+    # candidates ≥ corpus ⇒ re-rank is exact ⇒ result == exact top-k oracle
+    out = pq_search(spark, art, QV, 6, candidate_multiple=(n // 6) + 1)
+    return out.select("vec_id", F.round("dist", 4).alias("dist"))
+
+
+@register("ivf_search_topk")  # rows-only: nprobe<k-means lists is approximate
+def ivf_search_topk(spark, sf_dir):
+    from myscaledb_spark.plans.vector_index import build_ivf_index, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    art = tempfile.mkdtemp(prefix="gate_ivf_")
+    build_ivf_index(emb, "embedding", "vec_id", art, num_centroids=8)
+    return ivf_search(spark, art, QV, 10, nprobe=4).select("vec_id", "dist")
+
+
+# --- entropy / theilsU (registerAggregateFunctions.cpp:78-81) -----------------
+@register(
+    "entropy_event_types",
+    """
+    WITH c AS (
+      SELECT (user_id % 5) AS bucket, event_type, COUNT(*)::DOUBLE AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT bucket, SUM(n) AS t FROM c GROUP BY bucket)
+    SELECT c.bucket, ROUND(-SUM((n / t) * ln(n / t)), 6) AS entropy
+    FROM c JOIN tot ON c.bucket = tot.bucket
+    GROUP BY c.bucket
+    """,
+)
+def entropy_event_types(spark, sf_dir):
+    """entropy(x): Shannon entropy of the value distribution per group."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy((F.col("user_id") % 5).alias("bucket"), "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tot = c.groupBy("bucket").agg(F.sum("n").alias("t"))
+    p = F.col("n") / F.col("t")
+    return (
+        c.join(tot, "bucket")
+        .groupBy("bucket")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+    )
+
+
+@register(
+    "theils_u_priority_status",
+    """
+    WITH joint AS (
+      SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*)::DOUBLE AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n) AS t FROM joint),
+    pa AS (SELECT a, SUM(n) AS na FROM joint GROUP BY a),
+    pb AS (SELECT b, SUM(n) AS nb FROM joint GROUP BY b),
+    ha AS (SELECT -SUM((na / t) * ln(na / t)) AS h_a FROM pa CROSS JOIN tot),
+    hab AS (
+      SELECT -SUM((n / t) * ln(n / nb)) AS h_a_given_b
+      FROM joint JOIN pb USING (b) CROSS JOIN tot
+    )
+    SELECT ROUND((h_a - h_a_given_b) / h_a, 6) AS theils_u FROM ha CROSS JOIN hab
+    """,
+)
+def theils_u_q(spark, sf_dir):
+    """theilsU: uncertainty coefficient U(a|b) = (H(a) − H(a|b)) / H(a)."""
+    o = load_table(spark, sf_dir, "orders")
+    joint = o.groupBy(
+        F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    t = joint.agg(F.sum("n").alias("t"))
+    pa = joint.groupBy("a").agg(F.sum("n").alias("na"))
+    pb = joint.groupBy("b").agg(F.sum("n").alias("nb"))
+    h_a = (
+        pa.crossJoin(F.broadcast(t))
+        .agg((-F.sum((F.col("na") / F.col("t")) * F.log(F.col("na") / F.col("t")))).alias("h_a"))
+    )
+    h_ab = (
+        joint.join(F.broadcast(pb), "b")
+        .crossJoin(F.broadcast(t))
+        .agg(
+            (-F.sum((F.col("n") / F.col("t")) * F.log(F.col("n") / F.col("nb")))).alias(
+                "h_a_given_b"
+            )
+        )
+    )
+    return (
+        h_a.crossJoin(h_ab)
+        .select(
+            F.round(
+                (F.col("h_a") - F.col("h_a_given_b")) / F.col("h_a"), 6
+            ).alias("theils_u")
+        )
+    )
+
+
+# --- histogram (fixed-bin; reference's adaptive histogram ≈ width_bucket) -----
+@register(
+    "histogram_totalprice",
+    """
+    WITH rng AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+    SELECT (FLOOR((o_totalprice - lo) / ((hi + 0.01 - lo) / 10.0)) + 1)::BIGINT AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS bin_min,
+           ROUND(MAX(o_totalprice), 2) AS bin_max
+    FROM orders CROSS JOIN rng
+    GROUP BY 1
+    """,
+)
+def histogram_totalprice(spark, sf_dir):
+    # explicit floor-binning (identical math in the oracle; DuckDB 1.0 has no
+    # width_bucket)
+    o = load_table(spark, sf_dir, "orders")
+    rng = o.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    bin_expr = (
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo"))
+            / ((F.col("hi") + 0.01 - F.col("lo")) / 10.0)
+        )
+        + 1
+    ).cast("bigint")
+    return (
+        o.crossJoin(F.broadcast(rng))
+        .groupBy(bin_expr.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+    )
