@@ -37,6 +37,7 @@ def load_all() -> None:
     from myscaledb_spark.suite import (  # noqa: F401
         relational,
         relational2,
+        relational3,
         combinators,
         dialect,
         stat_tests,

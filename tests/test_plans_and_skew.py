@@ -75,3 +75,30 @@ def test_salted_join_matches_plain(spark):
     plain = o.join(c, o.o_custkey == c.c_custkey).count()
     salted = salted_join(o, c, "o_custkey", "c_custkey").count()
     assert plain == salted
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    """Bucketed tables joined on the bucket key must not shuffle
+    (co-located join ≈ reference pre-sorted parts / StorageJoin)."""
+    from myscaledb_spark.operators.skew import write_bucketed
+    from myscaledb_spark.plan_audit import plan_string
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        o = spark.table("orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        li = spark.table("lineitem").select("l_orderkey", "l_quantity")
+        write_bucketed(o, "b_orders", ["o_orderkey"], 8, ["o_orderkey"])
+        write_bucketed(li, "b_lineitem", ["l_orderkey"], 8, ["l_orderkey"])
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        p = plan_string(joined)
+        assert "Exchange" not in p, p[:1500]
+        # and it's still correct
+        assert joined.count() == o.join(li, o.o_orderkey == li.l_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
