@@ -41,25 +41,59 @@ BM25_B = 0.75
 _TOKEN_SPLIT = "[^a-z0-9]+"
 
 
-def tokenize(col: Column | str, tokenizer: str = "simple") -> Column:
+def tokenize(
+    col: Column | str,
+    tokenizer: str = "simple",
+    stop_words: list[str] | None = None,
+    length_limit: int | None = None,
+) -> Column:
     """Token array for a string column.
 
-    simple: lowercase, split on non-alphanumerics, drop empties (tantivy
-    'simple' tokenizer ≈ lowercase + split on non-word).
-    raw: the whole value as a single token (tantivy 'raw').
+    Tokenizer types mirror the reference's per-column tantivy config
+    (`MergeTreeIndexTantivy.cpp:710-751`: type, stop_word_filters,
+    length_limit):
+      simple:  lowercase, split on non-alphanumerics, drop empties
+      raw:     the whole value as a single token
+      stem:    simple + crude English suffix strip (porter-lite)
+      chinese: CJK chars become single-char tokens, latin runs stay words
+               (deterministic char-unigram fallback; jieba not in container)
     """
     col = F.col(col) if isinstance(col, str) else col
     if tokenizer == "raw":
-        return F.array(col)
-    if tokenizer in ("simple", "stem"):
+        toks = F.array(col)
+    elif tokenizer in ("simple", "stem"):
         toks = F.filter(F.split(F.lower(col), _TOKEN_SPLIT), lambda x: x != "")
         if tokenizer == "stem":
-            # crude English suffix strip (porter-lite); deterministic
             toks = F.transform(
                 toks, lambda t: F.regexp_replace(t, "(ing|edly|ed|es|s)$", "")
             )
-        return toks
-    raise InvalidSearchQuery(f"unknown tokenizer {tokenizer!r}")
+    elif tokenizer == "chinese":
+        # isolate each CJK char with spaces, then split like 'simple'
+        spaced = F.regexp_replace(F.lower(col), r"([\x{4e00}-\x{9fff}])", " $1 ")
+        toks = F.filter(F.split(spaced, r"[^a-z0-9\x{4e00}-\x{9fff}]+"), lambda x: x != "")
+    else:
+        raise InvalidSearchQuery(f"unknown tokenizer {tokenizer!r}")
+    if stop_words:
+        sw = F.array(*[F.lit(w) for w in stop_words])
+        toks = F.filter(toks, lambda t: ~F.array_contains(sw, t))
+    if length_limit:
+        toks = F.filter(toks, lambda t: F.length(t) <= length_limit)
+    return toks
+
+
+def tokenize_any(
+    col: Column | str, dtype: str, tokenizer: str = "simple"
+) -> Column:
+    """Tokenize String, Array(String), or Map columns (the reference indexes
+    all three — `TreeRewriter.cpp:1712-1734`, mapKeys/mapValues)."""
+    col = F.col(col) if isinstance(col, str) else col
+    if dtype.startswith("array"):
+        return F.flatten(F.transform(col, lambda e: tokenize(e, tokenizer)))
+    if dtype.startswith("map"):
+        return F.flatten(
+            F.transform(F.map_values(col), lambda e: tokenize(e, tokenizer))
+        )
+    return tokenize(col, tokenizer)
 
 
 def tokenize_query(query: str, tokenizer: str = "simple") -> list[str]:

@@ -209,3 +209,47 @@ def simhash(df: DataFrame, id_col: str, tokens_col: Column, bits: int = 48) -> D
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two bigint fingerprints."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iter: int = 25) -> DataFrame:
+    """Connected components over duplicate pairs → (id, cluster_id) with
+    cluster_id = min id in the component (the canonical keeper).
+
+    Iterative min-label propagation: each round joins labels across edges and
+    takes the min — O(diameter) rounds, each one join + groupBy. Duplicate
+    clusters are tiny (diameter ≪ 25) so this converges fast; convergence is
+    checked with a 1-row aggregate per round. Deterministic (min is
+    order-free), so results are engine-reproducible.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    bidir = edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    nodes = bidir.select(F.col("a").alias("id")).distinct()
+    labels = nodes.withColumn("label", F.col("id"))
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            bidir.join(labels, bidir["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                F.col("id"),
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        labels = labels.localCheckpoint()  # cut the iterative lineage
+        s = labels.agg(F.sum("label")).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

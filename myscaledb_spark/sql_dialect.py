@@ -198,6 +198,13 @@ TEMPLATES: dict[str, str] = {
 
 # parametric CH syntax: name(params)(args) → template with p0..., a0...
 PARAMETRIC: dict[str, str] = {
+    # distance('nprobe=128')(col, q): search params tune the INDEX path —
+    # the SQL dialect always computes the exact form, so params are accepted
+    # and ignored (parseVSParameters.cpp accepts the same strings).
+    "distance": (
+        "sqrt(aggregate(zip_with(cast({a0} as array<double>), cast({a1} as array<double>), "
+        "(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, v) -> acc + v))"
+    ),
     "quantile": "percentile({a0}, {p0})",
     "quantileExact": "percentile({a0}, {p0})",
     "quantileTDigest": "percentile_approx({a0}, {p0})",

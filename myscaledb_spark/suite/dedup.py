@@ -208,6 +208,56 @@ def ngram_jaccard_q(spark, sf_dir):
     return jac.filter(F.col("jaccard") >= 0.2).select("id_a", "id_b", "jaccard")
 
 
+# --- duplicate clustering: connected components over minhash pairs -----------
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_minhash_sql_core().strip().rstrip()},
+    banded AS ({" UNION ALL ".join(
+        "SELECT doc_id, %d AS band, %s AS band_key FROM sig"
+        % (b, " || ',' || ".join("CAST(mh%d AS VARCHAR)" % (b * ROWS + r) for r in range(ROWS)))
+        for b in range(BANDS)
+    )}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS i
+      FROM cands c
+      JOIN sh s1 ON s1.doc_id = c.id_a
+      JOIN sh s2 ON s2.doc_id = c.id_b AND s2.sh = s1.sh
+      GROUP BY c.id_a, c.id_b
+    ),
+    dup_pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.5
+    ),
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM dup_pairs
+      UNION ALL SELECT id_b, id_a FROM dup_pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT a, a FROM e
+      UNION
+      SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id
+    )
+    SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters_q(spark, sf_dir):
+    from myscaledb_spark.functions.text import tokenize
+    from myscaledb_spark.operators.dedup import dedup_clusters, minhash_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.withColumn("_toks", tokenize("text")).filter(F.size("_toks") >= 3)
+    pairs = minhash_dedup_pairs(toked, "doc_id", F.col("_toks"), 3, NUM_HASHES, BANDS, 0.5)
+    return dedup_clusters(pairs)
+
+
 # --- embedding cosine near-dup pairs ------------------------------------------
 @register(
     "embedding_neardup_pairs",

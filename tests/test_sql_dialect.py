@@ -129,3 +129,15 @@ def test_ch_sql_parametric_quantile(spark, duck):
         ).fetchall()
     }
     assert got == want
+
+
+def test_parametric_distance_accepts_params(spark):
+    spark.table("embeddings").createOrReplaceTempView("emb2")
+    lit = "array(" + ", ".join(["0.1"] * 64) + ")"
+    df = ch_sql(
+        spark,
+        f"SELECT vec_id, distance('nprobe=128')(embedding, {lit}) AS d "
+        "FROM emb2 ORDER BY d ASC, vec_id ASC LIMIT 3",
+    )
+    rows = df.collect()
+    assert len(rows) == 3 and rows[0].d <= rows[1].d

@@ -135,3 +135,24 @@ def test_hybrid_search(spark, docs, kind):
     np.testing.assert_allclose(
         [r.fusion_score for r in got], [s for _, s in want], rtol=1e-9
     )
+
+
+def test_tokenizer_options(spark):
+    from pyspark.sql import functions as F
+    from myscaledb_spark.functions.text import tokenize, tokenize_any
+
+    df = spark.range(1).select(
+        tokenize(F.lit("The Quick brown fox the"), "simple",
+                 stop_words=["the"]).alias("sw"),
+        tokenize(F.lit("a ab abc abcd"), "simple", length_limit=3).alias("ll"),
+        tokenize(F.lit("Spark数据引擎fast"), "chinese").alias("cjk"),
+        tokenize_any(F.array(F.lit("a b"), F.lit("c d")), "array<string>").alias("arr"),
+        tokenize_any(
+            F.create_map(F.lit("k"), F.lit("hello world")), "map<string,string>"
+        ).alias("mp"),
+    ).first()
+    assert df.sw == ["quick", "brown", "fox"]
+    assert df.ll == ["a", "ab", "abc"]
+    assert df.cjk == ["spark", "数", "据", "引", "擎", "fast"]
+    assert df.arr == ["a", "b", "c", "d"]
+    assert df.mp == ["hello", "world"]
