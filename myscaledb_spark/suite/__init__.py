@@ -38,6 +38,7 @@ def load_all() -> None:
         relational,
         relational2,
         relational3,
+        analytics,
         combinators,
         dialect,
         stat_tests,
