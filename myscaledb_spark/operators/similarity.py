@@ -61,6 +61,35 @@ def lsh_bucket(vec_col: Column, planes: Sequence[Sequence[float]]) -> Column:
     return bucket
 
 
+def lsh_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    seed: int = 13,
+) -> DataFrame:
+    """OR-amplified hyperplane LSH near-dup pairs: union the blocked pairs of
+    n_tables independent plane sets (recall ≈ 1-(1-p^1)^L per pair, p =
+    (1-θ/π)^n_planes), dedup, similarities verified exactly per candidate.
+    This is the linear-shuffle scale path; the exact O(n²) self-join is the
+    small-data oracle."""
+    out = None
+    for t in range(n_tables):
+        planes = random_hyperplanes(_dim_of(df, vec_col), n_planes, seed + 101 * t)
+        pairs = cosine_neardup_pairs(
+            df, vec_col, id_col, threshold, block_col=lsh_bucket(F.col(vec_col), planes)
+        )
+        out = pairs if out is None else out.unionAll(pairs)
+    return out.distinct()
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col).alias("d")).first()
+    return int(row["d"])
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     vec_col: str,

@@ -52,9 +52,24 @@ def load_all() -> None:
     )
 
 
+def _tuned(fn: SparkQuery) -> SparkQuery:
+    """Apply runtime engine confs (UTC session TZ, AQE, nanosAsLong, ...)
+    before running — the driver's session may carry different defaults, and
+    timestamp collection / date_trunc are session-TZ-sensitive."""
+
+    def wrapped(spark: SparkSession, sf_dir: str):
+        from myscaledb_spark.session import tune_session
+
+        tune_session(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
+
 def queries() -> dict[str, SparkQuery]:
     load_all()
-    return {k: fn for k, (fn, _) in REGISTRY.items()}
+    return {k: _tuned(fn) for k, (fn, _) in REGISTRY.items()}
 
 
 def oracles() -> dict[str, str]:

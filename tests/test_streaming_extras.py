@@ -118,3 +118,34 @@ def test_asof_forward_and_strict(spark):
             ).collect()
         }
         assert got == want, f"strict={strict}"
+
+
+def test_processing_time_rate_source(spark, tmp_path):
+    """PROCESSING-time windows (tumble(now(), ...) in the reference,
+    StorageWindowView.h:60-66): rate source + processing-time trigger."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 50).load()
+    )
+    agg = stream.groupBy(F.window("timestamp", "1 second").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rate_proc_time")
+        .outputMode("complete")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            if spark.table("rate_proc_time").count() > 0:
+                break
+            time.sleep(0.5)
+        rows = spark.table("rate_proc_time").collect()
+        assert len(rows) > 0
+        assert all(r.n > 0 for r in rows)
+    finally:
+        q.stop()

@@ -124,3 +124,36 @@ def test_batch_large_equals_small_path(spark, emb_np):
         for i, q in enumerate(qs):
             want_ids, _ = _np_topk(ids, mat, np.array(q), 5, metric)
             assert by_q[i] == list(want_ids), f"{metric} query {i}"
+
+
+def test_lsh_bucketed_neardup_subset_of_exact(spark):
+    """Hyperplane-LSH blocked near-dup pairs: every found pair must appear in
+    the exact O(n^2) result with identical similarity, and with few planes
+    (coarse buckets) the blocked path must recover a decent fraction."""
+    from myscaledb_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        lsh_bucket,
+        random_hyperplanes,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.table("embeddings")
+    thr = 0.3
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_neardup_pairs(emb, "embedding", "vec_id", thr).collect()
+    }
+    from myscaledb_spark.operators.similarity import lsh_neardup_pairs
+
+    blocked = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in lsh_neardup_pairs(
+            emb, "embedding", "vec_id", thr, n_planes=4, n_tables=6
+        ).collect()
+    }
+    assert set(blocked) <= set(exact)
+    for k, v in blocked.items():
+        assert v == exact[k]
+    # single-table p = (1-acos(0.3)/pi)^4 ~= 0.127; 6 OR-tables ~= 0.56
+    if exact:
+        assert len(blocked) / len(exact) > 0.35, (len(blocked), len(exact))
