@@ -47,6 +47,7 @@ def load_all() -> None:
         hybrid,
         funnel,
         text_pipeline,
+        pipeline,
         dedup,
         streaming,
     )
