@@ -136,6 +136,44 @@ def media_repartition(df: DataFrame, target_mb_per_task: int = 64) -> DataFrame:
     return df.repartition(parts)
 
 
+# ---------------------------------------------------------------------------
+# ObjectToFetch / getObject() — reference: DataTypeObjectToFetch.h:9-31,
+# src/Functions/getObject.cpp, CREATE CONNECTION (ASTCreateConnectionQuery),
+# test tests/queries/3_ai_core_support/00009_mqai_objecturl_getObject.sql.
+# A row holds a typed pointer {url, ...}; getObject() materializes the bytes.
+# Spark mapping: the `binaryFile` datasource (works over local/HDFS/S3 paths
+# with the cluster's hadoop credentials ≈ CREATE CONNECTION) joined back on
+# the url column.
+# ---------------------------------------------------------------------------
+
+OBJECT_URL_SCHEMA = "struct<url:string,kind:string>"
+
+
+def get_objects(df: DataFrame, url_col: str, content_name: str = "content") -> DataFrame:
+    """Materialize external objects referenced by a URL/path column.
+
+    Reads the referenced files through Spark's binaryFile source (predicate
+    `path IN (...)` prunes the listing) and joins content back by path. For
+    object stores, the same code runs with s3a:// URLs — credentials come
+    from the hadoop conf (the reference's CREATE CONNECTION analog).
+    """
+    spark = df.sparkSession
+    paths = [r[0] for r in df.select(url_col).distinct().collect()]
+    if not paths:
+        return df.withColumn(content_name, F.lit(None).cast("binary"))
+    import os
+
+    dirs = sorted({os.path.dirname(p) for p in paths})
+    blobs = (
+        spark.read.format("binaryFile").load(dirs)
+        .select(F.col("path"), F.col("content").alias(content_name), F.col("length"))
+    )
+    # binaryFile yields file:/ URIs; normalize both sides to plain paths
+    norm = F.regexp_replace(F.col("path"), "^file:", "")
+    blobs = blobs.withColumn("_p", norm).drop("path")
+    return df.join(blobs, df[url_col] == blobs["_p"], "left").drop("_p")
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """STUB: real path needs Pillow. Raises clearly; kept so the API surface
     and schema contract are pinned by tests."""
