@@ -78,6 +78,29 @@ def array_join_token_counts(spark, sf_dir):
     )
 
 
+# --- posexplode / arrayEnumerate (ARRAY JOIN with positions) ------------------
+@register(
+    "posexplode_tokens",
+    f"""
+    WITH toked AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents WHERE doc_id < 40)
+    SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS token
+    FROM toked
+    """,
+)
+def posexplode_tokens(spark, sf_dir):
+    """posexplode ≈ ARRAY JOIN arr, arrayEnumerate(arr) (1-based positions
+    to match the reference's arrayEnumerate)."""
+    from pyspark.sql import functions as F
+
+    from myscaledb_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    toked = docs.withColumn("toks", tokenize("text"))
+    return toked.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+
+
 # --- sumMap / map aggregation (registerAggregateFunctions.cpp:50) -------------
 @register(
     "sum_map_events",
