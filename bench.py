@@ -120,6 +120,26 @@ def main() -> None:
                 ),
             }
         sweep["pq_build_sec"] = pq_build
+
+        from myscaledb_spark.plans.hnsw_index import (
+            build_hnsw_index,
+            hnsw_recall,
+            hnsw_search,
+        )
+
+        t0 = time.time()
+        build_hnsw_index(emb, "embedding", "vec_id", art, m=8, ef_construction=32)
+        hnsw_build = round(time.time() - t0, 3)
+        for ef in (50, 100):  # reference sweeps ef_s ∈ {50,100,200,400}
+            t0 = time.time()
+            hnsw_search(spark, art, q, 10, ef_search=ef).collect()
+            sweep[f"hnsw_ef{ef}"] = {
+                "sec": round(time.time() - t0, 4),
+                "recall@10": round(
+                    hnsw_recall(emb, spark, art, q, 10, ef_search=ef), 3
+                ),
+            }
+        sweep["hnsw_build_sec"] = hnsw_build
         emb.unpersist()
     except Exception as e:
         sweep["error"] = str(e)[:200]

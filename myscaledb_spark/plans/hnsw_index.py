@@ -1,0 +1,227 @@
+"""Graph-based ANN index (NSW — the single-layer core of HNSW), completing
+the reference's index-type sweep (HNSWFLAT/HNSWPQ/HNSWSQ,
+`tests/vector_search/benchmark.py:23`; build params ef_c, m :40-42).
+
+Shape mirrors the reference exactly: one graph PER PART (partition), built
+independently (`VIBuilderUpdater::buildVIForOnePart`), searched per part with
+the candidates merged globally (§3.2.4-5). Here:
+
+  build:  rows are split by a deterministic part key (id % n_parts); each
+          part's graph is constructed in one applyInPandas call — numpy NSW
+          insertion (ascending id, ties by id, fixed ef_construction) so
+          rebuilds are bit-identical. Adjacency + vectors persist as parquet
+          partitioned by part_id.
+  search: one applyInPandas per part runs a beam search (ef candidates) over
+          the local graph; the global top-k is the exact-distance merge of
+          per-part candidates — same two-stage merge as the reference.
+
+Beam search is Python-side by necessity (data-dependent pointer chasing is
+the one workload Catalyst can't express) — but it touches only the index
+artifact, never the base table, and each part's search is O(ef·M·d).
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+from collections.abc import Sequence
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from myscaledb_spark.plans.vector_index import IndexRegistry
+
+
+def _nsw_insertions(X: np.ndarray, M: int, efc: int) -> list[list[int]]:
+    """Deterministic NSW build: insert points in row order (caller pre-sorts
+    by id); connect each to its M nearest among already-inserted, found via
+    beam search; neighbor lists truncated to M by (distance, position)."""
+    n = len(X)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for i in range(1, n):
+        cands = _beam(X, adj, X[i], ef=efc, n_nodes=i)
+        nbrs = [p for _, p in cands[:M]]
+        adj[i] = nbrs
+        for nb in nbrs:
+            merged = adj[nb] + [i]
+            if len(merged) > M:
+                d = ((X[merged] - X[nb]) ** 2).sum(axis=1)
+                order = sorted(range(len(merged)), key=lambda j: (d[j], merged[j]))
+                merged = [merged[j] for j in order[:M]]
+            adj[nb] = merged
+    return adj
+
+
+def _beam(
+    X: np.ndarray, adj: list[list[int]], q: np.ndarray, ef: int, n_nodes: int | None = None
+) -> list[tuple[float, int]]:
+    """Best-first beam search from node 0. Returns [(dist, pos)] sorted by
+    (dist, pos). Deterministic: heap ties resolved by position."""
+    limit = n_nodes if n_nodes is not None else len(X)
+    if limit <= 0:
+        return []
+    d0 = float(((X[0] - q) ** 2).sum())
+    visited = {0}
+    cand = [(d0, 0)]  # min-heap of frontier
+    best: list[tuple[float, int]] = [(-d0, 0)]  # max-heap (negated) of ef best
+    while cand:
+        d, p = heapq.heappop(cand)
+        if len(best) >= ef and d > -best[0][0]:
+            break
+        for nb in adj[p]:
+            if nb >= limit or nb in visited:
+                continue
+            visited.add(nb)
+            dn = float(((X[nb] - q) ** 2).sum())
+            if len(best) < ef or dn < -best[0][0]:
+                heapq.heappush(cand, (dn, nb))
+                heapq.heappush(best, (-dn, nb))
+                if len(best) > ef:
+                    heapq.heappop(best)
+    out = sorted(((-nd, p) for nd, p in best), key=lambda t: (t[0], t[1]))
+    return out
+
+
+_GRAPH_SCHEMA = StructType(
+    [
+        StructField("part_id", IntegerType()),
+        StructField("pos", IntegerType()),
+        StructField("node_id", LongType()),
+        StructField("vec", ArrayType(DoubleType())),
+        StructField("neighbors", ArrayType(IntegerType())),
+    ]
+)
+
+
+def build_hnsw_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    artifact_dir: str,
+    name: str = "hnsw",
+    m: int = 8,
+    ef_construction: int = 32,
+    n_parts: int = 4,
+) -> dict:
+    reg = IndexRegistry(artifact_dir)
+    reg.set_status(
+        name, "InProgress", column=vec_col, index_type="HNSWFLAT",
+        params={"m": m, "ef_c": ef_construction, "n_parts": n_parts},
+    )
+
+    keyed = df.select(
+        (F.col(id_col) % n_parts).cast("int").alias("part_id"),
+        F.col(id_col).alias("node_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+
+    def _build(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("node_id").reset_index(drop=True)
+        X = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        adj = _nsw_insertions(X, m, ef_construction)
+        return pd.DataFrame(
+            {
+                "part_id": pdf["part_id"],
+                "pos": np.arange(len(pdf), dtype=np.int32),
+                "node_id": pdf["node_id"],
+                "vec": pdf["vec"],
+                "neighbors": [np.array(a, dtype=np.int32) for a in adj],
+            }
+        )
+
+    graph = keyed.groupBy("part_id").applyInPandas(_build, _GRAPH_SCHEMA)
+    base = os.path.join(artifact_dir, name)
+    graph.write.mode("overwrite").partitionBy("part_id").parquet(
+        os.path.join(base, "graph")
+    )
+    os.makedirs(base, exist_ok=True)
+    json.dump({"m": m, "ef_c": ef_construction, "n_parts": n_parts},
+              open(os.path.join(base, "meta.json"), "w"))
+    reg.set_status(name, "Built", base=base)
+    return reg.get(name)
+
+
+def hnsw_search(
+    spark: SparkSession,
+    artifact_dir: str,
+    qvec: Sequence[float],
+    k: int,
+    name: str = "hnsw",
+    ef_search: int = 50,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-part beam search → global exact merge (reference §3.2.4-5)."""
+    reg = IndexRegistry(artifact_dir)
+    rec = reg.get(name)
+    if rec is None or rec.get("status") != "Built":
+        raise RuntimeError(f"hnsw index {name!r} not built")
+    graph = spark.read.parquet(os.path.join(rec["base"], "graph"))
+    q = np.asarray(qvec, dtype=np.float64)
+    ef = max(ef_search, k)
+
+    out_schema = StructType(
+        [StructField("node_id", LongType()), StructField("dist", DoubleType())]
+    )
+
+    def _search(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("pos").reset_index(drop=True)
+        X = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        adj = [list(a) for a in pdf["neighbors"]]
+        found = _beam(X, adj, q, ef)
+        ids = pdf["node_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "node_id": [ids[p] for _, p in found],
+                "dist": [np.sqrt(d) for d, _ in found],
+            }
+        )
+
+    cands = graph.groupBy("part_id").applyInPandas(_search, out_schema)
+    return (
+        cands.orderBy(F.col("dist").asc(), F.col("node_id").asc())
+        .limit(k)
+        .withColumnRenamed("node_id", id_col)
+    )
+
+
+def hnsw_recall(
+    df: DataFrame,
+    spark: SparkSession,
+    artifact_dir: str,
+    qvec: Sequence[float],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    name: str = "hnsw",
+    ef_search: int = 50,
+) -> float:
+    from myscaledb_spark.operators.topk import vector_topk
+
+    exact = {
+        r[0]
+        for r in vector_topk(df, vec_col, qvec, k, "L2", None, id_col)
+        .select(id_col)
+        .collect()
+    }
+    approx = {
+        r[0]
+        for r in hnsw_search(spark, artifact_dir, qvec, k, name, ef_search, id_col)
+        .select(id_col)
+        .collect()
+    }
+    return len(exact & approx) / max(len(exact), 1)

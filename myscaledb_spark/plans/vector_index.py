@@ -113,6 +113,48 @@ def build_ivf_index(
     return reg.get(name)
 
 
+def append_to_ivf_index(
+    new_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    artifact_dir: str,
+    name: str = "ivf",
+) -> dict:
+    """Incremental maintenance — the reference's decoupled-parts semantics
+    (`MergeTreeSettings.h:179` enable_decouple_vector_index): freshly
+    inserted rows are assigned to the EXISTING centroids and appended to the
+    inverted lists, so search serves old+new data immediately; a periodic
+    full rebuild (build_ivf_index) re-trains centroids like a part merge
+    rebuild. Assignment is a pure JVM expression over the broadcast
+    centroids — one pass, no Python."""
+    reg = IndexRegistry(artifact_dir)
+    rec = reg.get(name)
+    if rec is None or rec.get("status") != "Built":
+        raise RuntimeError(f"index {name!r} not built")
+    centroids = json.load(open(rec["centroids"]))
+
+    a = F.col(vec_col).cast("array<double>")
+    best_d, best_i = None, None
+    for i, c in enumerate(centroids):
+        cl = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(a, cl, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        if best_d is None:
+            best_d, best_i = d, F.lit(i)
+        else:
+            cond = d < best_d
+            best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+            best_d = F.when(cond, d).otherwise(best_d)
+
+    assigned = new_df.withColumn("list_id", best_i.cast("int"))
+    assigned.write.mode("append").partitionBy("list_id").parquet(rec["inverted"])
+    reg.set_status(name, "Built")
+    return reg.get(name)
+
+
 def _nearest_lists(centroids: list[list[float]], qvec: Sequence[float], nprobe: int, metric: str) -> list[int]:
     import math
 

@@ -75,3 +75,31 @@ def test_partition_pruning_in_plan(spark, ivf_dir):
     df = ivf_search(spark, ivf_dir, _q(), 5, nprobe=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "list_id" in plan
+
+
+def test_incremental_append_serves_new_rows(spark, tmp_path_factory):
+    """Decoupled-parts analog: build on half the data, append the other half
+    assigned to existing centroids; full-probe search == exact over ALL."""
+    from myscaledb_spark.plans.vector_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_search,
+    )
+    from myscaledb_spark.operators.topk import vector_topk
+
+    d = str(tmp_path_factory.mktemp("ivf_inc"))
+    emb = spark.table("embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    build_ivf_index(first, "embedding", "vec_id", d, num_centroids=8)
+    append_to_ivf_index(second, "embedding", "vec_id", d)
+
+    q = _q(21)
+    got = [r.vec_id for r in ivf_search(spark, d, q, 10, nprobe=8).collect()]
+    want = [
+        r.vec_id
+        for r in vector_topk(emb, "embedding", q, 10, "L2", id_col="vec_id").collect()
+    ]
+    assert got == want
+    # odd ids (appended) must be reachable
+    assert any(v % 2 == 1 for v in got)
