@@ -45,36 +45,92 @@ from myscaledb_spark.plans.vector_index import IndexRegistry
 
 def _nsw_insertions(X: np.ndarray, M: int, efc: int) -> list[list[int]]:
     """Deterministic NSW build: insert points in row order (caller pre-sorts
-    by id); connect each to its M nearest among already-inserted, found via
-    beam search; neighbor lists truncated to M by (distance, position)."""
+    by id); connect each to its M nearest among already-inserted (multi-seed
+    beam), PLUS one deterministic pseudo-random long-range link — the
+    small-world shortcut that makes flat graphs navigable (Kleinberg;
+    HNSW gets the same effect from its upper layers). Long links are never
+    truncated away (kept in a separate slot appended after the M near
+    links)."""
     n = len(X)
     adj: list[list[int]] = [[] for _ in range(n)]
+
+    def _select_diverse(point: np.ndarray, cands: list[tuple[float, int]]) -> list[int]:
+        """HNSW select_neighbors_heuristic: take a candidate only if it is
+        closer to the new point than to every already-selected neighbor —
+        keeps links pointing in DIFFERENT directions, which is what makes
+        the graph navigable in clustered data."""
+        chosen: list[int] = []
+        for d, p in cands:
+            ok = True
+            for c in chosen:
+                if ((X[p] - X[c]) ** 2).sum() < d:
+                    ok = False
+                    break
+            if ok:
+                chosen.append(p)
+                if len(chosen) >= M:
+                    break
+        # backfill with nearest skipped if diversity pruned too many
+        if len(chosen) < M:
+            for _, p in cands:
+                if p not in chosen:
+                    chosen.append(p)
+                    if len(chosen) >= M:
+                        break
+        return chosen
+
     for i in range(1, n):
-        cands = _beam(X, adj, X[i], ef=efc, n_nodes=i)
-        nbrs = [p for _, p in cands[:M]]
-        adj[i] = nbrs
+        cands = _beam(X, adj, X[i], ef=efc, n_nodes=i, n_seeds=4)
+        nbrs = _select_diverse(X[i], cands)
+        # deterministic long-range shortcut into the inserted prefix
+        far = (i * 2654435761) % i if i > 1 else 0
+        extra = [far] if far not in nbrs else []
+        adj[i] = nbrs + extra
         for nb in nbrs:
-            merged = adj[nb] + [i]
+            merged = adj[nb][:M] + [i]
+            keep_long = adj[nb][M:]
             if len(merged) > M:
                 d = ((X[merged] - X[nb]) ** 2).sum(axis=1)
                 order = sorted(range(len(merged)), key=lambda j: (d[j], merged[j]))
                 merged = [merged[j] for j in order[:M]]
-            adj[nb] = merged
+            adj[nb] = merged + keep_long
     return adj
 
 
 def _beam(
-    X: np.ndarray, adj: list[list[int]], q: np.ndarray, ef: int, n_nodes: int | None = None
+    X: np.ndarray,
+    adj: list[list[int]],
+    q: np.ndarray,
+    ef: int,
+    n_nodes: int | None = None,
+    n_seeds: int = 1,
 ) -> list[tuple[float, int]]:
-    """Best-first beam search from node 0. Returns [(dist, pos)] sorted by
-    (dist, pos). Deterministic: heap ties resolved by position."""
+    """Best-first beam search. Returns [(dist, pos)] sorted by (dist, pos).
+    Deterministic: heap ties resolved by position. n_seeds > 1 starts from
+    evenly-spaced entry points — greedy NSW graphs have basins a single
+    node-0 entry can't escape (HNSW's upper layers solve this; multi-seed is
+    the flat-graph equivalent)."""
     limit = n_nodes if n_nodes is not None else len(X)
     if limit <= 0:
         return []
-    d0 = float(((X[0] - q) ** 2).sum())
-    visited = {0}
-    cand = [(d0, 0)]  # min-heap of frontier
-    best: list[tuple[float, int]] = [(-d0, 0)]  # max-heap (negated) of ef best
+    # Entry-point selection ≈ HNSW's upper-layer descent: probe a small
+    # evenly-spaced sample (vectorized) and start the beam from the best
+    # n_seeds probes, so the search begins near the query's region instead
+    # of terminating on a distant plateau.
+    n_probe = min(limit, max(64, n_seeds))
+    probe_pos = np.unique((np.arange(n_probe) * limit) // n_probe)
+    pd_ = ((X[probe_pos] - q) ** 2).sum(axis=1)
+    order = np.lexsort((probe_pos, pd_))
+    seeds = sorted({int(probe_pos[j]) for j in order[: max(n_seeds, 1)]})
+    visited = set(seeds)
+    cand = []
+    best: list[tuple[float, int]] = []
+    for s in seeds:
+        ds = float(((X[s] - q) ** 2).sum())
+        heapq.heappush(cand, (ds, s))
+        heapq.heappush(best, (-ds, s))
+    while len(best) > ef:
+        heapq.heappop(best)
     while cand:
         d, p = heapq.heappop(cand)
         if len(best) >= ef and d > -best[0][0]:
@@ -162,6 +218,7 @@ def hnsw_search(
     name: str = "hnsw",
     ef_search: int = 50,
     id_col: str = "vec_id",
+    n_seeds: int = 4,
 ) -> DataFrame:
     """Per-part beam search → global exact merge (reference §3.2.4-5)."""
     reg = IndexRegistry(artifact_dir)
@@ -182,7 +239,7 @@ def hnsw_search(
         pdf = pdf.sort_values("pos").reset_index(drop=True)
         X = np.array(pdf["vec"].tolist(), dtype=np.float64)
         adj = [list(a) for a in pdf["neighbors"]]
-        found = _beam(X, adj, q, ef)
+        found = _beam(X, adj, q, ef, n_seeds=n_seeds)
         ids = pdf["node_id"].to_numpy()
         return pd.DataFrame(
             {
