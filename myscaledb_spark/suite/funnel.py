@@ -133,3 +133,55 @@ def sequence_match_users(spark, sf_dir):
     return m.agg(
         F.sum("matched").alias("n_matched"), F.count(F.lit(1)).alias("n_users")
     )
+
+
+@register(
+    "sequence_next_node",
+    """
+    WITH ent AS (
+      SELECT user_id AS u, ts, event_type
+      FROM events WHERE event_type IN ('view', 'click', 'purchase', 'signup', 'error')
+    ),
+    nxt AS (
+      SELECT u, event_type,
+             LEAD(event_type) OVER (PARTITION BY u ORDER BY ts, event_type) AS next_type
+      FROM ent
+    )
+    SELECT next_type, COUNT(*) AS n
+    FROM nxt WHERE event_type = 'view' AND next_type IS NOT NULL
+    GROUP BY next_type
+    """,
+)
+def sequence_next_node(spark, sf_dir):
+    """sequenceNextNode: the event that follows a matched event (head mode,
+    forward direction — AggregateFunctionSequenceNextNode.h). Distribution of
+    what users do right after a 'view'."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    nxt = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        nxt.filter((F.col("event_type") == "view") & F.col("next_type").isNotNull())
+        .groupBy("next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "uniq_up_to",
+    """
+    SELECT (user_id % 7) AS bucket,
+           LEAST(COUNT(DISTINCT event_type), 3 + 1) AS uniq_upto_3
+    FROM events GROUP BY (user_id % 7)
+    """,
+)
+def uniq_up_to(spark, sf_dir):
+    """uniqUpTo(N): exact distinct count capped at N+1 (the reference's
+    'more than N' marker)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy((F.col("user_id") % 7).alias("bucket")).agg(
+        F.least(F.countDistinct("event_type"), F.lit(4)).alias("uniq_upto_3")
+    )
