@@ -1161,3 +1161,41 @@ def topK(a, k: int = 10):
         "use df.groupBy(col).count().orderBy(desc).limit(k) — see "
         "suite/relational.py heavy_hitter_users"
     )
+
+
+# ---------------------------------------------------------------------------
+# window-context helpers (runningDifference / neighbor — these need an
+# explicit window in Spark, which is strictly better than the reference's
+# block-local semantics: CH computes them per block, order-nondeterministic)
+# ---------------------------------------------------------------------------
+def runningDifference(a, window):
+    """runningDifference(x) over an explicit window (CH's is block-local and
+    therefore partitioning-dependent; ours is well-defined)."""
+    return _c(a) - F.lag(_c(a), 1).over(window)
+
+
+def neighbor(a, offset: int, window):
+    """neighbor(x, offset) over an explicit window."""
+    if offset >= 0:
+        return F.lead(_c(a), offset).over(window)
+    return F.lag(_c(a), -offset).over(window)
+
+
+def formatReadableSize(a):
+    """Bytes → human string (e.g. '1.50 MiB'), pure expression."""
+    col = _c(a).cast("double")
+    return (
+        F.when(col < 1024, F.concat(F.format_number(col, 2), F.lit(" B")))
+        .when(col < 1024**2, F.concat(F.format_number(col / 1024, 2), F.lit(" KiB")))
+        .when(col < 1024**3, F.concat(F.format_number(col / 1024**2, 2), F.lit(" MiB")))
+        .otherwise(F.concat(F.format_number(col / 1024**3, 2), F.lit(" GiB")))
+    )
+
+
+def transform_(a, from_vals: list, to_vals: list, default=None):
+    """transform(x, [a,b], [1,2], d) — CASE-map lookup (src/Functions/
+    transform.cpp)."""
+    expr = None
+    for f_, t_ in zip(from_vals, to_vals):
+        expr = (F.when(_c(a) == f_, t_) if expr is None else expr.when(_c(a) == f_, t_))
+    return expr.otherwise(default if default is not None else _c(a))

@@ -296,6 +296,10 @@ def rewrite(sql: str) -> str:
     for pat, hint in UNSUPPORTED_SYNTAX.items():
         if re.search(pat, sql, flags=re.IGNORECASE):
             raise ChSqlError(f"construct not supported in SQL dialect shim: {hint}")
+    # PREWHERE is a storage-level optimization in the reference; Catalyst's
+    # pushdown provides the same effect, so PREWHERE ≡ WHERE here
+    # (MergeTreeWhereOptimizer.h:31 — the optimizer moves predicates anyway).
+    sql = re.sub(r"\bPREWHERE\b", "WHERE", sql, flags=re.IGNORECASE)
 
     out = []
     i = 0

@@ -206,3 +206,43 @@ def test_ip_family(spark):
     assert r.n == 10 * 16777216 + 255
     assert r.in1 and not r.in2
     assert r.rng.lo == 3232235776 and r.rng.hi == 3232236031
+
+
+def test_window_helpers_and_misc(spark):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = (
+        spark.table("orders")
+        .filter(F.col("o_custkey") == 1)
+        .select(
+            "o_orderkey",
+            ch.runningDifference("o_totalprice", w).alias("rd"),
+            ch.neighbor("o_orderkey", 1, w).alias("nxt"),
+            ch.neighbor("o_orderkey", -1, w).alias("prv"),
+        )
+        .collect()
+    )
+    assert r[0].rd is None and r[0].prv is None
+    if len(r) > 1:
+        assert r[0].nxt == r[1].o_orderkey and r[1].prv == r[0].o_orderkey
+
+    m = (
+        spark.range(1)
+        .select(
+            ch.formatReadableSize(F.lit(512)).alias("b"),
+            ch.formatReadableSize(F.lit(2048)).alias("k"),
+            ch.formatReadableSize(F.lit(3 * 1024**2)).alias("mb"),
+            ch.transform_(F.lit("a"), ["a", "b"], [1, 2], 0).alias("t1"),
+            ch.transform_(F.lit("z"), ["a", "b"], [1, 2], 0).alias("t2"),
+        )
+        .first()
+    )
+    assert m.b == "512.00 B" and m.k == "2.00 KiB" and m.mb == "3.00 MiB"
+    assert m.t1 == 1 and m.t2 == 0
+
+
+def test_prewhere_rewrite(spark):
+    from myscaledb_spark.sql_dialect import rewrite
+
+    assert rewrite("SELECT x FROM t PREWHERE y > 1") == "SELECT x FROM t WHERE y > 1"
