@@ -97,8 +97,18 @@ def build_ivf_index(
     feats = df.withColumn(
         "_feat", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
+    # train on a bounded sample (reference caps training blocks the same way,
+    # Settings.h:118) — centroid quality needs ~100 points per centroid, not
+    # the full table; assignment below still covers every row
+    n_total = df.count()
+    train_cap = max(num_centroids * 200, 20_000)
+    train = (
+        feats.sample(fraction=min(1.0, train_cap / max(n_total, 1)), seed=seed)
+        if n_total > train_cap
+        else feats
+    )
     km = KMeans(k=num_centroids, seed=seed, featuresCol="_feat", predictionCol="list_id")
-    model = km.fit(feats)
+    model = km.fit(train)
     assigned = model.transform(feats).drop("_feat")
 
     inv_path = os.path.join(artifact_dir, name, "inverted")
