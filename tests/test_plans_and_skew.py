@@ -102,3 +102,28 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_count_star_scans_zero_columns(spark):
+    """COUNT(*) over parquet must not materialize any column: the v1 reader
+    plans a zero-column scan (ReadSchema: struct<>) + partial count, which is
+    metadata-cheap; full PushedAggregation needs the DSv2 reader (left at the
+    default — flipping useV1SourceList changes too much behavior)."""
+    from tests.conftest import SF_DIR
+    from myscaledb_spark.plan_audit import plan_string
+
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").agg(F.count(F.lit(1)))
+    p = plan_string(df)
+    assert "ReadSchema: struct<>" in p, p[:1200]
+    assert "partial_count" in p
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column projection must scan 2 columns (ReadSchema), not 11."""
+    from myscaledb_spark.plan_audit import plan_string
+
+    df = spark.table("lineitem").select("l_orderkey", "l_quantity").filter(
+        F.col("l_quantity") > 10
+    )
+    p = plan_string(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in p, p[:1500]
