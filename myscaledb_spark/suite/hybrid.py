@@ -173,3 +173,45 @@ def binary_hamming_topk(spark, sf_dir):
         "vec_id", F.bit_count(vb.bitwiseXOR(F.lit(qb))).alias("dist")
     )
     return scored.orderBy(F.col("dist").asc(), F.col("vec_id").asc()).limit(10)
+
+
+@register(
+    "binary_jaccard_topk",
+    f"""
+    WITH bits AS (SELECT vec_id, {_VBITS_SQL} AS vb FROM embeddings),
+    q AS (SELECT {_QBITS_SQL} AS qb),
+    scored AS (
+      SELECT vec_id,
+             CASE WHEN bit_count(vb | qb) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(bit_count(vb & qb) AS DOUBLE) / CAST(bit_count(vb | qb) AS DOUBLE)
+             END AS dist
+      FROM bits CROSS JOIN q
+    )
+    SELECT vec_id, ROUND(dist, 6) AS dist
+    FROM scored ORDER BY dist ASC, vec_id ASC LIMIT 10
+    """,
+)
+def binary_jaccard_topk(spark, sf_dir):
+    """Jaccard distance over sign-bit fingerprints (BinaryFLAT family,
+    00038_mqvs_binary_vector)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qb = 0
+    for i, v in enumerate(QV[:48]):
+        if v > 0:
+            qb |= 1 << i
+    idx = F.sequence(F.lit(1), F.lit(48))
+    a = F.col("embedding").cast("array<double>")
+    vb = F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(a, i.cast("int")) > 0,
+            F.pow(F.lit(2.0), (i - 1).cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    inter = F.bit_count(vb.bitwiseAND(F.lit(qb))).cast("double")
+    union = F.bit_count(vb.bitwiseOR(F.lit(qb))).cast("double")
+    dist = F.when(union == 0, F.lit(0.0)).otherwise(F.lit(1.0) - inter / union)
+    scored = emb.select("vec_id", F.round(dist, 6).alias("dist"))
+    return scored.orderBy(F.col("dist").asc(), F.col("vec_id").asc()).limit(10)

@@ -157,3 +157,31 @@ def test_lsh_bucketed_neardup_subset_of_exact(spark):
     # single-table p = (1-acos(0.3)/pi)^4 ~= 0.127; 6 OR-tables ~= 0.56
     if exact:
         assert len(blocked) / len(exact) > 0.35, (len(blocked), len(exact))
+
+
+def test_binary_type_hamming_jaccard(spark):
+    """BinaryType bit-vector distances (hex-chunk JVM path) vs numpy."""
+    import os
+    from myscaledb_spark.functions.vector import hamming_distance, jaccard_distance
+
+    rng = np.random.default_rng(17)
+    rows = [(i, bytes(rng.integers(0, 256, 16, dtype=np.uint8))) for i in range(64)]
+    qbytes = bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+    df = spark.createDataFrame(rows, "id int, bv binary")
+    got = df.select(
+        "id",
+        hamming_distance(F.col("bv"), qbytes).alias("h"),
+        jaccard_distance(F.col("bv"), qbytes).alias("j"),
+    ).collect()
+
+    def bits(b):
+        return np.unpackbits(np.frombuffer(b, dtype=np.uint8))
+
+    qb = bits(qbytes)
+    for r in got:
+        vb = bits(dict(rows)[r.id])
+        assert r.h == int((vb != qb).sum()), r.id
+        inter = int((vb & qb).sum())
+        union = int((vb | qb).sum())
+        want_j = 0.0 if union == 0 else 1.0 - inter / union
+        assert r.j == pytest.approx(want_j, abs=1e-12), r.id
