@@ -166,6 +166,7 @@ def batch_vector_topk_large(
     id_col: str | None = None,
     dist_name: str = "dist",
     query_id_name: str = "query_id",
+    where: Column | None = None,
 ) -> DataFrame:
     """batch_distance for LARGE query sets (reference suite 3: nq=10000).
 
@@ -186,6 +187,8 @@ def batch_vector_topk_large(
     m = metric.lower()
     if m not in ("l2", "l2squared", "ip", "cosine"):
         raise InvalidSearchQuery(f"batch_distance: unsupported metric {metric!r}")
+    if where is not None:
+        df = df.filter(where)  # pre-filter before candidate generation
 
     Q = np.asarray(qvecs, dtype=np.float64)  # (nq, d) — broadcast via closure
     if m == "cosine":

@@ -185,3 +185,35 @@ def test_binary_type_hamming_jaccard(spark):
         union = int((vb | qb).sum())
         want_j = 0.0 if union == 0 else 1.0 - inter / union
         assert r.j == pytest.approx(want_j, abs=1e-12), r.id
+
+
+def test_filtered_batch_and_two_stage(spark, emb_np):
+    """Filter composes with the batch-GEMM and two-stage paths exactly
+    like the reference's pre-filtered search."""
+    from myscaledb_spark.operators.topk import batch_vector_topk_large, two_stage_topk
+
+    ids, mat, labels = emb_np
+    mask = labels == 2
+    qs = [_qvec(seed=s).tolist() for s in (51, 52)]
+    got = batch_vector_topk_large(
+        spark.table("embeddings"), "embedding", qs, 5, "L2",
+        id_col="vec_id", where=F.col("label") == 2,
+    ).select("query_id", "vec_id").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    for i, q in enumerate(qs):
+        want_ids, _ = _np_topk(ids[mask], mat[mask], np.array(q), 5, "L2")
+        assert by_q[i] == list(want_ids), f"query {i}"
+
+    q = _qvec(seed=60)
+    got2 = [
+        r.vec_id
+        for r in two_stage_topk(
+            spark.table("embeddings"), "embedding", q.tolist(), 5, "L2",
+            where=F.col("label") == 2, id_col="vec_id",
+        ).collect()
+    ]
+    want2, _ = _np_topk(ids[mask], mat[mask], q, 5, "L2")
+    # two-stage with default full-vector stage 1 == exact on filtered set
+    assert got2 == list(want2)
