@@ -755,6 +755,21 @@ def arrayEnumerate(a):
     return F.sequence(F.lit(1), F.size(_c(a)))
 
 
+def arrayEnumerateUniq(a):
+    """occurrence index of each element among its equals so far:
+    [10,20,10,10] → [1,1,2,3] (src/Functions/array/arrayEnumerateUniq.cpp)."""
+    arr = _c(a)
+    return F.transform(
+        F.sequence(F.lit(1), F.size(arr)),
+        lambda i: F.size(
+            F.filter(
+                F.slice(arr, 1, i.cast("int")),
+                lambda x: x == F.element_at(arr, i.cast("int")),
+            )
+        ),
+    )
+
+
 def arrayZip(a, b):
     return F.arrays_zip(_c(a), _c(b))
 

@@ -91,3 +91,25 @@ class VersionedTable:
             df = df.withColumn(name, expr)
         df = df.localCheckpoint()  # materialize before overwriting the source
         return self.write(df)
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop data of versions older than the newest `keep_last`
+        (≈ old-part cleanup after mutations/merges). Returns removed
+        versions. Never touches the current version."""
+        import re
+        import shutil
+
+        cur = self.current_version()
+        versions = sorted(
+            int(m.group(1))
+            for d in os.listdir(self.root)
+            if (m := re.match(r"v=(\d+)$", d))
+        )
+        removable = [v for v in versions if v < cur][: max(0, len(versions) - keep_last)]
+        removed = []
+        for v in removable:
+            if v == cur:
+                continue
+            shutil.rmtree(self._vdir(v), ignore_errors=True)
+            removed.append(v)
+        return removed

@@ -96,3 +96,28 @@ def test_format_roundtrip(spark, tmp_path, fmt):
     a = sorted([tuple(x) for x in src.collect()])
     b = sorted([tuple(x) for x in back.select(*src.columns).collect()])
     assert a == b
+
+
+def test_vacuum_keeps_current(spark, vt):
+    vt.mutate(set_exprs={"o_totalprice": F.col("o_totalprice") * 1})  # v1
+    vt.mutate(set_exprs={"o_totalprice": F.col("o_totalprice") * 1})  # v2
+    assert vt.current_version() == 2
+    removed = vt.vacuum(keep_last=1)
+    assert 0 in removed and 2 not in removed
+    # current still readable
+    assert vt.read().count() > 0
+
+
+def test_array_enumerate_uniq(spark):
+    from myscaledb_spark.functions import ch_compat as ch
+
+    r = (
+        spark.range(1)
+        .select(
+            ch.arrayEnumerateUniq(
+                F.array(F.lit(10), F.lit(20), F.lit(10), F.lit(10), F.lit(20))
+            ).alias("e")
+        )
+        .first()
+    )
+    assert r.e == [1, 1, 2, 3, 2]
