@@ -66,6 +66,10 @@ def curate_documents(
         .filter(F.col(id_col) == F.col("_keep"))
         .drop("_chash", "_keep")
     )
+    # the minhash stages consume `base` several times (shingles, signatures,
+    # candidate join, jaccard verify, final anti-join) — materialize the
+    # filtered+deduped base once instead of re-deriving it per consumer
+    base = base.localCheckpoint()
 
     # near-dup clustering: drop non-canonical cluster members
     pairs = minhash_dedup_pairs(
