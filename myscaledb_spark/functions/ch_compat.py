@@ -844,6 +844,47 @@ def mapContains(m, k):
     return F.map_contains_key(_c(m), k)
 
 
+def mapFilter(fn, m):
+    return F.map_filter(_c(m), fn)
+
+
+def mapApply(fn, m):
+    return F.transform_values(_c(m), lambda k, v: fn(v))
+
+
+def mapAdd(a, b):
+    """Merge two maps summing values on key collision (mapAdd semantics)."""
+    a, b = _c(a), _c(b)
+    merged = F.map_concat(
+        F.map_filter(a, lambda k, _: ~F.map_contains_key(b, k)),
+        F.map_filter(b, lambda k, _: ~F.map_contains_key(a, k)),
+        F.map_from_entries(
+            F.transform(
+                F.map_entries(a),
+                lambda e: F.struct(
+                    e["key"].alias("key"),
+                    (e["value"] + F.element_at(b, e["key"])).alias("value"),
+                ),
+            )
+        ),
+    )
+    # the third map includes keys missing in b (null sum) — filter them out
+    return F.map_filter(merged, lambda _, v: v.isNotNull())
+
+
+def ngrams(a, n: int = 3):
+    """Word n-grams of a string (src/Functions/ngrams); shares the shingle
+    machinery used by MinHash."""
+    from myscaledb_spark.operators.dedup import shingles
+    from myscaledb_spark.functions.text import tokenize
+
+    return shingles(tokenize(_c(a)), n)
+
+
+def splitByRegexp(pattern: str, a):
+    return F.split(_c(a), pattern, -1)
+
+
 def tuple_(*cols):
     return F.struct(*[_c(c) for c in cols])
 

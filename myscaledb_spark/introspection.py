@@ -30,6 +30,19 @@ def system_columns(spark: SparkSession, table: str) -> DataFrame:
     )
 
 
+def explain_estimate(df: DataFrame) -> dict:
+    """≈ EXPLAIN ESTIMATE (row/byte estimates from optimizer statistics,
+    `src/Interpreters/InterpreterExplainQuery.cpp`)."""
+    stats = df._jdf.queryExecution().optimizedPlan().stats()
+    row_count = stats.rowCount()
+    return {
+        "size_in_bytes": int(stats.sizeInBytes().longValue())
+        if hasattr(stats.sizeInBytes(), "longValue")
+        else int(str(stats.sizeInBytes())),
+        "row_count": int(str(row_count.get())) if row_count.isDefined() else None,
+    }
+
+
 def system_vector_indices(spark: SparkSession, artifact_dir: str) -> DataFrame:
     """≈ SELECT * FROM system.vector_indices — from the index registry."""
     from myscaledb_spark.plans.vector_index import IndexRegistry

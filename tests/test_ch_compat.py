@@ -246,3 +246,31 @@ def test_prewhere_rewrite(spark):
     from myscaledb_spark.sql_dialect import rewrite
 
     assert rewrite("SELECT x FROM t PREWHERE y > 1") == "SELECT x FROM t WHERE y > 1"
+
+
+def test_map_and_ngram_family(spark):
+    r = (
+        spark.range(1)
+        .select(
+            ch.mapFilter(lambda k, v: v > 1, F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2))).alias("mf"),
+            ch.mapApply(lambda v: v * 10, F.create_map(F.lit("a"), F.lit(1))).alias("ma"),
+            ch.mapAdd(
+                F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2)),
+                F.create_map(F.lit("b"), F.lit(5), F.lit("c"), F.lit(7)),
+            ).alias("madd"),
+            ch.ngrams(F.lit("one two three four"), 2).alias("ng"),
+            ch.splitByRegexp("[0-9]+", F.lit("a1b22c")).alias("sr"),
+        )
+        .first()
+    )
+    assert r.mf == {"b": 2} and r.ma == {"a": 10}
+    assert r.madd == {"a": 1, "b": 7, "c": 7}
+    assert r.ng == ["one two", "two three", "three four"]
+    assert r.sr == ["a", "b", "c"]
+
+
+def test_explain_estimate(spark):
+    from myscaledb_spark.introspection import explain_estimate
+
+    est = explain_estimate(spark.table("lineitem"))
+    assert est["size_in_bytes"] > 0
