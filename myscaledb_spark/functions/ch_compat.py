@@ -853,23 +853,23 @@ def mapApply(fn, m):
 
 
 def mapAdd(a, b):
-    """Merge two maps summing values on key collision (mapAdd semantics)."""
+    """Merge two maps summing values on key collision (mapAdd semantics):
+    disjoint union of (a-only keys, b-only keys, summed intersection)."""
     a, b = _c(a), _c(b)
-    merged = F.map_concat(
+    inter = F.map_from_entries(
+        F.transform(
+            F.map_entries(F.map_filter(a, lambda k, _: F.map_contains_key(b, k))),
+            lambda e: F.struct(
+                e["key"].alias("key"),
+                (e["value"] + F.element_at(b, e["key"])).alias("value"),
+            ),
+        )
+    )
+    return F.map_concat(
         F.map_filter(a, lambda k, _: ~F.map_contains_key(b, k)),
         F.map_filter(b, lambda k, _: ~F.map_contains_key(a, k)),
-        F.map_from_entries(
-            F.transform(
-                F.map_entries(a),
-                lambda e: F.struct(
-                    e["key"].alias("key"),
-                    (e["value"] + F.element_at(b, e["key"])).alias("value"),
-                ),
-            )
-        ),
+        inter,
     )
-    # the third map includes keys missing in b (null sum) — filter them out
-    return F.map_filter(merged, lambda _, v: v.isNotNull())
 
 
 def ngrams(a, n: int = 3):
