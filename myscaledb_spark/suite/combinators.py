@@ -15,8 +15,8 @@ from myscaledb_spark.suite import register
     """
     SELECT l_linestatus,
            CAST(SUM(CASE WHEN l_quantity > 25 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END)
-                AS DECIMAL(18,2)) AS sum_if,
-           SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS count_if,
+                AS DOUBLE) AS sum_if,
+           CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS count_if,
            CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
              / SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS avg_if,
            SUM(DISTINCT l_quantity) AS sum_distinct_qty,
@@ -33,7 +33,7 @@ def agg_combinators(spark, sf_dir):
     disc = F.col("l_discount") > 0.05
     rare = F.col("l_quantity") > 49
     return li.groupBy("l_linestatus").agg(
-        F.sum(F.when(big, dec)).cast("decimal(18,2)").alias("sum_if"),
+        F.sum(F.when(big, dec)).cast("double").alias("sum_if"),
         F.sum(F.when(big, 1).otherwise(0)).alias("count_if"),
         (
             F.sum(F.when(disc, dec)).cast("double")
@@ -78,8 +78,8 @@ def uniq_family(spark, sf_dir):
       FROM documents
     )
     SELECT source,
-           SUM(len(toks)) AS count_array,
-           SUM(list_aggregate(list_transform(toks, t -> length(t)), 'sum')) AS sum_array_lens,
+           CAST(SUM(len(toks)) AS BIGINT) AS count_array,
+           CAST(SUM(list_aggregate(list_transform(toks, t -> length(t)), 'sum')) AS BIGINT) AS sum_array_lens,
            MAX(list_aggregate(list_transform(toks, t -> length(t)), 'max')) AS max_array_len
     FROM toked GROUP BY source
     """,

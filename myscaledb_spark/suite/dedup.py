@@ -151,7 +151,7 @@ def minhash_lsh_pairs_q(spark, sf_dir):
     ),
     votes AS (SELECT doc_id, b, SUM(vote) AS v FROM bitted GROUP BY doc_id, b)
     SELECT doc_id,
-           SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """,
 )

@@ -15,8 +15,8 @@ from myscaledb_spark.suite import register
     """
     SELECT (EXTRACT(year FROM o_orderdate)*100 + EXTRACT(month FROM o_orderdate))::INT AS ym,
            COUNT(DISTINCT o_custkey) AS n_cust,
-           SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_big,
-           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price
+           CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
     FROM orders
     GROUP BY 1
     """,
@@ -31,7 +31,7 @@ def ch_sql_monthly_stats(spark, sf_dir):
         SELECT toYYYYMM(o_orderdate) AS ym,
                uniqExact(o_custkey) AS n_cust,
                countIf(o_totalprice > 150000) AS n_big,
-               cast(maxIf(cast(o_totalprice as decimal(18,2)), o_totalprice > 0) as decimal(18,2)) AS max_price
+               cast(maxIf(cast(o_totalprice as decimal(18,2)), o_totalprice > 0) as double) AS max_price
         FROM _ch_orders
         GROUP BY toYYYYMM(o_orderdate)
         """,
@@ -76,8 +76,8 @@ def ch_sql_vector_search(spark, sf_dir):
     """
     SELECT n_name,
            COUNT(*) AS n_supp,
-           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_bal,
-           CAST(MIN(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_bal
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+           CAST(MIN(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_bal
     FROM supplier JOIN nation ON s_nationkey = n_nationkey
     GROUP BY n_name
     """,
@@ -91,7 +91,7 @@ def supplier_nation_balance(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_supp"),
-            F.sum(dec).cast("decimal(18,2)").alias("total_bal"),
-            F.min(dec).cast("decimal(18,2)").alias("min_bal"),
+            F.sum(dec).cast("double").alias("total_bal"),
+            F.min(dec).cast("double").alias("min_bal"),
         )
     )

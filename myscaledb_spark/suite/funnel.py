@@ -92,7 +92,8 @@ def window_funnel_levels(spark, sf_dir):
              MAX(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END) AS c3
       FROM events GROUP BY user_id
     )
-    SELECT SUM(r1) AS n_r1, SUM(r1 * c2) AS n_r2, SUM(r1 * c3) AS n_r3, COUNT(*) AS n_users
+    SELECT CAST(SUM(r1) AS BIGINT) AS n_r1, CAST(SUM(r1 * c2) AS BIGINT) AS n_r2,
+           CAST(SUM(r1 * c3) AS BIGINT) AS n_r3, COUNT(*) AS n_users
     FROM per_user
     """,
 )
@@ -120,7 +121,7 @@ def retention_cohort(spark, sf_dir):
     "sequence_match_users",
     f"""
     WITH {_funnel_level_sql(10**12)}
-    SELECT SUM(CASE WHEN level = 3 THEN 1 ELSE 0 END) AS n_matched, COUNT(*) AS n_users
+    SELECT CAST(SUM(CASE WHEN level = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched, COUNT(*) AS n_users
     FROM levels
     """,
 )

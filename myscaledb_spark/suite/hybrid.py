@@ -144,7 +144,7 @@ _VBITS_SQL = (
     f"""
     WITH bits AS (SELECT vec_id, {_VBITS_SQL} AS vb FROM embeddings),
     q AS (SELECT {_QBITS_SQL} AS qb)
-    SELECT vec_id, bit_count(xor(vb, qb)) AS dist
+    SELECT vec_id, CAST(bit_count(xor(vb, qb)) AS BIGINT) AS dist
     FROM bits CROSS JOIN q
     ORDER BY bit_count(xor(vb, qb)) ASC, vec_id ASC
     LIMIT 10
@@ -170,7 +170,7 @@ def binary_hamming_topk(spark, sf_dir):
         ).otherwise(F.lit(0).cast("long")),
     )
     scored = emb.select(
-        "vec_id", F.bit_count(vb.bitwiseXOR(F.lit(qb))).alias("dist")
+        "vec_id", F.bit_count(vb.bitwiseXOR(F.lit(qb))).cast("long").alias("dist")
     )
     return scored.orderBy(F.col("dist").asc(), F.col("vec_id").asc()).limit(10)
 

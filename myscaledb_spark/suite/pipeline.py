@@ -87,7 +87,7 @@ def _pipeline_ctes() -> str:
     curated AS (
       SELECT doc_id,
              len(toks) AS n_tokens,
-             list_aggregate(list_transform(toks, t -> 1 + (length(t) // 4)), 'sum') AS est_bpe_tokens
+             CAST(list_aggregate(list_transform(toks, t -> 1 + (length(t) // 4)), 'sum') AS BIGINT) AS est_bpe_tokens
       FROM kept
     )
     """
@@ -110,8 +110,8 @@ def curation_pipeline(spark, sf_dir):
     WITH RECURSIVE {_pipeline_ctes()}
     SELECT COUNT(*) AS n_kept,
            (SELECT COUNT(*) FROM documents) AS n_total,
-           SUM(n_tokens) AS total_tokens,
-           SUM(est_bpe_tokens) AS total_bpe_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(est_bpe_tokens) AS BIGINT) AS total_bpe_tokens
     FROM curated
     """,
 )

@@ -24,10 +24,10 @@ def _dec2(c):
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            COUNT(*) AS count_order
     FROM lineitem
@@ -38,10 +38,10 @@ def pricing_summary(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     one = F.lit(1).cast("decimal(18,2)")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec2("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-        F.sum(_dec2("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+        F.sum(_dec2("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
         F.sum(_dec2("l_extendedprice") * (one - _dec2("l_discount")))
-        .cast("decimal(18,4)")
+        .cast("double")
         .alias("sum_disc_price"),
         (F.sum(_dec2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
         F.count(F.lit(1)).alias("count_order"),
@@ -55,7 +55,7 @@ def pricing_summary(spark, sf_dir):
     """
     SELECT n_name,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue,
+                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -82,7 +82,7 @@ def revenue_by_nation(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.sum(_dec2("l_extendedprice") * (one - _dec2("l_discount")))
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -95,7 +95,7 @@ def revenue_by_nation(spark, sf_dir):
     "top_customers",
     """
     SELECT c_custkey, c_name,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spent,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
            COUNT(*) AS n_orders
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
@@ -110,7 +110,7 @@ def top_customers(spark, sf_dir):
         c.join(o, c.c_custkey == o.o_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.sum(_dec2("o_totalprice")).cast("decimal(18,2)").alias("total_spent"),
+            F.sum(_dec2("o_totalprice")).cast("double").alias("total_spent"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
@@ -174,7 +174,7 @@ def customers_without_recent_orders_anti(spark, sf_dir):
            CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
            CAST(GROUPING(EXTRACT(year FROM o_orderdate)::INT) AS INT) AS g_year,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY ROLLUP(o_orderstatus, EXTRACT(year FROM o_orderdate)::INT)
     """,
@@ -187,7 +187,7 @@ def rollup_status_year(spark, sf_dir):
         F.grouping("o_orderstatus").cast("int").alias("g_status"),
         F.grouping("order_year").cast("int").alias("g_year"),
         F.count(F.lit(1)).alias("n"),
-        F.sum(_dec2("o_totalprice")).cast("decimal(18,2)").alias("total"),
+        F.sum(_dec2("o_totalprice")).cast("double").alias("total"),
     ).select("o_orderstatus", "order_year", "g_status", "g_year", "n", "total")
 
 
@@ -197,7 +197,7 @@ def rollup_status_year(spark, sf_dir):
     SELECT p_brand, (p_size < 25) AS small_size,
            CAST(GROUPING(p_brand) AS INT) AS g_brand,
            COUNT(*) AS n,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
     FROM part
     GROUP BY CUBE(p_brand, (p_size < 25))
     """,
@@ -207,7 +207,7 @@ def cube_brand_size(spark, sf_dir):
     return p.cube("p_brand", "small_size").agg(
         F.grouping("p_brand").cast("int").alias("g_brand"),
         F.count(F.lit(1)).alias("n"),
-        F.sum(_dec2("p_retailprice")).cast("decimal(18,2)").alias("total_price"),
+        F.sum(_dec2("p_retailprice")).cast("double").alias("total_price"),
     ).select("p_brand", "small_size", "g_brand", "n", "total_price")
 
 
@@ -242,7 +242,7 @@ def spark_sql(spark, sql):
     """
     SELECT COALESCE(o_orderstatus, '__TOTAL__') AS status,
            COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY ROLLUP(o_orderstatus)
     """,
@@ -253,7 +253,7 @@ def totals_by_status(spark, sf_dir):
         o.rollup("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec2("o_totalprice")).cast("decimal(18,2)").alias("total"),
+            F.sum(_dec2("o_totalprice")).cast("double").alias("total"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("__TOTAL__")).alias("status"), "n", "total"
@@ -267,7 +267,7 @@ def totals_by_status(spark, sf_dir):
     """
     SELECT * FROM (
       SELECT o_custkey, o_orderkey,
-             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             CAST(o_totalprice AS DOUBLE) AS price,
              ROW_NUMBER() OVER w AS rn,
              RANK() OVER w AS rnk,
              DENSE_RANK() OVER w AS drnk,
@@ -286,11 +286,11 @@ def window_rank_orders(spark, sf_dir):
         o.select(
             "o_custkey",
             "o_orderkey",
-            _dec2("o_totalprice").alias("price"),
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-            F.ntile(4).over(w).alias("quartile"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
         )
         .filter(F.col("rn") <= 3)
     )
@@ -302,7 +302,7 @@ def window_rank_orders(spark, sf_dir):
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total,
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
            COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
     FROM orders
@@ -319,7 +319,7 @@ def window_running_sum(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_dec2("o_totalprice")).over(w).cast("decimal(18,2)").alias("running_total"),
+        F.sum(_dec2("o_totalprice")).over(w).cast("double").alias("running_total"),
         F.count(F.lit(1)).over(w).alias("running_n"),
     )
 
@@ -328,9 +328,9 @@ def window_running_sum(spark, sf_dir):
     "window_lag_lead",
     """
     SELECT o_custkey, o_orderkey,
-           CAST(o_totalprice AS DECIMAL(18,2))
+           CAST(CAST(o_totalprice AS DECIMAL(18,2))
              - LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1)
-                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS delta_prev,
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS DOUBLE) AS delta_prev,
            LEAD(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_order
     FROM orders
     WHERE o_custkey < 100
@@ -344,9 +344,9 @@ def window_lag_lead(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        (_dec2("o_totalprice") - F.lag(_dec2("o_totalprice"), 1).over(w)).alias(
-            "delta_prev"
-        ),
+        (_dec2("o_totalprice") - F.lag(_dec2("o_totalprice"), 1).over(w))
+        .cast("double")
+        .alias("delta_prev"),
         F.lead("o_orderkey", 1).over(w).alias("next_order"),
     )
 
@@ -376,7 +376,7 @@ def window_moving_avg(spark, sf_dir):
 @register(
     "limit_by_customer",
     """
-    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
     FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
                                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -392,7 +392,9 @@ def limit_by_customer(spark, sf_dir):
         [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
         2,
     )
-    return out.select("o_custkey", "o_orderkey", _dec2("o_totalprice").alias("price"))
+    return out.select(
+        "o_custkey", "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
 
 
 # --- quantiles (quantile* family → exact percentile) --------------------------
@@ -527,10 +529,10 @@ def string_funcs_part(spark, sf_dir):
         F.upper("p_brand").alias("ubrand"),
         F.substring("p_name", 1, 5).alias("prefix5"),
         F.regexp_replace(F.col("p_type"), " ", "_").alias("type_u"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
-        F.size(F.split("p_name", " ")).alias("n_words"),
+        F.size(F.split("p_name", " ")).cast("long").alias("n_words"),
         F.when(F.col("p_name").like("%green%"), 1).otherwise(0).alias("has_green"),
         F.when(F.col("p_type").rlike("^(STANDARD|SMALL)"), 1).otherwise(0).alias(
             "is_std_small"
@@ -578,8 +580,8 @@ def date_funcs_orders(spark, sf_dir):
                 ELSE 'large' END AS bucket,
            o_orderstatus,
            COUNT(*) AS n,
-           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS min_price,
-           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS max_price
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
     FROM orders
     GROUP BY 1, 2
     """,
@@ -594,8 +596,8 @@ def case_segments(spark, sf_dir):
     )
     return o.groupBy(bucket, F.col("o_orderstatus")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.min(_dec2("o_totalprice")).cast("decimal(18,2)").alias("min_price"),
-        F.max(_dec2("o_totalprice")).cast("decimal(18,2)").alias("max_price"),
+        F.min(_dec2("o_totalprice")).cast("double").alias("min_price"),
+        F.max(_dec2("o_totalprice")).cast("double").alias("max_price"),
     )
 
 
@@ -604,7 +606,7 @@ def case_segments(spark, sf_dir):
     "json_extract_props",
     """
     SELECT (user_id % 5) AS bucket,
-           SUM(CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(regexp_extract(props, '"k": *(-?[0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY (user_id % 5)
@@ -623,7 +625,7 @@ def json_extract_props(spark, sf_dir):
     "asof_events_orders",
     """
     SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey,
-           CAST(o.o_totalprice AS DECIMAL(18,2)) AS last_price
+           CAST(o.o_totalprice AS DOUBLE) AS last_price
     FROM (SELECT * FROM events WHERE user_id < 30) e
     ASOF JOIN orders o
       ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
@@ -648,7 +650,7 @@ def asof_events_orders(spark, sf_dir):
         "event_id",
         "user_id",
         F.col("o_orderkey").alias("last_orderkey"),
-        _dec2("o_totalprice").alias("last_price"),
+        F.col("o_totalprice").cast("double").alias("last_price"),
     )
 
 
@@ -736,7 +738,7 @@ def top_event_type_per_user(spark, sf_dir):
     "heavy_hitter_users",
     """
     SELECT user_id, COUNT(*) AS n_events,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
     FROM events
     GROUP BY user_id
     ORDER BY n_events DESC, user_id ASC

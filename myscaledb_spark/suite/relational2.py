@@ -23,11 +23,11 @@ SQL_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x
     SELECT doc_id,
            len(toks) AS n_tokens,
            len(list_filter(toks, t -> length(t) > 5)) AS n_long,
-           list_reduce(list_transform(toks, t -> length(t)), (a, b) -> a + b) AS total_chars,
-           toks[1:3] AS first3,
-           list_sort(list_distinct(toks))[1:2] AS first2_sorted,
-           list_reduce(list_transform(toks, t -> CASE WHEN t = 'spark' THEN 1 ELSE 0 END),
-                       (a, b) -> a + b) AS n_spark
+           CAST(list_reduce(list_transform(toks, t -> length(t)), (a, b) -> a + b) AS BIGINT) AS total_chars,
+           CAST(to_json(toks[1:3]) AS VARCHAR) AS first3,
+           CAST(to_json(list_sort(list_distinct(toks))[1:2]) AS VARCHAR) AS first2_sorted,
+           CAST(list_reduce(list_transform(toks, t -> CASE WHEN t = 'spark' THEN 1 ELSE 0 END),
+                       (a, b) -> a + b) AS BIGINT) AS n_spark
     FROM toked WHERE len(toks) >= 3
     """,
 )
@@ -38,15 +38,17 @@ def array_ops_docs(spark, sf_dir):
     toked = docs.withColumn("toks", tokenize("text")).filter(F.size("toks") >= 3)
     return toked.select(
         "doc_id",
-        F.size("toks").alias("n_tokens"),
-        F.size(F.filter("toks", lambda t: F.length(t) > 5)).alias("n_long"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.filter("toks", lambda t: F.length(t) > 5)).cast("long").alias("n_long"),
         F.aggregate(
             F.transform("toks", lambda t: F.length(t).cast("long")),
             F.lit(0).cast("long"),
             lambda a, b: a + b,
         ).alias("total_chars"),
-        F.slice("toks", 1, 3).alias("first3"),
-        F.slice(F.array_sort(F.array_distinct("toks")), 1, 2).alias("first2_sorted"),
+        F.to_json(F.slice("toks", 1, 3)).alias("first3"),
+        F.to_json(F.slice(F.array_sort(F.array_distinct("toks")), 1, 2)).alias(
+            "first2_sorted"
+        ),
         F.size(F.filter("toks", lambda t: t == "spark")).cast("long").alias("n_spark"),
     )
 
@@ -98,7 +100,7 @@ def posexplode_tokens(spark, sf_dir):
     toked = docs.withColumn("toks", tokenize("text"))
     return toked.select(
         "doc_id", F.posexplode("toks").alias("pos0", "token")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "token")
 
 
 # --- sumMap / map aggregation (registerAggregateFunctions.cpp:50) -------------
@@ -110,8 +112,8 @@ def posexplode_tokens(spark, sf_dir):
       FROM events WHERE user_id < 25 GROUP BY user_id, event_type
     )
     SELECT user_id,
-           list_sort(list(k)) AS keys,
-           list_transform(list_sort(list([k, CAST(v AS VARCHAR)])), p -> p[2]) AS vals
+           CAST(to_json(list_sort(list(k))) AS VARCHAR) AS keys,
+           CAST(to_json(list_transform(list_sort(list([k, CAST(v AS VARCHAR)])), p -> p[2])) AS VARCHAR) AS vals
     FROM kv GROUP BY user_id
     """,
 )
@@ -123,10 +125,14 @@ def sum_map_events(spark, sf_dir):
     # sumMap returns a key-sorted map; emit parallel sorted arrays (portable
     # across engines — map cell ordering is not)
     return kv.groupBy("user_id").agg(
-        F.array_sort(F.collect_list("k")).alias("keys"),
-        F.transform(
-            F.array_sort(F.collect_list(F.array(F.col("k"), F.col("v").cast("string")))),
-            lambda p: F.element_at(p, 2),
+        F.to_json(F.array_sort(F.collect_list("k"))).alias("keys"),
+        F.to_json(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.array(F.col("k"), F.col("v").cast("string")))
+                ),
+                lambda p: F.element_at(p, 2),
+            )
         ).alias("vals"),
     )
 
@@ -135,7 +141,7 @@ def sum_map_events(spark, sf_dir):
 @register(
     "group_array_orders",
     """
-    SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys,
+    SELECT o_custkey, CAST(to_json(list_sort(list(o_orderkey))) AS VARCHAR) AS orderkeys,
            len(list(o_orderkey)) AS n
     FROM orders WHERE o_custkey < 20 GROUP BY o_custkey
     """,
@@ -143,7 +149,7 @@ def sum_map_events(spark, sf_dir):
 def group_array_orders(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
     return o.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"),
+        F.to_json(F.array_sort(F.collect_list("o_orderkey"))).alias("orderkeys"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -300,7 +306,7 @@ def union_distinct_keys(spark, sf_dir):
 @register(
     "offset_pagination",
     """
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey ASC
     LIMIT 10 OFFSET 20
@@ -312,7 +318,7 @@ def offset_pagination(spark, sf_dir):
         o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .offset(20)
         .limit(10)
-        .select("o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price"))
+        .select("o_orderkey", F.col("o_totalprice").cast("double").alias("price"))
     )
 
 

@@ -16,7 +16,7 @@ from myscaledb_spark.suite import register
     "q6_forecast_revenue",
     """
     SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)))
-                AS DECIMAL(18,4)) AS revenue,
+                AS DOUBLE) AS revenue,
            COUNT(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -37,7 +37,7 @@ def q6_forecast_revenue(spark, sf_dir):
         )
         .agg(
             F.sum(dec("l_extendedprice") * dec("l_discount"))
-            .cast("decimal(18,4)")
+            .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
@@ -48,7 +48,7 @@ def q6_forecast_revenue(spark, sf_dir):
     "q18_large_orders",
     """
     SELECT c_name, o_orderkey,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -77,7 +77,7 @@ def q18_large_orders(spark, sf_dir):
         .groupBy("c_name", "o_orderkey")
         .agg(
             F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            .cast("double")
             .alias("total_qty")
         )
     )

@@ -39,6 +39,28 @@ def pq_rerank_topk(spark, sf_dir):
     return out.select("vec_id", F.round("dist", 4).alias("dist"))
 
 
+@register(
+    "sq_rerank_topk",
+    f"""
+    SELECT vec_id, ROUND({sql_l2('embedding', QV)}, 4) AS dist
+    FROM embeddings
+    ORDER BY {sql_l2('embedding', QV)} ASC, vec_id ASC
+    LIMIT 6
+    """,
+)
+def sq_rerank_topk(spark, sf_dir):
+    """Full SQ pipeline (per-dim min/max stats → int8 encode → dequantized
+    scan → exact re-rank) with candidates ≥ corpus ⇒ bit-exact top-k."""
+    from myscaledb_spark.plans.sq_index import build_sq_index, sq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    art = tempfile.mkdtemp(prefix="gate_sq_")
+    build_sq_index(emb, "embedding", "vec_id", art)
+    n = emb.count()
+    out = sq_search(spark, art, QV, 6, candidate_multiple=(n // 6) + 1)
+    return out.select("vec_id", F.round("dist", 4).alias("dist"))
+
+
 @register("ivf_search_topk")  # rows-only: nprobe<k-means lists is approximate
 def ivf_search_topk(spark, sf_dir):
     from myscaledb_spark.plans.vector_index import build_ivf_index, ivf_search

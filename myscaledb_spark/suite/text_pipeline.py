@@ -59,11 +59,11 @@ def lang_id_scores(spark, sf_dir):
     return toked.select(
         "doc_id",
         F.col("lang").alias("true_lang"),
-        _marker_hits_col("en").alias("hits_en"),
-        _marker_hits_col("es").alias("hits_es"),
-        _marker_hits_col("fr").alias("hits_fr"),
-        _marker_hits_col("de").alias("hits_de"),
-        F.size("_toks").alias("n_tokens"),
+        _marker_hits_col("en").cast("long").alias("hits_en"),
+        _marker_hits_col("es").cast("long").alias("hits_es"),
+        _marker_hits_col("fr").cast("long").alias("hits_fr"),
+        _marker_hits_col("de").cast("long").alias("hits_de"),
+        F.size("_toks").cast("long").alias("n_tokens"),
     )
 
 
@@ -93,17 +93,17 @@ def doc_quality_scores(spark, sf_dir):
     n_tok = F.size("_toks")
     return toked.select(
         "doc_id",
-        F.length("text").alias("n_chars_m"),
-        n_tok.alias("n_tokens"),
-        F.size(F.array_distinct("_toks")).alias("n_unique"),
+        F.length("text").cast("long").alias("n_chars_m"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).cast("long").alias("n_unique"),
         F.round(F.size(F.array_distinct("_toks")).cast("double") / n_tok, 4).alias(
             "uniq_ratio"
         ),
         F.round(F.length("text").cast("double") / n_tok, 4).alias("chars_per_token"),
         F.round(_marker_hits_col("en").cast("double") / n_tok, 4).alias("stopword_ratio"),
-        (F.length("text") - F.length(F.regexp_replace("text", "\\.", ""))).alias(
-            "n_periods"
-        ),
+        (F.length("text") - F.length(F.regexp_replace("text", "\\.", "")))
+        .cast("long")
+        .alias("n_periods"),
     )
 
 
@@ -113,8 +113,8 @@ def doc_quality_scores(spark, sf_dir):
     f"""
     WITH toked AS (SELECT doc_id, source, {_sql_tokens()} AS toks FROM documents)
     SELECT source,
-           SUM(len(toks)) AS total_tokens,
-           SUM(list_reduce(list_transform(toks, t -> 1 + (length(t) // 4)), (a, b) -> a + b)) AS est_bpe_tokens,
+           CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+           CAST(SUM(list_reduce(list_transform(toks, t -> 1 + (length(t) // 4)), (a, b) -> a + b)) AS BIGINT) AS est_bpe_tokens,
            COUNT(*) AS n_docs
     FROM toked GROUP BY source
     """,
@@ -236,5 +236,5 @@ def pii_scrub(spark, sf_dir):
         (
             F.length("text") - F.length(F.regexp_replace("text", phone, "")) > 0
         ).cast("int").alias("has_phone"),
-        F.length(scrubbed).alias("scrubbed_len"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
     )

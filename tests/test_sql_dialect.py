@@ -32,9 +32,31 @@ def test_rewrite_parametric():
         rewrite("SELECT quantiles(0.5, 0.9)(x) FROM t")
         == "SELECT percentile(x, array(0.5, 0.9)) FROM t"
     )
-    assert rewrite("SELECT topK(3)(et) FROM t") == (
-        "SELECT slice(array_sort(collect_list(et)), 1, 3) FROM t"
+    # topK = k most FREQUENT values (AggregateFunctionTopK), not k smallest
+    out = rewrite("SELECT topK(3)(et) FROM t")
+    assert "collect_list(et)" in out and "negcnt" in out and "1, 3" in out
+
+
+def test_topk_summap_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 2.0), (1, "a", 3.0), (1, "b", 1.0), (1, "c", 5.0)],
+        "g int, k string, v double",
     )
+    df.createOrReplaceTempView("_tks")
+    from myscaledb_spark.sql_dialect import ch_sql
+
+    r = ch_sql(spark, "SELECT topK(2)(k) AS tk, sumMap(k, v) AS sm FROM _tks GROUP BY g").collect()
+    assert r[0]["tk"] == ["a", "b"]  # most frequent, ties by value asc
+    assert r[0]["sm"] == {"a": 4.0, "b": 3.0, "c": 5.0}  # summed per key
+
+
+def test_split_by_char_escapes_regex(spark):
+    from myscaledb_spark.sql_dialect import ch_sql
+
+    df = spark.createDataFrame([("a.b.c",)], "s string")
+    df.createOrReplaceTempView("_sbc")
+    r = ch_sql(spark, "SELECT splitByChar('.', s) AS parts FROM _sbc").collect()
+    assert r[0]["parts"] == ["a", "b", "c"]
 
 
 def test_unsupported_constructs_raise_with_hint():
