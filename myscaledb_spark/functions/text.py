@@ -174,6 +174,168 @@ def bm25_scores(
     return out.drop(*drop)
 
 
+# ---------------------------------------------------------------------------
+# natural-language query (enable_nlq) — quoted phrases, +must / -must_not
+# (`src/VectorIndex/Storages/VSDescription.h:72-95`: textsearch params
+# enable_nlq/operator; tantivy query-parser syntax)
+# ---------------------------------------------------------------------------
+
+_NLQ_RE = re.compile(r'([+-]?)"([^"]*)"|([+-]?)(\S+)')
+
+
+def parse_nlq(query: str, tokenizer: str = "simple") -> list[dict]:
+    """Parse tantivy-style NLQ syntax into clauses.
+
+    `word` → optional term; `"a b c"` → phrase (consecutive tokens);
+    `+x` → required; `-x` → prohibited. A bare term that tokenizes to
+    several tokens (``foo-bar``) becomes a phrase, as tantivy does.
+    Returns [{"tokens": [...], "phrase": bool, "must": bool,
+    "must_not": bool}, ...].
+    """
+    clauses = []
+    for m in _NLQ_RE.finditer(query):
+        if m.group(2) is not None:
+            prefix, text = m.group(1), m.group(2)
+        else:
+            prefix, text = m.group(3), m.group(4)
+        toks = [t for t in re.split(_TOKEN_SPLIT, text.lower()) if t]
+        if tokenizer == "stem":
+            toks = [re.sub(r"(ing|edly|ed|es|s)$", "", t) for t in toks]
+        if not toks:
+            continue
+        clauses.append(
+            {
+                "tokens": toks,
+                "phrase": len(toks) > 1,
+                "must": prefix == "+",
+                "must_not": prefix == "-",
+            }
+        )
+    if not clauses:
+        raise InvalidSearchQuery("empty NLQ query after tokenization")
+    return clauses
+
+
+def _clause_tf(toks_col: str, tokens: list[str]) -> Column:
+    """Occurrences of a clause in the token array: plain term count, or for
+    phrases the number of positions where the consecutive token run matches.
+    Guarded for docs shorter than the phrase (sequence(1,0) is NOT empty in
+    Spark — it's the descending [1,0])."""
+    if len(tokens) == 1:
+        return F.size(
+            F.filter(toks_col, lambda x: x == F.lit(tokens[0]))
+        ).cast("double")
+    L = len(tokens)
+    phrase_arr = F.array(*[F.lit(t) for t in tokens])
+    n = F.size(toks_col)
+    return (
+        F.when(n < L, F.lit(0))
+        .otherwise(
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(1), n - F.lit(L - 1)),
+                    lambda i: F.slice(toks_col, i, L) == phrase_arr,
+                )
+            )
+        )
+        .cast("double")
+    )
+
+
+def nlq_scores(
+    df: DataFrame,
+    text_col: str,
+    query: str,
+    tokenizer: str = "simple",
+    score_name: str = "bm25_score",
+) -> DataFrame:
+    """BM25 scoring with NLQ semantics: positive clauses (terms AND phrases)
+    score with table-global stats — a phrase's df is the count of docs
+    containing the consecutive run; `+` clauses are required, `-` clauses
+    prohibited, plain clauses are OR'd. Same one-pass global-stats plan shape
+    as ``bm25_scores``.
+    """
+    clauses = parse_nlq(query, tokenizer)
+    pos = [c for c in clauses if not c["must_not"]]
+    neg = [c for c in clauses if c["must_not"]]
+    if not pos:
+        raise InvalidSearchQuery("NLQ query needs at least one positive clause")
+
+    toked = df.withColumn("_toks", tokenize(text_col, tokenizer)).withColumn(
+        "_dl", F.size("_toks").cast("double")
+    )
+    for i, c in enumerate(pos):
+        toked = toked.withColumn(f"_tf_{i}", _clause_tf("_toks", c["tokens"]))
+    for j, c in enumerate(neg):
+        toked = toked.withColumn(f"_ntf_{j}", _clause_tf("_toks", c["tokens"]))
+
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.avg("_dl").alias("_avgdl"),
+    ] + [
+        F.sum(F.when(F.col(f"_tf_{i}") > 0, 1).otherwise(0))
+        .cast("double")
+        .alias(f"_df_{i}")
+        for i in range(len(pos))
+    ]
+    stats = toked.agg(*aggs)
+    scored = toked.crossJoin(F.broadcast(stats))
+
+    score = F.lit(0.0)
+    match_plain = F.lit(False)
+    has_plain = any(not c["must"] for c in pos)
+    keep = F.lit(True)
+    for i, c in enumerate(pos):
+        tf = F.col(f"_tf_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n_docs") - F.col(f"_df_{i}") + F.lit(0.5))
+            / (F.col(f"_df_{i}") + F.lit(0.5))
+        )
+        norm = tf * (BM25_K1 + 1.0) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("_dl") / F.col("_avgdl"))
+        )
+        score = score + F.when(tf > 0, idf * norm).otherwise(F.lit(0.0))
+        if c["must"]:
+            keep = keep & (tf > 0)
+        else:
+            match_plain = match_plain | (tf > 0)
+    if has_plain:
+        keep = keep & match_plain
+    for j in range(len(neg)):
+        keep = keep & (F.col(f"_ntf_{j}") == 0)
+
+    out = scored.withColumn(score_name, score).filter(keep)
+    drop = (
+        ["_toks", "_dl", "_n_docs", "_avgdl"]
+        + [f"_tf_{i}" for i in range(len(pos))]
+        + [f"_df_{i}" for i in range(len(pos))]
+        + [f"_ntf_{j}" for j in range(len(neg))]
+    )
+    return out.drop(*drop)
+
+
+def nlq_search(
+    df: DataFrame,
+    text_col: str,
+    query: str,
+    k: int,
+    id_col: str | None = None,
+    tokenizer: str = "simple",
+    score_name: str = "bm25_score",
+) -> DataFrame:
+    """`textsearch(..., enable_nlq=1)` top-k with phrase / +must / -must_not."""
+    if k is None or k <= 0:
+        raise InvalidSearchQuery("text search requires a positive LIMIT (top-k)")
+    if k > MAX_SEARCH_RESULT_WINDOW:
+        raise InvalidSearchQuery(f"LIMIT {k} exceeds max_search_result_window")
+    scored = nlq_scores(df, text_col, query, tokenizer, score_name)
+    order = [F.col(score_name).desc()]
+    if id_col:
+        order.append(F.col(id_col).asc())
+    return scored.orderBy(*order).limit(k)
+
+
 def text_search(
     df: DataFrame,
     text_col: str,

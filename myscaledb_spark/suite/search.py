@@ -249,3 +249,53 @@ def bm25_topk(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = text_search(docs, "text", QTEXT, 15, id_col="doc_id")
     return out.select("doc_id", F.round("bm25_score", 4).alias("bm25_score"))
+
+
+# --- NLQ textsearch: phrase + must/must_not (VSDescription.h enable_nlq) ------
+_NLQ_QUERY = '"table hash" +vector -slow'
+
+_NLQ_SCORE = (
+    "(CASE WHEN tf0 > 0 THEN ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5))"
+    " * ((tf0 * 2.2) / (tf0 + 1.2 * (0.25 + (0.75 * dl) / avgdl))) ELSE 0 END)"
+    " + (CASE WHEN tf1 > 0 THEN ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))"
+    " * ((tf1 * 2.2) / (tf1 + 1.2 * (0.25 + (0.75 * dl) / avgdl))) ELSE 0 END)"
+)
+
+
+@register(
+    "bm25_phrase_topk",
+    f"""
+    WITH toked AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             CAST(len(list_filter(range(1, len(toks)),
+                  i -> toks[i] = 'table' AND toks[i+1] = 'hash')) AS DOUBLE) AS tf0,
+             CAST(len(list_filter(toks, x -> x = 'vector')) AS DOUBLE) AS tf1,
+             CAST(len(list_filter(toks, x -> x = 'slow')) AS DOUBLE) AS ntf0
+      FROM toked
+    ),
+    stats AS (
+      SELECT COUNT(*)::DOUBLE AS n_docs, AVG(dl)::DOUBLE AS avgdl,
+             SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+             SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1
+      FROM d
+    )
+    SELECT doc_id, ROUND({_NLQ_SCORE}, 4) AS bm25_score
+    FROM d CROSS JOIN stats
+    WHERE tf1 > 0 AND tf0 > 0 AND ntf0 = 0
+    ORDER BY ({_NLQ_SCORE}) DESC, doc_id ASC
+    LIMIT 15
+    """,
+)
+def bm25_phrase_topk(spark, sf_dir):
+    """textsearch(enable_nlq=1): phrase `"table hash"`, required `+vector`,
+    prohibited `-slow` (`src/VectorIndex/Storages/VSDescription.h:72-95`)."""
+    from myscaledb_spark.functions.text import nlq_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = nlq_search(docs, "text", _NLQ_QUERY, 15, id_col="doc_id")
+    return out.select("doc_id", F.round("bm25_score", 4).alias("bm25_score"))

@@ -137,6 +137,89 @@ def test_hybrid_search(spark, docs, kind):
     )
 
 
+def _phrase_tf(toks, phrase):
+    L = len(phrase)
+    if len(toks) < L:
+        return 0
+    return sum(1 for i in range(len(toks) - L + 1) if toks[i : i + L] == phrase)
+
+
+def _nlq_oracle(docs, clauses, k):
+    """clauses: [(tokens, must, must_not)] in parse order."""
+    pos = [c for c in clauses if not c[2]]
+    neg = [c for c in clauses if c[2]]
+    n = len(docs)
+    avgdl = sum(len(t) for _, t in docs) / n
+    df = [sum(1 for _, toks in docs if _phrase_tf(toks, c[0]) > 0) for c in pos]
+    out = []
+    for doc_id, toks in docs:
+        tfs = [_phrase_tf(toks, c[0]) for c in pos]
+        if any(c[1] and tfs[i] == 0 for i, c in enumerate(pos)):
+            continue
+        plain = [tfs[i] for i, c in enumerate(pos) if not c[1]]
+        if plain and not any(t > 0 for t in plain):
+            continue
+        if any(_phrase_tf(toks, c[0]) > 0 for c in neg):
+            continue
+        score = 0.0
+        for i in range(len(pos)):
+            tf = tfs[i]
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df[i] + 0.5) / (df[i] + 0.5))
+            score += idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * len(toks) / avgdl))
+        out.append((doc_id, score))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def test_parse_nlq():
+    from myscaledb_spark.functions.text import parse_nlq
+
+    got = parse_nlq('"table hash" +vector -slow fast')
+    assert got == [
+        {"tokens": ["table", "hash"], "phrase": True, "must": False, "must_not": False},
+        {"tokens": ["vector"], "phrase": False, "must": True, "must_not": False},
+        {"tokens": ["slow"], "phrase": False, "must": False, "must_not": True},
+        {"tokens": ["fast"], "phrase": False, "must": False, "must_not": False},
+    ]
+    # bare multi-token term becomes a phrase (tantivy behavior)
+    assert parse_nlq("foo-bar")[0]["phrase"] is True
+
+
+def test_nlq_search_matches_oracle(spark, docs):
+    from myscaledb_spark.functions.text import nlq_search
+
+    q = '"table hash" +vector -slow'
+    got = (
+        nlq_search(spark.table("documents"), "text", q, 15, id_col="doc_id")
+        .select("doc_id", "bm25_score")
+        .collect()
+    )
+    clauses = [
+        (["table", "hash"], False, False),
+        (["vector"], True, False),
+        (["slow"], False, True),
+    ]
+    want = _nlq_oracle(docs, clauses, 15)
+    assert [r.doc_id for r in got] == [d for d, _ in want]
+    np.testing.assert_allclose(
+        [r.bm25_score for r in got], [s for _, s in want], rtol=1e-9
+    )
+
+
+def test_nlq_phrase_short_doc_guard(spark):
+    """Docs shorter than the phrase must not crash (sequence(1,0) trap)."""
+    from pyspark.sql import Row
+    from myscaledb_spark.functions.text import nlq_scores
+
+    df = spark.createDataFrame(
+        [Row(id=1, text="table"), Row(id=2, text=""), Row(id=3, text="table hash x")]
+    )
+    rows = nlq_scores(df, "text", '"table hash"').select("id").collect()
+    assert [r.id for r in rows] == [3]
+
+
 def test_tokenizer_options(spark):
     from pyspark.sql import functions as F
     from myscaledb_spark.functions.text import tokenize, tokenize_any
