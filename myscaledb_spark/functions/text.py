@@ -55,8 +55,9 @@ def tokenize(
       simple:  lowercase, split on non-alphanumerics, drop empties
       raw:     the whole value as a single token
       stem:    simple + crude English suffix strip (porter-lite)
-      chinese: CJK chars become single-char tokens, latin runs stay words
-               (deterministic char-unigram fallback; jieba not in container)
+      chinese: dictionary FMM segmentation for CJK runs (zh_tokenize.py),
+               latin runs stay words; Arrow-batched pandas_udf
+      chinese_char: deterministic char-unigram fallback (pure column expr)
     """
     col = F.col(col) if isinstance(col, str) else col
     if tokenizer == "raw":
@@ -68,6 +69,10 @@ def tokenize(
                 toks, lambda t: F.regexp_replace(t, "(ing|edly|ed|es|s)$", "")
             )
     elif tokenizer == "chinese":
+        from myscaledb_spark.functions.zh_tokenize import fmm_tokenize_col
+
+        toks = fmm_tokenize_col(col)
+    elif tokenizer == "chinese_char":
         # isolate each CJK char with spaces, then split like 'simple'
         spaced = F.regexp_replace(F.lower(col), r"([\x{4e00}-\x{9fff}])", " $1 ")
         toks = F.filter(F.split(spaced, r"[^a-z0-9\x{4e00}-\x{9fff}]+"), lambda x: x != "")
@@ -99,7 +104,12 @@ def tokenize_any(
 def tokenize_query(query: str, tokenizer: str = "simple") -> list[str]:
     if tokenizer == "raw":
         return [query]
-    toks = [t for t in re.split(_TOKEN_SPLIT, query.lower()) if t]
+    if tokenizer == "chinese":
+        from myscaledb_spark.functions.zh_tokenize import fmm_tokenize
+
+        toks = fmm_tokenize(query) or []
+    else:
+        toks = [t for t in re.split(_TOKEN_SPLIT, query.lower()) if t]
     if tokenizer == "stem":
         toks = [re.sub(r"(ing|edly|ed|es|s)$", "", t) for t in toks]
     # unique, order-preserving (tantivy dedups identical query terms)

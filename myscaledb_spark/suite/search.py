@@ -212,7 +212,9 @@ def two_stage_l2(spark, sf_dir):
 
 
 # --- BM25 text search (00040 textsearch; tantivy formula) ---------------------
-def _bm25_oracle_sql(terms: list[str], k: int, table: str = "documents") -> str:
+def _bm25_oracle_sql(
+    terms: list[str], k: int, table: str = "documents", toked_sql: str | None = None
+) -> str:
     tf_cols = ", ".join(
         f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(terms)
     )
@@ -226,12 +228,14 @@ def _bm25_oracle_sql(terms: list[str], k: int, table: str = "documents") -> str:
         for i in range(len(terms))
     )
     match_any = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
-    return f"""
-        WITH toked AS (
+    if toked_sql is None:
+        toked_sql = f"""
           SELECT doc_id,
                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
           FROM {table}
-        ),
+        """
+    return f"""
+        WITH toked AS ({toked_sql}),
         d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, {tf_cols} FROM toked),
         stats AS (SELECT COUNT(*)::DOUBLE AS n_docs, AVG(len(toks))::DOUBLE AS avgdl, {df_cols} FROM toked)
         SELECT doc_id, ROUND({score_terms}, 4) AS bm25_score
@@ -248,6 +252,63 @@ def bm25_topk(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     out = text_search(docs, "text", QTEXT, 15, id_col="doc_id")
+    return out.select("doc_id", F.round("bm25_score", 4).alias("bm25_score"))
+
+
+# --- CJK textsearch: dictionary-FMM chinese tokenizer -------------------------
+# Gate construction: the synthetic corpus is English, so both sides build a
+# deterministic unsegmented Chinese corpus by mapping known tokens to Chinese
+# words (ZH_MAP) and concatenating WITHOUT spaces. The Spark side must then
+# FMM-segment it correctly to reproduce the oracle's token list — any
+# mis-segmentation shifts tf/df and fails the hash. Boundary safety of the
+# mapping is pytest-proven (test_fmm_boundary_pairs).
+ZH_MAP = {
+    "table": "表格", "hash": "哈希", "fast": "快速", "slow": "缓慢",
+    "vector": "向量", "search": "搜索", "data": "数据", "query": "查询",
+    "merge": "合并", "sort": "排序", "filter": "过滤", "join": "连接",
+    "scan": "扫描", "key": "键值", "batch": "批量", "stream": "流式",
+    "window": "窗口", "agg": "聚合", "column": "列式", "value": "数值",
+    "group": "分组",
+}
+
+_ZH_CASE = "CASE x " + " ".join(
+    f"WHEN '{en}' THEN '{zh}'" for en, zh in ZH_MAP.items()
+) + " ELSE NULL END"
+
+_ZH_TOKED_SQL = f"""
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+             x -> {_ZH_CASE}),
+           x -> x IS NOT NULL) AS toks
+  FROM documents
+"""
+
+
+@register(
+    "bm25_cjk_topk",
+    _bm25_oracle_sql(["数据", "查询", "快速"], 12, toked_sql=_ZH_TOKED_SQL),
+)
+def bm25_cjk_topk(spark, sf_dir):
+    """textsearch with the `chinese` tokenizer (MergeTreeIndexTantivy.cpp:
+    710-751): FMM dictionary segmentation of unsegmented CJK text; the query
+    string '数据查询快速' is itself FMM-segmented into three terms."""
+    from myscaledb_spark.functions.text import text_search, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.create_map(*[F.lit(x) for kv in ZH_MAP.items() for x in kv])
+    zh_text = F.array_join(
+        F.filter(
+            F.transform(tokenize("text", "simple"), lambda t: F.element_at(m, t)),
+            lambda x: x.isNotNull(),
+        ),
+        "",
+    )
+    docs_zh = docs.select("doc_id", zh_text.alias("zh_text"))
+    out = text_search(
+        docs_zh, "zh_text", "数据查询快速", 12, id_col="doc_id", tokenizer="chinese"
+    )
     return out.select("doc_id", F.round("bm25_score", 4).alias("bm25_score"))
 
 

@@ -137,6 +137,32 @@ def test_hybrid_search(spark, docs, kind):
     )
 
 
+def test_fmm_tokenizer():
+    from myscaledb_spark.functions.zh_tokenize import fmm_tokenize
+
+    # longest match wins: 数据库 over 数据
+    assert fmm_tokenize("数据库查询") == ["数据库", "查询"]
+    assert fmm_tokenize("人工智能与机器学习") == ["人工智能", "与", "机器学习"]
+    # mixed latin/CJK, punctuation separates
+    assert fmm_tokenize("Spark引擎，fast查询!") == ["spark", "引擎", "fast", "查询"]
+    # unknown CJK chars fall back to single-char tokens
+    assert fmm_tokenize("鑫淼") == ["鑫", "淼"]
+    assert fmm_tokenize("") == []
+    assert fmm_tokenize(None) is None
+
+
+def test_fmm_boundary_pairs():
+    """Every ordered pair of gate-mapped words must segment back to exactly
+    the pair — guarantees the bm25_cjk_topk oracle construction is valid."""
+    from myscaledb_spark.functions.zh_tokenize import fmm_tokenize
+    from myscaledb_spark.suite.search import ZH_MAP
+
+    words = list(ZH_MAP.values())
+    for a in words:
+        for b in words:
+            assert fmm_tokenize(a + b) == [a, b], (a, b)
+
+
 def _phrase_tf(toks, phrase):
     L = len(phrase)
     if len(toks) < L:
@@ -229,6 +255,7 @@ def test_tokenizer_options(spark):
                  stop_words=["the"]).alias("sw"),
         tokenize(F.lit("a ab abc abcd"), "simple", length_limit=3).alias("ll"),
         tokenize(F.lit("Spark数据引擎fast"), "chinese").alias("cjk"),
+        tokenize(F.lit("Spark数据引擎fast"), "chinese_char").alias("cjk_char"),
         tokenize_any(F.array(F.lit("a b"), F.lit("c d")), "array<string>").alias("arr"),
         tokenize_any(
             F.create_map(F.lit("k"), F.lit("hello world")), "map<string,string>"
@@ -236,6 +263,7 @@ def test_tokenizer_options(spark):
     ).first()
     assert df.sw == ["quick", "brown", "fox"]
     assert df.ll == ["a", "ab", "abc"]
-    assert df.cjk == ["spark", "数", "据", "引", "擎", "fast"]
+    assert df.cjk == ["spark", "数据", "引擎", "fast"]
+    assert df.cjk_char == ["spark", "数", "据", "引", "擎", "fast"]
     assert df.arr == ["a", "b", "c", "d"]
     assert df.mp == ["hello", "world"]
