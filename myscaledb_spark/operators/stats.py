@@ -1,10 +1,12 @@
 """Statistical hypothesis-test aggregates
 (`registerAggregateFunctions.cpp:66-74,81`: welchTTest, studentTTest,
 mannWhitneyUTest, rankCorr, cramersV, theilsU) — implemented as pure
-DataFrame aggregations (no scipy in this container, and none needed for the
-statistics themselves; p-values, which require special functions, are
-omitted and documented — the reference returns (stat, p) tuples, we return
-the stat plus degrees of freedom so callers can look up significance).
+DataFrame aggregations (no scipy in this container, and none needed).
+Like the reference, the t-tests and Mann-Whitney return (stat, p-value):
+the t CDF / normal CDF come from `functions/special.py` column expressions
+(Lanczos lgamma + fixed-depth incomplete-beta continued fraction / Chebyshev
+erfc). Mann-Whitney uses the normal approximation without tie correction
+(documented; the value columns here are continuous doubles).
 """
 
 from __future__ import annotations
@@ -12,6 +14,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+
+from myscaledb_spark.functions.special import (
+    SparkOps,
+    normal_two_sided_p_expr,
+    t_two_sided_p_expr,
+)
 
 
 def _two_sample_moments(df: DataFrame, value: Column, is_a: Column):
@@ -35,7 +43,12 @@ def welch_ttest(df: DataFrame, value: Column | str, is_a: Column) -> DataFrame:
     dof = (se2a + se2b) * (se2a + se2b) / (
         se2a * se2a / (F.col("na") - 1) + se2b * se2b / (F.col("nb") - 1)
     )
-    return m.select(t.alias("t_stat"), dof.alias("dof"))
+    out = m.select(t.alias("t_stat"), dof.alias("dof"))
+    return out.select(
+        "t_stat",
+        "dof",
+        t_two_sided_p_expr(SparkOps, F.col("t_stat"), F.col("dof")).alias("p_value"),
+    )
 
 
 def student_ttest(df: DataFrame, value: Column | str, is_a: Column) -> DataFrame:
@@ -45,7 +58,12 @@ def student_ttest(df: DataFrame, value: Column | str, is_a: Column) -> DataFrame
     na, nb = F.col("na"), F.col("nb")
     sp2 = ((na - 1) * F.col("va") + (nb - 1) * F.col("vb")) / (na + nb - 2)
     t = (F.col("ma") - F.col("mb")) / F.sqrt(sp2 * (1 / na + 1 / nb))
-    return m.select(t.alias("t_stat"), (na + nb - 2).alias("dof"))
+    out = m.select(t.alias("t_stat"), (na + nb - 2).alias("dof"))
+    return out.select(
+        "t_stat",
+        "dof",
+        t_two_sided_p_expr(SparkOps, F.col("t_stat"), F.col("dof")).alias("p_value"),
+    )
 
 
 def mann_whitney_u(df: DataFrame, value: Column | str, is_a: Column) -> DataFrame:
@@ -66,7 +84,15 @@ def mann_whitney_u(df: DataFrame, value: Column | str, is_a: Column) -> DataFram
         F.count(F.when(~F.col("a"), 1)).cast("double").alias("n2"),
     )
     u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2
-    return agg.select(u1.alias("u_stat"), F.col("n1"), F.col("n2"))
+    out = agg.select(u1.alias("u_stat"), F.col("n1"), F.col("n2"))
+    n1, n2 = F.col("n1"), F.col("n2")
+    z = (F.col("u_stat") - n1 * n2 / 2) / F.sqrt(n1 * n2 * (n1 + n2 + 1) / 12)
+    return out.select(
+        "u_stat",
+        "n1",
+        "n2",
+        normal_two_sided_p_expr(SparkOps, z).alias("p_value"),
+    )
 
 
 def rank_corr(df: DataFrame, x: Column | str, y: Column | str) -> DataFrame:

@@ -1,17 +1,29 @@
 """Hypothesis-test aggregates, oracle-checked: the statistics are plain
-closed-form aggregations so DuckDB reproduces them exactly."""
+closed-form aggregations so DuckDB reproduces them exactly. The p-values are
+oracle-checked too: the SAME builder code (functions/special.py) emits the
+Spark Column and the DuckDB SQL for the t/normal CDFs, so both engines
+evaluate an identical IEEE expression tree."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from myscaledb_spark.catalog import load_table
+from myscaledb_spark.functions.special import (
+    SqlOps,
+    normal_two_sided_p_expr,
+    t_two_sided_p_expr,
+)
 from myscaledb_spark.suite import register
+
+_T_P_SQL = t_two_sided_p_expr(SqlOps, "t_raw", "dof_raw")
+_MW_Z_SQL = "((u_raw - n1 * n2 / 2) / sqrt(n1 * n2 * (n1 + n2 + 1) / 12))"
+_MW_P_SQL = normal_two_sided_p_expr(SqlOps, _MW_Z_SQL)
 
 
 @register(
     "welch_ttest_purchase_vs_view",
-    """
+    f"""
     WITH m AS (
       SELECT COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)::DOUBLE AS na,
              COUNT(CASE WHEN event_type = 'view' THEN 1 END)::DOUBLE AS nb,
@@ -20,11 +32,16 @@ from myscaledb_spark.suite import register
              VAR_SAMP(CASE WHEN event_type = 'purchase' THEN value END) AS va,
              VAR_SAMP(CASE WHEN event_type = 'view' THEN value END) AS vb
       FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    s AS (
+      SELECT (ma - mb) / sqrt(va / na + vb / nb) AS t_raw,
+             (va / na + vb / nb) * (va / na + vb / nb) /
+             ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)) AS dof_raw
+      FROM m
     )
-    SELECT ROUND((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
-           ROUND((va / na + vb / nb) * (va / na + vb / nb) /
-                 ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)), 4) AS dof
-    FROM m
+    SELECT ROUND(t_raw, 6) AS t_stat, ROUND(dof_raw, 4) AS dof,
+           ROUND({_T_P_SQL}, 8) AS p_value
+    FROM s
     """,
 )
 def welch_ttest_q(spark, sf_dir):
@@ -35,13 +52,15 @@ def welch_ttest_q(spark, sf_dir):
     )
     out = welch_ttest(ev, "value", F.col("event_type") == "purchase")
     return out.select(
-        F.round("t_stat", 6).alias("t_stat"), F.round("dof", 4).alias("dof")
+        F.round("t_stat", 6).alias("t_stat"),
+        F.round("dof", 4).alias("dof"),
+        F.round("p_value", 8).alias("p_value"),
     )
 
 
 @register(
     "student_ttest_segments",
-    """
+    f"""
     WITH m AS (
       SELECT COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END)::DOUBLE AS na,
              COUNT(CASE WHEN o_orderstatus <> 'F' THEN 1 END)::DOUBLE AS nb,
@@ -50,10 +69,15 @@ def welch_ttest_q(spark, sf_dir):
              VAR_SAMP(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS va,
              VAR_SAMP(CASE WHEN o_orderstatus <> 'F' THEN o_totalprice END) AS vb
       FROM orders
+    ),
+    s AS (
+      SELECT (ma - mb) / sqrt((((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)) * (1 / na + 1 / nb)) AS t_raw,
+             (na + nb - 2) AS dof_raw
+      FROM m
     )
-    SELECT ROUND((ma - mb) / sqrt((((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)) * (1 / na + 1 / nb)), 6) AS t_stat,
-           (na + nb - 2) AS dof
-    FROM m
+    SELECT ROUND(t_raw, 6) AS t_stat, dof_raw AS dof,
+           ROUND({_T_P_SQL}, 8) AS p_value
+    FROM s
     """,
 )
 def student_ttest_q(spark, sf_dir):
@@ -61,12 +85,16 @@ def student_ttest_q(spark, sf_dir):
 
     o = load_table(spark, sf_dir, "orders")
     out = student_ttest(o, "o_totalprice", F.col("o_orderstatus") == "F")
-    return out.select(F.round("t_stat", 6).alias("t_stat"), F.col("dof"))
+    return out.select(
+        F.round("t_stat", 6).alias("t_stat"),
+        F.col("dof"),
+        F.round("p_value", 8).alias("p_value"),
+    )
 
 
 @register(
     "mann_whitney_click_error",
-    """
+    f"""
     WITH tagged AS (
       SELECT value AS v, (event_type = 'click') AS a
       FROM events WHERE event_type IN ('click', 'error')
@@ -80,8 +108,11 @@ def student_ttest_q(spark, sf_dir):
              COUNT(CASE WHEN a THEN 1 END)::DOUBLE AS n1,
              COUNT(CASE WHEN NOT a THEN 1 END)::DOUBLE AS n2
       FROM ranked
-    )
-    SELECT ROUND(r1 - n1 * (n1 + 1) / 2, 4) AS u_stat, n1, n2 FROM agg
+    ),
+    s AS (SELECT r1 - n1 * (n1 + 1) / 2 AS u_raw, n1, n2 FROM agg)
+    SELECT ROUND(u_raw, 4) AS u_stat, n1, n2,
+           ROUND({_MW_P_SQL}, 8) AS p_value
+    FROM s
     """,
 )
 def mann_whitney_q(spark, sf_dir):
@@ -91,7 +122,12 @@ def mann_whitney_q(spark, sf_dir):
         F.col("event_type").isin("click", "error")
     )
     out = mann_whitney_u(ev, "value", F.col("event_type") == "click")
-    return out.select(F.round("u_stat", 4).alias("u_stat"), "n1", "n2")
+    return out.select(
+        F.round("u_stat", 4).alias("u_stat"),
+        "n1",
+        "n2",
+        F.round("p_value", 8).alias("p_value"),
+    )
 
 
 @register(

@@ -1,0 +1,123 @@
+"""Special functions (erfc / lgamma / incomplete beta) — dual-backend
+equivalence and genuine numerical accuracy vs known reference values."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from myscaledb_spark.functions.special import (
+    SparkOps,
+    SqlOps,
+    erfc_expr,
+    ibeta_expr,
+    lgamma_expr,
+    normal_two_sided_p_expr,
+    t_two_sided_p_expr,
+)
+
+
+class PyOps:
+    lit = staticmethod(float)
+    add = staticmethod(lambda x, y: x + y)
+    sub = staticmethod(lambda x, y: x - y)
+    mul = staticmethod(lambda x, y: x * y)
+    div = staticmethod(lambda x, y: x / y)
+    neg = staticmethod(lambda x: -x)
+    log = staticmethod(math.log)
+    exp = staticmethod(math.exp)
+    sqrt = staticmethod(math.sqrt)
+    abs = staticmethod(abs)
+    lt = staticmethod(lambda x, y: x < y)
+    where = staticmethod(lambda c, a, b: a if c else b)
+
+
+def test_lgamma_accuracy():
+    for x in [0.5, 1.0, 2.0, 3.7, 100.0, 3750.5]:
+        assert lgamma_expr(PyOps, x) == pytest.approx(math.lgamma(x), rel=1e-11, abs=1e-11)
+
+
+def test_erfc_accuracy():
+    for z in [0.0, 0.5, 1.0, 1.959964, 3.0, -1.0, -2.5]:
+        assert erfc_expr(PyOps, z) == pytest.approx(math.erfc(z), rel=2e-6, abs=5e-8)
+
+
+@pytest.mark.parametrize(
+    "t,v,want",
+    [
+        (2.228, 10.0, 0.05),          # classic t-table critical value
+        (2.0, 10.0, 0.07338803),      # scipy.stats.t.sf(2,10)*2
+        (1.959964, 1e6, 0.05),        # t -> normal at huge dof
+        (0.0, 50.0, 1.0),
+        (0.5, 7500.0, 0.61708),       # ~2*norm.sf(0.5)
+    ],
+)
+def test_t_two_sided_p(t, v, want):
+    assert t_two_sided_p_expr(PyOps, t, v) == pytest.approx(want, rel=3e-4)
+
+
+def test_normal_two_sided_p():
+    assert normal_two_sided_p_expr(PyOps, 1.959964) == pytest.approx(0.05, rel=1e-4)
+    assert normal_two_sided_p_expr(PyOps, 0.0) == pytest.approx(1.0, abs=1e-6)
+    # symmetric in z
+    assert normal_two_sided_p_expr(PyOps, -2.3) == normal_two_sided_p_expr(PyOps, 2.3)
+
+
+def test_ibeta_boundaries_no_domain_error():
+    # x=0 / x=1 must not raise (clamped) and must hit the limits
+    assert ibeta_expr(PyOps, 0.0, 5.0, 0.5) == pytest.approx(0.0, abs=1e-12)
+    # clamp at 1-1e-16 with b=0.5 leaves a sqrt(eps)~2.6e-8 gap — inherent
+    assert ibeta_expr(PyOps, 1.0, 5.0, 0.5) == pytest.approx(1.0, abs=1e-7)
+
+
+def test_spark_sql_python_backends_agree(spark):
+    """The three backends must evaluate the same tree to the same double."""
+    import duckdb
+
+    cases = [(2.0, 10.0), (-1.3, 3958.39), (0.7, 14998.0)]
+    for t, v in cases:
+        py = t_two_sided_p_expr(PyOps, t, v)
+        from pyspark.sql import functions as F
+
+        sp = (
+            spark.range(1)
+            .select(t_two_sided_p_expr(SparkOps, F.lit(t), F.lit(v)).alias("p"))
+            .first()
+            .p
+        )
+        sql = duckdb.sql(
+            "SELECT " + t_two_sided_p_expr(SqlOps, f"({t!r}::DOUBLE)", f"({v!r}::DOUBLE)")
+        ).fetchone()[0]
+        assert sp == pytest.approx(py, rel=1e-12)
+        assert sql == pytest.approx(py, rel=1e-12)
+
+
+def test_stats_p_values_against_python_oracle(spark):
+    """welch/student/mannWhitney end-to-end p agree with the python mirror of
+    the same formulas computed from collected data."""
+    from pyspark.sql import functions as F
+    from myscaledb_spark.operators.stats import (
+        mann_whitney_u,
+        student_ttest,
+        welch_ttest,
+    )
+
+    ev = spark.table("events").filter(F.col("event_type").isin("purchase", "view"))
+    r = welch_ttest(ev, "value", F.col("event_type") == "purchase").first()
+    assert r.p_value == pytest.approx(
+        t_two_sided_p_expr(PyOps, r.t_stat, r.dof), rel=1e-10
+    )
+
+    o = spark.table("orders")
+    r = student_ttest(o, "o_totalprice", F.col("o_orderstatus") == "F").first()
+    assert r.p_value == pytest.approx(
+        t_two_sided_p_expr(PyOps, float(r.t_stat), float(r.dof)), rel=1e-10
+    )
+
+    ev2 = spark.table("events").filter(F.col("event_type").isin("click", "error"))
+    r = mann_whitney_u(ev2, "value", F.col("event_type") == "click").first()
+    z = (r.u_stat - r.n1 * r.n2 / 2) / math.sqrt(r.n1 * r.n2 * (r.n1 + r.n2 + 1) / 12)
+    assert r.p_value == pytest.approx(
+        normal_two_sided_p_expr(PyOps, z), rel=1e-10
+    )
