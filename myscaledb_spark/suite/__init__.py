@@ -47,6 +47,7 @@ def load_all() -> None:
         pipeline,
         funnel,
         stat_tests,
+        bitmap,
         streaming,
         dialect,
         analytics,
