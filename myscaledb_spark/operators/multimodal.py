@@ -4,10 +4,11 @@ reference analog: ObjectToFetch + getObject(),
 `src/DataTypes/DataTypeObjectToFetch.h:9-31`, `src/Functions/getObject.cpp`).
 
 Spark-side plumbing is REAL and tested: schemas, Arrow-batched mapInPandas
-transforms, partition sizing, deterministic fake feature extraction. The
-actual codec calls (PIL/ffmpeg/soundfile) are STUBBED behind import-guards —
-those libraries are not in this container — with a clearly-marked
-NotImplementedError fallback and a deterministic fake used by tests.
+transforms, partition sizing, deterministic fake feature extraction. Image
+decode is REAL for BMP/PPM via the builtin pure-numpy codec (imagecodec.py),
+with PIL preferred when importable; other codecs (jpeg/ffmpeg/soundfile)
+raise a clearly-marked NotImplementedError. Embedding extraction keeps the
+deterministic sha-seeded fake (no model weights in the container).
 
 Scale notes: media blobs make rows huge — transforms use mapInPandas (Arrow
 batches stream through Python without materializing a partition in memory)
@@ -60,17 +61,25 @@ _FEATURES_SCHEMA = StructType(
 
 
 def _try_decode_image(content: bytes):
-    """Real decode if PIL exists; else a deterministic failure."""
+    """Decode to an (H, W, 3) uint8 ndarray. Prefers PIL when importable;
+    falls back to the builtin pure-numpy BMP/PPM codec (imagecodec.py).
+    Raises NotImplementedError only for formats neither path can read."""
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
         import io
+        import numpy as np
 
-        return Image.open(io.BytesIO(content))
+        return np.asarray(Image.open(io.BytesIO(content)).convert("RGB"))
     except ImportError:
+        pass
+    from myscaledb_spark.operators.imagecodec import UnsupportedImage, decode_image
+
+    try:
+        return decode_image(content)
+    except UnsupportedImage as e:
         raise NotImplementedError(
-            "image decode requires Pillow (not in this container) — "
-            "use fake_features for the tested pipeline path"
-        )
+            f"image decode: {e} (install Pillow for other formats)"
+        ) from e
 
 
 def fake_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -175,13 +184,27 @@ def get_objects(df: DataFrame, url_col: str, content_name: str = "content") -> D
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB: real path needs Pillow. Raises clearly; kept so the API surface
-    and schema contract are pinned by tests."""
+    """REAL for BMP/PPM (and anything PIL reads when present): decode →
+    nearest-neighbor resize → re-encode 24-bit BMP; width/height/mime
+    metadata updated in the same Arrow batch. Unsupported formats raise
+    NotImplementedError from the decode step."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from myscaledb_spark.operators.imagecodec import encode_bmp, resize_nearest
+
         for pdf in it:
+            out = pdf.copy()
+            contents = []
             for content in pdf["content"]:
-                _try_decode_image(bytes(content))
-            yield pdf
+                arr = _try_decode_image(bytes(content))
+                contents.append(encode_bmp(resize_nearest(arr, width, height)))
+            out["content"] = contents
+            if "width" in out.columns:
+                out["width"] = width
+            if "height" in out.columns:
+                out["height"] = height
+            if "mime" in out.columns:
+                out["mime"] = "image/bmp"
+            yield out
 
     return df.mapInPandas(_batches, df.schema)

@@ -61,16 +61,77 @@ def test_media_repartition(spark, media_df):
     assert out.count() == 5
 
 
-def test_resize_stub_raises_cleanly(spark, media_df):
+def test_resize_unsupported_format_raises_cleanly(spark, media_df):
     with pytest.raises(Exception) as ei:
         resize_images(media_df.filter(F.col("kind") == "image"), 16, 16).collect()
     assert "Pillow" in str(ei.value) or "NotImplementedError" in str(ei.value)
 
 
-def test_real_decoder_guard(spark, media_df):
+def test_real_decoder_guard_unsupported_format(spark, media_df):
     with pytest.raises(Exception) as ei:
         extract_features(media_df, use_real_decoder=True).collect()
     assert "Pillow" in str(ei.value) or "NotImplementedError" in str(ei.value)
+
+
+# --- real builtin codec: BMP/PPM ---------------------------------------------
+def test_bmp_roundtrip_and_ppm():
+    import numpy as np
+    from myscaledb_spark.operators.imagecodec import (
+        decode_image,
+        encode_bmp,
+        generate_bmp,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)  # odd width → row padding
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+
+    small = resize_nearest(img, 4, 6)
+    assert small.shape == (6, 4, 3)
+
+    ppm = b"P6\n# comment\n3 2\n255\n" + bytes(range(18))
+    arr = decode_image(ppm)
+    assert arr.shape == (2, 3, 3) and arr[0, 0, 0] == 0 and arr[1, 2, 2] == 17
+
+    bmp = generate_bmp(8, 5, seed=3)
+    assert decode_image(bmp).shape == (5, 8, 3)
+    assert bmp == generate_bmp(8, 5, seed=3)  # deterministic
+
+
+@pytest.fixture(scope="module")
+def bmp_df(spark):
+    from myscaledb_spark.operators.imagecodec import generate_bmp
+
+    rows = [
+        (i, "image", generate_bmp(32 + i, 24 + i, seed=i), "image/bmp", 32 + i, 24 + i, None)
+        for i in range(4)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_resize_images_real_bmp(spark, bmp_df):
+    import numpy as np
+    from myscaledb_spark.operators.imagecodec import (
+        decode_image,
+        generate_bmp,
+        resize_nearest,
+    )
+
+    out = {r.media_id: r for r in resize_images(bmp_df, 16, 12).collect()}
+    assert len(out) == 4
+    for i, r in out.items():
+        assert (r.width, r.height, r.mime) == (16, 12, "image/bmp")
+        arr = decode_image(bytes(r.content))
+        assert arr.shape == (12, 16, 3)
+        want = resize_nearest(decode_image(generate_bmp(32 + i, 24 + i, seed=i)), 16, 12)
+        assert np.array_equal(arr, want)
+
+
+def test_extract_features_real_decoder_bmp(spark, bmp_df):
+    out = extract_features(bmp_df, use_real_decoder=True).collect()
+    assert len(out) == 4
+    assert all(len(r.features) == FEATURE_DIM for r in out)
 
 
 def test_get_objects_binaryfile(spark, tmp_path):
