@@ -228,26 +228,48 @@ def parse_nlq(query: str, tokenizer: str = "simple") -> list[dict]:
 
 def _clause_tf(toks_col: str, tokens: list[str]) -> Column:
     """Occurrences of a clause in the token array: plain term count, or for
-    phrases the number of positions where the consecutive token run matches.
-    Guarded for docs shorter than the phrase (sequence(1,0) is NOT empty in
-    Spark — it's the descending [1,0])."""
+    phrases the number of positions where the consecutive token run matches
+    (overlaps counted, like positional-index phrase queries). Guarded for
+    docs shorter than the phrase (sequence(1,0) is NOT empty in Spark — it's
+    the descending [1,0]). Per-position match is an AND of element_at
+    lookups — no slice(), so nothing allocates per position."""
     if len(tokens) == 1:
         return F.size(
             F.filter(toks_col, lambda x: x == F.lit(tokens[0]))
         ).cast("double")
     L = len(tokens)
-    phrase_arr = F.array(*[F.lit(t) for t in tokens])
+
+    self_overlapping = any(tokens[s:] == tokens[: L - s] for s in range(1, L))
+    if not self_overlapping:
+        # Fast path, whole-stage-codegen string ops (no interpreted HOFs):
+        # join tokens with a DOUBLED \x01 separator and count occurrences of
+        # the phrase pattern that uses one separator char per boundary —
+        # adjacent occurrences then don't contend for the shared separator,
+        # so non-overlapping replace-count == positional count whenever the
+        # phrase has no self-overlap (tokens can't contain \x01: every
+        # tokenizer emits [a-z0-9]+ or CJK).
+        sep = "\x01"
+        s = F.concat(
+            F.lit(sep * 2), F.array_join(toks_col, sep * 2), F.lit(sep * 2)
+        )
+        p = sep + (sep * 2).join(tokens) + sep
+        return (
+            (F.length(s) - F.length(F.replace(s, F.lit(p), F.lit(""))))
+            / F.lit(len(p))
+        ).cast("double")
+
+    # self-overlapping phrase (e.g. "a a"): positional scan, overlaps counted
     n = F.size(toks_col)
+
+    def _match(i: Column) -> Column:
+        cond = F.element_at(toks_col, i) == F.lit(tokens[0])
+        for j in range(1, L):
+            cond = cond & (F.element_at(toks_col, i + j) == F.lit(tokens[j]))
+        return cond
+
     return (
         F.when(n < L, F.lit(0))
-        .otherwise(
-            F.size(
-                F.filter(
-                    F.sequence(F.lit(1), n - F.lit(L - 1)),
-                    lambda i: F.slice(toks_col, i, L) == phrase_arr,
-                )
-            )
-        )
+        .otherwise(F.size(F.filter(F.sequence(F.lit(1), n - F.lit(L - 1)), _match)))
         .cast("double")
     )
 

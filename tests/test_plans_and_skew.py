@@ -37,6 +37,35 @@ def test_bm25_plan_no_python(spark):
     assert_take_ordered(df)
 
 
+def test_newly_gated_plans_no_python(spark):
+    """VERDICT r1 ask: plan-audit the newly-gated search/dedup queries —
+    no Python eval nodes in any of these hot paths."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    for name in [
+        "hybrid_search_rsf",
+        "hybrid_search_rrf",
+        "batch_distance_l2",
+        "minhash_lsh_pairs",
+        "two_stage_l2",
+        "bm25_phrase_topk",
+    ]:
+        df = qs[name](spark, SF_DIR)
+        assert_no_python_in_plan(df), name
+
+
+def test_nlq_plan_no_python(spark):
+    from myscaledb_spark.functions.text import nlq_search
+
+    df = nlq_search(
+        spark.table("documents"), "text", '"table hash" +vector -slow', 10,
+        id_col="doc_id",
+    )
+    assert_no_python_in_plan(df)
+    assert_take_ordered(df)
+
+
 def test_join_broadcasts_dims(spark):
     import __spark_entry__ as m
 

@@ -234,6 +234,27 @@ def test_nlq_search_matches_oracle(spark, docs):
     )
 
 
+def test_phrase_tf_overlap_semantics(spark):
+    """Self-overlapping phrases count overlapping positions (HOF path);
+    non-overlapping phrases use the replace-count fast path — both must
+    equal the positional definition."""
+    from pyspark.sql import Row
+    from myscaledb_spark.functions.text import _clause_tf
+
+    df = spark.createDataFrame(
+        [Row(toks="a a a b a a".split()), Row(toks="x a b a b y".split()),
+         Row(toks=[]), Row(toks=["a"])]
+    )
+    r = df.select(
+        _clause_tf("toks", ["a", "a"]).alias("aa"),
+        _clause_tf("toks", ["a", "b"]).alias("ab"),
+    ).collect()
+    got = [(x.aa, x.ab) for x in r]
+    # positional oracle: [a,a,a,b,a,a]: aa at 0,1,4 -> 3; ab at 2 -> 1
+    #                    [x,a,b,a,b,y]: aa 0; ab at 1,3 -> 2
+    assert got == [(3.0, 1.0), (0.0, 2.0), (0.0, 0.0), (0.0, 0.0)]
+
+
 def test_nlq_phrase_short_doc_guard(spark):
     """Docs shorter than the phrase must not crash (sequence(1,0) trap)."""
     from pyspark.sql import Row
