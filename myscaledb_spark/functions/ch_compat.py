@@ -1270,3 +1270,48 @@ def transform_(a, from_vals: list, to_vals: list, default=None):
     for f_, t_ in zip(from_vals, to_vals):
         expr = (F.when(_c(a) == f_, t_) if expr is None else expr.when(_c(a) == f_, t_))
     return expr.otherwise(default if default is not None else _c(a))
+
+
+# ---------------------------------------------------------------------------
+# geo (src/Functions/greatCircleDistance.cpp, pointInEllipses.cpp) — the
+# minimal haversine family; the ~90-fn H3 suite remains a documented non-goal
+# ---------------------------------------------------------------------------
+_EARTH_RADIUS_M = 6371000.0  # mean Earth radius, as the reference's sphere
+
+
+def _haversine_half_angle(lon1, lat1, lon2, lat2) -> Column:
+    """sqrt(sin²(Δφ/2) + cosφ1·cosφ2·sin²(Δλ/2)) with everything in radians."""
+    rlat1, rlat2 = F.radians(_c(lat1)), F.radians(_c(lat2))
+    dlat = (rlat2 - rlat1) / 2.0
+    dlon = (F.radians(_c(lon2)) - F.radians(_c(lon1))) / 2.0
+    a = F.sin(dlat) * F.sin(dlat) + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+    return F.sqrt(a)
+
+
+def greatCircleDistance(lon1, lat1, lon2, lat2):
+    """Haversine distance in meters on the mean-radius sphere
+    (greatCircleDistance.cpp; argument order lon, lat like the reference)."""
+    return 2.0 * _EARTH_RADIUS_M * F.asin(_haversine_half_angle(lon1, lat1, lon2, lat2))
+
+
+def geoDistance(lon1, lat1, lon2, lat2):
+    """Reference geoDistance refines with an ellipsoidal correction; this
+    maps to the spherical haversine (documented approximation)."""
+    return greatCircleDistance(lon1, lat1, lon2, lat2)
+
+
+def greatCircleAngle(lon1, lat1, lon2, lat2):
+    """Central angle in degrees."""
+    return F.degrees(2.0 * F.asin(_haversine_half_angle(lon1, lat1, lon2, lat2)))
+
+
+def pointInEllipses(x, y, *ellipses: tuple[float, float, float, float]):
+    """pointInEllipses(x, y, (cx, cy, a, b), ...): true if (x, y) falls in
+    any axis-aligned ellipse."""
+    x, y = _c(x), _c(y)
+    cond = F.lit(False)
+    for cx, cy, a, b in ellipses:
+        dx = (x - F.lit(float(cx))) / F.lit(float(a))
+        dy = (y - F.lit(float(cy))) / F.lit(float(b))
+        cond = cond | (dx * dx + dy * dy <= 1.0)
+    return cond

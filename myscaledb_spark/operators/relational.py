@@ -39,6 +39,38 @@ def limit_by(
     )
 
 
+def window_groups_frame(
+    df: DataFrame,
+    agg_expr: Column,
+    order_by: Column | str,
+    partition_by: Sequence[str] = (),
+    preceding: int = 0,
+    following: int = 0,
+    out: str = "groups_agg",
+) -> DataFrame:
+    """`GROUPS BETWEEN n PRECEDING AND m FOLLOWING` window frame
+    (`src/Interpreters/WindowDescription.h:31`; Spark has no GROUPS mode).
+
+    Rewrite: dense_rank over the ORDER BY expression numbers the peer groups
+    consecutively, so a RANGE frame over the rank is EXACTLY the GROUPS
+    frame (peer rows share a rank; offsets count whole peer groups). One
+    window shuffle on the partition keys; the rank and the framed aggregate
+    reuse the same sort order, so Catalyst plans a single sort.
+    """
+    order_by = F.col(order_by) if isinstance(order_by, str) else order_by
+    w_rank = Window.partitionBy(*partition_by).orderBy(order_by)
+    w_frame = (
+        Window.partitionBy(*partition_by)
+        .orderBy(F.col("_grp_rank"))
+        .rangeBetween(-preceding, following)
+    )
+    return (
+        df.withColumn("_grp_rank", F.dense_rank().over(w_rank))
+        .withColumn(out, agg_expr.over(w_frame))
+        .drop("_grp_rank")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

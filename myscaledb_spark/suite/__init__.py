@@ -48,6 +48,7 @@ def load_all() -> None:
         funnel,
         stat_tests,
         bitmap,
+        window_ext,
         streaming,
         dialect,
         analytics,

@@ -274,3 +274,34 @@ def test_explain_estimate(spark):
 
     est = explain_estimate(spark.table("lineitem"))
     assert est["size_in_bytes"] > 0
+
+
+def test_geo_functions(spark):
+    """Haversine family vs python-math oracle; pointInEllipses membership."""
+    import math
+    from pyspark.sql import functions as F
+    from myscaledb_spark.functions.ch_compat import (
+        greatCircleAngle,
+        greatCircleDistance,
+        pointInEllipses,
+    )
+
+    cases = [(2.35, 48.85, -0.13, 51.51), (0.0, 0.0, 180.0, 0.0), (10.0, 10.0, 10.0, 10.0)]
+    df = spark.createDataFrame(cases, "lon1 double, lat1 double, lon2 double, lat2 double")
+    rows = df.select(
+        greatCircleDistance("lon1", "lat1", "lon2", "lat2").alias("d"),
+        greatCircleAngle("lon1", "lat1", "lon2", "lat2").alias("ang"),
+    ).collect()
+    for (lon1, lat1, lon2, lat2), r in zip(cases, rows):
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        a = (math.sin((p2 - p1) / 2) ** 2
+             + math.cos(p1) * math.cos(p2) * math.sin((math.radians(lon2) - math.radians(lon1)) / 2) ** 2)
+        want = 2 * 6371000.0 * math.asin(math.sqrt(a))
+        assert abs(r.d - want) < 1e-6 * max(want, 1.0)
+        assert abs(r.ang - math.degrees(2 * math.asin(math.sqrt(a)))) < 1e-9
+
+    pe = spark.createDataFrame([(0.5, 0.5), (3.0, 0.0), (10.0, 10.0)], "x double, y double")
+    got = [r.inside for r in pe.select(
+        pointInEllipses("x", "y", (0.0, 0.0, 1.0, 1.0), (3.0, 0.0, 0.5, 2.0)).alias("inside")
+    ).collect()]
+    assert got == [True, True, False]

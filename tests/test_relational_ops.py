@@ -66,3 +66,27 @@ def test_with_fill_from_to(spark):
     assert days[-1] == datetime.datetime(2024, 2, 2)
     # grid is dense
     assert len(days) == (days[-1] - days[0]).days + 1
+
+
+def test_window_groups_frame(spark):
+    """GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW vs a hand-computed oracle:
+    peer rows (equal order key) aggregate as whole groups."""
+    from myscaledb_spark.operators.relational import window_groups_frame
+
+    rows = [
+        ("a", 1, 10.0), ("a", 1, 20.0), ("a", 2, 5.0), ("a", 4, 1.0),
+        ("b", 7, 100.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, k int, v double")
+    out = window_groups_frame(
+        df, F.sum("v"), order_by="k", partition_by=["g"],
+        preceding=1, following=0, out="s",
+    ).collect()
+    got = {(r.g, r.k, r.v): r.s for r in out}
+    # group a: k=1 peers {10,20}; k=2 -> prev group + self = 35; k=4 -> k=2
+    # is the previous PEER GROUP (gap in k doesn't matter) = 6
+    assert got[("a", 1, 10.0)] == 30.0
+    assert got[("a", 1, 20.0)] == 30.0
+    assert got[("a", 2, 5.0)] == 35.0
+    assert got[("a", 4, 1.0)] == 6.0
+    assert got[("b", 7, 100.0)] == 100.0
