@@ -148,6 +148,26 @@ def main() -> None:
                 ),
             }
         sweep["hnsw_build_sec"] = hnsw_build
+
+        from myscaledb_spark.plans.mstg_index import (
+            build_mstg_index,
+            mstg_recall,
+            mstg_search,
+        )
+
+        t0 = time.time()
+        build_mstg_index(emb, "embedding", "vec_id", art, num_leaves=16, num_top=4)
+        mstg_build = round(time.time() - t0, 3)
+        for pt, np_ in ((1, 2), (2, 4), (3, 8)):
+            t0 = time.time()
+            mstg_search(spark, art, q, 10, probe_top=pt, nprobe=np_).collect()
+            sweep[f"mstg_top{pt}_probe{np_}"] = {
+                "sec": round(time.time() - t0, 4),
+                "recall@10": round(
+                    mstg_recall(emb, spark, art, q, 10, probe_top=pt, nprobe=np_), 3
+                ),
+            }
+        sweep["mstg_build_sec"] = mstg_build
         emb.unpersist()
     except Exception as e:
         sweep["error"] = str(e)[:200]

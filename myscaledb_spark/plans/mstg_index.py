@@ -1,0 +1,263 @@
+"""MSTG-analog index: Multi-Scale Tree + Graph hybrid.
+
+MSTG is MyScale's flagship index (`tests/vector_search/benchmark.py:23`,
+parameter checks `00034_mqvs_vector_index_parameter_check.sh:93`); its
+implementation lives in the closed `contrib/search-index` submodule, so this
+is a from-scratch hybrid following the public description — tree-structured
+coarse routing over graph-searched leaves:
+
+  build:  one Spark KMeans produces `num_leaves` leaf centroids (same linear
+          pass as IVF); the centroids themselves are clustered DRIVER-SIDE
+          (numpy Lloyd iterations over ≤ a few hundred points — metadata
+          scale) into `num_top` routing cells, giving a 2-level tree. Every
+          leaf's rows get an NSW graph built independently in one
+          applyInPandas call (same deterministic machinery as hnsw_index).
+  search: descend the tree on the driver (route: query → nearest top cells →
+          nearest leaf centroids within them), then scan ONLY the chosen
+          leaves (partition-pruned parquet read), beam-search each leaf's
+          graph, and exact-merge the per-leaf candidates — recall is
+          controlled by (probe_top, nprobe, ef_search), cost by
+          nprobe/num_leaves of the data like the reference's MSTG probes.
+
+At 100 TB: build = one KMeans + one partitioned write + per-leaf graph
+builds (each leaf must fit an executor — same documented constraint as the
+per-part HNSW); the routing tree is a few KB of driver metadata, exactly
+like the reference's in-RAM index metadata; search touches nprobe leaves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from myscaledb_spark.plans.hnsw_index import _beam, _nsw_insertions
+from myscaledb_spark.plans.vector_index import IndexRegistry
+
+_GRAPH_SCHEMA = StructType(
+    [
+        StructField("leaf_id", IntegerType()),
+        StructField("pos", IntegerType()),
+        StructField("node_id", LongType()),
+        StructField("vec", ArrayType(DoubleType())),
+        StructField("neighbors", ArrayType(IntegerType())),
+    ]
+)
+
+
+def _cluster_centroids(cents: np.ndarray, num_top: int, iters: int = 25) -> np.ndarray:
+    """Deterministic driver-side Lloyd k-means over the leaf centroids
+    (metadata-scale: tens to hundreds of points). Returns top-cell
+    assignment per leaf centroid."""
+    n = len(cents)
+    num_top = min(num_top, n)
+    # deterministic init: evenly spaced by index
+    tops = cents[np.linspace(0, n - 1, num_top).astype(int)].copy()
+    assign = ((cents[:, None, :] - tops[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    for _ in range(iters):
+        for t in range(num_top):
+            members = cents[assign == t]
+            if len(members):
+                tops[t] = members.mean(axis=0)
+        new_assign = ((cents[:, None, :] - tops[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        if (new_assign == assign).all():
+            break
+        assign = new_assign
+    return assign, tops
+
+
+def build_mstg_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    artifact_dir: str,
+    name: str = "mstg",
+    num_leaves: int = 16,
+    num_top: int = 4,
+    m: int = 8,
+    ef_construction: int = 32,
+    seed: int = 42,
+) -> dict:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    reg = IndexRegistry(artifact_dir)
+    reg.set_status(
+        name, "InProgress", column=vec_col, index_type="MSTG",
+        params={"num_leaves": num_leaves, "num_top": num_top, "m": m,
+                "ef_c": ef_construction},
+    )
+
+    feats = df.withColumn(
+        "_feat", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    n_total = df.count()
+    train_cap = max(num_leaves * 200, 20_000)
+    train = (
+        feats.sample(fraction=min(1.0, train_cap / max(n_total, 1)), seed=seed)
+        if n_total > train_cap
+        else feats
+    )
+    km = KMeans(k=num_leaves, seed=seed, featuresCol="_feat", predictionCol="leaf_id")
+    model = km.fit(train)
+    assigned = model.transform(feats).drop("_feat")
+
+    keyed = assigned.select(
+        F.col("leaf_id").cast("int"),
+        F.col(id_col).alias("node_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+
+    def _build(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("node_id").reset_index(drop=True)
+        X = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        adj = _nsw_insertions(X, m, ef_construction)
+        return pd.DataFrame(
+            {
+                "leaf_id": pdf["leaf_id"],
+                "pos": np.arange(len(pdf), dtype=np.int32),
+                "node_id": pdf["node_id"],
+                "vec": pdf["vec"],
+                "neighbors": [np.array(a, dtype=np.int32) for a in adj],
+            }
+        )
+
+    graph = keyed.groupBy("leaf_id").applyInPandas(_build, _GRAPH_SCHEMA)
+    base = os.path.join(artifact_dir, name)
+    graph.write.mode("overwrite").partitionBy("leaf_id").parquet(
+        os.path.join(base, "graph")
+    )
+
+    cents = np.array([list(map(float, c)) for c in model.clusterCenters()])
+    top_assign, tops = _cluster_centroids(cents, num_top)
+    os.makedirs(base, exist_ok=True)
+    json.dump(
+        {
+            "leaf_centroids": cents.tolist(),
+            "top_of_leaf": top_assign.tolist(),
+            "top_centroids": tops.tolist(),
+            "m": m,
+            "ef_c": ef_construction,
+        },
+        open(os.path.join(base, "tree.json"), "w"),
+    )
+    reg.set_status(name, "Built", base=base)
+    return reg.get(name)
+
+
+def _route(
+    tree: dict, q: np.ndarray, probe_top: int, nprobe: int
+) -> list[int]:
+    """Tree descent on driver metadata: nearest top cells, then nearest leaf
+    centroids within them."""
+    tops = np.asarray(tree["top_centroids"])
+    cents = np.asarray(tree["leaf_centroids"])
+    member = np.asarray(tree["top_of_leaf"])
+    td = ((tops - q) ** 2).sum(axis=1)
+    top_sel = np.argsort(td, kind="stable")[: max(probe_top, 1)]
+    cand_leaves = np.flatnonzero(np.isin(member, top_sel))
+    if len(cand_leaves) == 0:
+        cand_leaves = np.arange(len(cents))
+    ld = ((cents[cand_leaves] - q) ** 2).sum(axis=1)
+    order = np.argsort(ld, kind="stable")[: max(nprobe, 1)]
+    return [int(x) for x in cand_leaves[order]]
+
+
+def mstg_search(
+    spark: SparkSession,
+    artifact_dir: str,
+    qvec: Sequence[float],
+    k: int,
+    name: str = "mstg",
+    probe_top: int = 2,
+    nprobe: int = 4,
+    ef_search: int = 50,
+    id_col: str = "vec_id",
+    n_seeds: int = 4,
+) -> DataFrame:
+    """Tree-routed, graph-searched top-k: partition-pruned read of the
+    probed leaves, per-leaf beam search, exact global merge."""
+    reg = IndexRegistry(artifact_dir)
+    rec = reg.get(name)
+    if rec is None or rec.get("status") != "Built":
+        raise RuntimeError(f"mstg index {name!r} not built")
+    tree = json.load(open(os.path.join(rec["base"], "tree.json")))
+    q = np.asarray(qvec, dtype=np.float64)
+    leaves = _route(tree, q, probe_top, nprobe)
+
+    graph = spark.read.parquet(os.path.join(rec["base"], "graph")).filter(
+        F.col("leaf_id").isin(leaves)  # partition pruning
+    )
+    ef = max(ef_search, k)
+    out_schema = StructType(
+        [StructField("node_id", LongType()), StructField("dist", DoubleType())]
+    )
+
+    def _search(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("pos").reset_index(drop=True)
+        X = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        adj = [list(a) for a in pdf["neighbors"]]
+        found = _beam(X, adj, q, ef, n_seeds=n_seeds)
+        ids = pdf["node_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "node_id": [ids[p] for _, p in found],
+                "dist": [np.sqrt(d) for d, _ in found],
+            }
+        )
+
+    cands = graph.groupBy("leaf_id").applyInPandas(_search, out_schema)
+    return (
+        cands.orderBy(F.col("dist").asc(), F.col("node_id").asc())
+        .limit(k)
+        .withColumnRenamed("node_id", id_col)
+    )
+
+
+def mstg_recall(
+    df: DataFrame,
+    spark: SparkSession,
+    artifact_dir: str,
+    qvec: Sequence[float],
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    name: str = "mstg",
+    probe_top: int = 2,
+    nprobe: int = 4,
+    ef_search: int = 50,
+) -> float:
+    from myscaledb_spark.operators.topk import vector_topk
+
+    exact = {
+        r[0]
+        for r in vector_topk(df, vec_col, qvec, k, "L2", None, id_col)
+        .select(id_col)
+        .collect()
+    }
+    approx = {
+        r[0]
+        for r in mstg_search(
+            spark, artifact_dir, qvec, k, name, probe_top, nprobe, ef_search, id_col
+        )
+        .select(id_col)
+        .collect()
+    }
+    return len(exact & approx) / max(len(exact), 1)

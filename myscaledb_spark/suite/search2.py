@@ -71,6 +71,20 @@ def ivf_search_topk(spark, sf_dir):
     return ivf_search(spark, art, QV, 10, nprobe=4).select("vec_id", "dist")
 
 
+@register("mstg_search_topk")  # rows-only: tree+graph search is approximate
+def mstg_search_topk(spark, sf_dir):
+    """MSTG analog (MyScale flagship; closed contrib/search-index): 2-level
+    tree routing over per-leaf NSW graphs (plans/mstg_index.py)."""
+    from myscaledb_spark.plans.mstg_index import build_mstg_index, mstg_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    art = tempfile.mkdtemp(prefix="gate_mstg_")
+    build_mstg_index(emb, "embedding", "vec_id", art, num_leaves=8, num_top=3)
+    return mstg_search(spark, art, QV, 10, probe_top=2, nprobe=4).select(
+        "vec_id", "dist"
+    )
+
+
 # --- entropy / theilsU (registerAggregateFunctions.cpp:78-81) -----------------
 @register(
     "entropy_event_types",
