@@ -39,6 +39,27 @@ def limit_by(
     )
 
 
+def sample_by(
+    df: DataFrame, key: Column | str, fraction: float, seed: int = 0
+) -> DataFrame:
+    """Deterministic `SAMPLE k` over a sampling key (reference: SAMPLE BY
+    expression in the MergeTree definition + SAMPLE clause — rows where
+    hash(key) falls below k·2^bits, so the same rows are sampled on every
+    run, every replica, every engine; `df.sample` can't give that).
+
+    Uses the portable 48-bit md5 prefix (operators/dedup.md5_48), so an
+    external system (or the DuckDB oracle) reproduces the sample exactly.
+    Scale: a pure filter expression — pushes into the scan, no shuffle.
+    """
+    from myscaledb_spark.operators.dedup import md5_48_seeded
+
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError(f"sample fraction must be in (0, 1], got {fraction}")
+    key = F.col(key) if isinstance(key, str) else key
+    h = md5_48_seeded(key.cast("string"), seed)
+    return df.filter(h < F.lit(int(fraction * (1 << 48))))
+
+
 def window_groups_frame(
     df: DataFrame,
     agg_expr: Column,

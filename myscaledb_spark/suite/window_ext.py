@@ -14,6 +14,39 @@ from myscaledb_spark.catalog import load_table
 from myscaledb_spark.suite import register
 
 
+_SAMPLE_THRESHOLD = int(0.1 * (1 << 48))
+
+
+@register(
+    "sample_deterministic",
+    f"""
+    WITH s AS (
+      SELECT * FROM orders
+      WHERE CAST(('0x' || substr(md5('0:' || CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT)
+            < {_SAMPLE_THRESHOLD}
+    )
+    SELECT COUNT(*) AS n,
+           ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS total,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM s
+    """,
+)
+def sample_deterministic(spark, sf_dir):
+    """SAMPLE 0.1 with a deterministic sampling key: hash(key) < k·2^48 —
+    the same rows on every run/engine (reference SAMPLE BY semantics;
+    `df.sample` is seed-stable but partitioning-dependent, this is not)."""
+    from myscaledb_spark.operators.relational import sample_by
+
+    o = load_table(spark, sf_dir, "orders")
+    s = sample_by(o, "o_orderkey", 0.1)
+    return s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice").cast("double"), 2).alias("total"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
 @register(
     "geo_distance_topk",
     """
