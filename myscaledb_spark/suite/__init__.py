@@ -56,6 +56,7 @@ def load_all() -> None:
         relational,
         relational2,
         relational3,
+        relational4,
     )
 
 
