@@ -94,7 +94,6 @@ def hybrid_search(
     if k is None or k <= 0:
         raise InvalidSearchQuery("hybrid search requires a positive LIMIT (top-k)")
     kprime = k * candidate_multiple
-    asc = METRIC_ASCENDING.get(metric, True)
 
     vec_cand = vector_topk(df, vec_col, qvec, kprime, metric, None, id_col, "_vdist").select(
         id_col, "_vdist"
@@ -102,6 +101,29 @@ def hybrid_search(
     txt_cand = text_search(
         df, text_col, qtext, kprime, id_col, tokenizer, score_name="_bm25"
     ).select(id_col, "_bm25")
+    return fuse_candidates(
+        vec_cand, txt_cand, k, id_col, ft, metric, fusion_weight, fusion_k, score_name
+    )
+
+
+def fuse_candidates(
+    vec_cand: DataFrame,
+    txt_cand: DataFrame,
+    k: int,
+    id_col: str,
+    fusion_type: str = "rsf",
+    metric: str = "L2",
+    fusion_weight: float = DEFAULT_FUSION_WEIGHT,
+    fusion_k: int = DEFAULT_FUSION_K,
+    score_name: str = "fusion_score",
+) -> DataFrame:
+    """Fuse pre-computed candidate lists: vec_cand(id, _vdist),
+    txt_cand(id, _bm25) → top-k by RSF/RRF. Candidate lists are tiny (k′
+    rows), so the windows/joins here touch only candidates — this is the
+    piece that stays constant whether candidates come from brute force, an
+    IVF/HNSW/MSTG artifact, or an external retriever."""
+    ft = fusion_type.lower()
+    asc = METRIC_ASCENDING.get(metric, True)
 
     if ft == "rrf":
         v = _ranked(vec_cand, "_vdist", asc, id_col).select(
@@ -131,3 +153,68 @@ def hybrid_search(
         )
 
     return fused.orderBy(F.col(score_name).desc(), F.col(id_col).asc()).limit(k)
+
+
+def hybrid_search_indexed(
+    spark,
+    artifact_dir: str,
+    df: DataFrame,
+    text_col: str,
+    qvec: Sequence[float],
+    qtext: str,
+    k: int,
+    id_col: str,
+    index_kind: str = "ivf",
+    index_name: str | None = None,
+    fusion_type: str = "rsf",
+    metric: str = "L2",
+    fusion_weight: float = DEFAULT_FUSION_WEIGHT,
+    fusion_k: int = DEFAULT_FUSION_K,
+    candidate_multiple: int = DEFAULT_CANDIDATE_MULTIPLE,
+    tokenizer: str = "simple",
+    score_name: str = "fusion_score",
+    **search_params,
+) -> DataFrame:
+    """Hybrid search with ANN-index vector candidates — the reference's real
+    shape (MergeTreeHybridSearchManager drives the part-level vector INDEX
+    plus the tantivy text index, then fuses). Vector candidates come from a
+    prebuilt IVF/HNSW/MSTG artifact (partition-pruned / graph search instead
+    of a full scan); text candidates from BM25; fusion identical to
+    hybrid_search. search_params pass through (nprobe=, ef_search=,
+    probe_top=...).
+    """
+    if k is None or k <= 0:
+        raise InvalidSearchQuery("hybrid search requires a positive LIMIT (top-k)")
+    kind = index_kind.lower()
+    kprime = k * candidate_multiple
+    if kind == "ivf":
+        from myscaledb_spark.plans.vector_index import ivf_search
+
+        vec_cand = ivf_search(
+            spark, artifact_dir, qvec, kprime, name=index_name or "ivf",
+            metric=metric, id_col=id_col, **search_params,
+        )
+    elif kind == "hnsw":
+        from myscaledb_spark.plans.hnsw_index import hnsw_search
+
+        vec_cand = hnsw_search(
+            spark, artifact_dir, qvec, kprime, name=index_name or "hnsw",
+            id_col=id_col, **search_params,
+        )
+    elif kind == "mstg":
+        from myscaledb_spark.plans.mstg_index import mstg_search
+
+        vec_cand = mstg_search(
+            spark, artifact_dir, qvec, kprime, name=index_name or "mstg",
+            id_col=id_col, **search_params,
+        )
+    else:
+        raise InvalidSearchQuery(f"unknown index kind {index_kind!r}")
+    vec_cand = vec_cand.select(F.col(id_col), F.col("dist").alias("_vdist"))
+    txt_cand = text_search(
+        df, text_col, qtext, kprime, id_col, tokenizer, score_name="_bm25"
+    ).select(id_col, "_bm25")
+    return fuse_candidates(
+        vec_cand, txt_cand, k, id_col, fusion_type, metric, fusion_weight,
+        fusion_k, score_name,
+    )

@@ -288,3 +288,31 @@ def test_tokenizer_options(spark):
     assert df.cjk_char == ["spark", "数", "据", "引", "擎", "fast"]
     assert df.arr == ["a", "b", "c", "d"]
     assert df.mp == ["hello", "world"]
+
+
+def test_hybrid_search_indexed_matches_bruteforce(spark, tmp_path):
+    """Index-backed hybrid (full-recall settings) must equal the brute-force
+    hybrid exactly — candidates coincide when the index probes everything."""
+    import numpy as np
+    from myscaledb_spark.operators.hybrid import hybrid_search, hybrid_search_indexed
+    from myscaledb_spark.plans.vector_index import build_ivf_index
+
+    d = spark.table("documents")
+    e = spark.table("embeddings")
+    df = d.join(e, d.doc_id == e.vec_id).select("doc_id", "text", "embedding")
+
+    art = str(tmp_path / "idx")
+    build_ivf_index(df, "embedding", "doc_id", art, num_centroids=4)
+
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal(64).tolist()
+    brute = hybrid_search(
+        df, "embedding", "text", q, QUERY, 8, "doc_id", fusion_type="rsf"
+    ).collect()
+    indexed = hybrid_search_indexed(
+        spark, art, df, "text", q, QUERY, 8, "doc_id",
+        index_kind="ivf", fusion_type="rsf", nprobe=4, vec_col="embedding",
+    ).collect()
+    assert [(r.doc_id, r.fusion_score) for r in brute] == [
+        (r.doc_id, r.fusion_score) for r in indexed
+    ]
