@@ -14,6 +14,45 @@ from myscaledb_spark.catalog import load_table
 from myscaledb_spark.suite import register
 
 
+@register(
+    "projection_rollup",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+           ROUND(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS mx
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def projection_rollup(spark, sf_dir):
+    """Aggregate projection end-to-end (ProjectionsDescription.h /
+    optimizeUseAggregateProjection.cpp): build partial states keyed by
+    (status, priority), then answer a status-only rollup by RE-MERGING the
+    states — DECIMAL measures make the re-merge bit-exact, so the driver
+    oracle (direct aggregation) must agree."""
+    import tempfile
+
+    from myscaledb_spark.plans.projections import ProjectionSet
+
+    base = load_table(spark, sf_dir, "orders").withColumn(
+        "price_dec", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    ps = ProjectionSet(tempfile.mkdtemp(prefix="gate_proj_"))
+    ps.build(base, "by_sp", ["o_orderstatus", "o_orderpriority"], ["price_dec"])
+    assert ps.routed_source(["o_orderstatus"], {"total": ("sum", "price_dec")})
+    out = ps.aggregate(
+        spark,
+        base,
+        ["o_orderstatus"],
+        {"n": ("count", "*"), "total": ("sum", "price_dec"), "mx": ("max", "price_dec")},
+    )
+    return out.select(
+        "o_orderstatus",
+        "n",
+        F.round(F.col("total").cast("double"), 2).alias("total"),
+        F.round(F.col("mx").cast("double"), 2).alias("mx"),
+    )
+
+
 _SAMPLE_THRESHOLD = int(0.1 * (1 << 48))
 
 
