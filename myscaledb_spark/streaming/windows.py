@@ -78,3 +78,25 @@ def run_to_memory(df: DataFrame, name: str, mode: str = "complete") -> DataFrame
     q.awaitTermination()
     spark = df.sparkSession
     return spark.table(name)
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — the continuous-ingestion counterpart of the
+    batch dedup family (operators/dedup.py): dropDuplicates keyed on content
+    hash / ids, state-bounded by a watermark so 100 TB/day streams don't
+    grow dedup state forever (late duplicates beyond the watermark pass
+    through, the documented tradeoff; reference analog: ReplacingMergeTree
+    dedup-on-merge which is similarly eventual).
+
+    With ts_col: dropDuplicatesWithinWatermark(keys) — duplicates are
+    suppressed while their key is within the watermark window. Without:
+    unbounded-state exact dedup (only for bounded backfills).
+    """
+    if ts_col is None:
+        return df.dropDuplicates(keys)
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -149,3 +149,39 @@ def test_processing_time_rate_source(spark, tmp_path):
         assert all(r.n > 0 for r in rows)
     finally:
         q.stop()
+
+
+def test_streaming_dedup(spark, tmp_path):
+    """Duplicated rows across micro-batches collapse to one within the
+    watermark (streaming counterpart of exact_dedup_groups)."""
+    import pyspark.sql.functions as F
+    from myscaledb_spark.streaming.windows import streaming_dedup
+
+    src = str(tmp_path / "in")
+    import os
+    os.makedirs(src)
+    rows1 = [(1, "a", "2024-01-01 10:00:00"), (2, "b", "2024-01-01 10:01:00")]
+    rows2 = [(1, "a", "2024-01-01 10:02:00"), (3, "c", "2024-01-01 10:03:00")]
+    spark.createDataFrame(rows1, "id int, payload string, ts_s string").write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(rows2, "id int, payload string, ts_s string").write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("id int, payload string, ts_s string")
+        .parquet(src)
+        .withColumn("ts", F.to_timestamp("ts_s"))
+    )
+    deduped = streaming_dedup(stream, ["id"], ts_col="ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.id for r in spark.table("dedup_sink").collect())
+    assert got == [1, 2, 3]  # id=1 duplicate suppressed
