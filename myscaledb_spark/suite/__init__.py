@@ -57,6 +57,8 @@ def load_all() -> None:
         relational2,
         relational3,
         relational4,
+        relational5,
+        relational6,
     )
 
 
