@@ -901,7 +901,10 @@ def splitByRegexp(pattern: str, a):
 
 
 def tuple_(*cols):
-    return F.struct(*[_c(c) for c in cols])
+    """CH tuple(a, b, ...) is an UNNAMED tuple accessed positionally
+    (t.1, t.2) — so fields are aliased col1..colN to make
+    tupleElement(t, i) work regardless of the source expressions."""
+    return F.struct(*[_c(c).alias(f"col{i + 1}") for i, c in enumerate(cols)])
 
 
 def tupleElement(t, i: int):

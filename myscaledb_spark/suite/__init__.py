@@ -59,6 +59,7 @@ def load_all() -> None:
         relational4,
         relational5,
         relational6,
+        functions_gate,
     )
 
 

@@ -1,0 +1,290 @@
+"""Gate entries for scalar-function families the round-1 verdict marked
+'untested (pytest only)': math/bit/rounding, encoding, URL, IP, tuple,
+numbers() table function, dictGet, and the lightweight-DELETE mutation path.
+
+Each entry drives the REAL implementation (`functions/ch_compat.py`,
+`operators/dictionary.py`, `operators/mutations.py`) — not a re-derivation —
+against a DuckDB oracle written to be value-identical:
+  - integer/bit arithmetic and DECIMAL rounding are exact on both engines,
+  - sqrt is IEEE-754-exact for the same double input,
+  - URL parsing uses a synthesized fixed-shape URL so Spark's parse_url and
+    the oracle's regexes provably agree,
+  - hex case is normalized with lower() on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from myscaledb_spark.catalog import load_table
+from myscaledb_spark.functions import ch_compat as ch
+from myscaledb_spark.suite import register
+
+
+@register(
+    "math_bit_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey // 7                          AS int_div,
+           l_orderkey % 7                           AS modulo,
+           l_orderkey & l_partkey                   AS bit_and,
+           l_orderkey | l_partkey                   AS bit_or,
+           xor(l_orderkey, l_partkey)               AS bit_xor,
+           CAST(l_linenumber AS BIGINT) << 3        AS shl,
+           CAST(bit_count(l_orderkey) AS BIGINT)    AS popcnt,
+           CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2))) AS BIGINT) AS price_floor,
+           CAST(ceil(CAST(l_extendedprice AS DECIMAL(18,2))) AS BIGINT)  AS price_ceil,
+           sqrt(l_quantity)                         AS qty_sqrt,
+           abs(l_discount - 0.05)                   AS disc_dev
+    FROM lineitem
+    WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def math_bit_funcs(spark, sf_dir):
+    """Math / bit / rounding family (src/Functions/FunctionsRound.cpp,
+    FunctionsBitAnd etc. in the reference's registerFunctions): pure
+    whole-stage-codegen column expressions — no UDFs, pushdown-friendly."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ch.intDiv(F.col("l_orderkey"), F.lit(7)).alias("int_div"),
+        ch.modulo(F.col("l_orderkey"), F.lit(7)).alias("modulo"),
+        ch.bitAnd(F.col("l_orderkey"), F.col("l_partkey")).alias("bit_and"),
+        ch.bitOr(F.col("l_orderkey"), F.col("l_partkey")).alias("bit_or"),
+        ch.bitXor(F.col("l_orderkey"), F.col("l_partkey")).alias("bit_xor"),
+        ch.bitShiftLeft(F.col("l_linenumber").cast("bigint"), 3).alias("shl"),
+        ch.bitCount(F.col("l_orderkey")).cast("bigint").alias("popcnt"),
+        ch.floor(price_dec).cast("bigint").alias("price_floor"),
+        ch.ceil(price_dec).cast("bigint").alias("price_ceil"),
+        ch.sqrt(F.col("l_quantity")).alias("qty_sqrt"),
+        ch.abs(F.col("l_discount") - F.lit(0.05)).alias("disc_dev"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "encoding_funcs",
+    """
+    SELECT doc_id,
+           lower(hex(CAST(source AS BLOB)))      AS src_hex,
+           to_base64(CAST(source AS BLOB))       AS src_b64,
+           bin(doc_id)                           AS id_bin
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+)
+def encoding_funcs(spark, sf_dir):
+    """hex/base64/bin encodings (src/Functions/FunctionsCoding.h). Hex case
+    normalized lower() on both engines; base64 is canonical RFC 4648 on
+    both."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.lower(ch.hex_(F.col("source"))).alias("src_hex"),
+        ch.base64Encode(F.col("source")).alias("src_b64"),
+        ch.bin_(F.col("doc_id")).alias("id_bin"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "url_funcs",
+    r"""
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)            AS host,
+           regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+                          '\.([^.]+)$', 1)                          AS tld,
+           regexp_replace(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+                          '^www\.', '')                             AS host_no_www,
+           regexp_extract(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+                          '([^.]+)\.[^.]+$', 1)                     AS fsd,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1)      AS url_path,
+           regexp_extract(url, '[?&]id=([^&#]*)', 1)                AS id_param
+    FROM (
+      SELECT doc_id,
+             'https://www.shop-' || lang || '.example.com/cat/' || source ||
+             '/item?id=' || doc_id || '&ref=mail' AS url
+      FROM documents WHERE doc_id < 200
+    )
+    ORDER BY doc_id
+    """,
+)
+def url_funcs(spark, sf_dir):
+    """URL family (src/Functions/URL/): domain, topLevelDomain,
+    domainWithoutWWW, firstSignificantSubdomain, path, extractURLParameter —
+    Spark-side parse_url (JVM), oracle-side equivalent regexes over a
+    fixed-shape synthesized URL."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("https://www.shop-"),
+        F.col("lang"),
+        F.lit(".example.com/cat/"),
+        F.col("source"),
+        F.lit("/item?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&ref=mail"),
+    )
+    d = d.select("doc_id", url.alias("url"))
+    return d.select(
+        "doc_id",
+        ch.domain(F.col("url")).alias("host"),
+        ch.topLevelDomain(F.col("url")).alias("tld"),
+        ch.domainWithoutWWW(F.col("url")).alias("host_no_www"),
+        ch.firstSignificantSubdomain(F.col("url")).alias("fsd"),
+        ch.path(F.col("url")).alias("url_path"),
+        ch.extractURLParameter(F.col("url"), "id").alias("id_param"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "ip_funcs",
+    """
+    SELECT vec_id, ip_num,
+           CAST(ip_num // 16777216 % 256 AS VARCHAR) || '.' ||
+           CAST(ip_num // 65536 % 256 AS VARCHAR) || '.' ||
+           CAST(ip_num // 256 % 256 AS VARCHAR) || '.' ||
+           CAST(ip_num % 256 AS VARCHAR)            AS ip_str,
+           ip_num                                    AS roundtrip,
+           (ip_num >= 167772160 AND ip_num <= 184549375) AS in_10_8
+    FROM (SELECT vec_id, (vec_id * 2654435761) % 4294967296 AS ip_num
+          FROM embeddings WHERE vec_id < 300)
+    ORDER BY vec_id
+    """,
+)
+def ip_funcs(spark, sf_dir):
+    """IPv4 coding functions (FunctionsCodingIP.cpp): NumToString /
+    StringToNum round-trip + isIPAddressInRange — pure integer bit
+    arithmetic, identical on both engines."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    e = e.select(
+        "vec_id",
+        ((F.col("vec_id") * F.lit(2654435761)) % F.lit(4294967296)).alias("ip_num"),
+    )
+    ip_str = ch.IPv4NumToString(F.col("ip_num"))
+    return e.select(
+        "vec_id",
+        "ip_num",
+        ip_str.alias("ip_str"),
+        ch.IPv4StringToNum(ip_str).alias("roundtrip"),
+        ch.isIPv4AddressInRange(ip_str, "10.0.0.0/8").alias("in_10_8"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "tuple_funcs",
+    """
+    SELECT o_orderkey,
+           struct_extract(t, 'status')  AS t_status,
+           struct_extract(t, 'total')   AS t_total
+    FROM (SELECT o_orderkey,
+                 {'status': o_orderstatus,
+                  'total': CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)} AS t
+          FROM orders WHERE o_orderkey < 300)
+    ORDER BY o_orderkey
+    """,
+)
+def tuple_funcs(spark, sf_dir):
+    """tuple()/tupleElement (src/Functions/tuple.cpp): struct build + field
+    extraction; final output flattened to scalars for the gate hash."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    t = ch.tuple_(
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double"),
+    )
+    o = o.select("o_orderkey", t.alias("t"))
+    return o.select(
+        "o_orderkey",
+        ch.tupleElement(F.col("t"), 1).alias("t_status"),
+        ch.tupleElement(F.col("t"), 2).alias("t_total"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "numbers_table_agg",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(i) AS BIGINT) AS total,
+           CAST(SUM(CASE WHEN i % 3 = 0 THEN i ELSE 0 END) AS BIGINT) AS total_div3
+    FROM range(1, 10001) t(i)
+    """,
+)
+def numbers_table_agg(spark, sf_dir):
+    """numbers() table function (src/TableFunctions/TableFunctionNumbers.cpp)
+    = spark.range — a parallelized generator, not a driver loop."""
+    n = spark.range(1, 10001).withColumnRenamed("id", "i")
+    return n.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("i").alias("total"),
+        F.sum(F.when(F.col("i") % 3 == 0, F.col("i")).otherwise(0)).alias("total_div3"),
+    )
+
+
+@register(
+    "dict_get_nation",
+    """
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS customers,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+    FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def dict_get_nation(spark, sf_dir):
+    """dictGet (FunctionsExternalDictionaries.h): nation as an in-RAM
+    dictionary; the lookup compiles to a broadcast left join — executor-local
+    hash lookup, zero shuffle of the fact side (the reference's hashed
+    dictionary layout gives the same physical plan)."""
+    from myscaledb_spark.operators.dictionary import Dictionary
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    d = Dictionary(n, "n_nationkey")
+    looked = d.get(c, "n_name", "c_nationkey")
+    return (
+        looked.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "delete_mutation_counts",
+    """
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS remaining
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000.0)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def delete_mutation_counts(spark, sf_dir):
+    """Lightweight DELETE (MergeTree mutations / DeleteMask): writes orders
+    into a VersionedTable, applies delete_where (mask-append, no rewrite),
+    reads back through the mask (anti-join). Oracle = the complement filter.
+    The temp table lives under /tmp and is rebuilt per run — the read path,
+    not the storage, is what's under test."""
+    import tempfile
+
+    from myscaledb_spark.operators.mutations import VersionedTable
+
+    o = load_table(spark, sf_dir, "orders")
+    root = tempfile.mkdtemp(prefix="msdb_gate_delete_")
+    vt = VersionedTable(spark, root)
+    vt.write(o)
+    vt.delete_where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000.0),
+        key_cols=["o_orderkey"],
+    )
+    return (
+        vt.read()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("remaining"))
+        .orderBy("o_orderstatus")
+    )
