@@ -30,7 +30,7 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -40,6 +40,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         # TIMESTAMP(NANOS) read as ns-since-epoch long → µs timestamp
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Parquet naive timestamp[us] (isAdjustedToUTC=false) arrives as
+    # TIMESTAMP_NTZ in Spark 4; normalize to TIMESTAMP so chronon functions
+    # (unix_micros, to_utc_timestamp, ...) resolve.  Session tz is UTC
+    # (session.py) and the DuckDB oracle's epoch_us treats naive as UTC, so
+    # the two representations agree bit-for-bit.
+    ntz_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)
+    ]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
