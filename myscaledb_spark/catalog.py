@@ -38,7 +38,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # TIMESTAMP(NANOS) read as ns-since-epoch long → µs timestamp
+        # Legacy path only: applies if the data generator ever emits
+        # TIMESTAMP(NANOS) (read as ns-long under nanosAsLong).  Current
+        # testdata stores timestamp[us] → TIMESTAMP_NTZ, handled below.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # Parquet naive timestamp[us] (isAdjustedToUTC=false) arrives as
     # TIMESTAMP_NTZ in Spark 4; normalize to TIMESTAMP so chronon functions

@@ -189,9 +189,20 @@ def mstg_search(
     ef_search: int = 50,
     id_col: str = "vec_id",
     n_seeds: int = 4,
+    exhaustive: bool = False,
 ) -> DataFrame:
     """Tree-routed, graph-searched top-k: partition-pruned read of the
-    probed leaves, per-leaf beam search, exact global merge."""
+    probed leaves, per-leaf beam search, exact global merge.
+
+    exhaustive=True replaces the per-leaf beam search with an exact native
+    distance ranking over every row of the probed leaves; combined with
+    probe_top=num_top and nprobe=num_leaves this is provably equal to brute
+    force (reference brute-force equivalence: MergeTreeVSManager.cpp:382-408),
+    which gives the MSTG artifact path a bit-exact oracle. The distance is the
+    same JVM expression as vector_topk, so the double association order
+    matches the DuckDB oracle exactly — numpy's pairwise summation in the
+    beam path would not.
+    """
     reg = IndexRegistry(artifact_dir)
     rec = reg.get(name)
     if rec is None or rec.get("status") != "Built":
@@ -203,6 +214,11 @@ def mstg_search(
     graph = spark.read.parquet(os.path.join(rec["base"], "graph")).filter(
         F.col("leaf_id").isin(leaves)  # partition pruning
     )
+    if exhaustive:
+        from myscaledb_spark.operators.topk import vector_topk
+
+        out = vector_topk(graph, "vec", list(map(float, qvec)), k, "L2", None, "node_id")
+        return out.withColumnRenamed("node_id", id_col).select(id_col, "dist")
     ef = max(ef_search, k)
     out_schema = StructType(
         [StructField("node_id", LongType()), StructField("dist", DoubleType())]

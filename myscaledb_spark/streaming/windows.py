@@ -25,12 +25,15 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        # events.parquet stores ts as naive timestamp[us]
+        # (isAdjustedToUTC=false) → TIMESTAMP_NTZ in Spark 4.
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -51,18 +54,20 @@ def hop(ts: Column | str, slide: str, size: str) -> Column:
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table (≈ FileLog engine)."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    """File-source stream over the events table (≈ FileLog engine).
+
+    `ts` is read as TIMESTAMP_NTZ (matching the parquet's naive
+    timestamp[us]) and normalized to TIMESTAMP, mirroring
+    catalog.load_table so batch and streaming agree bit-for-bit — the
+    session tz is UTC, so the cast is value-preserving.
+    """
     # file source requires a directory; glob-filter to the events file
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:

@@ -71,6 +71,33 @@ def ivf_search_topk(spark, sf_dir):
     return ivf_search(spark, art, QV, 10, nprobe=4).select("vec_id", "dist")
 
 
+@register(
+    "ivf_search_exhaustive",
+    f"""
+    SELECT vec_id, ROUND({sql_l2('embedding', QV)}, 4) AS dist
+    FROM embeddings
+    ORDER BY {sql_l2('embedding', QV)} ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def ivf_search_exhaustive(spark, sf_dir):
+    """Full IVF artifact path with nprobe = ncentroids: probing every
+    inverted list makes the candidate set the whole corpus, so the exact
+    re-rank equals brute force bit-for-bit (MergeTreeVSManager.cpp:382-408
+    brute-force equivalence; reference test 00028_mqvs_mstg*). This gives
+    the build → partitioned write → centroid-routed probe → exact-rank
+    machinery a hash-green oracle; ivf_search_topk keeps exercising the
+    genuinely approximate nprobe<ncentroids path (rows-only + recall sweeps
+    in BENCH)."""
+    from myscaledb_spark.plans.vector_index import build_ivf_index, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    art = tempfile.mkdtemp(prefix="gate_ivfx_")
+    build_ivf_index(emb, "embedding", "vec_id", art, num_centroids=8)
+    out = ivf_search(spark, art, QV, 10, nprobe=8)
+    return out.select("vec_id", F.round("dist", 4).alias("dist"))
+
+
 @register("mstg_search_topk")  # rows-only: tree+graph search is approximate
 def mstg_search_topk(spark, sf_dir):
     """MSTG analog (MyScale flagship; closed contrib/search-index): 2-level
@@ -83,6 +110,30 @@ def mstg_search_topk(spark, sf_dir):
     return mstg_search(spark, art, QV, 10, probe_top=2, nprobe=4).select(
         "vec_id", "dist"
     )
+
+
+@register(
+    "mstg_search_exhaustive",
+    f"""
+    SELECT vec_id, ROUND({sql_l2('embedding', QV)}, 4) AS dist
+    FROM embeddings
+    ORDER BY {sql_l2('embedding', QV)} ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def mstg_search_exhaustive(spark, sf_dir):
+    """MSTG artifact path probing ALL top cells and ALL leaves with exact
+    per-leaf ranking (exhaustive=True): candidates = whole corpus ⇒ result
+    ≡ brute force (MergeTreeVSManager.cpp:382-408), so the flagship index's
+    build → tree routing → partition-pruned leaf read machinery gets a
+    bit-exact oracle; mstg_search_topk keeps the approximate beam path."""
+    from myscaledb_spark.plans.mstg_index import build_mstg_index, mstg_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    art = tempfile.mkdtemp(prefix="gate_mstgx_")
+    build_mstg_index(emb, "embedding", "vec_id", art, num_leaves=8, num_top=3)
+    out = mstg_search(spark, art, QV, 10, probe_top=3, nprobe=8, exhaustive=True)
+    return out.select("vec_id", F.round("dist", 4).alias("dist"))
 
 
 # --- entropy / theilsU (registerAggregateFunctions.cpp:78-81) -----------------
