@@ -46,28 +46,45 @@ def tokenize(
     tokenizer: str = "simple",
     stop_words: list[str] | None = None,
     length_limit: int | None = None,
+    stem_languages: list[str] | None = None,
+    spec=None,
 ) -> Column:
     """Token array for a string column.
 
     Tokenizer types mirror the reference's per-column tantivy config
     (`MergeTreeIndexTantivy.cpp:710-751`: type, stop_word_filters,
-    length_limit):
+    stem_languages, length_limit; full JSON shape parsed by
+    `functions.tokenizer_spec.parse_fts_config`):
       simple:  lowercase, split on non-alphanumerics, drop empties
       raw:     the whole value as a single token
-      stem:    simple + crude English suffix strip (porter-lite)
+      stem:    simple + per-language suffix strip (porter-lite;
+               stem_languages picks the rule sets, default english)
       chinese: dictionary FMM segmentation for CJK runs (zh_tokenize.py),
                latin runs stay words; Arrow-batched pandas_udf
       chinese_char: deterministic char-unigram fallback (pure column expr)
+
+    Filter chain follows tantivy's analyzer order:
+    split → length_limit → stop-word removal → stemming.
+    ``spec`` (a TokenizerSpec) overrides the individual arguments.
     """
+    from myscaledb_spark.functions.tokenizer_spec import STEM_SUFFIX_RULES
+
+    if spec is not None:
+        tokenizer = spec.type
+        stop_words = spec.stop_words() or None
+        length_limit = spec.length_limit
+        stem_languages = list(spec.stem_languages) or None
     col = F.col(col) if isinstance(col, str) else col
+    stem_patterns: list[str] = []
+    if tokenizer == "stem" or stem_languages:
+        for lang in stem_languages or ["english"]:
+            if lang not in STEM_SUFFIX_RULES:
+                raise InvalidSearchQuery(f"unknown stem_language {lang!r}")
+            stem_patterns.append(STEM_SUFFIX_RULES[lang])
     if tokenizer == "raw":
         toks = F.array(col)
     elif tokenizer in ("simple", "stem"):
         toks = F.filter(F.split(F.lower(col), _TOKEN_SPLIT), lambda x: x != "")
-        if tokenizer == "stem":
-            toks = F.transform(
-                toks, lambda t: F.regexp_replace(t, "(ing|edly|ed|es|s)$", "")
-            )
     elif tokenizer == "chinese":
         from myscaledb_spark.functions.zh_tokenize import fmm_tokenize_col
 
@@ -78,11 +95,18 @@ def tokenize(
         toks = F.filter(F.split(spaced, r"[^a-z0-9\x{4e00}-\x{9fff}]+"), lambda x: x != "")
     else:
         raise InvalidSearchQuery(f"unknown tokenizer {tokenizer!r}")
+    if length_limit:
+        toks = F.filter(toks, lambda t: F.length(t) <= length_limit)
     if stop_words:
         sw = F.array(*[F.lit(w) for w in stop_words])
         toks = F.filter(toks, lambda t: ~F.array_contains(sw, t))
-    if length_limit:
-        toks = F.filter(toks, lambda t: F.length(t) <= length_limit)
+    # NB closure factory, not a default-arg lambda: F.transform treats a
+    # two-parameter lambda as (element, index).
+    def _stripper(p: str):
+        return lambda t: F.regexp_replace(t, p, "")
+
+    for pat in stem_patterns:
+        toks = F.transform(toks, _stripper(pat))
     return toks
 
 
@@ -101,7 +125,23 @@ def tokenize_any(
     return tokenize(col, tokenizer)
 
 
-def tokenize_query(query: str, tokenizer: str = "simple") -> list[str]:
+def tokenize_query(
+    query: str,
+    tokenizer: str = "simple",
+    stop_words: list[str] | None = None,
+    length_limit: int | None = None,
+    stem_languages: list[str] | None = None,
+    spec=None,
+) -> list[str]:
+    """Query-side analyzer — must mirror ``tokenize``'s chain exactly so
+    query terms land in the same normalized space as the indexed tokens."""
+    from myscaledb_spark.functions.tokenizer_spec import STEM_SUFFIX_RULES
+
+    if spec is not None:
+        tokenizer = spec.type
+        stop_words = spec.stop_words() or None
+        length_limit = spec.length_limit
+        stem_languages = list(spec.stem_languages) or None
     if tokenizer == "raw":
         return [query]
     if tokenizer == "chinese":
@@ -110,8 +150,15 @@ def tokenize_query(query: str, tokenizer: str = "simple") -> list[str]:
         toks = fmm_tokenize(query) or []
     else:
         toks = [t for t in re.split(_TOKEN_SPLIT, query.lower()) if t]
-    if tokenizer == "stem":
-        toks = [re.sub(r"(ing|edly|ed|es|s)$", "", t) for t in toks]
+    if length_limit:
+        toks = [t for t in toks if len(t) <= length_limit]
+    if stop_words:
+        sw = set(stop_words)
+        toks = [t for t in toks if t not in sw]
+    if tokenizer == "stem" or stem_languages:
+        for lang in stem_languages or ["english"]:
+            pat = STEM_SUFFIX_RULES[lang]
+            toks = [re.sub(pat, "", t) for t in toks]
     # unique, order-preserving (tantivy dedups identical query terms)
     seen: dict[str, None] = {}
     for t in toks:
@@ -126,18 +173,23 @@ def bm25_scores(
     tokenizer: str = "simple",
     operator: str = "OR",
     score_name: str = "bm25_score",
+    spec=None,
 ) -> DataFrame:
     """Score every matching row with table-global BM25; no top-k applied.
 
     Plan shape: df → tokens/dl columns → one global agg row (N, avgdl, df_t
     for each query term, computed with conditional counts in ONE pass) →
     broadcast cross-join → scalar score expression → filter matches.
+
+    ``spec`` (TokenizerSpec) carries the reference's per-column config —
+    stop_word_filters / stem_languages / length_limit — through both the
+    document and the query analyzer.
     """
-    terms = tokenize_query(query, tokenizer)
+    terms = tokenize_query(query, tokenizer, spec=spec)
     if not terms:
         raise InvalidSearchQuery("empty text-search query after tokenization")
 
-    toked = df.withColumn("_toks", tokenize(text_col, tokenizer)).withColumn(
+    toked = df.withColumn("_toks", tokenize(text_col, tokenizer, spec=spec)).withColumn(
         "_dl", F.size("_toks").cast("double")
     )
 
@@ -377,6 +429,7 @@ def text_search(
     tokenizer: str = "simple",
     operator: str = "OR",
     score_name: str = "bm25_score",
+    spec=None,
 ) -> DataFrame:
     """`textsearch` top-k: BM25 scores, ORDER BY score DESC LIMIT k
     (direction fixed-DESC as the reference enforces, TreeRewriter.cpp:1738)."""
@@ -384,7 +437,7 @@ def text_search(
         raise InvalidSearchQuery("text search requires a positive LIMIT (top-k)")
     if k > MAX_SEARCH_RESULT_WINDOW:
         raise InvalidSearchQuery(f"LIMIT {k} exceeds max_search_result_window")
-    scored = bm25_scores(df, text_col, query, tokenizer, operator, score_name)
+    scored = bm25_scores(df, text_col, query, tokenizer, operator, score_name, spec=spec)
     order = [F.col(score_name).desc()]
     if id_col:
         order.append(F.col(id_col).asc())

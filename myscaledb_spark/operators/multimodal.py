@@ -158,29 +158,82 @@ def media_repartition(df: DataFrame, target_mb_per_task: int = 64) -> DataFrame:
 OBJECT_URL_SCHEMA = "struct<url:string,kind:string>"
 
 
-def get_objects(df: DataFrame, url_col: str, content_name: str = "content") -> DataFrame:
+_MAX_OBJECT_DIRS = 1000
+
+
+def get_objects(
+    df: DataFrame,
+    url_col: str,
+    content_name: str = "content",
+    roots: list[str] | None = None,
+) -> DataFrame:
     """Materialize external objects referenced by a URL/path column.
 
-    Reads the referenced files through Spark's binaryFile source (predicate
-    `path IN (...)` prunes the listing) and joins content back by path. For
-    object stores, the same code runs with s3a:// URLs — credentials come
-    from the hadoop conf (the reference's CREATE CONNECTION analog).
+    Reads the referenced files through Spark's binaryFile source and joins
+    content back by path — the URL *set* never touches the driver (at 100 TB
+    a multimodal table holds 10^8–10^9 object URLs; collecting them would OOM
+    the driver). Only the distinct PARENT DIRECTORIES are collected to feed
+    the binaryFile listing — prefix metadata, bounded at
+    ``_MAX_OBJECT_DIRS``; tables whose blobs sprawl over more prefixes must
+    pass explicit ``roots`` (e.g. ``["s3a://bucket/media/"]``), which skips
+    the directory aggregation entirely. For object stores the same code runs
+    with s3a:// URLs — credentials come from the hadoop conf (the
+    reference's CREATE CONNECTION analog,
+    src/Functions/getObject.cpp / DataTypeObjectToFetch.h:9-31).
+
+    Executor-side alternative for pathological URL layouts:
+    :func:`fetch_objects_in_executors`.
     """
     spark = df.sparkSession
-    paths = [r[0] for r in df.select(url_col).distinct().collect()]
-    if not paths:
+    if roots is None:
+        # distinct dirs computed executor-side; only prefixes come back
+        dir_expr = F.regexp_replace(F.col(url_col), "/[^/]*$", "")
+        dirs_df = df.select(dir_expr.alias("_d")).where(F.col("_d").isNotNull()).distinct()
+        roots = [r[0] for r in dirs_df.limit(_MAX_OBJECT_DIRS + 1).collect()]
+        if len(roots) > _MAX_OBJECT_DIRS:
+            raise ValueError(
+                f"get_objects: more than {_MAX_OBJECT_DIRS} distinct object "
+                "directories; pass roots=[...] prefixes explicitly"
+            )
+    if not roots:
         return df.withColumn(content_name, F.lit(None).cast("binary"))
-    import os
-
-    dirs = sorted({os.path.dirname(p) for p in paths})
     blobs = (
-        spark.read.format("binaryFile").load(dirs)
+        spark.read.format("binaryFile").load(sorted(roots))
         .select(F.col("path"), F.col("content").alias(content_name), F.col("length"))
     )
     # binaryFile yields file:/ URIs; normalize both sides to plain paths
     norm = F.regexp_replace(F.col("path"), "^file:", "")
     blobs = blobs.withColumn("_p", norm).drop("path")
     return df.join(blobs, df[url_col] == blobs["_p"], "left").drop("_p")
+
+
+def fetch_objects_in_executors(
+    df: DataFrame, url_col: str, content_name: str = "content"
+) -> DataFrame:
+    """getObject() via per-executor fetch: each Arrow batch opens its own
+    URLs with a worker-local client — no listing, no driver state, linear in
+    table size. The right shape when URLs don't share a bounded set of
+    prefixes (get_objects' listing path) or when the store supports direct
+    GETs cheaper than a listing join. Local/posix paths here; an s3/http
+    client drops into ``_read`` unchanged."""
+    out_schema = StructType(df.schema.fields + [StructField(content_name, BinaryType())])
+
+    def _read(path: str) -> bytes | None:
+        try:
+            with open(path, "rb") as f:
+                return f.read()
+        except OSError:
+            return None
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out[content_name] = [
+                _read(p) if p is not None else None for p in pdf[url_col]
+            ]
+            yield out
+
+    return df.mapInPandas(_batches, out_schema)
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:

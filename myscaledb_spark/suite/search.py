@@ -255,6 +255,55 @@ def bm25_topk(spark, sf_dir):
     return out.select("doc_id", F.round("bm25_score", 4).alias("bm25_score"))
 
 
+# --- tokenizer-spec BM25: stop_word_filters + stem_languages + length_limit ---
+# Reference per-column config (02888_tantivy_text_search_multi_col.sql:37,
+# MergeTreeIndexTantivy.cpp:710-751). The oracle reproduces the full analyzer
+# chain — split → length_limit → stop-word removal → stem — with the SAME
+# regex and the SAME stop-word list, so tf/df/avgdl all shift identically on
+# both sides and the BM25 hash stays bit-exact.
+def _stopword_toked_sql() -> str:
+    from myscaledb_spark.functions.tokenizer_spec import (
+        STEM_SUFFIX_RULES,
+        STOP_WORD_FILTERS,
+    )
+
+    sw = ", ".join(f"'{w}'" for w in STOP_WORD_FILTERS["english"])
+    pat = STEM_SUFFIX_RULES["english"]
+    return f"""
+      SELECT doc_id,
+             list_transform(
+               list_filter(
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '' AND length(x) <= 40),
+                 x -> NOT list_contains([{sw}], x)),
+               x -> regexp_replace(x, '{pat}', '')) AS toks
+      FROM documents
+    """
+
+
+@register(
+    "bm25_stopword_topk",
+    _bm25_oracle_sql(["search", "vector", "fast"], 12, toked_sql=_stopword_toked_sql()),
+)
+def bm25_stopword_topk(spark, sf_dir):
+    from myscaledb_spark.functions.text import text_search
+    from myscaledb_spark.functions.tokenizer_spec import parse_fts_config
+
+    specs = parse_fts_config(
+        '{ "text": { "tokenizer": { "type": "stem", '
+        '"stop_word_filters": ["english"], "stem_languages": ["english"], '
+        '"length_limit": 40 } } }'
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    # query passes through the same analyzer: 'the' is a stop word,
+    # searching→search, vectors→vector
+    out = text_search(
+        docs, "text", "the searching vectors fast", 12, id_col="doc_id",
+        spec=specs["text"],
+    )
+    return out.select("doc_id", F.round("bm25_score", 4).alias("bm25_score"))
+
+
 # --- CJK textsearch: dictionary-FMM chinese tokenizer -------------------------
 # Gate construction: the synthetic corpus is English, so both sides build a
 # deterministic unsegmented Chinese corpus by mapping known tokens to Chinese

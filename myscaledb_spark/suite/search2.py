@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from myscaledb_spark.catalog import load_table
 from myscaledb_spark.suite import register
-from myscaledb_spark.suite.search import QV, sql_l2
+from myscaledb_spark.suite.search import QV, QV2, sql_ip, sql_l2
 
 
 @register(
@@ -134,6 +134,67 @@ def mstg_search_exhaustive(spark, sf_dir):
     build_mstg_index(emb, "embedding", "vec_id", art, num_leaves=8, num_top=3)
     out = mstg_search(spark, art, QV, 10, probe_top=3, nprobe=8, exhaustive=True)
     return out.select("vec_id", F.round("dist", 4).alias("dist"))
+
+
+# --- search composition (§2.9 last uncovered rows) ----------------------------
+@register(
+    "vec_search_join",
+    f"""
+    SELECT d.doc_id, d.lang, d.n_chars, ROUND({sql_l2('e.embedding', QV)}, 4) AS dist
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.lang = 'en'
+    ORDER BY {sql_l2('e.embedding', QV)} ASC, d.doc_id ASC
+    LIMIT 10
+    """,
+)
+def vec_search_join(spark, sf_dir):
+    """Vector search over a JOINed table — reference tests
+    00025_mqvs_*_subquery / 00026_mqvs_distance_with_join
+    (TreeRewriter.cpp:1502-1565 moves distance through joins): distance()
+    computed on the right side of documents⋈embeddings with a pre-filter on
+    the left side. DataFrames compose this naturally: filter → broadcast-join
+    → exact top-k; the filter applies BEFORE candidate generation (filtered
+    search ordering) and the small filtered side broadcasts."""
+    from myscaledb_spark.operators.topk import vector_topk
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    emb = load_table(spark, sf_dir, "embeddings")
+    joined = F.broadcast(docs).join(emb, docs["doc_id"] == emb["vec_id"])
+    out = vector_topk(joined, "embedding", QV, 10, "L2", id_col="doc_id")
+    return out.select("doc_id", "lang", "n_chars", F.round("dist", 4).alias("dist"))
+
+
+@register(
+    "vec_multi_distance",
+    f"""
+    SELECT vec_id,
+           ROUND({sql_l2('embedding', QV)}, 4) AS dist_l2,
+           ROUND({sql_ip('embedding', QV2)}, 4) AS dist_ip
+    FROM embeddings
+    ORDER BY {sql_l2('embedding', QV)} ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def vec_multi_distance(spark, sf_dir):
+    """Multiple distance functions in ONE query — reference test
+    00037_mqvs_select_multiple_vector_indices.sql: two different metrics
+    (L2 vs IP, different query vectors) evaluated per row, ordered by one.
+    Both are native zip_with/aggregate expressions in a single projection —
+    one scan, no extra shuffle."""
+    from myscaledb_spark.functions.vector import distance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("dist_l2", distance("embedding", QV, "L2"))
+        .withColumn("dist_ip", distance("embedding", QV2, "IP"))
+        .orderBy(F.col("dist_l2").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select(
+            "vec_id",
+            F.round("dist_l2", 4).alias("dist_l2"),
+            F.round("dist_ip", 4).alias("dist_ip"),
+        )
+    )
 
 
 # --- entropy / theilsU (registerAggregateFunctions.cpp:78-81) -----------------

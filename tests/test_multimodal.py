@@ -158,3 +158,48 @@ def test_get_objects_binaryfile(spark, tmp_path):
     # dir exists (tmp_path) so listing succeeds; the path just doesn't match
     r = get_objects(df2, "url").first()
     assert r.content is None
+
+
+def test_get_objects_explicit_roots(spark, tmp_path):
+    """roots= skips the directory aggregation entirely — the scale path when
+    prefixes are known (the URL set itself never reaches the driver)."""
+    from myscaledb_spark.operators.multimodal import get_objects
+
+    p = tmp_path / "a.bin"
+    p.write_bytes(b"hello")
+    df = spark.createDataFrame([(1, str(p))], "obj_id int, url string")
+    out = get_objects(df, "url", roots=[str(tmp_path)]).collect()
+    assert bytes(out[0].content) == b"hello"
+
+
+def test_get_objects_dir_cap(spark, tmp_path, monkeypatch):
+    """More distinct prefixes than the cap → explicit error telling the
+    caller to pass roots, instead of an unbounded driver collect."""
+    from myscaledb_spark.operators import multimodal
+
+    monkeypatch.setattr(multimodal, "_MAX_OBJECT_DIRS", 2)
+    paths = []
+    for i in range(3):
+        d = tmp_path / f"d{i}"
+        d.mkdir()
+        f = d / "x.bin"
+        f.write_bytes(b"x")
+        paths.append(str(f))
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(paths)], "obj_id int, url string")
+    import pytest
+
+    with pytest.raises(ValueError, match="roots"):
+        multimodal.get_objects(df, "url")
+
+
+def test_fetch_objects_in_executors(spark, tmp_path):
+    """Executor-side fetch: no listing, missing file → null content."""
+    from myscaledb_spark.operators.multimodal import fetch_objects_in_executors
+
+    p = tmp_path / "b.bin"
+    p.write_bytes(b"world")
+    df = spark.createDataFrame(
+        [(1, str(p)), (2, str(tmp_path / "nope.bin"))], "obj_id int, url string"
+    )
+    got = {r.obj_id: r.content for r in fetch_objects_in_executors(df, "url").collect()}
+    assert bytes(got[1]) == b"world" and got[2] is None
