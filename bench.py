@@ -64,6 +64,30 @@ def main() -> None:
     load_table(spark, SF_DIR, "lineitem").count()
     warm = time.time() - t0
 
+    # Calibration: a fixed pure-Spark scan-agg (no engine code) whose cost
+    # tracks the HOST, not this repo — per-query ratios against it make
+    # round-over-round comparisons drift-immune (BENCH_NOTES.md r2: 1.52×
+    # host drift masked a like-for-like speedup).
+    def _calibrate() -> float:
+        from pyspark.sql import functions as F
+
+        best = float("inf")
+        for _ in range(3):
+            t = time.time()
+            (
+                spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+                .groupBy("l_returnflag")
+                .agg(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()
+            )
+            best = min(best, time.time() - t)
+        return best
+
+    calibration = _calibrate()
+
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
@@ -185,6 +209,13 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "warmup_scan_sec": round(warm, 4),
                 "cold_total_sec": round(sum(cold.values()), 4),
+                "calibration_sec": round(calibration, 4),
+                "ratios": {
+                    name: round(t / calibration, 2)
+                    for name, t in timings.items()
+                    if t >= 0 and calibration > 0
+                },
+                "normalized_total": round(total / calibration, 2) if calibration > 0 else None,
                 "vector_sweep": sweep,
             }
         )

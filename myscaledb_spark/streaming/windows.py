@@ -4,6 +4,12 @@
   tumble(t, INTERVAL)        → window(t, size)
   hop(t, slide, size)        → window(t, size, slide)
   WATERMARK BOUNDED(i)       → withWatermark(t, i)
+  ALLOWED_LATENESS           → `update` output mode: a late-but-in-watermark
+                               row re-fires its window with the updated
+                               partial result (multiple outputs per window,
+                               StorageWindowView.h:88-101); beyond-watermark
+                               rows are dropped. Pinned executable in
+                               tests/test_allowed_lateness.py.
   Kafka/FileLog engines      → readStream sources (file source here; kafka
                                format is available on clusters with the
                                kafka connector jar)
