@@ -77,6 +77,7 @@ PRIORITY: list[str] = [
     "ivf_search_exhaustive",
     "mstg_search_exhaustive",
     "vec_search_join",
+    "vec_search_subquery",
     "vec_multi_distance",
     "bm25_stopword_topk",
     "json_object_cols",
@@ -107,6 +108,7 @@ PRIORITY: list[str] = [
     "q16_part_supplier_counts",
     "q17_small_quantity_revenue",
     "q19_or_predicate_revenue",
+    "q20_part_promotion",
     "q21_waiting_supplier",
     "q22_acctbal_opportunity",
     # --- never driver-checked: scalar families / gates ---

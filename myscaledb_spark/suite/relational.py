@@ -620,6 +620,51 @@ def json_extract_props(spark, sf_dir):
     )
 
 
+# --- Object('json') / JSON column type (src/DataTypes/DataTypeObject.h) -------
+@register(
+    "json_object_cols",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(SUM(CAST(props::JSON->>'k' AS BIGINT)) AS BIGINT) AS sum_k_variant,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_object_cols(spark, sf_dir):
+    """Object('json') / JSON column type (DataTypeObject.h): the reference
+    stores semi-structured JSON as a dynamically-typed column with inferred
+    subcolumns. Spark 4 analog, both halves shown in one query:
+      1. schema inference → typed subcolumns: schema_of_json on a sampled
+         exemplar (one driver row — metadata, like the reference's type
+         inference on insert) + from_json → a real StructType whose fields
+         push down / prune like any column;
+      2. VariantType: parse_json + variant_get for schema-on-read access
+         without declaring a schema (the closer analog of the reference's
+         Dynamic/Object type).
+    Both paths produce identical numbers, cross-checked against the DuckDB
+    JSON operators in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    # (1) infer the schema from an exemplar row, then read typed subcolumns
+    sample = ev.select("props").filter(F.col("props").isNotNull()).first()[0]
+    schema = ev.sparkSession.range(1).select(
+        F.schema_of_json(F.lit(sample)).alias("s")
+    ).first()[0]
+    typed = ev.withColumn("_obj", F.from_json("props", schema))
+    # (2) variant path: schema-on-read field access
+    typed = typed.withColumn("_var", F.parse_json("props"))
+    k_typed = F.col("_obj.k").cast("bigint")
+    k_var = F.try_variant_get("_var", "$.k", "bigint")
+    return typed.groupBy("event_type").agg(
+        F.sum(k_typed).alias("sum_k"),
+        F.max(k_typed).alias("max_k"),
+        F.sum(k_var).alias("sum_k_variant"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 # --- ASOF JOIN (Joins.h:38 Asof; DuckDB has native ASOF as oracle) ------------
 @register(
     "asof_events_orders",

@@ -374,6 +374,66 @@ def q19_or_predicate_revenue(spark, sf_dir):
 
 
 @register(
+    "q20_part_promotion",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CASE WHEN l_shipdate >= DATE '1996-01-01'
+                       AND l_shipdate <  DATE '1997-01-01'
+                      THEN l_quantity ELSE 0 END) AS qty_1996,
+             SUM(l_quantity) AS qty_all
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT s_suppkey, s_name, ROUND(CAST(s_acctbal AS DOUBLE), 2) AS s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7')
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM shipped JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%' AND 5 * qty_1996 > qty_all
+      )
+    ORDER BY s_name, s_suppkey
+    """,
+)
+def q20_part_promotion(spark, sf_dir):
+    """TPC-H q20 (potential part promotion) adapted to the reduced schema:
+    no partsupp availqty, so 'excess stock' becomes a shipment-concentration
+    predicate — suppliers of 'small%' parts where 1996 shipments exceed 20%
+    of that (part, supplier)'s lifetime quantity, integer-exact as
+    5*qty_1996 > qty_all. Shape preserved: nation-filtered suppliers
+    semi-joined to a part-restricted aggregate subquery. Plan: one lineitem
+    shuffle for the (part,supp) aggregate; part and nation filters broadcast;
+    the supplier membership check is a left-semi broadcast join."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    in_1996 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("date")
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.when(in_1996, F.col("l_quantity")).otherwise(F.lit(0))).alias("qty_1996"),
+        F.sum("l_quantity").alias("qty_all"),
+    )
+    qualifying = (
+        shipped.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(F.lit(5) * F.col("qty_1996") > F.col("qty_all"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey"), "semi")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("s_acctbal").cast("double"), 2).alias("s_acctbal"),
+        )
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+@register(
     "q21_waiting_supplier",
     """
     SELECT s_name, COUNT(*) AS numwait

@@ -165,6 +165,36 @@ def vec_search_join(spark, sf_dir):
 
 
 @register(
+    "vec_search_subquery",
+    f"""
+    SELECT vec_id, ROUND({sql_l2('embedding', QV2)}, 4) AS dist
+    FROM (
+      SELECT * FROM embeddings
+      WHERE vec_id IN (SELECT doc_id FROM documents WHERE n_chars >= 200)
+    )
+    ORDER BY {sql_l2('embedding', QV2)} ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def vec_search_subquery(spark, sf_dir):
+    """Vector search INSIDE a subquery — reference test
+    00025_mqvs_distance_subquery (TreeRewriter.cpp:1502-1565): the search
+    table is itself a subquery (semi-join-restricted embeddings). Spark
+    expresses the IN-subquery as a left-semi join (broadcast, the doc-id
+    side is small after its filter) and the top-k still compiles to
+    TakeOrderedAndProject over the filtered scan."""
+    from myscaledb_spark.operators.topk import vector_topk
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 200)
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = emb.join(
+        F.broadcast(docs.select(F.col("doc_id").alias("vec_id"))), "vec_id", "semi"
+    )
+    out = vector_topk(sub, "embedding", QV2, 10, "L2", id_col="vec_id")
+    return out.select("vec_id", F.round("dist", 4).alias("dist"))
+
+
+@register(
     "vec_multi_distance",
     f"""
     SELECT vec_id,

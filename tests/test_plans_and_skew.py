@@ -55,6 +55,46 @@ def test_newly_gated_plans_no_python(spark):
         assert_no_python_in_plan(df), name
 
 
+def test_round3_search_plans(spark):
+    """Round-3 entries: search-on-join broadcasts the filtered dim side and
+    keeps TakeOrderedAndProject; multi-distance is one scan, no Python;
+    stop-word BM25 stays whole-stage-codegen (the analyzer chain is all
+    higher-order column exprs)."""
+    import __spark_entry__ as m
+
+    qs = m.queries()
+    join_df = qs["vec_search_join"](spark, SF_DIR)
+    assert_broadcast_join(join_df)
+    assert_take_ordered(join_df)
+    assert_no_python_in_plan(join_df)
+
+    sub_df = qs["vec_search_subquery"](spark, SF_DIR)
+    assert_take_ordered(sub_df)
+    assert_no_python_in_plan(sub_df)
+
+    for name in ("vec_multi_distance", "bm25_stopword_topk"):
+        df = qs[name](spark, SF_DIR)
+        assert_take_ordered(df)
+        assert_no_python_in_plan(df)
+
+
+def test_get_objects_no_url_localtablescan(spark, tmp_path):
+    """get_objects must not materialize the URL set driver-side: the blobs
+    side of the join is a binaryFile FileScan, and the probe side is the
+    original plan — no LocalTableScan of collected paths anywhere."""
+    from myscaledb_spark.operators.multimodal import get_objects
+
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"abc")
+    df = spark.range(1).select(
+        F.col("id").alias("obj_id"), F.lit(str(p)).alias("url")
+    )
+    out = get_objects(df, "url", roots=[str(tmp_path)])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan
+    assert "binaryFile" in plan or "FileScan" in plan
+
+
 def test_nlq_plan_no_python(spark):
     from myscaledb_spark.functions.text import nlq_search
 
