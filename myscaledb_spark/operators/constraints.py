@@ -30,6 +30,19 @@ class CheckConstraintViolation(MyScaleSparkError):
         super().__init__(f"constraint check failed: {detail}")
 
 
+def violation_counts(df: DataFrame, constraints: dict[str, Column]) -> DataFrame:
+    """One-row violation audit: per-constraint violating-row counts plus
+    n_rows, in a single pass. NULL predicate counts as a violation (the
+    reference casts CHECK results to UInt8 and requires 1,
+    src/Storages/ConstraintsDescription.cpp). This is the exact aggregate
+    check_constraints gates inserts on, exposed as a DataFrame for audits."""
+    aggs = [
+        F.sum(F.when(cond, 0).otherwise(1)).cast("bigint").alias(name)
+        for name, cond in constraints.items()
+    ] + [F.count(F.lit(1)).alias("n_rows")]
+    return df.agg(*aggs)
+
+
 def check_constraints(
     df: DataFrame, constraints: dict[str, Column], sample_rows: int = 3
 ) -> DataFrame:
@@ -41,11 +54,7 @@ def check_constraints(
     """
     if not constraints:
         return df
-    aggs = [
-        F.sum(F.when(cond, 0).otherwise(1)).alias(name)
-        for name, cond in constraints.items()
-    ]
-    row = df.agg(*aggs).first()
+    row = violation_counts(df, constraints).first()
     violations = {name: int(row[name] or 0) for name in constraints if row[name]}
     if not violations:
         return df

@@ -81,6 +81,9 @@ PRIORITY: list[str] = [
     "vec_multi_distance",
     "bm25_stopword_topk",
     "json_object_cols",
+    "mv_push_hourly",
+    "avg_vector_centroids",
+    "check_constraint_counts",
     # --- never driver-checked: dialect / analytics / combinators ---
     "ch_sql_monthly_stats",
     "ch_sql_vector_search",

@@ -97,3 +97,70 @@ def sum_array_tokens(spark, sf_dir):
         ).alias("sum_array_lens"),
         F.max(F.array_max(lens)).alias("max_array_len"),
     )
+
+
+# --- grouped-agg pandas UDAF (§2.12) — oracle via parallel-unnest avg ---------
+@register(
+    "avg_vector_centroids",
+    """
+    WITH e AS (
+      SELECT label,
+             UNNEST(embedding) AS v,
+             UNNEST(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS INT) AS dim, ROUND(AVG(CAST(v AS DOUBLE)), 4) AS m
+    FROM e GROUP BY label, dim
+    """,
+)
+def avg_vector_centroids(spark, sf_dir):
+    """Grouped-agg pandas UDAF (functions/udaf.py::avg_vector) — per-label
+    embedding centroid, the array-state aggregate native Spark can't
+    express. The UDAF returns array<double>; the gate posexplodes it into
+    (label, dim, m) scalar rows so the driver's row-sort hash applies.
+    ROUND(4) absorbs summation-order float jitter (numpy pairwise vs
+    sequential — both far below 1e-4)."""
+    from myscaledb_spark.functions.udaf import avg_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.groupBy("label").agg(avg_vector("embedding").alias("c"))
+    return cents.select(
+        "label", F.posexplode("c").alias("dim0", "m0")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.round("m0", 4).alias("m"),
+    )
+
+
+# --- CHECK constraints (§2.2) — violation-count audit as a gate query ---------
+@register(
+    "check_constraint_counts",
+    """
+    SELECT CAST(SUM(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS BIGINT) AS quantity_positive,
+           CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS discount_range,
+           CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS shipdate_not_null,
+           CAST(SUM(CASE WHEN l_tax < 0.03 THEN 0 ELSE 1 END) AS BIGINT) AS tax_small,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def check_constraint_counts(spark, sf_dir):
+    """CHECK constraints (operators/constraints.py): the same one-pass
+    violation-count aggregate check_constraints runs before raising — NULL
+    predicate = violation, matching the reference's CAST(expr AS UInt8)=1
+    rule (src/Storages/ConstraintsDescription.cpp). Two constraints hold,
+    tax_small intentionally has violations so the non-zero path is
+    oracle-pinned too."""
+    from myscaledb_spark.operators.constraints import violation_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return violation_counts(
+        li,
+        {
+            "quantity_positive": F.col("l_quantity") > 0,
+            "discount_range": F.col("l_discount").between(0.0, 0.1),
+            "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+            "tax_small": F.col("l_tax") < 0.03,
+        },
+    )

@@ -57,6 +57,48 @@ def stream_hop_2h_1h(spark, sf_dir):
     return out.select(F.col("w.start").alias("window_start"), "n", "total_value")
 
 
+@register(
+    "mv_push_hourly",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def mv_push_hourly(spark, sf_dir):
+    """INSERT → materialized-view push chain
+    (buildPushingToViewsChain.cpp): every ingested micro-batch is pushed
+    through the view transform into its target table; the target holds
+    per-batch PARTIAL aggregates (the reference's SummingMergeTree MV
+    pattern) which merge on read — so the final re-aggregation is part of
+    the operator's contract, not a fixup. Driving the whole chain
+    (events_stream → foreachBatch push → parquet target → merge-on-read)
+    must reproduce the plain batch oracle exactly."""
+    import tempfile
+
+    from myscaledb_spark.streaming.materialized_views import MaterializedViewChain
+    from myscaledb_spark.streaming.windows import events_stream, tumble
+
+    base = tempfile.mkdtemp(prefix="gate_mv_")
+    target = f"{base}/hourly"
+    ckpt = f"{base}/ckpt"
+
+    def hourly(batch):
+        return batch.groupBy(
+            tumble("ts", "1 hour").alias("w"), F.col("event_type")
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    chain = MaterializedViewChain().add_view("hourly", hourly, target)
+    chain.run(events_stream(spark, sf_dir), ckpt)
+    mv = MaterializedViewChain.read_view(spark, target)
+    return (
+        mv.groupBy(F.col("w.start").alias("window_start"), "event_type")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
 @register("stream_watermark_append")  # rows-only: late-data semantics differ by design
 def stream_watermark_append(spark, sf_dir):
     """BOUNDED watermark (StorageWindowView.h:60-86) — append-mode windowed
