@@ -30,6 +30,25 @@ from myscaledb_spark.functions.text import BM25_B, BM25_K1, tokenize, tokenize_q
 from myscaledb_spark.plans.vector_index import IndexRegistry
 
 
+def _spec_to_json(spec) -> dict | None:
+    if spec is None:
+        return None
+    return {
+        "type": spec.type,
+        "stop_word_filters": list(spec.stop_word_filters),
+        "stem_languages": list(spec.stem_languages),
+        "length_limit": spec.length_limit,
+    }
+
+
+def _spec_from_json(obj):
+    if not obj:
+        return None
+    from myscaledb_spark.functions.tokenizer_spec import parse_tokenizer
+
+    return parse_tokenizer(obj)
+
+
 def build_fts_index(
     df: DataFrame,
     text_col: str,
@@ -37,13 +56,20 @@ def build_fts_index(
     artifact_dir: str,
     name: str = "fts",
     tokenizer: str = "simple",
+    spec=None,
 ) -> dict:
+    """``spec`` (TokenizerSpec) persists the reference's full per-column
+    tokenizer config with the index artifact (MergeTreeIndexTantivy.cpp
+    stores the config in the index metadata the same way), so searches
+    always analyze queries with the exact chain the postings were built
+    with."""
     reg = IndexRegistry(artifact_dir)
     reg.set_status(name, "InProgress", column=text_col, index_type="fts",
-                   params={"tokenizer": tokenizer})
+                   params={"tokenizer": tokenizer, "spec": _spec_to_json(spec)})
 
     toked = df.select(
-        F.col(id_col).alias("doc_id"), tokenize(text_col, tokenizer).alias("toks")
+        F.col(id_col).alias("doc_id"),
+        tokenize(text_col, tokenizer, spec=spec).alias("toks"),
     )
     doclens = toked.select("doc_id", F.size("toks").alias("dl"))
     postings = (
@@ -61,7 +87,12 @@ def build_fts_index(
     ).collect()[0]
     os.makedirs(base, exist_ok=True)
     json.dump(
-        {"n_docs": int(n_docs), "avgdl": float(avgdl), "tokenizer": tokenizer},
+        {
+            "n_docs": int(n_docs),
+            "avgdl": float(avgdl),
+            "tokenizer": tokenizer,
+            "spec": _spec_to_json(spec),
+        },
         open(os.path.join(base, "stats.json"), "w"),
     )
     reg.set_status(name, "Built", base=base)
@@ -87,7 +118,9 @@ def fts_search(
         raise RuntimeError(f"fts index {name!r} not built")
     base = rec["base"]
     stats = json.load(open(os.path.join(base, "stats.json")))
-    terms = tokenize_query(query, stats["tokenizer"])
+    terms = tokenize_query(
+        query, stats["tokenizer"], spec=_spec_from_json(stats.get("spec"))
+    )
     if not terms:
         raise InvalidSearchQuery("empty text-search query after tokenization")
     n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
@@ -147,7 +180,10 @@ def append_to_fts_index(
     base = rec["base"]
     stats = json.load(open(os.path.join(base, "stats.json")))
     toked = new_docs.select(
-        F.col(id_col).alias("doc_id"), tokenize(text_col, stats["tokenizer"]).alias("toks")
+        F.col(id_col).alias("doc_id"),
+        tokenize(
+            text_col, stats["tokenizer"], spec=_spec_from_json(stats.get("spec"))
+        ).alias("toks"),
     )
     toked.select("doc_id", F.explode("toks").alias("term")).groupBy(
         "term", "doc_id"
@@ -163,9 +199,7 @@ def append_to_fts_index(
         .agg(F.count(F.lit(1)), F.avg("dl"))
         .collect()[0]
     )
-    json.dump(
-        {"n_docs": int(n_docs), "avgdl": float(avgdl), "tokenizer": stats["tokenizer"]},
-        open(os.path.join(base, "stats.json"), "w"),
-    )
+    stats.update({"n_docs": int(n_docs), "avgdl": float(avgdl)})
+    json.dump(stats, open(os.path.join(base, "stats.json"), "w"))
     reg.set_status(name, "Built", base=base)
     return reg.get(name)

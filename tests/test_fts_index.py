@@ -72,3 +72,32 @@ def test_incremental_append(spark, fts_dir, tmp_path_factory):
     assert [(r.doc_id, round(r.bm25_score, 9)) for r in via_index] == [
         (r.doc_id, round(r.bm25_score, 9)) for r in direct
     ]
+
+
+def test_index_with_tokenizer_spec_equals_direct(spark, tmp_path_factory):
+    """The persisted index carries the full tokenizer config
+    (stop_word_filters/stem_languages/length_limit) and analyzes queries
+    with it — index-backed scores must equal the direct spec'd path."""
+    from myscaledb_spark.functions.tokenizer_spec import parse_fts_config
+
+    spec = parse_fts_config(
+        '{ "text": { "tokenizer": { "type": "stem", '
+        '"stop_word_filters": ["english"], "stem_languages": ["english"], '
+        '"length_limit": 40 } } }'
+    )["text"]
+    d = str(tmp_path_factory.mktemp("fts_spec"))
+    rec = build_fts_index(spark.table("documents"), "text", "doc_id", d, spec=spec)
+    assert rec["status"] == "Built"
+    q = "the searching vectors fast"
+    via_index = fts_search(spark, d, q, 15).collect()
+    direct = (
+        text_search(
+            spark.table("documents"), "text", q, 15, id_col="doc_id", spec=spec
+        )
+        .select("doc_id", "bm25_score")
+        .collect()
+    )
+    assert len(via_index) == 15
+    assert [(r.doc_id, round(r.bm25_score, 9)) for r in via_index] == [
+        (r.doc_id, round(r.bm25_score, 9)) for r in direct
+    ]
