@@ -123,6 +123,8 @@ PRIORITY: list[str] = [
     "numbers_table_agg",
     "dict_get_nation",
     "delete_mutation_counts",
+    "rounding_funcs",
+    "format_roundtrip_csv_json",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "bm25_topk",

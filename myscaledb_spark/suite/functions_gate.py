@@ -288,3 +288,86 @@ def delete_mutation_counts(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("remaining"))
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "rounding_funcs",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_extendedprice - FLOOR(l_extendedprice) = 0.5
+                         THEN FLOOR(l_extendedprice)
+                              + (CAST(FLOOR(l_extendedprice) AS BIGINT) % 2)
+                         ELSE ROUND(l_extendedprice) END) AS BIGINT) AS sum_bankers,
+           CAST(SUM(ROUND(l_extendedprice)) AS BIGINT) AS sum_half_up,
+           CAST(SUM(FLOOR(l_extendedprice)) AS BIGINT) AS sum_floor,
+           CAST(SUM(CEIL(l_extendedprice)) AS BIGINT) AS sum_ceil,
+           CAST(SUM(ROUND(l_discount, 1) * 10) AS BIGINT) AS sum_disc_d1,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def rounding_funcs(spark, sf_dir):
+    """Rounding family (src/Functions/round.cpp): round (HALF_UP),
+    roundBankers (HALF_EVEN — differs from round exactly on the .5 ties,
+    which the oracle reproduces with an explicit round-to-even CASE on
+    positive money values), floor/ceil, and digit-scaled round. All sums
+    are integer-valued doubles (< 2^53) so the aggregation is exact on
+    both sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.sum(ch.roundBankers(ep)).cast("bigint").alias("sum_bankers"),
+            F.sum(F.round(ep)).cast("bigint").alias("sum_half_up"),
+            F.sum(F.floor(ep)).cast("bigint").alias("sum_floor"),
+            F.sum(F.ceil(ep)).cast("bigint").alias("sum_ceil"),
+            F.sum(F.round(F.col("l_discount"), 1) * 10).cast("bigint").alias("sum_disc_d1"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "format_roundtrip_csv_json",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def format_roundtrip_csv_json(spark, sf_dir):
+    """File/URL format surface (the reference's 90+ input/output formats,
+    src/Formats/registerFormats.cpp; Spark maps them to datasource
+    formats): the SAME rows written to CSV and JSON, read back through
+    each parser with an explicit schema, unioned, and de-duplicated by key
+    — any parse/serialize drift (quoting, timestamp format, nulls) would
+    change the aggregate vs the parquet-sourced oracle."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="gate_fmt_")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    sub = o.select(*cols)
+    sub.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
+    sub.write.mode("overwrite").json(f"{base}/json")
+    schema = sub.schema
+    from_csv = spark.read.schema(schema).option("header", True).csv(f"{base}/csv")
+    from_json = spark.read.schema(schema).json(f"{base}/json")
+    both = from_csv.unionByName(from_json)
+    # both copies must agree row-for-row: dedup on ALL columns halves it back
+    dedup = both.dropDuplicates(cols)
+    return dedup.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
