@@ -193,6 +193,23 @@ def main() -> None:
             }
         sweep["mstg_build_sec"] = mstg_build
         emb.unpersist()
+
+        # FTS index: one-time postings build vs per-query corpus re-scan.
+        # At 100 TB the index path touches ~kB of term-pruned postings;
+        # direct BM25 re-tokenizes the table every query.
+        from myscaledb_spark.functions.text import text_search
+        from myscaledb_spark.plans.fts_index import build_fts_index, fts_search
+
+        docs = load_table(spark, SF_DIR, "documents")
+        t0 = time.time()
+        build_fts_index(docs, "text", "doc_id", art)
+        sweep["fts_build_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        fts_search(spark, art, "vector search fast", 15).collect()
+        sweep["fts_indexed_search_sec"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        text_search(docs, "text", "vector search fast", 15, id_col="doc_id").collect()
+        sweep["fts_direct_search_sec"] = round(time.time() - t0, 4)
     except Exception as e:
         sweep["error"] = str(e)[:200]
         print(f"# vector sweep error: {e}", file=sys.stderr)
