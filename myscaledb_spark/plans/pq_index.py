@@ -9,9 +9,10 @@ Settings.h:118); every vector is stored as m uint8 codes (+ the original
 vector for exact re-rank, mirroring the reference's two-stage search).
 
 Search = ADC (asymmetric distance computation): one (m × ks) lookup table of
-query-to-centroid partial distances, then candidate scoring is m table
-lookups per row — numpy-vectorized inside mapInPandas over the codes
-parquet. Top (k × multiple) candidates re-rank exactly → top-k.
+query-to-centroid partial distances folded into a literal array, then
+candidate scoring is m element_at lookups per row as a pure JVM
+transform/aggregate expression over the codes parquet (no Python stage in
+the query path). Top (k × multiple) candidates re-rank exactly → top-k.
 Compression ratio vs float32: d·4 / m bytes (64-dim → 8 codes = 32×).
 
 At 100 TB the codes table is what gets scanned (32× less IO than raw
@@ -174,25 +175,20 @@ def pq_search(
     codes_df = spark.read.parquet(os.path.join(rec["base"], "codes"))
     ncand = max(k * candidate_multiple, k)
 
-    out_schema = StructType(
-        [StructField("pq_id", LongType()), StructField("adc", DoubleType())]
+    # ADC as a PURE JVM expression: the (m × ks) lookup table is a tiny
+    # literal array (e.g. 8×16 = 128 doubles), and the per-row score is
+    # adc = Σ_j LUT[j·ks + code_j] — a transform(element_at) + aggregate
+    # over the m-length codes array. No Python stage, no Arrow transfer;
+    # the candidate stage is FileScan + TakeOrderedAndProject.
+    ks = lut.shape[1]
+    lut_flat = F.array(*[F.lit(float(v)) for v in lut.ravel()])
+    # two-arg transform lambda = (element, index): index picks the subspace
+    picks = F.transform(
+        F.col("codes"), lambda c, i: F.element_at(lut_flat, i * ks + c + 1)
     )
-
-    def _adc(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            C = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (b, m)
-            dist = lut[np.arange(m)[None, :], C].sum(axis=1)
-            take = min(ncand, len(dist))
-            part = np.argpartition(dist, take - 1)[:take]
-            yield pd.DataFrame(
-                {"pq_id": pdf["pq_id"].to_numpy()[part], "adc": dist[part]}
-            )
-
+    adc = F.aggregate(picks, F.lit(0.0), lambda acc, v: acc + v)
     cands = (
-        codes_df.select("pq_id", "codes")
-        .mapInPandas(_adc, out_schema)
+        codes_df.select("pq_id", adc.alias("adc"))
         .orderBy(F.col("adc").asc(), F.col("pq_id").asc())
         .limit(ncand)
     )
