@@ -28,9 +28,40 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _tz_normalize(dt):
+    """Recursively replace TIMESTAMP_NTZ with TIMESTAMP inside any nested
+    type (struct/array/map). Returns (new_type, changed)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if isinstance(dt, TimestampNTZType):
+        return TimestampType(), True
+    if isinstance(dt, ArrayType):
+        el, ch = _tz_normalize(dt.elementType)
+        return ArrayType(el, dt.containsNull), ch
+    if isinstance(dt, MapType):
+        kt, ck = _tz_normalize(dt.keyType)
+        vt, cv = _tz_normalize(dt.valueType)
+        return MapType(kt, vt, dt.valueContainsNull), ck or cv
+    if isinstance(dt, StructType):
+        fields, changed = [], False
+        for f in dt.fields:
+            ft, ch = _tz_normalize(f.dataType)
+            fields.append(StructField(f.name, ft, f.nullable, f.metadata))
+            changed = changed or ch
+        return StructType(fields), changed
+    return dt, False
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, TimestampNTZType
+    from pyspark.sql.types import LongType
 
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -43,15 +74,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # testdata stores timestamp[us] → TIMESTAMP_NTZ, handled below.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     # Parquet naive timestamp[us] (isAdjustedToUTC=false) arrives as
-    # TIMESTAMP_NTZ in Spark 4; normalize to TIMESTAMP so chronon functions
-    # (unix_micros, to_utc_timestamp, ...) resolve.  Session tz is UTC
-    # (session.py) and the DuckDB oracle's epoch_us treats naive as UTC, so
-    # the two representations agree bit-for-bit.
-    ntz_cols = [
-        f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)
-    ]
-    for c in ntz_cols:
-        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    # TIMESTAMP_NTZ in Spark 4; normalize to TIMESTAMP (recursively, incl.
+    # struct/array/map fields) so chronon functions (unix_micros,
+    # to_utc_timestamp, ...) resolve.  Session tz is UTC (session.py) and
+    # the DuckDB oracle's epoch_us treats naive as UTC, so the two
+    # representations agree bit-for-bit.
+    for f in df.schema.fields:
+        new_type, changed = _tz_normalize(f.dataType)
+        if changed:
+            df = df.withColumn(f.name, F.col(f.name).cast(new_type))
     return df
 
 

@@ -85,3 +85,29 @@ def test_allowed_lateness_update_mode(spark, tmp_path):
     _write(spark, src, [4])
     got4 = _run_update(spark, src, ckpt, "al_run4")
     assert got4 == set()
+
+
+def test_tz_normalize_nested(spark, tmp_path):
+    """catalog normalizes TIMESTAMP_NTZ recursively — nested struct/array
+    timestamp fields can't slip through uncast (latent-risk item from the
+    r2 review)."""
+    import pandas as pd
+
+    from myscaledb_spark.catalog import load_table
+
+    pdf = pd.DataFrame({"ts": [pd.Timestamp("2024-01-01 10:00:00")], "v": [1]})
+    df = spark.createDataFrame(pdf)
+    nested = df.select(
+        F.struct(F.col("ts").cast("timestamp_ntz").alias("inner_ts"), "v").alias("s"),
+        F.array(F.col("ts").cast("timestamp_ntz")).alias("arr"),
+        F.col("ts").cast("timestamp_ntz"),
+    )
+    sf = str(tmp_path)
+    nested.write.mode("overwrite").parquet(f"{sf}/nested.parquet")
+    out = load_table(spark, sf, "nested")
+    types = dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)
+    assert types["ts"] == "timestamp"
+    assert "timestamp_ntz" not in types["s"] and "timestamp" in types["s"]
+    assert types["arr"] == "array<timestamp>"
+    row = out.first()
+    assert row.s.inner_ts == row.ts == row.arr[0]
