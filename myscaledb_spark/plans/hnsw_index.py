@@ -219,8 +219,15 @@ def hnsw_search(
     ef_search: int = 50,
     id_col: str = "vec_id",
     n_seeds: int = 4,
+    exhaustive: bool = False,
 ) -> DataFrame:
-    """Per-part beam search → global exact merge (reference §3.2.4-5)."""
+    """Per-part beam search → global exact merge (reference §3.2.4-5).
+
+    exhaustive=True replaces the beam with an exact native distance ranking
+    over every stored graph row — equal to brute force by construction,
+    giving the artifact path (build → partitioned graph storage → read →
+    rank) a bit-exact oracle; the beam path stays the approximate default.
+    """
     reg = IndexRegistry(artifact_dir)
     rec = reg.get(name)
     if rec is None or rec.get("status") != "Built":
@@ -228,6 +235,11 @@ def hnsw_search(
     graph = spark.read.parquet(os.path.join(rec["base"], "graph"))
     q = np.asarray(qvec, dtype=np.float64)
     ef = max(ef_search, k)
+    if exhaustive:
+        from myscaledb_spark.operators.topk import vector_topk
+
+        out = vector_topk(graph, "vec", list(map(float, qvec)), k, "L2", None, "node_id")
+        return out.withColumnRenamed("node_id", id_col).select(id_col, "dist")
 
     out_schema = StructType(
         [StructField("node_id", LongType()), StructField("dist", DoubleType())]

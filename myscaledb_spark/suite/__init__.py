@@ -76,6 +76,7 @@ PRIORITY: list[str] = [
     # --- new this round ---
     "ivf_search_exhaustive",
     "mstg_search_exhaustive",
+    "hnsw_search_exhaustive",
     "vec_search_join",
     "vec_search_subquery",
     "vec_multi_distance",

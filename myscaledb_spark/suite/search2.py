@@ -113,6 +113,30 @@ def mstg_search_topk(spark, sf_dir):
 
 
 @register(
+    "hnsw_search_exhaustive",
+    f"""
+    SELECT vec_id, ROUND({sql_l2('embedding', QV)}, 4) AS dist
+    FROM embeddings
+    ORDER BY {sql_l2('embedding', QV)} ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def hnsw_search_exhaustive(spark, sf_dir):
+    """HNSW artifact path with exhaustive exact ranking over the stored
+    per-part graphs: every graph row ranked with the native distance
+    expression ≡ brute force, pinning the build → partitioned-graph
+    storage → read machinery to a bit-exact oracle (the beam path keeps
+    its recall sweeps in BENCH: 0.9-1.0 @ ef50-100)."""
+    from myscaledb_spark.plans.hnsw_index import build_hnsw_index, hnsw_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    art = tempfile.mkdtemp(prefix="gate_hnswx_")
+    build_hnsw_index(emb, "embedding", "vec_id", art, m=8, ef_construction=32)
+    out = hnsw_search(spark, art, QV, 10, exhaustive=True)
+    return out.select("vec_id", F.round("dist", 4).alias("dist"))
+
+
+@register(
     "mstg_search_exhaustive",
     f"""
     SELECT vec_id, ROUND({sql_l2('embedding', QV)}, 4) AS dist
