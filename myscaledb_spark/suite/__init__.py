@@ -133,7 +133,7 @@ PRIORITY: list[str] = [
     "minhash_lsh_pairs",
     "curation_pipeline",
     "pricing_summary",
-    "windowfunnel_purchase_path",
+    "window_funnel_levels",
 ]
 
 

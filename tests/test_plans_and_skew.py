@@ -196,3 +196,18 @@ def test_column_pruning_reaches_scan(spark):
     )
     p = plan_string(df)
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in p, p[:1500]
+
+
+def test_priority_names_all_registered():
+    """Every PRIORITY entry must name a real registered query — a typo
+    would silently waste one of the driver's 50 check slots."""
+    from myscaledb_spark import suite
+
+    suite.load_all()
+    unknown = [n for n in suite.PRIORITY if n not in suite.REGISTRY]
+    assert unknown == [], f"PRIORITY names not in registry: {unknown}"
+    # and the window the driver checks is fully oracle-backed except the
+    # documented rows-only entries
+    ordered = suite._ordered(suite.REGISTRY.keys())[:50]
+    rows_only = {n for n in ordered if suite.REGISTRY[n][1] is None}
+    assert rows_only <= {"stream_watermark_append"}, rows_only
