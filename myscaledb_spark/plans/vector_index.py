@@ -193,9 +193,18 @@ def ivf_search(
     where=None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k via the IVF artifact. Reads only nprobe inverted lists
-    (partition-pruned scan), exact-ranks candidates."""
+    (partition-pruned scan), exact-ranks candidates.
+
+    exclude_ids: a DataFrame whose first column holds ids masked out of the
+    search — the lightweight-DELETE interaction (the reference feeds the
+    part's deleted-rows bitmap into vector scans,
+    MergeTreeVSManager.cpp filter path; our operators/mutations.py keeps
+    the same mask as a table). Applied as a broadcast anti-join BEFORE the
+    top-k, so deleted rows can never surface and the index needs no
+    rebuild until compaction."""
     reg = IndexRegistry(artifact_dir)
     rec = reg.get(name)
     if rec is None or rec.get("status") != "Built":
@@ -204,6 +213,9 @@ def ivf_search(
     probe = _nearest_lists(centroids, qvec, nprobe, metric)
     inv = spark.read.parquet(rec["inverted"])
     cands = inv.filter(F.col("list_id").isin(probe))  # partition pruning
+    if exclude_ids is not None:
+        mask = exclude_ids.select(F.col(exclude_ids.columns[0]).alias(id_col))
+        cands = cands.join(F.broadcast(mask), id_col, "anti")
     return vector_topk(cands, vec_col, qvec, k, metric, where, id_col)
 
 

@@ -103,3 +103,32 @@ def test_incremental_append_serves_new_rows(spark, tmp_path_factory):
     assert got == want
     # odd ids (appended) must be reachable
     assert any(v % 2 == 1 for v in got)
+
+
+def test_ivf_search_excludes_deleted(spark, tmp_path):
+    """Lightweight-DELETE ↔ vector index: deleted ids are masked out of
+    search results without rebuilding the artifact (the reference passes
+    the part's deleted-rows filter into vector scans)."""
+    import tempfile
+
+    from myscaledb_spark.catalog import load_table
+    from myscaledb_spark.operators.topk import vector_topk
+    from myscaledb_spark.plans.vector_index import build_ivf_index, ivf_search
+    from myscaledb_spark.suite.search import QV
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    d = str(tmp_path / "ivf_del")
+    build_ivf_index(emb, "embedding", "vec_id", d, num_centroids=4)
+
+    # exhaustive probe == brute force; delete the true top-3
+    top = ivf_search(spark, d, QV, 3, nprobe=4).collect()
+    deleted = spark.createDataFrame([(r.vec_id,) for r in top], "vec_id long")
+    masked = ivf_search(spark, d, QV, 5, nprobe=4, exclude_ids=deleted).collect()
+    assert {r.vec_id for r in top}.isdisjoint({r.vec_id for r in masked})
+    # and equals brute force over the un-deleted rows
+    want = vector_topk(
+        emb.join(deleted, "vec_id", "anti"), "embedding", QV, 5, "L2",
+        id_col="vec_id",
+    ).collect()
+    assert [r.vec_id for r in masked] == [r.vec_id for r in want]
