@@ -345,10 +345,10 @@ def rounding_funcs(spark, sf_dir):
 def format_roundtrip_csv_json(spark, sf_dir):
     """File/URL format surface (the reference's 90+ input/output formats,
     src/Formats/registerFormats.cpp; Spark maps them to datasource
-    formats): the SAME rows written to CSV and JSON, read back through
-    each parser with an explicit schema, unioned, and de-duplicated by key
-    — any parse/serialize drift (quoting, timestamp format, nulls) would
-    change the aggregate vs the parquet-sourced oracle."""
+    formats): the SAME rows written to CSV, JSON and ORC, read back
+    through each parser with an explicit schema, unioned, and de-duplicated
+    on all columns — any parse/serialize drift (quoting, timestamp format,
+    nulls) would change the aggregate vs the parquet-sourced oracle."""
     import tempfile
 
     base = tempfile.mkdtemp(prefix="gate_fmt_")
@@ -357,11 +357,13 @@ def format_roundtrip_csv_json(spark, sf_dir):
     sub = o.select(*cols)
     sub.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
     sub.write.mode("overwrite").json(f"{base}/json")
+    sub.write.mode("overwrite").orc(f"{base}/orc")
     schema = sub.schema
     from_csv = spark.read.schema(schema).option("header", True).csv(f"{base}/csv")
     from_json = spark.read.schema(schema).json(f"{base}/json")
-    both = from_csv.unionByName(from_json)
-    # both copies must agree row-for-row: dedup on ALL columns halves it back
+    from_orc = spark.read.schema(schema).orc(f"{base}/orc")
+    both = from_csv.unionByName(from_json).unionByName(from_orc)
+    # all copies must agree row-for-row: dedup on ALL columns collapses them
     dedup = both.dropDuplicates(cols)
     return dedup.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
