@@ -30,10 +30,11 @@ HEADLINE = [
     "two_stage_l2",         # candidate gen + re-rank
     "bm25_topk",            # corpus stats + broadcast + scoring
     "bm25_phrase_topk",     # NLQ: phrase tf via consecutive-run containment
-    "bm25_cjk_topk",        # FMM pandas_udf tokenization path
-    "sq_rerank_topk",       # int8 SQ index scan + exact re-rank
+    "bm25_cjk_topk",        # JVM regex-FMM tokenization path
+    "sq_rerank_topk",       # int8 SQ index scan + exact re-rank (build cached)
     "bitmap_retention",     # bitmap set-algebra over grouped collect_sets
     "hybrid_search_rsf",    # two candidate pipelines + fusion join
+    "hybrid_search_indexed",  # artifact-backed candidates + one re-rank scan
     "pricing_summary",      # full-scan decimal aggregation
     "revenue_by_nation",    # 5-way join w/ broadcast dims
     "top_customers",        # join + agg + topk
@@ -214,6 +215,11 @@ def main() -> None:
         sweep["error"] = str(e)[:200]
         print(f"# vector sweep error: {e}", file=sys.stderr)
 
+    # Gate index artifacts are built once per session (suite.artifact_cache);
+    # the first (cold) invocation of each indexed query pays the build, the
+    # steady-state timings above are search-only. Report builds separately.
+    from myscaledb_spark.suite.artifact_cache import BUILD_SECONDS
+
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -233,6 +239,7 @@ def main() -> None:
                     if t >= 0 and calibration > 0
                 },
                 "normalized_total": round(total / calibration, 2) if calibration > 0 else None,
+                "gate_build_secs": dict(BUILD_SECONDS),
                 "vector_sweep": sweep,
             }
         )

@@ -240,3 +240,46 @@ def t_two_sided_p_expr(o, t, v):
 def normal_two_sided_p_expr(o, z):
     """Two-sided p-value under N(0,1): p = erfc(|z| / sqrt(2))."""
     return erfc_expr(o, o.div(o.abs(z), o.lit(1.4142135623730951)))
+
+
+def f_sf_p_expr(o, f, d1, d2):
+    """Survival function of the F distribution (the one-way ANOVA p-value,
+    `AggregateFunctionAnalysisOfVariance.h:70-90`):
+    p = 1 - CDF_F(f; d1, d2) = I_{d2/(d2 + d1 f)}(d2/2, d1/2)."""
+    x = o.div(d2, o.add(d2, o.mul(d1, f)))
+    return ibeta_expr(o, x, o.div(d2, o.lit(2.0)), o.div(d1, o.lit(2.0)))
+
+
+def norm_ppf(p: float) -> float:
+    """Driver-side standard-normal quantile (Acklam's rational approximation,
+    |rel err| < 1.15e-9 — the classical public-domain algorithm). Used only
+    to fold a confidence-level parameter into ONE double literal that both
+    backends then share, so approximation error can't split the engines."""
+    if not 0.0 < p < 1.0:
+        raise ValueError("norm_ppf requires 0 < p < 1")
+    a = (-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00)
+    b = (-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01)
+    c = (-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+         -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00)
+    d = (7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+         3.754408661907416e+00)
+    plow, phigh = 0.02425, 1 - 0.02425
+    import math
+
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+        )
+    if p > phigh:
+        q = math.sqrt(-2 * math.log(1 - p))
+        return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+        )
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / (
+        ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1
+    )

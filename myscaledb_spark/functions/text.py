@@ -143,8 +143,11 @@ def tokenize_query(
         length_limit = spec.length_limit
         stem_languages = list(spec.stem_languages) or None
     if tokenizer == "raw":
-        return [query]
-    if tokenizer == "chinese":
+        # the whole value is one token, but the filter chain below still
+        # applies — tokenize() filters raw tokens too, and the two analyzers
+        # must share one normalized space
+        toks = [query]
+    elif tokenizer == "chinese":
         from myscaledb_spark.functions.zh_tokenize import fmm_tokenize
 
         toks = fmm_tokenize(query) or []
@@ -157,8 +160,9 @@ def tokenize_query(
         toks = [t for t in toks if t not in sw]
     if tokenizer == "stem" or stem_languages:
         for lang in stem_languages or ["english"]:
-            pat = STEM_SUFFIX_RULES[lang]
-            toks = [re.sub(pat, "", t) for t in toks]
+            if lang not in STEM_SUFFIX_RULES:
+                raise InvalidSearchQuery(f"unknown stem_language {lang!r}")
+            toks = [re.sub(STEM_SUFFIX_RULES[lang], "", t) for t in toks]
     # unique, order-preserving (tantivy dedups identical query terms)
     seen: dict[str, None] = {}
     for t in toks:

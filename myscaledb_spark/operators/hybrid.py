@@ -158,14 +158,15 @@ def fuse_candidates(
 def hybrid_search_indexed(
     spark,
     artifact_dir: str,
-    df: DataFrame,
-    text_col: str,
+    df: DataFrame | None,
+    text_col: str | None,
     qvec: Sequence[float],
     qtext: str,
     k: int,
     id_col: str,
     index_kind: str = "ivf",
     index_name: str | None = None,
+    fts_name: str | None = None,
     fusion_type: str = "rsf",
     metric: str = "L2",
     fusion_weight: float = DEFAULT_FUSION_WEIGHT,
@@ -179,9 +180,14 @@ def hybrid_search_indexed(
     shape (MergeTreeHybridSearchManager drives the part-level vector INDEX
     plus the tantivy text index, then fuses). Vector candidates come from a
     prebuilt IVF/HNSW/MSTG artifact (partition-pruned / graph search instead
-    of a full scan); text candidates from BM25; fusion identical to
+    of a full scan); text candidates from the FTS postings artifact when
+    ``fts_name`` is given (term-pruned postings scan, `plans/fts_index.py` —
+    then NO query touches the corpus at all, vs the default path's 3 corpus
+    scans), else direct BM25 over ``df``. Fusion is identical to
     hybrid_search. search_params pass through (nprobe=, ef_search=,
-    probe_top=...).
+    probe_top=...). With exhaustive search params (nprobe=ncentroids) both
+    candidate lists equal the brute-force lists bit-for-bit, which is how
+    the driver gate pins this path to the same oracle as hybrid_search_rsf.
     """
     if k is None or k <= 0:
         raise InvalidSearchQuery("hybrid search requires a positive LIMIT (top-k)")
@@ -211,9 +217,20 @@ def hybrid_search_indexed(
     else:
         raise InvalidSearchQuery(f"unknown index kind {index_kind!r}")
     vec_cand = vec_cand.select(F.col(id_col), F.col("dist").alias("_vdist"))
-    txt_cand = text_search(
-        df, text_col, qtext, kprime, id_col, tokenizer, score_name="_bm25"
-    ).select(id_col, "_bm25")
+    if fts_name is not None:
+        from myscaledb_spark.plans.fts_index import fts_search
+
+        txt_cand = fts_search(
+            spark, artifact_dir, qtext, kprime, name=fts_name, score_name="_bm25"
+        ).select(F.col("doc_id").alias(id_col), "_bm25")
+    else:
+        if df is None or text_col is None:
+            raise InvalidSearchQuery(
+                "hybrid_search_indexed needs either fts_name or (df, text_col)"
+            )
+        txt_cand = text_search(
+            df, text_col, qtext, kprime, id_col, tokenizer, score_name="_bm25"
+        ).select(id_col, "_bm25")
     return fuse_candidates(
         vec_cand, txt_cand, k, id_col, fusion_type, metric, fusion_weight,
         fusion_k, score_name,

@@ -19,6 +19,7 @@ blobs doesn't create 10-GB tasks.
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -170,35 +171,60 @@ def get_objects(
     """Materialize external objects referenced by a URL/path column.
 
     Reads the referenced files through Spark's binaryFile source and joins
-    content back by path — the URL *set* never touches the driver (at 100 TB
-    a multimodal table holds 10^8–10^9 object URLs; collecting them would OOM
-    the driver). Only the distinct PARENT DIRECTORIES are collected to feed
-    the binaryFile listing — prefix metadata, bounded at
-    ``_MAX_OBJECT_DIRS``; tables whose blobs sprawl over more prefixes must
-    pass explicit ``roots`` (e.g. ``["s3a://bucket/media/"]``), which skips
-    the directory aggregation entirely. For object stores the same code runs
-    with s3a:// URLs — credentials come from the hadoop conf (the
-    reference's CREATE CONNECTION analog,
+    content back by path — the full URL *set* never touches the driver (at
+    100 TB a multimodal table holds 10^8–10^9 object URLs; collecting them
+    would OOM the driver). Listing strategy, bounded at ``_MAX_OBJECT_DIRS``
+    either way:
+      1. small referenced set (≤ cap distinct URLs): list the parent
+         directories with a ``pathGlobFilter`` of exactly the referenced
+         basenames — unreferenced blobs in shared prefixes are never
+         opened, and a missing file simply doesn't match (null content,
+         row preserved);
+      2. larger set: fall back to the distinct PARENT DIRECTORIES (prefix
+         metadata only); beyond the cap, callers must pass explicit
+         ``roots`` (e.g. ``["s3a://bucket/media/"]``), which skips the
+         aggregation entirely.
+    For object stores the same code runs with s3a:// URLs — credentials
+    come from the hadoop conf (the reference's CREATE CONNECTION analog,
     src/Functions/getObject.cpp / DataTypeObjectToFetch.h:9-31).
 
     Executor-side alternative for pathological URL layouts:
     :func:`fetch_objects_in_executors`.
     """
     spark = df.sparkSession
+    glob = None
     if roots is None:
-        # distinct dirs computed executor-side; only prefixes come back
-        dir_expr = F.regexp_replace(F.col(url_col), "/[^/]*$", "")
-        dirs_df = df.select(dir_expr.alias("_d")).where(F.col("_d").isNotNull()).distinct()
-        roots = [r[0] for r in dirs_df.limit(_MAX_OBJECT_DIRS + 1).collect()]
-        if len(roots) > _MAX_OBJECT_DIRS:
-            raise ValueError(
-                f"get_objects: more than {_MAX_OBJECT_DIRS} distinct object "
-                "directories; pass roots=[...] prefixes explicitly"
+        # distinct URLs computed executor-side; at most cap+1 come back
+        urls_df = (
+            df.select(F.col(url_col).alias("_u"))
+            .where(F.col("_u").isNotNull())
+            .distinct()
+        )
+        urls = [r[0] for r in urls_df.limit(_MAX_OBJECT_DIRS + 1).collect()]
+        if len(urls) <= _MAX_OBJECT_DIRS:
+            names = sorted({u.rsplit("/", 1)[-1] for u in urls})
+            esc = [re.sub(r"([\\*?\[\]{}^,])", r"\\\1", n) for n in names]
+            glob = "{" + ",".join(esc) + "}"
+            roots = sorted({u.rsplit("/", 1)[0] for u in urls if "/" in u})
+        else:
+            # distinct dirs computed executor-side; only prefixes come back
+            dir_expr = F.regexp_replace(F.col(url_col), "/[^/]*$", "")
+            dirs_df = (
+                df.select(dir_expr.alias("_d")).where(F.col("_d").isNotNull()).distinct()
             )
+            roots = [r[0] for r in dirs_df.limit(_MAX_OBJECT_DIRS + 1).collect()]
+            if len(roots) > _MAX_OBJECT_DIRS:
+                raise ValueError(
+                    f"get_objects: more than {_MAX_OBJECT_DIRS} distinct object "
+                    "directories; pass roots=[...] prefixes explicitly"
+                )
     if not roots:
         return df.withColumn(content_name, F.lit(None).cast("binary"))
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
     blobs = (
-        spark.read.format("binaryFile").load(sorted(roots))
+        reader.load(sorted(roots))
         .select(F.col("path"), F.col("content").alias(content_name), F.col("length"))
     )
     # binaryFile yields file:/ URIs; normalize both sides to plain paths

@@ -110,6 +110,224 @@ def rank_corr(df: DataFrame, x: Column | str, y: Column | str) -> DataFrame:
     return ranked.agg(F.corr("rx", "ry").alias("rank_corr"))
 
 
+def mean_z_test(
+    df: DataFrame,
+    value: Column | str,
+    is_a: Column,
+    pop_var_x: float,
+    pop_var_y: float,
+    confidence_level: float = 0.95,
+) -> DataFrame:
+    """meanZTest(pop_var_x, pop_var_y, conf)(sample, index) —
+    `AggregateFunctionMeanZTest.cpp:25-39`, `Moments.h:418-433`:
+    z = (mx − my) / sqrt(σx²/nx + σy²/ny) with KNOWN population variances,
+    p = 2·Φ(−|z|) = erfc(|z|/√2), CI = (mx−my) ± z* · se. The normal
+    quantile z* is folded to one double literal driver-side (norm_ppf) so
+    both gate backends share the identical constant."""
+    from myscaledb_spark.functions.special import norm_ppf
+
+    value = F.col(value) if isinstance(value, str) else value
+    zcrit = norm_ppf(1.0 - (1.0 - confidence_level) / 2.0)
+    m = df.agg(
+        F.count(F.when(is_a, 1)).cast("double").alias("na"),
+        F.count(F.when(~is_a, 1)).cast("double").alias("nb"),
+        F.avg(F.when(is_a, value)).alias("ma"),
+        F.avg(F.when(~is_a, value)).alias("mb"),
+    )
+    se = F.sqrt(
+        F.lit(float(pop_var_x)) / F.col("na") + F.lit(float(pop_var_y)) / F.col("nb")
+    )
+    diff = F.col("ma") - F.col("mb")
+    out = m.select(
+        (diff / se).alias("z_stat"),
+        (diff - F.lit(zcrit) * se).alias("ci_low"),
+        (diff + F.lit(zcrit) * se).alias("ci_high"),
+    )
+    return out.select(
+        "z_stat",
+        normal_two_sided_p_expr(SparkOps, F.col("z_stat")).alias("p_value"),
+        "ci_low",
+        "ci_high",
+    )
+
+
+def anova_oneway(df: DataFrame, value: Column | str, group: Column | str) -> DataFrame:
+    """analysisOfVariance / anova — one-way ANOVA over the grouping column
+    (`AggregateFunctionAnalysisOfVariance.h:30-90`): F = (SSB/(k−1)) /
+    (SSW/(n−k)), p = F-survival via the shared incomplete-beta tree.
+    Two-level aggregation: per-group (n, Σx, Σx²) then a combine over the
+    tiny group table — one scan, no window."""
+    from myscaledb_spark.functions.special import f_sf_p_expr
+
+    value = F.col(value) if isinstance(value, str) else value
+    group = F.col(group) if isinstance(group, str) else group
+    g = df.groupBy(group.alias("g")).agg(
+        F.count(F.lit(1)).cast("double").alias("ng"),
+        F.sum(value.cast("double")).alias("sg"),
+        F.sum(value.cast("double") * value.cast("double")).alias("qg"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum(F.col("qg") - F.col("sg") * F.col("sg") / F.col("ng")).alias("ssw"),
+        F.sum(F.col("sg") * F.col("sg") / F.col("ng")).alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("s") * F.col("s") / F.col("n")
+    d1 = F.col("k") - 1
+    d2 = F.col("n") - F.col("k")
+    fstat = (ssb / d1) / (F.col("ssw") / d2)
+    out = tot.select(fstat.alias("f_stat"), d1.alias("d1"), d2.alias("d2"))
+    return out.select(
+        "f_stat",
+        f_sf_p_expr(SparkOps, F.col("f_stat"), F.col("d1"), F.col("d2")).alias("p_value"),
+        "d1",
+        "d2",
+    )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """corrMatrix(x1..xm) (`AggregateFunctionVarianceMatrix.cpp:37`):
+    all pairwise Pearson correlations in ONE scan — a single aggregate row
+    of co-moments (Σx, Σx², Σxy per pair), then the m(m−1)/2 upper-triangle
+    entries unpivoted via inline(). Long form (i, j, corr), i < j."""
+    m = len(cols)
+    aggs = []
+    for i, c in enumerate(cols):
+        x = F.col(c).cast("double")
+        aggs += [F.sum(x).alias(f"s{i}"), F.sum(x * x).alias(f"q{i}")]
+    for i in range(m):
+        for j in range(i + 1, m):
+            xi = F.col(cols[i]).cast("double")
+            xj = F.col(cols[j]).cast("double")
+            aggs.append(F.sum(xi * xj).alias(f"p{i}_{j}"))
+    aggs.append(F.count(F.lit(1)).cast("double").alias("n"))
+    mrow = df.agg(*aggs)
+
+    def _corr(i: int, j: int) -> Column:
+        n = F.col("n")
+        cov = n * F.col(f"p{i}_{j}") - F.col(f"s{i}") * F.col(f"s{j}")
+        vi = n * F.col(f"q{i}") - F.col(f"s{i}") * F.col(f"s{i}")
+        vj = n * F.col(f"q{j}") - F.col(f"s{j}") * F.col(f"s{j}")
+        return cov / (F.sqrt(vi) * F.sqrt(vj))
+
+    entries = [
+        F.struct(
+            F.lit(i + 1).alias("i"), F.lit(j + 1).alias("j"),
+            _corr(i, j).alias("corr"),
+        )
+        for i in range(m)
+        for j in range(i + 1, m)
+    ]
+    return mrow.select(F.inline(F.array(*entries)))
+
+
+def topk_weighted(
+    df: DataFrame, key: Column | str, weight: Column | str, k: int
+) -> DataFrame:
+    """topKWeighted(k)(x, weight) (`registerAggregateFunctions.cpp:54`,
+    AggregateFunctionTopK space-saving sketch): heavy hitters by total
+    weight. Spark-first this is an EXACT hash-aggregate + global top-k
+    (map-side partial agg, TakeOrderedAndProject) — the sketch exists in the
+    reference only to bound single-node memory, which the shuffle already
+    handles; exact ⊇ approximate, deterministic, oracle-able."""
+    key = F.col(key) if isinstance(key, str) else key
+    weight = F.col(weight) if isinstance(weight, str) else weight
+    return (
+        df.groupBy(key.alias("k"))
+        .agg(F.sum(weight).alias("w"))
+        .orderBy(F.col("w").desc(), F.col("k").asc())
+        .limit(k)
+    )
+
+
+# --- quantileTiming: the reference's fixed-grid timing histogram --------------
+# QuantileTiming.h:241-425 (large state): values < 1024 exact, [1024, 30000)
+# in width-16 buckets whose representative value is de-evened with
+# intHash32<0>(bucket) % 16 - 8, values ≥ 30000 counted but bucketless (the
+# quantile walk returns 30000 when it runs off the histogram).
+
+_SMALL_THRESHOLD = 1024
+_BIG_THRESHOLD = 30000
+_BIG_PRECISION = 16
+_M64 = (1 << 64) - 1
+
+
+def _int_hash32(key: int, salt: int = 0) -> int:
+    """intHash32 (Common/HashTable/Hash.h:499-511), 64-bit wrapping port."""
+    key ^= salt
+    key = (~key + (key << 18)) & _M64
+    key = key ^ ((key >> 31) | (key << 33) & _M64)
+    key = (key * 21) & _M64
+    key = key ^ ((key >> 11) | (key << 53) & _M64)
+    key = (key + (key << 6)) & _M64
+    key = key ^ ((key >> 22) | (key << 42) & _M64)
+    return key & 0xFFFFFFFF
+
+
+def timing_rep_values() -> list[int]:
+    """Representative value per big bucket i (QuantileTiming.h:265-269):
+    i*16 + 1024 + (intHash32<0>(i) % 16 − 8)."""
+    nbuckets = (_BIG_THRESHOLD - _SMALL_THRESHOLD) // _BIG_PRECISION
+    return [
+        i * _BIG_PRECISION
+        + _SMALL_THRESHOLD
+        + (_int_hash32(i) % _BIG_PRECISION - _BIG_PRECISION // 2)
+        for i in range(nbuckets)
+    ]
+
+
+def quantile_timing(
+    df: DataFrame, value: Column | str, levels: list[float]
+) -> DataFrame:
+    """quantileTiming / quantilesTiming (`registerAggregateFunctions.cpp:
+    20-34`, QuantileTiming.h large state): exact-grid parity, fully
+    deterministic and therefore oracle-able (unlike tdigest). The quantile
+    at `level` is the first histogram key whose cumulative count reaches
+    ceil(count·level), else 30000 (QuantileTiming.h:407-425).
+
+    Plan shape: bucket-key projection → groupBy(key) count (the histogram is
+    ≤ 2835 rows whatever the input size) → one ascending cumulative window
+    over the tiny histogram → conditional min per level. Returns one row
+    with a `q_<level>` column per level."""
+    value = F.col(value) if isinstance(value, str) else value
+    reps = timing_rep_values()
+    rep_arr = F.array(*[F.lit(v) for v in reps])
+    v = value.cast("bigint")
+    key = (
+        F.when(v < _SMALL_THRESHOLD, v)
+        .when(
+            v < _BIG_THRESHOLD,
+            F.element_at(
+                rep_arr,
+                ((v - _SMALL_THRESHOLD) / _BIG_PRECISION).cast("int") + 1,
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(None).cast("bigint"))  # ≥ 30000: counted, bucketless
+    )
+    hist = df.select(key.alias("key")).groupBy("key").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    total = hist.agg(F.sum("c").alias("n"))
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.filter(F.col("key").isNotNull())
+        .withColumn("cum", F.sum("c").over(w))
+        .crossJoin(F.broadcast(total))
+    )
+    aggs = []
+    for lv in levels:
+        pos = F.ceil(F.col("n").cast("double") * F.lit(float(lv)))
+        name = f"q_{str(lv).replace('.', '_')}"
+        aggs.append(
+            F.coalesce(
+                F.min(F.when(F.col("cum") >= pos, F.col("key"))),
+                F.lit(_BIG_THRESHOLD),
+            ).alias(name)
+        )
+    return cum.agg(*aggs)
+
+
 def cramers_v(df: DataFrame, a: Column | str, b: Column | str) -> DataFrame:
     """cramersV: association between two categorical columns,
     V = sqrt(chi2 / (n * (min(r,c) - 1)))."""

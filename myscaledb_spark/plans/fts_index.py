@@ -144,21 +144,37 @@ def fts_search(
         )
         .withColumn(
             "_s",
+            # parenthesized idf * (norm) — the exact association order of
+            # bm25_scores' `idf * norm`, keeping indexed scores bit-identical
             F.col("_idf")
-            * (F.col("tf").cast("double") * (BM25_K1 + 1.0))
-            / (
+            * (
                 F.col("tf").cast("double")
-                + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / F.lit(avgdl))
+                * (BM25_K1 + 1.0)
+                / (
+                    F.col("tf").cast("double")
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / F.lit(avgdl))
+                )
             ),
         )
     )
-    agg = scored.groupBy("doc_id").agg(
-        F.sum("_s").alias(score_name), F.count(F.lit(1)).alias("_nterms")
-    )
+    # Pivot per-term scores and add them in query-term order — the same
+    # association order as bm25_scores' expression tree (((0+s0)+s1)+s2), so
+    # indexed and direct scores are bit-identical doubles, not just close.
+    # A float F.sum over term-rows would have nondeterministic add order.
+    aggs = [
+        F.sum(F.when(F.col("term") == t, F.col("_s"))).alias(f"_s_{i}")
+        for i, t in enumerate(terms)
+    ] + [F.count(F.lit(1)).alias("_nterms")]
+    agg = scored.groupBy("doc_id").agg(*aggs)
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        score = score + F.coalesce(F.col(f"_s_{i}"), F.lit(0.0))
+    agg = agg.withColumn(score_name, score)
     if operator.upper() == "AND":
         agg = agg.filter(F.col("_nterms") == len(terms))
     return (
-        agg.drop("_nterms")
+        agg.drop("_nterms", *[f"_s_{i}" for i in range(len(terms))])
         .orderBy(F.col(score_name).desc(), F.col("doc_id").asc())
         .limit(k)
     )

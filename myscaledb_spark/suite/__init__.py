@@ -48,6 +48,7 @@ def load_all() -> None:
         streaming,
         dialect,
         analytics,
+        analytics2,
         combinators,
         relational,
         relational2,
@@ -60,80 +61,74 @@ def load_all() -> None:
 
 
 # The driver checks only a prefix window of the registry (first 50 of N), so
-# ordering decides which queries get a driver verdict of record.  Rounds 1-2
-# covered the search/dedup/curation core + the relational head; this list
-# front-loads everything that has NEVER received a driver verdict (r1+r2
-# windows) — TPC-H classics, scalar-function families, ch_sql dialect,
-# combinator/analytics entries, the fixed streaming windows — plus this
-# round's new entries, then a few already-green sentinels to catch
-# regressions in the novel core.  Names absent from the registry are skipped;
-# registry entries absent from this list follow in registration order.
+# ordering decides which queries get a driver verdict of record.  Rounds 1-3
+# drove the search/dedup/curation core, the relational head, the dialect /
+# scalar-function families and the fixed streaming windows to hash-green.
+# This round's window leads with the 16 queries whose only driver evidence is
+# a stale r01 hash-fail (all were canonicalization bugs fixed in r2 and have
+# since strict-passed the local gate replica 18/18, judge-confirmed) plus the
+# 2 never-driver-checked entries, then this round's new entries, then
+# sentinels from the driver-green novel core.  Names absent from the registry
+# are skipped; registry entries absent from this list follow in registration
+# order.
 PRIORITY: list[str] = [
-    # --- fixed this round: streaming timestamp-unit bug ---
-    "stream_tumble_hourly",
-    "stream_hop_2h_1h",
-    "stream_watermark_append",
-    # --- new this round ---
-    "ivf_search_exhaustive",
-    "mstg_search_exhaustive",
-    "hnsw_search_exhaustive",
-    "vec_search_join",
-    "vec_search_subquery",
-    "vec_multi_distance",
-    "bm25_stopword_topk",
-    "json_object_cols",
-    "mv_push_hourly",
-    "avg_vector_centroids",
-    "check_constraint_counts",
-    # --- never driver-checked: dialect / analytics / combinators ---
-    "ch_sql_monthly_stats",
-    "ch_sql_vector_search",
-    "supplier_nation_balance",
-    "auc_value_vs_purchase",
-    "interval_length_sum",
-    "max_intersections",
-    "agg_combinators",
-    "uniq_family",
-    "sum_array_tokens",
-    # --- never driver-checked: TPC-H classics ---
-    "q2_min_acctbal_supplier",
-    "q3_shipping_priority",
-    "q4_priority_late_ship",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_part_value",
-    "q12_linestatus_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q19_or_predicate_revenue",
-    "q20_part_promotion",
-    "q21_waiting_supplier",
-    "q22_acctbal_opportunity",
-    # --- never driver-checked: scalar families / gates ---
-    "math_bit_funcs",
-    "encoding_funcs",
-    "url_funcs",
-    "ip_funcs",
-    "tuple_funcs",
-    "numbers_table_agg",
-    "dict_get_nation",
-    "delete_mutation_counts",
-    "rounding_funcs",
+    # --- stale r01 hash-fail record; locally strict-green — rotate in so
+    #     the driver record catches up (VERDICT r3 ask #1) ---
+    "pricing_summary",
+    "rollup_status_year",
+    "cube_brand_size",
+    "totals_by_status",
+    "window_rank_orders",
+    "window_running_sum",
+    "window_lag_lead",
+    "limit_by_customer",
+    "case_segments",
+    "json_extract_props",
+    "asof_events_orders",
+    "heavy_hitter_users",
+    "array_ops_docs",
+    "sum_map_events",
+    "group_array_orders",
+    "q18_large_orders",
+    # --- never driver-checked ---
     "format_roundtrip_csv_json",
+    "rounding_funcs",
+    # --- new this round (r4) ---
+    "hybrid_search_indexed",
+    "mean_z_test",
+    "anova_oneway",
+    "corr_matrix",
+    "topk_weighted",
+    "quantile_timing",
+    "hash_sip_int",
+    "sparkbar_daily",
+    "categorical_iv",
+    "delta_sum_timestamp",
+    "stochastic_linear_regression",
+    "bm25_cjk_topk",
+    "sq_rerank_topk",
+    "pq_rerank_topk",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
+    "vec_cosine_topk",
+    "vec_l2_filtered",
+    "two_stage_l2",
     "bm25_topk",
+    "bm25_phrase_topk",
     "hybrid_search_rsf",
+    "hybrid_search_rrf",
     "minhash_lsh_pairs",
+    "minhash_signatures",
+    "exact_dedup_groups",
+    "simhash_fingerprints",
+    "dedup_clusters",
     "curation_pipeline",
-    "pricing_summary",
     "window_funnel_levels",
+    "stream_tumble_hourly",
+    "mv_push_hourly",
+    "uniq_family",
+    "quantiles_quantity",
+    "revenue_by_nation",
 ]
 
 

@@ -268,20 +268,24 @@ def delete_mutation_counts(spark, sf_dir):
     """Lightweight DELETE (MergeTree mutations / DeleteMask): writes orders
     into a VersionedTable, applies delete_where (mask-append, no rewrite),
     reads back through the mask (anti-join). Oracle = the complement filter.
-    The temp table lives under /tmp and is rebuilt per run — the read path,
-    not the storage, is what's under test."""
-    import tempfile
-
+    The temp table lives in the session artifact cache (built once per
+    sf_dir, removed atexit) — the read path, not the storage, is what's
+    under test."""
     from myscaledb_spark.operators.mutations import VersionedTable
+    from myscaledb_spark.suite.artifact_cache import cached_artifact
 
     o = load_table(spark, sf_dir, "orders")
-    root = tempfile.mkdtemp(prefix="msdb_gate_delete_")
+
+    def _build(root: str) -> None:
+        vt = VersionedTable(spark, root)
+        vt.write(o)
+        vt.delete_where(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000.0),
+            key_cols=["o_orderkey"],
+        )
+
+    root = cached_artifact(sf_dir, "delete_vt", _build)
     vt = VersionedTable(spark, root)
-    vt.write(o)
-    vt.delete_where(
-        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000.0),
-        key_cols=["o_orderkey"],
-    )
     return (
         vt.read()
         .groupBy("o_orderstatus")
@@ -348,16 +352,22 @@ def format_roundtrip_csv_json(spark, sf_dir):
     formats): the SAME rows written to CSV, JSON and ORC, read back
     through each parser with an explicit schema, unioned, and de-duplicated
     on all columns — any parse/serialize drift (quoting, timestamp format,
-    nulls) would change the aggregate vs the parquet-sourced oracle."""
-    import tempfile
+    nulls) would change the aggregate vs the parquet-sourced oracle. The
+    three written copies live in the session artifact cache (one write per
+    sf_dir per process, removed atexit — repeated gate runs no longer
+    accumulate temp dirs)."""
+    from myscaledb_spark.suite.artifact_cache import cached_artifact
 
-    base = tempfile.mkdtemp(prefix="gate_fmt_")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
     cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
     sub = o.select(*cols)
-    sub.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
-    sub.write.mode("overwrite").json(f"{base}/json")
-    sub.write.mode("overwrite").orc(f"{base}/orc")
+
+    def _build(base: str) -> None:
+        sub.write.mode("overwrite").option("header", True).csv(f"{base}/csv")
+        sub.write.mode("overwrite").json(f"{base}/json")
+        sub.write.mode("overwrite").orc(f"{base}/orc")
+
+    base = cached_artifact(sf_dir, "fmt_roundtrip", _build)
     schema = sub.schema
     from_csv = spark.read.schema(schema).option("header", True).csv(f"{base}/csv")
     from_json = spark.read.schema(schema).json(f"{base}/json")
@@ -372,4 +382,55 @@ def format_roundtrip_csv_json(spark, sf_dir):
         .alias("total"),
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),
+    )
+
+
+# --- non-portable hash parity: sipHash64 / intHash64 / intHash32 --------------
+# (r3 VERDICT stretch ask #9; src/Functions/FunctionsHashing.h,
+# src/Common/SipHash.h, src/Common/HashTable/Hash.h). The oracle embeds
+# values from the driver-side Python reference implementations, which are
+# themselves pinned to the SipHash paper's official test vector in
+# tests/test_hashes.py — so the chain Spark-expr ≡ Python-ref ≡ published
+# algorithm is closed. Inputs cover every tail length 0..8, multi-word
+# strings, UTF-8 multibyte (CJK/accents), and a 100-byte string.
+_HASH_INPUTS = [
+    "", "a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg", "abcdefgh",
+    "abcdefghi", "0123456789abcdef", "hello world", "MyScale vector search",
+    "数据查询快速", "olé café", "x" * 100,
+    "the quick brown fox jumps over the lazy dog",
+]
+
+
+def _hash_oracle_sql() -> str:
+    from myscaledb_spark.functions.hashes import (
+        int_hash32_py,
+        int_hash64_py,
+        signed64,
+        siphash64_py,
+    )
+
+    rows = ", ".join(
+        f"({i}, CAST({signed64(siphash64_py(s))} AS BIGINT), "
+        f"CAST({signed64(int_hash64_py(i))} AS BIGINT), "
+        f"CAST({int_hash32_py(i)} AS BIGINT))"
+        for i, s in enumerate(_HASH_INPUTS)
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS t(id, sip64, ih64, ih32)"
+
+
+@register("hash_sip_int", _hash_oracle_sql())
+def hash_sip_int(spark, sf_dir):
+    """sipHash64 / intHash64 / intHash32 computed by the JVM column
+    expressions over the fixed input vectors (UInt64 results in Spark's
+    signed-long bit view, as the reference's UInt64 reinterpreted)."""
+    from myscaledb_spark.functions.hashes import int_hash32, int_hash64, siphash64
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(_HASH_INPUTS)], "id long, s string"
+    )
+    return df.select(
+        "id",
+        siphash64("s").alias("sip64"),
+        int_hash64(F.col("id")).alias("ih64"),
+        int_hash32(F.col("id")).alias("ih32"),
     )

@@ -125,6 +125,56 @@ def hybrid_search_rsf(spark, sf_dir):
     return out.select("doc_id", F.round("fusion_score", 6).alias("fusion_score"))
 
 
+@register(
+    "hybrid_search_indexed",
+    f"""
+    WITH {_bm25_scored_sql()},
+    vstats AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM vec_cand),
+    tstats AS (SELECT MIN(bm25) AS mn, MAX(bm25) AS mx FROM txt_cand),
+    v AS (SELECT doc_id,
+                 (1.0 - (CASE WHEN mx = mn THEN 1.0 ELSE (d - mn) / (mx - mn) END)) * {1.0 - W} AS vs
+          FROM vec_cand CROSS JOIN vstats),
+    t AS (SELECT doc_id,
+                 (CASE WHEN mx = mn THEN 1.0 ELSE (bm25 - mn) / (mx - mn) END) * {W} AS ts
+          FROM txt_cand CROSS JOIN tstats)
+    SELECT COALESCE(v.doc_id, t.doc_id) AS doc_id,
+           ROUND(COALESCE(vs, 0) + COALESCE(ts, 0), 6) AS fusion_score
+    FROM v FULL OUTER JOIN t ON v.doc_id = t.doc_id
+    ORDER BY (COALESCE(vs, 0) + COALESCE(ts, 0)) DESC, COALESCE(v.doc_id, t.doc_id) ASC
+    LIMIT {K}
+    """,
+)
+def hybrid_search_indexed_gate(spark, sf_dir):
+    """Artifact-backed hybrid search (r3 VERDICT ask #4) — the reference's
+    real shape (MergeTreeHybridSearchManager.cpp:114-151 drives the vector
+    index + tantivy text index, then fuses). Vector candidates come from the
+    IVF artifact probed exhaustively (nprobe = ncentroids ⇒ candidates ≡
+    brute force, the r3 exhaustive-oracle trick), text candidates from the
+    FTS postings artifact (bit-identical BM25 by construction — fixed-order
+    term summation in fts_search), so the fusion result matches the SAME
+    brute-force oracle as hybrid_search_rsf while scanning the corpus ZERO
+    times at query time."""
+    from myscaledb_spark.operators.hybrid import hybrid_search_indexed
+    from myscaledb_spark.plans.fts_index import build_fts_index
+    from myscaledb_spark.plans.vector_index import build_ivf_index
+    from myscaledb_spark.suite.artifact_cache import cached_artifact
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = d.join(e, d.doc_id == e.vec_id).select("doc_id", "text", "embedding")
+
+    def _build(art: str) -> None:
+        build_ivf_index(corpus, "embedding", "doc_id", art, num_centroids=8)
+        build_fts_index(corpus, "text", "doc_id", art)
+
+    art = cached_artifact(sf_dir, "hybrid_ivf_fts", _build)
+    out = hybrid_search_indexed(
+        spark, art, None, None, QV, QTEXT, K, "doc_id",
+        index_kind="ivf", fts_name="fts", fusion_type="rsf", nprobe=8,
+    )
+    return out.select("doc_id", F.round("fusion_score", 6).alias("fusion_score"))
+
+
 # --- binary vectors (00038_mqvs_binary_vector: Hamming / Jaccard) -------------
 # 48-bit sign fingerprints derived from the float embeddings (dim%8==0 rule,
 # CommonUtils.cpp:86-96); Hamming = popcount(xor), Jaccard = 1-|and|/|or|.

@@ -647,8 +647,16 @@ def json_object_cols(spark, sf_dir):
     Both paths produce identical numbers, cross-checked against the DuckDB
     JSON operators in the oracle."""
     ev = load_table(spark, sf_dir, "events")
-    # (1) infer the schema from an exemplar row, then read typed subcolumns
-    sample = ev.select("props").filter(F.col("props").isNotNull()).first()[0]
+    # (1) infer the schema from an exemplar row, then read typed subcolumns.
+    # The exemplar is picked deterministically (lowest event_id) so the
+    # inferred schema — and therefore the gate hash — can't drift with
+    # partitioning or scan order if props shapes ever vary across rows.
+    sample = (
+        ev.select("event_id", "props")
+        .filter(F.col("props").isNotNull())
+        .orderBy("event_id")
+        .first()[1]
+    )
     schema = ev.sparkSession.range(1).select(
         F.schema_of_json(F.lit(sample)).alias("s")
     ).first()[0]

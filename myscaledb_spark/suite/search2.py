@@ -9,12 +9,11 @@ approximate path → rows-only.
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import functions as F
 
 from myscaledb_spark.catalog import load_table
 from myscaledb_spark.suite import register
+from myscaledb_spark.suite.artifact_cache import cached_artifact, cached_count
 from myscaledb_spark.suite.search import QV, QV2, sql_ip, sql_l2
 
 
@@ -31,9 +30,11 @@ def pq_rerank_topk(spark, sf_dir):
     from myscaledb_spark.plans.pq_index import build_pq_index, pq_search
 
     emb = load_table(spark, sf_dir, "embeddings")
-    art = tempfile.mkdtemp(prefix="gate_pq_")
-    build_pq_index(emb, "embedding", "vec_id", art, m=8, ks=16)
-    n = emb.count()
+    art = cached_artifact(
+        sf_dir, "pq_m8_ks16",
+        lambda d: build_pq_index(emb, "embedding", "vec_id", d, m=8, ks=16),
+    )
+    n = cached_count(emb, sf_dir, "embeddings")
     # candidates ≥ corpus ⇒ re-rank is exact ⇒ result == exact top-k oracle
     out = pq_search(spark, art, QV, 6, candidate_multiple=(n // 6) + 1)
     return out.select("vec_id", F.round("dist", 4).alias("dist"))
@@ -54,9 +55,10 @@ def sq_rerank_topk(spark, sf_dir):
     from myscaledb_spark.plans.sq_index import build_sq_index, sq_search
 
     emb = load_table(spark, sf_dir, "embeddings")
-    art = tempfile.mkdtemp(prefix="gate_sq_")
-    build_sq_index(emb, "embedding", "vec_id", art)
-    n = emb.count()
+    art = cached_artifact(
+        sf_dir, "sq", lambda d: build_sq_index(emb, "embedding", "vec_id", d)
+    )
+    n = cached_count(emb, sf_dir, "embeddings")
     out = sq_search(spark, art, QV, 6, candidate_multiple=(n // 6) + 1)
     return out.select("vec_id", F.round("dist", 4).alias("dist"))
 
@@ -66,8 +68,10 @@ def ivf_search_topk(spark, sf_dir):
     from myscaledb_spark.plans.vector_index import build_ivf_index, ivf_search
 
     emb = load_table(spark, sf_dir, "embeddings")
-    art = tempfile.mkdtemp(prefix="gate_ivf_")
-    build_ivf_index(emb, "embedding", "vec_id", art, num_centroids=8)
+    art = cached_artifact(
+        sf_dir, "ivf_c8",
+        lambda d: build_ivf_index(emb, "embedding", "vec_id", d, num_centroids=8),
+    )
     return ivf_search(spark, art, QV, 10, nprobe=4).select("vec_id", "dist")
 
 
@@ -92,8 +96,10 @@ def ivf_search_exhaustive(spark, sf_dir):
     from myscaledb_spark.plans.vector_index import build_ivf_index, ivf_search
 
     emb = load_table(spark, sf_dir, "embeddings")
-    art = tempfile.mkdtemp(prefix="gate_ivfx_")
-    build_ivf_index(emb, "embedding", "vec_id", art, num_centroids=8)
+    art = cached_artifact(
+        sf_dir, "ivf_c8",
+        lambda d: build_ivf_index(emb, "embedding", "vec_id", d, num_centroids=8),
+    )
     out = ivf_search(spark, art, QV, 10, nprobe=8)
     return out.select("vec_id", F.round("dist", 4).alias("dist"))
 
@@ -105,8 +111,10 @@ def mstg_search_topk(spark, sf_dir):
     from myscaledb_spark.plans.mstg_index import build_mstg_index, mstg_search
 
     emb = load_table(spark, sf_dir, "embeddings")
-    art = tempfile.mkdtemp(prefix="gate_mstg_")
-    build_mstg_index(emb, "embedding", "vec_id", art, num_leaves=8, num_top=3)
+    art = cached_artifact(
+        sf_dir, "mstg_l8_t3",
+        lambda d: build_mstg_index(emb, "embedding", "vec_id", d, num_leaves=8, num_top=3),
+    )
     return mstg_search(spark, art, QV, 10, probe_top=2, nprobe=4).select(
         "vec_id", "dist"
     )
@@ -130,8 +138,10 @@ def hnsw_search_exhaustive(spark, sf_dir):
     from myscaledb_spark.plans.hnsw_index import build_hnsw_index, hnsw_search
 
     emb = load_table(spark, sf_dir, "embeddings")
-    art = tempfile.mkdtemp(prefix="gate_hnswx_")
-    build_hnsw_index(emb, "embedding", "vec_id", art, m=8, ef_construction=32)
+    art = cached_artifact(
+        sf_dir, "hnsw_m8_ef32",
+        lambda d: build_hnsw_index(emb, "embedding", "vec_id", d, m=8, ef_construction=32),
+    )
     out = hnsw_search(spark, art, QV, 10, exhaustive=True)
     return out.select("vec_id", F.round("dist", 4).alias("dist"))
 
@@ -154,8 +164,10 @@ def mstg_search_exhaustive(spark, sf_dir):
     from myscaledb_spark.plans.mstg_index import build_mstg_index, mstg_search
 
     emb = load_table(spark, sf_dir, "embeddings")
-    art = tempfile.mkdtemp(prefix="gate_mstgx_")
-    build_mstg_index(emb, "embedding", "vec_id", art, num_leaves=8, num_top=3)
+    art = cached_artifact(
+        sf_dir, "mstg_l8_t3",
+        lambda d: build_mstg_index(emb, "embedding", "vec_id", d, num_leaves=8, num_top=3),
+    )
     out = mstg_search(spark, art, QV, 10, probe_top=3, nprobe=8, exhaustive=True)
     return out.select("vec_id", F.round("dist", 4).alias("dist"))
 

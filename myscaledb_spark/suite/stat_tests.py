@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 from myscaledb_spark.catalog import load_table
 from myscaledb_spark.functions.special import (
     SqlOps,
+    f_sf_p_expr,
+    norm_ppf,
     normal_two_sided_p_expr,
     t_two_sided_p_expr,
 )
@@ -128,6 +130,125 @@ def mann_whitney_q(spark, sf_dir):
         "n2",
         F.round("p_value", 8).alias("p_value"),
     )
+
+
+# --- meanZTest (AggregateFunctionMeanZTest.cpp:25-39, Moments.h:418-433) ------
+_ZT_VX, _ZT_VY, _ZT_CL = 2500.0, 2600.0, 0.95
+_ZT_CRIT = norm_ppf(1.0 - (1.0 - _ZT_CL) / 2.0)  # ONE shared double literal
+_ZT_P_SQL = normal_two_sided_p_expr(SqlOps, "z_raw")
+
+
+@register(
+    "mean_z_test",
+    f"""
+    WITH m AS (
+      SELECT COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)::DOUBLE AS na,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END)::DOUBLE AS nb,
+             AVG(CASE WHEN event_type = 'purchase' THEN value END) AS ma,
+             AVG(CASE WHEN event_type = 'view' THEN value END) AS mb
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    s AS (
+      SELECT (ma - mb) / sqrt(({_ZT_VX!r}::DOUBLE) / na + ({_ZT_VY!r}::DOUBLE) / nb) AS z_raw,
+             (ma - mb) - ({_ZT_CRIT!r}::DOUBLE) * sqrt(({_ZT_VX!r}::DOUBLE) / na + ({_ZT_VY!r}::DOUBLE) / nb) AS ci_low_raw,
+             (ma - mb) + ({_ZT_CRIT!r}::DOUBLE) * sqrt(({_ZT_VX!r}::DOUBLE) / na + ({_ZT_VY!r}::DOUBLE) / nb) AS ci_high_raw
+      FROM m
+    )
+    SELECT ROUND(z_raw, 6) AS z_stat, ROUND({_ZT_P_SQL}, 8) AS p_value,
+           ROUND(ci_low_raw, 6) AS ci_low, ROUND(ci_high_raw, 6) AS ci_high
+    FROM s
+    """,
+)
+def mean_z_test_q(spark, sf_dir):
+    from myscaledb_spark.operators.stats import mean_z_test
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    out = mean_z_test(
+        ev, "value", F.col("event_type") == "purchase", _ZT_VX, _ZT_VY, _ZT_CL
+    )
+    return out.select(
+        F.round("z_stat", 6).alias("z_stat"),
+        F.round("p_value", 8).alias("p_value"),
+        F.round("ci_low", 6).alias("ci_low"),
+        F.round("ci_high", 6).alias("ci_high"),
+    )
+
+
+# --- one-way ANOVA (AggregateFunctionAnalysisOfVariance.h:30-90) --------------
+_F_P_SQL = f_sf_p_expr(SqlOps, "f_raw", "d1_raw", "d2_raw")
+
+
+@register(
+    "anova_oneway",
+    f"""
+    WITH g AS (
+      SELECT event_type, COUNT(*)::DOUBLE AS ng,
+             SUM(value) AS sg, SUM(value * value) AS qg
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT COUNT(*)::DOUBLE AS k, SUM(ng) AS n, SUM(sg) AS s,
+             SUM(qg - sg * sg / ng) AS ssw, SUM(sg * sg / ng) AS sb
+      FROM g
+    ),
+    s AS (
+      SELECT ((sb - s * s / n) / (k - 1)) / (ssw / (n - k)) AS f_raw,
+             k - 1 AS d1_raw, n - k AS d2_raw
+      FROM tot
+    )
+    SELECT ROUND(f_raw, 6) AS f_stat, ROUND({_F_P_SQL}, 8) AS p_value,
+           d1_raw AS d1, d2_raw AS d2
+    FROM s
+    """,
+)
+def anova_oneway_q(spark, sf_dir):
+    from myscaledb_spark.operators.stats import anova_oneway
+
+    ev = load_table(spark, sf_dir, "events")
+    out = anova_oneway(ev, "value", "event_type")
+    return out.select(
+        F.round("f_stat", 6).alias("f_stat"),
+        F.round("p_value", 8).alias("p_value"),
+        "d1",
+        "d2",
+    )
+
+
+# --- corrMatrix (AggregateFunctionVarianceMatrix.cpp:37) ----------------------
+_CM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_sql() -> str:
+    cast = {c: f"CAST({c} AS DOUBLE)" for c in _CM_COLS}
+    moments = ["COUNT(*)::DOUBLE AS n"]
+    for i, c in enumerate(_CM_COLS):
+        moments.append(f"SUM({cast[c]}) AS s{i}")
+        moments.append(f"SUM({cast[c]} * {cast[c]}) AS q{i}")
+    for i in range(len(_CM_COLS)):
+        for j in range(i + 1, len(_CM_COLS)):
+            moments.append(f"SUM({cast[_CM_COLS[i]]} * {cast[_CM_COLS[j]]}) AS p{i}_{j}")
+    selects = []
+    for i in range(len(_CM_COLS)):
+        for j in range(i + 1, len(_CM_COLS)):
+            corr = (
+                f"(n * p{i}_{j} - s{i} * s{j}) / "
+                f"(sqrt(n * q{i} - s{i} * s{i}) * sqrt(n * q{j} - s{j} * s{j}))"
+            )
+            selects.append(
+                f"SELECT {i + 1} AS i, {j + 1} AS j, ROUND({corr}, 6) AS corr FROM m"
+            )
+    return "WITH m AS (SELECT " + ", ".join(moments) + " FROM lineitem)\n" + "\nUNION ALL ".join(selects)
+
+
+@register("corr_matrix", _corr_matrix_sql())
+def corr_matrix_q(spark, sf_dir):
+    from myscaledb_spark.operators.stats import corr_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = corr_matrix(li, _CM_COLS)
+    return out.select("i", "j", F.round("corr", 6).alias("corr"))
 
 
 @register(

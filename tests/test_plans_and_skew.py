@@ -95,6 +95,20 @@ def test_get_objects_no_url_localtablescan(spark, tmp_path):
     assert "binaryFile" in plan or "FileScan" in plan
 
 
+def test_cjk_text_search_plan_no_python(spark):
+    """r3 VERDICT ask #2: the `chinese` tokenizer must run JVM-side — no
+    pandas UDF / Arrow eval anywhere in a CJK text_search plan (the FMM
+    dictionary is compiled to a longest-first regex alternation)."""
+    from myscaledb_spark.functions.text import text_search
+
+    df = text_search(
+        spark.table("documents"), "text", "数据查询", 10,
+        id_col="doc_id", tokenizer="chinese",
+    )
+    assert_no_python_in_plan(df)
+    assert_take_ordered(df)
+
+
 def test_nlq_plan_no_python(spark):
     from myscaledb_spark.functions.text import nlq_search
 

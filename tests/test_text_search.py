@@ -163,6 +163,43 @@ def test_fmm_boundary_pairs():
             assert fmm_tokenize(a + b) == [a, b], (a, b)
 
 
+def test_fmm_column_parity(spark):
+    """fmm_tokenize_col (regex-alternation JVM form) must be bit-identical
+    to the Python fmm_tokenize on adversarial mixed CJK/latin/punct input —
+    the BM25 gate hash depends on it."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from myscaledb_spark.functions.zh_dict import ZH_WORDS
+    from myscaledb_spark.functions.zh_tokenize import fmm_tokenize, fmm_tokenize_col
+
+    rng = random.Random(7)
+    words = sorted(ZH_WORDS)
+    chars = sorted({c for w in words for c in w})
+    samples = [
+        None, "", "hello world", "数据查询快速", "数据库查询",
+        "人工智能与机器学习", "ABC数据123", "xx人工智能yy", "深度学习framework",
+        "，。数据！查询？", "é数据é", "一二三四五", "数据数据数据",
+    ]
+    for _ in range(120):
+        n = rng.randint(0, 24)
+        samples.append("".join(
+            rng.choice([rng.choice(chars), rng.choice(words),
+                        rng.choice("abcXYZ019 ,.!-_é中")])
+            for _ in range(n)
+        ))
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "id int, t string"
+    )
+    got = {
+        r["id"]: r["toks"]
+        for r in df.select("id", fmm_tokenize_col(F.col("t")).alias("toks")).collect()
+    }
+    for i, s in enumerate(samples):
+        assert got[i] == fmm_tokenize(s), repr(s)
+
+
 def _phrase_tf(toks, phrase):
     L = len(phrase)
     if len(toks) < L:
