@@ -211,6 +211,37 @@ def main() -> None:
         t0 = time.time()
         text_search(docs, "text", "vector search fast", 15, id_col="doc_id").collect()
         sweep["fts_direct_search_sec"] = round(time.time() - t0, 4)
+
+        # hybrid: artifact-backed candidates at a realistic probe width vs
+        # the 3-corpus-scan default. (The GATE entry keeps nprobe=ncentroids
+        # so it stays bit-exact against the brute-force oracle; the scale
+        # win appears when nprobe < ncentroids — this is the 100 TB shape.)
+        from myscaledb_spark.operators.hybrid import hybrid_search, hybrid_search_indexed
+        from myscaledb_spark.plans.fts_index import build_fts_index
+        from myscaledb_spark.plans.vector_index import build_ivf_index
+        from myscaledb_spark.suite.artifact_cache import cached_artifact
+        from myscaledb_spark.suite.search import QTEXT, QV
+
+        d = load_table(spark, SF_DIR, "documents")
+        e = load_table(spark, SF_DIR, "embeddings")
+        corpus = d.join(e, d.doc_id == e.vec_id).select("doc_id", "text", "embedding")
+
+        def _build_hybrid(a: str) -> None:
+            build_ivf_index(corpus, "embedding", "doc_id", a, num_centroids=8)
+            build_fts_index(corpus, "text", "doc_id", a)
+
+        hart = cached_artifact(SF_DIR, "hybrid_ivf_fts", _build_hybrid)
+        t0 = time.time()
+        hybrid_search_indexed(
+            spark, hart, None, None, QV, QTEXT, 8, "doc_id",
+            index_kind="ivf", fts_name="fts", fusion_type="rsf", nprobe=2,
+        ).collect()
+        sweep["hybrid_indexed_nprobe2_sec"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        hybrid_search(
+            corpus, "embedding", "text", QV, QTEXT, 8, "doc_id", fusion_type="rsf"
+        ).collect()
+        sweep["hybrid_default_3scan_sec"] = round(time.time() - t0, 4)
     except Exception as e:
         sweep["error"] = str(e)[:200]
         print(f"# vector sweep error: {e}", file=sys.stderr)

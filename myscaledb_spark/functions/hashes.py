@@ -84,6 +84,147 @@ def siphash64_py(data: bytes | str, k0: int = 0, k1: int = 0) -> int:
     return (v0 ^ v1 ^ v2 ^ v3) & _M64
 
 
+# --- CityHash64 v1.0.2 Python reference (contrib/cityhash102/src/city.cc) ----
+
+_CK0 = 0xC3A5C85C97CB3127
+_CK1 = 0xB492B66FBE98F273
+_CK2 = 0x9AE16A3B2F90404F
+_CK3 = 0xC949D7C7509E6557
+_KMUL = 0x9DDFEA08EB382D69
+
+
+def _rotr64(v: int, s: int) -> int:
+    return v if s == 0 else ((v >> s) | (v << (64 - s))) & _M64
+
+
+def _smix(v: int) -> int:
+    return v ^ (v >> 47)
+
+
+def _hl16(u: int, v: int) -> int:
+    """Hash128to64 (city.h:91-100), low=u high=v."""
+    a = ((u ^ v) * _KMUL) & _M64
+    a ^= a >> 47
+    b = ((v ^ a) * _KMUL) & _M64
+    b ^= b >> 47
+    return (b * _KMUL) & _M64
+
+
+def _f64(d: bytes, p: int) -> int:
+    return int.from_bytes(d[p : p + 8], "little")
+
+
+def _f32(d: bytes, p: int) -> int:
+    return int.from_bytes(d[p : p + 4], "little")
+
+
+def _weak32(w: int, x: int, y: int, z: int, a: int, b: int):
+    """WeakHashLen32WithSeeds (city.cc:159-169)."""
+    a = (a + w) & _M64
+    b = _rotr64((b + a + z) & _M64, 21)
+    c = a
+    a = (a + x + y) & _M64
+    b = (b + _rotr64(a, 44)) & _M64
+    return (a + z) & _M64, (b + c) & _M64
+
+
+def cityhash64_py(data: bytes | str) -> int:
+    """CityHash64 v1.0.2 (city.cc:205-245) — the exact version the
+    reference vendors (NOT current upstream CityHash)."""
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    n = len(data)
+    if n <= 16:  # HashLen0to16, city.cc:125-147
+        if n > 8:
+            a = _f64(data, 0)
+            b = _f64(data, n - 8)
+            return _hl16(a, _rotr64((b + n) & _M64, n)) ^ b
+        if n >= 4:
+            a = _f32(data, 0)
+            return _hl16((n + (a << 3)) & _M64, _f32(data, n - 4))
+        if n > 0:
+            a, b, c = data[0], data[n >> 1], data[n - 1]
+            y = a + (b << 8)
+            z = n + (c << 2)
+            return (_smix(((y * _CK2) & _M64) ^ ((z * _CK3) & _M64)) * _CK2) & _M64
+        return _CK2
+    if n <= 32:  # HashLen17to32, city.cc:148-157
+        a = (_f64(data, 0) * _CK1) & _M64
+        b = _f64(data, 8)
+        c = (_f64(data, n - 8) * _CK2) & _M64
+        d = (_f64(data, n - 16) * _CK0) & _M64
+        return _hl16(
+            (_rotr64((a - b) & _M64, 43) + _rotr64(c, 30) + d) & _M64,
+            (a + _rotr64(b ^ _CK3, 20) - c + n) & _M64,
+        )
+    if n <= 64:  # HashLen33to64, city.cc:182-203
+        z = _f64(data, 24)
+        a = (_f64(data, 0) + (n + _f64(data, n - 16)) * _CK0) & _M64
+        b = _rotr64((a + z) & _M64, 52)
+        c = _rotr64(a, 37)
+        a = (a + _f64(data, 8)) & _M64
+        c = (c + _rotr64(a, 7)) & _M64
+        a = (a + _f64(data, 16)) & _M64
+        vf = (a + z) & _M64
+        vs = (b + _rotr64(a, 31) + c) & _M64
+        a = (_f64(data, 16) + _f64(data, n - 32)) & _M64
+        z = _f64(data, n - 8)
+        b = _rotr64((a + z) & _M64, 52)
+        c = _rotr64(a, 37)
+        a = (a + _f64(data, n - 24)) & _M64
+        c = (c + _rotr64(a, 7)) & _M64
+        a = (a + _f64(data, n - 16)) & _M64
+        wf = (a + z) & _M64
+        ws = (b + _rotr64(a, 31) + c) & _M64
+        r = _smix(((vf + ws) * _CK2 + (wf + vs) * _CK0) & _M64)
+        return (_smix((r * _CK0 + vs) & _M64) * _CK2) & _M64
+    # > 64: city.cc:216-245
+    x = _f64(data, 0)
+    y = _f64(data, n - 16) ^ _CK1
+    z = _f64(data, n - 56) ^ _CK0
+    v = _weak32(_f64(data, n - 64), _f64(data, n - 56), _f64(data, n - 48),
+                _f64(data, n - 40), n, y)
+    w = _weak32(_f64(data, n - 32), _f64(data, n - 24), _f64(data, n - 16),
+                _f64(data, n - 8), (n * _CK1) & _M64, _CK0)
+    z = (z + _smix(v[1]) * _CK1) & _M64
+    x = (_rotr64((z + x) & _M64, 39) * _CK1) & _M64
+    y = (_rotr64(y, 33) * _CK1) & _M64
+    rem = (n - 1) & ~63
+    p = 0
+    while rem != 0:
+        x = (_rotr64((x + y + v[0] + _f64(data, p + 16)) & _M64, 37) * _CK1) & _M64
+        y = (_rotr64((y + v[1] + _f64(data, p + 48)) & _M64, 42) * _CK1) & _M64
+        x ^= w[1]
+        y ^= v[0]
+        z = _rotr64(z ^ w[0], 33)
+        v = _weak32(_f64(data, p), _f64(data, p + 8), _f64(data, p + 16),
+                    _f64(data, p + 24), (v[1] * _CK1) & _M64, (x + w[0]) & _M64)
+        w = _weak32(_f64(data, p + 32), _f64(data, p + 40), _f64(data, p + 48),
+                    _f64(data, p + 56), (z + w[1]) & _M64, y)
+        z, x = x, z
+        p += 64
+        rem -= 64
+    return _hl16(
+        (_hl16(v[0], w[0]) + _smix(y) * _CK1 + z) & _M64,
+        (_hl16(v[1], w[1]) + x) & _M64,
+    )
+
+
+#: the SQL-visible functions salt their inputs (FunctionsHashing.h:133-152)
+INT_HASH64_SALT = 0x4CF2D2BAAE6DA887
+INT_HASH32_SALT = 0x75D9543DE018BF45
+
+
+def half_md5_py(data: bytes | str) -> int:
+    """halfMD5 (`FunctionsHashing.h:170-193`): first 8 bytes of the MD5
+    digest interpreted big-endian, as UInt64."""
+    import hashlib
+
+    if isinstance(data, str):
+        data = data.encode("utf-8")
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "big")
+
+
 def int_hash64_py(key: int) -> int:
     """intHash64 (`src/Common/HashTable/Hash.h:26-40`), UInt64 → UInt64."""
     key &= _M64
@@ -296,6 +437,451 @@ def int_hash32(col: Column | str, salt: int = 0) -> Column:
         F.sequence(F.lit(1), F.lit(6)), k, _step,
         lambda acc: acc.bitwiseAND(F.lit(_M32)),
     )
+
+
+# --- cityHash64 column form: a micro-op VM over aggregate() -------------------
+# CityHash64 has length-dependent control flow and a 64-byte chunk loop whose
+# rounds chain multiplies — far past what substituted Column trees survive
+# (see the sipround note above). So the hash compiles to DATA: per-row, a
+# CASE on the length selects an array of (op, dst, a, b, imm) micro-ops
+# (loads at length-dependent offsets, wrapping add/sub/mul-const, rotates,
+# xors); chunk ops are generated by transform() over the chunk index, so any
+# length works; ONE aggregate() then interprets the ops over an array-of-12-
+# longs register file. Each op's lambda subtree is bounded (~700 nodes) no
+# matter the input length. All arithmetic is the same ANSI-safe limb style
+# as above.
+
+_NREG = 12
+_RA, _RB, _RC, _RD, _RX, _RY, _RZ, _V1, _V2, _W1, _W2, _RT = range(_NREG)
+(_LOADW, _LOAD32, _LOAD8, _MOVI, _MOV, _ADD, _SUB, _XOR, _ADDI, _MULC,
+ _ROTR, _SHL, _SMIX, _XORI) = range(14)
+
+
+class _CityAsm:
+    """Tiny assembler: emits micro-op struct Columns."""
+
+    def __init__(self):
+        self.ops: list[Column] = []
+
+    def _imm(self, imm) -> Column:
+        if imm is None:
+            return F.lit(0).cast("long")
+        if isinstance(imm, int):
+            return F.lit(signed64(imm)).cast("long")
+        return imm.cast("long")
+
+    def emit(self, op: int, d: int = 0, a: int = 0, b: int = 0, imm=None):
+        self.ops.append(
+            F.struct(
+                F.lit(op).alias("op"), F.lit(d).alias("d"),
+                F.lit(a).alias("a"), F.lit(b).alias("b"),
+                self._imm(imm).alias("imm"),
+            )
+        )
+
+    # mnemonic helpers (dst-first)
+    def loadw(self, d, off):
+        self.emit(_LOADW, d, imm=off)
+
+    def load32(self, d, off):
+        self.emit(_LOAD32, d, imm=off)
+
+    def load8(self, d, off):
+        self.emit(_LOAD8, d, imm=off)
+
+    def movi(self, d, imm):
+        self.emit(_MOVI, d, imm=imm)
+
+    def mov(self, d, a):
+        self.emit(_MOV, d, a)
+
+    def add(self, d, a, b):
+        self.emit(_ADD, d, a, b)
+
+    def sub(self, d, a, b):
+        self.emit(_SUB, d, a, b)
+
+    def xor(self, d, a, b):
+        self.emit(_XOR, d, a, b)
+
+    def addi(self, d, imm):
+        self.emit(_ADDI, d, d, imm=imm)
+
+    def mulc(self, d, imm):
+        self.emit(_MULC, d, d, imm=imm)
+
+    def rotr(self, d, imm):
+        self.emit(_ROTR, d, d, imm=imm)
+
+    def shl(self, d, imm):
+        self.emit(_SHL, d, d, imm=imm)
+
+    def smix(self, d):
+        self.emit(_SMIX, d, d)
+
+    def xori(self, d, imm):
+        self.emit(_XORI, d, d, imm=imm)
+
+    def hl16(self, d, u, v):
+        """HashLen16(r[u], r[v]) → r[d]; d must differ from u and v."""
+        self.xor(d, u, v)
+        self.mulc(d, _KMUL)
+        self.smix(d)
+        self.xor(d, v, d)
+        self.mulc(d, _KMUL)
+        self.smix(d)
+        self.mulc(d, _KMUL)
+
+    def weak32(self, base, seed_setup, out1, out2):
+        """WeakHashLen32WithSeeds(s+base, a, b) → (r[out1], r[out2]).
+        seed_setup() must leave seed a in RA, seed b in RB; uses RC/RD/RT."""
+        seed_setup()
+        self.loadw(_RT, base)  # w
+        self.add(_RA, _RA, _RT)  # a += w
+        self.loadw(_RD, base + 24)  # z
+        self.add(_RB, _RB, _RA)
+        self.add(_RB, _RB, _RD)
+        self.rotr(_RB, 21)  # b = rotr(b+a+z, 21)
+        self.mov(_RC, _RA)  # c = a
+        self.loadw(_RT, base + 8)
+        self.add(_RA, _RA, _RT)  # a += x
+        self.loadw(_RT, base + 16)
+        self.add(_RA, _RA, _RT)  # a += y
+        self.mov(_RT, _RA)
+        self.rotr(_RT, 44)
+        self.add(_RB, _RB, _RT)  # b += rotr(a, 44)
+        self.add(_RA, _RA, _RD)
+        self.mov(out1, _RA)  # out1 = a + z
+        self.add(_RB, _RB, _RC)
+        self.mov(out2, _RB)  # out2 = b + c
+
+
+def _city_ops(n: Column) -> Column:
+    """The per-row op array: CASE on length over six straight-line programs
+    (result lands in r[RA])."""
+
+    def _prog(fill) -> Column:
+        asm = _CityAsm()
+        fill(asm)
+        return F.array(*asm.ops)
+
+    def p_zero(s: _CityAsm):
+        s.movi(_RA, _CK2)
+
+    def p_1_3(s: _CityAsm):
+        s.load8(_RA, F.lit(0).cast("long"))
+        s.load8(_RB, F.floor(n / 2).cast("long"))
+        s.load8(_RC, n - 1)
+        s.shl(_RB, 8)
+        s.add(_RA, _RA, _RB)  # y = a + (b << 8)
+        s.shl(_RC, 2)
+        s.movi(_RT, n)
+        s.add(_RC, _RC, _RT)  # z = len + (c << 2)
+        s.mulc(_RA, _CK2)
+        s.mulc(_RC, _CK3)
+        s.xor(_RA, _RA, _RC)
+        s.smix(_RA)
+        s.mulc(_RA, _CK2)
+
+    def p_4_8(s: _CityAsm):
+        s.load32(_RA, F.lit(0).cast("long"))
+        s.shl(_RA, 3)
+        s.addi(_RA, n)  # len + (a << 3)
+        s.load32(_RB, n - 4)
+        s.hl16(_RC, _RA, _RB)
+        s.mov(_RA, _RC)
+
+    def p_9_16(s: _CityAsm):
+        s.loadw(_RA, F.lit(0).cast("long"))
+        s.loadw(_RB, n - 8)
+        s.mov(_RC, _RB)
+        s.addi(_RC, n)
+        s.rotr(_RC, n)  # RotateByAtLeast1(b + len, len); len 9..16 ≠ 0
+        s.hl16(_RD, _RA, _RC)
+        s.xor(_RA, _RD, _RB)
+
+    def p_17_32(s: _CityAsm):
+        s.loadw(_RA, F.lit(0).cast("long"))
+        s.mulc(_RA, _CK1)  # a
+        s.loadw(_RB, F.lit(8).cast("long"))  # b
+        s.loadw(_RC, n - 8)
+        s.mulc(_RC, _CK2)  # c
+        s.loadw(_RD, n - 16)
+        s.mulc(_RD, _CK0)  # d
+        # u = rotr(a-b, 43) + rotr(c, 30) + d
+        s.sub(_RT, _RA, _RB)
+        s.rotr(_RT, 43)
+        s.mov(_RX, _RC)
+        s.rotr(_RX, 30)
+        s.add(_RT, _RT, _RX)
+        s.add(_RT, _RT, _RD)  # RT = u
+        # v = a + rotr(b ^ k3, 20) - c + len
+        s.xori(_RB, _CK3)
+        s.rotr(_RB, 20)
+        s.add(_RB, _RB, _RA)
+        s.sub(_RB, _RB, _RC)
+        s.addi(_RB, n)  # RB = v
+        s.hl16(_RA, _RT, _RB)
+
+    def p_33_64(s: _CityAsm):
+        s.loadw(_RZ, F.lit(24).cast("long"))  # z
+        s.loadw(_RA, F.lit(0).cast("long"))
+        s.loadw(_RT, n - 16)
+        s.addi(_RT, n)
+        s.mulc(_RT, _CK0)
+        s.add(_RA, _RA, _RT)  # a = F64(0) + (len + F64(len-16)) * k0
+        s.mov(_RB, _RA)
+        s.add(_RB, _RB, _RZ)
+        s.rotr(_RB, 52)  # b
+        s.mov(_RC, _RA)
+        s.rotr(_RC, 37)  # c
+        s.loadw(_RT, F.lit(8).cast("long"))
+        s.add(_RA, _RA, _RT)
+        s.mov(_RD, _RA)
+        s.rotr(_RD, 7)
+        s.add(_RC, _RC, _RD)  # c += rotr(a, 7)
+        s.loadw(_RT, F.lit(16).cast("long"))
+        s.add(_RA, _RA, _RT)
+        s.mov(_V1, _RA)
+        s.add(_V1, _V1, _RZ)  # vf = a + z
+        s.mov(_V2, _RB)
+        s.mov(_RD, _RA)
+        s.rotr(_RD, 31)
+        s.add(_V2, _V2, _RD)
+        s.add(_V2, _V2, _RC)  # vs = b + rotr(a, 31) + c
+        s.loadw(_RA, F.lit(16).cast("long"))
+        s.loadw(_RT, n - 32)
+        s.add(_RA, _RA, _RT)  # a = F64(16) + F64(len-32)
+        s.loadw(_RZ, n - 8)  # z
+        s.mov(_RB, _RA)
+        s.add(_RB, _RB, _RZ)
+        s.rotr(_RB, 52)
+        s.mov(_RC, _RA)
+        s.rotr(_RC, 37)
+        s.loadw(_RT, n - 24)
+        s.add(_RA, _RA, _RT)
+        s.mov(_RD, _RA)
+        s.rotr(_RD, 7)
+        s.add(_RC, _RC, _RD)
+        s.loadw(_RT, n - 16)
+        s.add(_RA, _RA, _RT)
+        s.mov(_W1, _RA)
+        s.add(_W1, _W1, _RZ)  # wf
+        s.mov(_W2, _RB)
+        s.mov(_RD, _RA)
+        s.rotr(_RD, 31)
+        s.add(_W2, _W2, _RD)
+        s.add(_W2, _W2, _RC)  # ws
+        s.mov(_RT, _V1)
+        s.add(_RT, _RT, _W2)
+        s.mulc(_RT, _CK2)
+        s.mov(_RD, _W1)
+        s.add(_RD, _RD, _V2)
+        s.mulc(_RD, _CK0)
+        s.add(_RT, _RT, _RD)
+        s.smix(_RT)  # r
+        s.mulc(_RT, _CK0)
+        s.add(_RT, _RT, _V2)
+        s.smix(_RT)
+        s.mulc(_RT, _CK2)
+        s.mov(_RA, _RT)
+
+    def p_long_prefix(s: _CityAsm):
+        s.loadw(_RX, F.lit(0).cast("long"))  # x
+        s.loadw(_RY, n - 16)
+        s.xori(_RY, _CK1)  # y
+        s.loadw(_RZ, n - 56)
+        s.xori(_RZ, _CK0)  # z
+
+        def seeds_v():
+            s.movi(_RA, n)
+            s.mov(_RB, _RY)
+
+        s.weak32(n - 64, seeds_v, _V1, _V2)
+
+        def seeds_w():
+            s.movi(_RA, n)
+            s.mulc(_RA, _CK1)
+            s.movi(_RB, _CK0)
+
+        s.weak32(n - 32, seeds_w, _W1, _W2)
+        s.mov(_RT, _V2)
+        s.smix(_RT)
+        s.mulc(_RT, _CK1)
+        s.add(_RZ, _RZ, _RT)  # z += smix(v2) * k1
+        s.add(_RX, _RX, _RZ)
+        s.rotr(_RX, 39)
+        s.mulc(_RX, _CK1)  # x = rotr(z + x, 39) * k1
+        s.rotr(_RY, 33)
+        s.mulc(_RY, _CK1)  # y = rotr(y, 33) * k1
+
+    def p_chunk(s: _CityAsm, o: Column):
+        s.loadw(_RT, o + 16)
+        s.add(_RX, _RX, _RY)
+        s.add(_RX, _RX, _V1)
+        s.add(_RX, _RX, _RT)
+        s.rotr(_RX, 37)
+        s.mulc(_RX, _CK1)  # x = rotr(x+y+v1+F64(o+16), 37) * k1
+        s.loadw(_RT, o + 48)
+        s.add(_RY, _RY, _V2)
+        s.add(_RY, _RY, _RT)
+        s.rotr(_RY, 42)
+        s.mulc(_RY, _CK1)  # y = rotr(y+v2+F64(o+48), 42) * k1
+        s.xor(_RX, _RX, _W2)  # x ^= w2
+        s.xor(_RY, _RY, _V1)  # y ^= v1
+        s.xor(_RZ, _RZ, _W1)
+        s.rotr(_RZ, 33)  # z = rotr(z ^ w1, 33)
+
+        def seeds_v():
+            s.mov(_RA, _V2)
+            s.mulc(_RA, _CK1)
+            s.mov(_RB, _RX)
+            s.add(_RB, _RB, _W1)
+
+        s.weak32(o, seeds_v, _V1, _V2)
+
+        def seeds_w():
+            s.mov(_RA, _RZ)
+            s.add(_RA, _RA, _W2)
+            s.mov(_RB, _RY)
+
+        s.weak32(o + 32, seeds_w, _W1, _W2)
+        s.mov(_RT, _RZ)
+        s.mov(_RZ, _RX)
+        s.mov(_RX, _RT)  # swap(z, x)
+
+    def p_final(s: _CityAsm):
+        s.hl16(_RC, _V1, _W1)
+        s.mov(_RT, _RY)
+        s.smix(_RT)
+        s.mulc(_RT, _CK1)
+        s.add(_RC, _RC, _RT)
+        s.add(_RC, _RC, _RZ)  # u = hl16(v1,w1) + smix(y)*k1 + z
+        s.hl16(_RD, _V2, _W2)
+        s.add(_RD, _RD, _RX)  # v = hl16(v2,w2) + x
+        s.hl16(_RA, _RC, _RD)
+
+    nchunks = F.floor((n - 1) / 64).cast("long")
+    chunk_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), nchunks - 1),
+            lambda i: _prog(lambda s: p_chunk(s, i * 64)),
+        )
+    )
+    long_ops = F.concat(_prog(p_long_prefix), chunk_arr, _prog(p_final))
+
+    return (
+        F.when(n == 0, _prog(p_zero))
+        .when(n <= 3, _prog(p_1_3))
+        .when(n <= 8, _prog(p_4_8))
+        .when(n <= 16, _prog(p_9_16))
+        .when(n <= 32, _prog(p_17_32))
+        .when(n <= 64, _prog(p_33_64))
+        .otherwise(long_ops)
+    )
+
+
+def cityhash64(col: Column | str) -> Column:
+    """cityHash64(string|binary) — CityHash64 v1.0.2 exactly as the
+    reference vendors it, as a JVM expression. See the micro-op VM note
+    above; bit-parity with cityhash64_py is pinned in tests/test_hashes.py.
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    data = col.cast("binary")
+    hx = F.hex(data)
+    n = F.length(data).cast("long")
+
+    def byte_at(pos: Column) -> Column:
+        return F.conv(F.substr(hx, pos * 2 + 1, F.lit(2)), 16, 10).cast("long")
+
+    def fetch(off: Column, nbytes: int) -> Column:
+        out = byte_at(off)
+        for j in range(1, nbytes):
+            out = out.bitwiseOR(F.shiftleft(byte_at(off + j), 8 * j))
+        return out
+
+    def wsub(a: Column, b: Column) -> Column:
+        return _wadd(a, _wadd(b.bitwiseXOR(F.lit(-1)), F.lit(1).cast("long")))
+
+    def wmulc(x: Column, c: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for i in range(4):
+            limb = F.shiftrightunsigned(c, 16 * i).bitwiseAND(F.lit(0xFFFF))
+            lo = x.bitwiseAND(F.lit(_M32)) * limb  # < 2^48, ANSI-safe
+            hi = F.shiftrightunsigned(x, 32) * limb
+            part = _wadd(lo, F.shiftleft(hi, 32))
+            out = _wadd(out, F.shiftleft(part, 16 * i))
+        return out
+
+    def rotr_var(x: Column, s: Column) -> Column:
+        si = s.cast("int")
+        return F.when(s == 0, x).otherwise(
+            F.call_function("shiftrightunsigned", x, si).bitwiseOR(
+                F.call_function("shiftleft", x, (F.lit(64) - si).cast("int"))
+            )
+        )
+
+    def step(acc: Column, op: Column) -> Column:
+        opc, d = op["op"], op["d"]
+        ra = F.element_at(acc, op["a"] + 1)
+        rb = F.element_at(acc, op["b"] + 1)
+        imm = op["imm"]
+        res = (
+            F.when(opc == _LOADW, fetch(imm, 8))
+            .when(opc == _LOAD32, fetch(imm, 4))
+            .when(opc == _LOAD8, byte_at(imm))
+            .when(opc == _MOVI, imm)
+            .when(opc == _MOV, ra)
+            .when(opc == _ADD, _wadd(ra, rb))
+            .when(opc == _SUB, wsub(ra, rb))
+            .when(opc == _XOR, ra.bitwiseXOR(rb))
+            .when(opc == _ADDI, _wadd(ra, imm))
+            .when(opc == _MULC, wmulc(ra, imm))
+            .when(opc == _ROTR, rotr_var(ra, imm))
+            .when(opc == _SHL, F.call_function("shiftleft", ra, imm.cast("int")))
+            .when(opc == _SMIX, ra.bitwiseXOR(F.shiftrightunsigned(ra, 47)))
+            .otherwise(ra.bitwiseXOR(imm))  # _XORI
+        )
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(_NREG - 1)),
+            lambda j: F.when(j == d, res).otherwise(F.element_at(acc, j + 1)),
+        )
+
+    state0 = F.array_repeat(F.lit(0).cast("long"), _NREG)
+    return F.element_at(F.aggregate(_city_ops(n), state0, step), _RA + 1)
+
+
+def half_md5(col: Column | str) -> Column:
+    """halfMD5 as a JVM expression: Spark's built-in md5() hex, first 16
+    hex digits assembled as a big-endian UInt64 (two 32-bit halves — a
+    single 16-digit conv would round-trip through an unsigned decimal
+    string that can't cast back to long)."""
+    col = F.col(col) if isinstance(col, str) else col
+    hx = F.md5(col.cast("binary"))
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def ch_int_hash64(col: Column | str) -> Column:
+    """The SQL-visible intHash64(x) = intHash64(x ⊕ salt)
+    (FunctionsHashing.h:144-152)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return int_hash64(col.cast("long").bitwiseXOR(F.lit(signed64(INT_HASH64_SALT))))
+
+
+def ch_int_hash32(col: Column | str) -> Column:
+    """The SQL-visible intHash32(x) = intHash32<salt>(x)
+    (FunctionsHashing.h:133-142)."""
+    return int_hash32(col, salt=INT_HASH32_SALT)
+
+
+def ch_int_hash64_py(key: int) -> int:
+    return int_hash64_py((key ^ INT_HASH64_SALT) & _M64)
+
+
+def ch_int_hash32_py(key: int) -> int:
+    return int_hash32_py(key, salt=INT_HASH32_SALT)
 
 
 @functools.lru_cache(maxsize=None)

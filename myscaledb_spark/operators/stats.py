@@ -328,6 +328,63 @@ def quantile_timing(
     return cum.agg(*aggs)
 
 
+def bfloat16_round(value: Column) -> Column:
+    """The value a float32 collapses to under bfloat16 truncation
+    (QuantileBFloat16Histogram.h:104-113: float32 bits >> 16, << 16) —
+    computed arithmetically, since Spark exposes no float-bit casts:
+      1. round to float32 (the same IEEE nearest-even both engines apply),
+      2. exponent e with 2^e ≤ |f| < 2^(e+1): a log2 estimate corrected by
+         exact power-of-two comparisons (log2 can be off by 1 ulp at
+         boundaries; pow(2, int) is exact),
+      3. mantissa floor to 7 bits: every step divides/multiplies by powers
+         of two, so the reconstruction is EXACT and engine-identical.
+    Subnormal float32 inputs (|x| < 2^-126) are out of scope (documented).
+    """
+    fd = value.cast("float").cast("double")
+    af = F.abs(fd)
+    e0 = F.floor(F.log2(af))
+    e = (
+        e0
+        + F.when(F.pow(F.lit(2.0), e0 + 1) <= af, 1).otherwise(0)
+        - F.when(F.pow(F.lit(2.0), e0) > af, 1).otherwise(0)
+    )
+    p2e = F.pow(F.lit(2.0), e)
+    m = F.floor(af / p2e * F.lit(128.0))
+    mag = p2e * m / F.lit(128.0)
+    return F.when(af == 0, F.lit(0.0)).otherwise(
+        F.when(fd < 0, -mag).otherwise(mag)
+    )
+
+
+def quantile_bfloat16(
+    df: DataFrame, value: Column | str, levels: list[float]
+) -> DataFrame:
+    """quantileBFloat16 (`registerAggregateFunctions.cpp:20-34`,
+    QuantileBFloat16Histogram.h:117-151) — EXACT estimator parity: histogram
+    keyed by the bfloat16-truncated float32 value, quantile = first key (in
+    float order) whose cumulative count reaches ceil(n·level). Deterministic
+    grid ⇒ oracle-able, unlike tdigest. Histogram ≤ 65536 rows whatever the
+    input size; one scan + a window over the tiny histogram."""
+    value = F.col(value) if isinstance(value, str) else value
+    hist = (
+        df.select(bfloat16_round(value).alias("key"))
+        .filter(~F.isnan("key"))  # add() skips NaN (.h:60-64)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = hist.agg(F.sum("c").alias("n"))
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w)).crossJoin(F.broadcast(total))
+    aggs = []
+    for lv in levels:
+        pos = F.ceil(F.col("n").cast("double") * F.lit(float(lv)))
+        name = f"q_{str(lv).replace('.', '_')}"
+        aggs.append(
+            F.min(F.when(F.col("cum") >= pos, F.col("key"))).alias(name)
+        )
+    return cum.agg(*aggs)
+
+
 def cramers_v(df: DataFrame, a: Column | str, b: Column | str) -> DataFrame:
     """cramersV: association between two categorical columns,
     V = sqrt(chi2 / (n * (min(r,c) - 1)))."""

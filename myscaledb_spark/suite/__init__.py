@@ -100,6 +100,7 @@ PRIORITY: list[str] = [
     "corr_matrix",
     "topk_weighted",
     "quantile_timing",
+    "quantile_bfloat16",
     "hash_sip_int",
     "sparkbar_daily",
     "categorical_iv",

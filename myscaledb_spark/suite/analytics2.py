@@ -84,6 +84,58 @@ def quantile_timing_q(spark, sf_dir):
     return quantile_timing(li, F.floor("l_extendedprice"), _QT_LEVELS)
 
 
+# --- quantileBFloat16 (QuantileBFloat16Histogram.h): exact estimator parity ---
+_QBF_LEVELS = [0.25, 0.5, 0.9]
+
+
+def _qbf16_sql() -> str:
+    # the bfloat16 collapse, arithmetically (see operators.stats.bfloat16_round)
+    qcols = ", ".join(
+        f"MIN(CASE WHEN cum >= CEIL(n * ({lv!r}::DOUBLE)) THEN key END)"
+        f" AS q_{str(lv).replace('.', '_')}"
+        for lv in _QBF_LEVELS
+    )
+    return f"""
+    WITH src AS (
+      SELECT (CASE WHEN l_orderkey % 2 = 1 THEN -1.0 ELSE 1.0 END)
+             * CAST(l_extendedprice AS DOUBLE) AS x
+      FROM lineitem
+    ),
+    f AS (SELECT CAST(CAST(x AS REAL) AS DOUBLE) AS fd FROM src),
+    ex AS (
+      SELECT fd, e0 + (CASE WHEN power(2.0, e0 + 1) <= abs(fd) THEN 1 ELSE 0 END)
+                 - (CASE WHEN power(2.0, e0) > abs(fd) THEN 1 ELSE 0 END) AS e
+      FROM (SELECT fd, FLOOR(log2(abs(fd))) AS e0 FROM f)
+    ),
+    b AS (
+      SELECT CASE WHEN abs(fd) = 0 THEN 0.0
+             ELSE (CASE WHEN fd < 0 THEN -1.0 ELSE 1.0 END)
+                  * (power(2.0, e) * FLOOR(abs(fd) / power(2.0, e) * 128.0) / 128.0)
+             END AS key
+      FROM ex
+    ),
+    h AS (SELECT key, COUNT(*) AS c FROM b GROUP BY key),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM h),
+    cum AS (SELECT key, SUM(c) OVER (ORDER BY key) AS cum FROM h)
+    SELECT {qcols} FROM cum CROSS JOIN tot
+    """
+
+
+@register("quantile_bfloat16", _qbf16_sql())
+def quantile_bfloat16_q(spark, sf_dir):
+    """quantileBFloat16 over signed l_extendedprice (odd orderkeys negated,
+    so negative-key float ordering is exercised): the bfloat16-truncated
+    histogram walk, bit-exact on both engines because every step of the
+    collapse is power-of-two-exact arithmetic."""
+    from myscaledb_spark.operators.stats import quantile_bfloat16
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.when(F.col("l_orderkey") % 2 == 1, F.lit(-1.0)).otherwise(F.lit(1.0)) * F.col(
+        "l_extendedprice"
+    ).cast("double")
+    return quantile_bfloat16(li.select(x.alias("x")), "x", _QBF_LEVELS)
+
+
 # --- sparkbar (AggregateFunctionSparkbar.h:140-228) ---------------------------
 _SB_WIDTH = 8
 

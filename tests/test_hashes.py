@@ -64,3 +64,45 @@ def test_siphash_no_python_in_plan(spark):
 
     df = spark.range(3).select(siphash64(F.col("id").cast("string")).alias("h"))
     assert_no_python_in_plan(df)
+
+
+def test_cityhash_matches_python(spark):
+    """Every length branch of CityHash64 v1.0.2 (0..16, 17..32, 33..64,
+    >64 single chunk, >64 multi chunk) + UTF-8 multibyte + raw bytes."""
+    import random
+
+    from myscaledb_spark.functions.hashes import _CK2, cityhash64, cityhash64_py
+
+    assert cityhash64_py(b"") == _CK2  # city.cc:147 (len==0 → k2)
+    strs = ["", "a", "ab", "abc", "abcd", "abcdefgh", "abcdefghi",
+            "hello world", "数据查询", "x" * 33, "x" * 64, "x" * 65,
+            "y" * 129, "the quick brown fox jumps over the lazy dog " * 3]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strs)], "id long, s string")
+    got = {r["id"]: r["h"] for r in df.select("id", cityhash64("s").alias("h")).collect()}
+    for i, s in enumerate(strs):
+        assert got[i] == signed64(cityhash64_py(s)), repr(s)
+
+    rng = random.Random(9)
+    blobs = [bytes(rng.randrange(256) for _ in range(ln))
+             for ln in (3, 8, 16, 31, 48, 63, 64, 70, 128, 300)]
+    bdf = spark.createDataFrame(
+        [(i, b.hex()) for i, b in enumerate(blobs)], "id long, hx string"
+    )
+    got2 = {r["id"]: r["h"] for r in bdf.select(
+        "id", cityhash64(F.unhex(F.col("hx"))).alias("h")).collect()}
+    for i, b in enumerate(blobs):
+        assert got2[i] == signed64(cityhash64_py(b)), len(b)
+
+
+def test_half_md5_matches_python(spark):
+    from myscaledb_spark.functions.hashes import half_md5, half_md5_py
+
+    strs = ["", "abc", "hello world", "数据"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(strs)], "id long, s string")
+    got = {r["id"]: r["h"] for r in df.select("id", half_md5("s").alias("h")).collect()}
+    import hashlib
+
+    # pin the python ref against hashlib directly for one value
+    assert half_md5_py("abc") == int.from_bytes(hashlib.md5(b"abc").digest()[:8], "big")
+    for i, s in enumerate(strs):
+        assert got[i] == signed64(half_md5_py(s)), repr(s)

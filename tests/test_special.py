@@ -121,3 +121,25 @@ def test_stats_p_values_against_python_oracle(spark):
     assert r.p_value == pytest.approx(
         normal_two_sided_p_expr(PyOps, z), rel=1e-10
     )
+
+
+def test_bfloat16_round_bitexact(spark):
+    """bfloat16_round (arithmetic collapse) must equal the bit-level
+    float32 >> 16 << 16 truncation for normal-range values."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from myscaledb_spark.operators.stats import bfloat16_round
+
+    def bf(x: float) -> float:
+        b = struct.unpack("<I", struct.pack("<f", x))[0]
+        return struct.unpack("<f", struct.pack("<I", (b >> 16) << 16))[0]
+
+    vals = [123.456, 0.0, -7.25, 1e-20, 3.4e38, 1.0, 2.0, 65535.9, -0.001,
+            0.1, -1e-30, 1.9999999, 255.9, 256.0, 1e30]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, v double")
+    got = {r["i"]: r["b"] for r in df.select(
+        "i", bfloat16_round(F.col("v")).alias("b")).collect()}
+    for i, v in enumerate(vals):
+        assert got[i] == bf(v), v
