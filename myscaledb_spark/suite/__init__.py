@@ -57,6 +57,7 @@ def load_all() -> None:
         relational5,
         relational6,
         functions_gate,
+        agg_tail,
     )
 
 
@@ -109,6 +110,16 @@ PRIORITY: list[str] = [
     "bm25_cjk_topk",
     "sq_rerank_topk",
     "pq_rerank_topk",
+    # --- new this round (r4, batch 3: aggregate long tail closed) ---
+    "bounding_ratio_orders",
+    "contingency_coeffs",
+    "single_value_or_null_nations",
+    "sum_count_avg_weighted",
+    "group_array_moving_qty",
+    "group_array_insert_at_nations",
+    "quantile_exact_weighted_qty",
+    "sum_for_each_embeddings",
+    "resample_orders",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "vec_cosine_topk",

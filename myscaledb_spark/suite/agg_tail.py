@@ -1,0 +1,418 @@
+"""Aggregate long-tail batch 3 — the final `no`/unchecked rows of SURVEY §2.4:
+boundingRatio, contingency + cramersVBiasCorrected, singleValueOrNull,
+sumCount (+avgWeighted), groupArrayMovingSum/Avg, groupArrayInsertAt,
+quantileExactWeighted, sumForEach, countResample/avgResample.
+
+Float discipline (suite/__init__ header): money stays DECIMAL end-to-end and
+every array is serialized with to_json holding only integers/strings (scaled
+cents/micros), so the value-hash never sees engine-specific float formatting.
+The two crosstab statistics are one-row doubles with identical association
+trees on both engines, ROUND(x, 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from myscaledb_spark.catalog import load_table
+from myscaledb_spark.suite import register
+
+# --- boundingRatio (AggregateFunctionBoundingRatio.h:21-66) -------------------
+
+
+@register(
+    "bounding_ratio_orders",
+    """
+    SELECT o_orderpriority,
+           ROUND((arg_max(o_totalprice, o_orderkey) - arg_min(o_totalprice, o_orderkey))
+                 / (MAX(o_orderkey) - MIN(o_orderkey)), 6) AS bounding_ratio
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def bounding_ratio_q(spark, sf_dir):
+    """boundingRatio(o_orderkey, o_totalprice) per priority — x is the unique
+    order key, so the reference's first-seen tie rule never fires."""
+    from myscaledb_spark.operators.agg_extras import bounding_ratio
+
+    o = load_table(spark, sf_dir, "orders")
+    out = bounding_ratio(o, "o_orderkey", "o_totalprice", "o_orderpriority")
+    return out.select(
+        "o_orderpriority", F.round("bounding_ratio", 6).alias("bounding_ratio")
+    ).orderBy("o_orderpriority")
+
+
+# --- contingency / cramersVBiasCorrected (CrossTab.h:96-112) ------------------
+
+
+@register(
+    "contingency_coeffs",
+    """
+    WITH obs AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b, CAST(COUNT(*) AS DOUBLE) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, SUM(o) AS row_n FROM obs GROUP BY a),
+    cb AS (SELECT b, SUM(o) AS col_n FROM obs GROUP BY b),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    j AS (
+      SELECT obs.o, ra.row_n * cb.col_n / tot.n AS e, tot.n
+      FROM obs JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+    ),
+    d AS (
+      SELECT SUM((o - e) * (o - e) / e) / ANY_VALUE(n) AS phi2,
+             ANY_VALUE(n) AS n,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM ra) AS r,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM cb) AS c
+      FROM j
+    )
+    SELECT ROUND(sqrt(phi2 / (phi2 + n)), 6) AS contingency,
+           ROUND(sqrt(GREATEST(0, phi2 - (r-1)*(c-1)/(n-1))
+                      / (LEAST(r - (r-1)*(r-1)/(n-1), c - (c-1)*(c-1)/(n-1)) - 1)), 6)
+             AS cramers_v_bc
+    FROM d
+    """,
+)
+def contingency_coeffs_q(spark, sf_dir):
+    """contingency + cramersVBiasCorrected over (o_orderstatus,
+    o_orderpriority). chi2 sums ~15 per-cell doubles; round-6 is far above
+    sum-order noise (same precedent as cramers_v_status_priority)."""
+    from myscaledb_spark.operators.agg_extras import (
+        contingency,
+        cramers_v_bias_corrected,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c1 = contingency(o, "o_orderstatus", "o_orderpriority")
+    c2 = cramers_v_bias_corrected(o, "o_orderstatus", "o_orderpriority")
+    return c1.crossJoin(c2).select(
+        F.round("contingency", 6).alias("contingency"),
+        F.round("cramers_v_bc", 6).alias("cramers_v_bc"),
+    )
+
+
+# --- singleValueOrNull (AggregateFunctionMinMaxAny.h:1069-1105) ---------------
+
+
+@register(
+    "single_value_or_null_nations",
+    """
+    SELECT c_nationkey,
+           CASE WHEN COUNT(DISTINCT n_regionkey) = 1
+                THEN CAST(MIN(n_regionkey) AS BIGINT) END AS region_single,
+           CASE WHEN COUNT(DISTINCT c_mktsegment) = 1 THEN MIN(c_mktsegment) END AS segment_single
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def single_value_or_null_q(spark, sf_dir):
+    """singleValueOrNull: per nation, the region key collapses to its single
+    value while the market segment (5 values per nation) yields NULL —
+    exercising both branches."""
+    from myscaledb_spark.operators.agg_extras import single_value_or_null
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return (
+        j.groupBy("c_nationkey")
+        .agg(
+            single_value_or_null(F.col("n_regionkey").cast("bigint")).alias(
+                "region_single"
+            ),
+            single_value_or_null("c_mktsegment").alias("segment_single"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# --- sumCount + avgWeighted (AggregateFunctionSumCount.h, AvgWeighted) --------
+
+
+@register(
+    "sum_count_avg_weighted",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+           COUNT(l_quantity) AS qty_count,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS avg_weighted_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sum_count_avg_weighted_q(spark, sf_dir):
+    """sumCount(l_quantity) + avgWeighted(l_extendedprice, l_quantity) per
+    return flag: exact DECIMAL sums, one final double division rounded."""
+    from myscaledb_spark.operators.agg_extras import sum_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    s, c = sum_count(qty)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            s.cast("double").alias("qty_sum"),
+            c.alias("qty_count"),
+            F.round(
+                F.sum(price * qty).cast("double") / F.sum(qty).cast("double"), 6
+            ).alias("avg_weighted_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- groupArrayMovingSum / Avg (AggregateFunctionGroupArrayMoving.h:59-78) ----
+
+_MOVING_W = 5
+
+
+@register(
+    "group_array_moving_qty",
+    f"""
+    WITH src AS (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey,
+             CAST(l_quantity AS DECIMAL(18,2)) AS q
+      FROM lineitem WHERE l_suppkey <= 10
+    ),
+    m AS (
+      SELECT l_suppkey,
+             SUM(q) OVER (PARTITION BY l_suppkey
+                          ORDER BY l_orderkey, l_linenumber, l_partkey, q
+                          ROWS BETWEEN {_MOVING_W - 1} PRECEDING AND CURRENT ROW) AS msum,
+             l_orderkey, l_linenumber, l_partkey, q
+      FROM src
+    )
+    SELECT l_suppkey,
+           CAST(to_json(array_agg(CAST(msum * 100 AS BIGINT) ORDER BY l_orderkey, l_linenumber, l_partkey, q)) AS VARCHAR) AS moving_sum_cents,
+           CAST(to_json(array_agg(CAST(msum * 200000 AS BIGINT) ORDER BY l_orderkey, l_linenumber, l_partkey, q)) AS VARCHAR) AS moving_avg_micros
+    FROM m
+    GROUP BY l_suppkey
+    ORDER BY l_suppkey
+    """,
+)
+def group_array_moving_q(spark, sf_dir):
+    """groupArrayMovingSum(5) + groupArrayMovingAvg(5) over quantities in
+    (l_orderkey, l_linenumber, l_partkey, q) order — the synthetic lineitem
+    has duplicate (orderkey, linenumber) pairs, so the order key includes the
+    quantity itself; any rows still tied contribute identical window sums.
+    Sums are exact DECIMAL; arrays are serialized as scaled integers (cents /
+    avg-micros = sum*1e6/5) so JSON never carries float text."""
+    from myscaledb_spark.operators.agg_extras import group_array_moving
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_suppkey") <= 10)
+        .withColumn("q", F.col("l_quantity").cast("decimal(18,2)"))
+    )
+    out = group_array_moving(
+        li,
+        "l_suppkey",
+        ["l_orderkey", "l_linenumber", "l_partkey", "q"],
+        F.col("q"),
+        _MOVING_W,
+    )
+    return out.select(
+        "l_suppkey",
+        F.to_json(
+            F.transform(F.col("moving_sum"), lambda x: (x * 100).cast("bigint"))
+        ).alias("moving_sum_cents"),
+        F.to_json(
+            F.transform(F.col("moving_sum"), lambda x: (x * 200000).cast("bigint"))
+        ).alias("moving_avg_micros"),
+    ).orderBy("l_suppkey")
+
+
+# --- groupArrayInsertAt (AggregateFunctionGroupArrayInsertAt.h) ---------------
+
+
+@register(
+    "group_array_insert_at_nations",
+    """
+    WITH grid AS (
+      SELECT g.n_regionkey, r.range AS i
+      FROM range(0, 25) r CROSS JOIN (SELECT DISTINCT n_regionkey FROM nation) g
+    ),
+    slot AS (
+      SELECT grid.n_regionkey, grid.i,
+             COALESCE(MIN(CASE WHEN n.n_nationkey = grid.i THEN n.n_name END), '-') AS nm
+      FROM grid LEFT JOIN nation n ON n.n_regionkey = grid.n_regionkey
+      GROUP BY grid.n_regionkey, grid.i
+    )
+    SELECT n_regionkey,
+           CAST(to_json(array_agg(nm ORDER BY i)) AS VARCHAR) AS arr
+    FROM slot
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def group_array_insert_at_q(spark, sf_dir):
+    """groupArrayInsertAt('-', 25)(n_name, n_nationkey) per region: each
+    nation lands at its key's slot, other slots hold the default."""
+    from myscaledb_spark.operators.agg_extras import group_array_insert_at
+
+    n = load_table(spark, sf_dir, "nation")
+    out = group_array_insert_at(
+        n, "n_regionkey", F.col("n_nationkey"), F.col("n_name"), 25, "-"
+    )
+    return out.select(
+        "n_regionkey", F.to_json(F.col("arr")).alias("arr")
+    ).orderBy("n_regionkey")
+
+
+# --- quantileExactWeighted (QuantileExactWeighted.h:106-126) ------------------
+
+_QEW_LEVELS = [0.25, 0.5, 0.9]
+
+
+@register(
+    "quantile_exact_weighted_qty",
+    """
+    WITH pv AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v, SUM(CAST(l_linenumber AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, SUM(w) OVER (ORDER BY v) AS cum, SUM(w) OVER () AS tot FROM pv
+    )
+    SELECT MIN(CASE WHEN cum >= CEIL(CAST(tot AS DOUBLE) * 0.25) THEN v END) AS q_0_25,
+           MIN(CASE WHEN cum >= CEIL(CAST(tot AS DOUBLE) * 0.5)  THEN v END) AS q_0_5,
+           MIN(CASE WHEN cum >= CEIL(CAST(tot AS DOUBLE) * 0.9)  THEN v END) AS q_0_9
+    FROM cum
+    """,
+)
+def quantile_exact_weighted_q(spark, sf_dir):
+    """quantileExactWeighted(l_quantity, l_linenumber): integer values and
+    weights — fully exact, threshold = ceil(sum_w * level)."""
+    from myscaledb_spark.operators.agg_extras import quantile_exact_weighted
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("v"),
+        F.col("l_linenumber").cast("bigint").alias("w"),
+    )
+    return quantile_exact_weighted(li, "v", "w", _QEW_LEVELS)
+
+
+# --- sumForEach over integerized embeddings (AggregateFunctionForEach.h) ------
+
+
+@register(
+    "sum_for_each_embeddings",
+    """
+    WITH ex AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS x
+      FROM embeddings WHERE vec_id < 500
+    )
+    SELECT CAST(to_json(array_agg(v ORDER BY pos)) AS VARCHAR) AS sums
+    FROM (SELECT pos, CAST(SUM(x) AS BIGINT) AS v FROM ex GROUP BY pos) t
+    """,
+)
+def sum_for_each_q(spark, sf_dir):
+    """sumForEach over embeddings integerized via floor(x*1000) — float→
+    double widening and *1000 are exact IEEE ops on both engines, floor makes
+    each element an exact BIGINT, so the elementwise sums are order-free."""
+    from myscaledb_spark.operators.agg_extras import agg_for_each
+
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    ints = e.select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
+        ).alias("iv")
+    )
+    return agg_for_each(ints, "iv", F.sum).select(
+        F.to_json(F.col("arr")).alias("sums")
+    )
+
+
+# --- countResample / avgResample (AggregateFunctionResample.h) ----------------
+
+
+@register(
+    "resample_orders",
+    """
+    WITH b AS (
+      SELECT o_orderpriority,
+             CAST(FLOOR(o_totalprice / 100000) AS INT) AS bucket,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      FROM orders
+      WHERE o_totalprice >= 0 AND o_totalprice < 600000
+    ),
+    pb AS (
+      SELECT o_orderpriority, bucket, COUNT(*) AS cnt,
+             CAST(SUM(p * 100) AS BIGINT) AS s_cents
+      FROM b GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT g.o_orderpriority, r.range AS bucket
+      FROM range(0, 6) r CROSS JOIN (SELECT DISTINCT o_orderpriority FROM b) g
+    ),
+    f AS (
+      SELECT grid.o_orderpriority, grid.bucket,
+             COALESCE(pb.cnt, 0) AS cnt,
+             CASE WHEN pb.cnt IS NULL THEN NULL
+                  ELSE (pb.s_cents * 10000) // pb.cnt END AS avg_micro
+      FROM grid LEFT JOIN pb
+        ON pb.o_orderpriority = grid.o_orderpriority AND pb.bucket = grid.bucket
+    )
+    SELECT o_orderpriority,
+           CAST(to_json(array_agg(cnt ORDER BY bucket)) AS VARCHAR) AS counts,
+           CAST(to_json(array_agg(avg_micro ORDER BY bucket)) AS VARCHAR) AS avgs
+    FROM f
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def resample_orders_q(spark, sf_dir):
+    """countResample(0, 600000, 100000) + avgResample over o_totalprice per
+    priority: independent aggregates per price bucket in bucket order; empty
+    count buckets are 0, empty avg buckets NULL. Averages are truncated
+    integer micros computed from exact cent sums — (s*10000 - s*10000 % cnt)
+    is an exactly-divisible ≤ 2^53 dividend, so the IEEE division is the
+    exact integer quotient on both engines (DuckDB uses BIGINT //)."""
+    from myscaledb_spark.operators.agg_extras import agg_resample
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    cnt = agg_resample(
+        o, 0, 600000, 100000, price, F.lit(1), F.count, "o_orderpriority"
+    ).select(
+        "o_orderpriority",
+        F.transform(F.col("arr"), lambda x: F.coalesce(x, F.lit(0))).alias("_cnts"),
+    )
+    cents = agg_resample(
+        o,
+        0,
+        600000,
+        100000,
+        price,
+        (price.cast("decimal(18,2)") * 100).cast("decimal(28,2)"),
+        F.sum,
+        "o_orderpriority",
+    ).select(
+        "o_orderpriority",
+        F.transform(F.col("arr"), lambda x: x.cast("bigint")).alias("_cents"),
+    )
+
+    def _avg_micro(s, c):
+        num = s * 10000
+        return F.when(
+            s.isNotNull(), ((num - num % c) / c).cast("bigint")
+        )
+
+    return (
+        cnt.join(cents, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.to_json(F.col("_cnts")).alias("counts"),
+            F.to_json(F.zip_with(F.col("_cents"), F.col("_cnts"), _avg_micro)).alias(
+                "avgs"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
