@@ -58,6 +58,7 @@ def load_all() -> None:
         relational6,
         functions_gate,
         agg_tail,
+        geo_gate,
     )
 
 
@@ -120,6 +121,10 @@ PRIORITY: list[str] = [
     "quantile_exact_weighted_qty",
     "sum_for_each_embeddings",
     "resample_orders",
+    "geohash_roundtrip",
+    "geohashes_in_box_gate",
+    "point_in_polygon_customers",
+    "polygon_metrics",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "vec_cosine_topk",
