@@ -59,6 +59,7 @@ def load_all() -> None:
         functions_gate,
         agg_tail,
         geo_gate,
+        jdbc_gate,
     )
 
 
@@ -125,6 +126,7 @@ PRIORITY: list[str] = [
     "geohashes_in_box_gate",
     "point_in_polygon_customers",
     "polygon_metrics",
+    "jdbc_roundtrip",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "vec_cosine_topk",
