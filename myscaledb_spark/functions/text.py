@@ -196,32 +196,61 @@ def bm25_scores(
     toked = df.withColumn("_toks", tokenize(text_col, tokenizer, spec=spec)).withColumn(
         "_dl", F.size("_toks").cast("double")
     )
+    return bm25_scores_pretokenized(toked, terms, operator, score_name)
 
-    # one corpus pass: N, total tokens (for avgdl), and per-term doc freq
-    aggs = [
-        F.count(F.lit(1)).cast("double").alias("_n_docs"),
-        F.avg("_dl").alias("_avgdl"),
-    ]
-    for i, t in enumerate(terms):
-        aggs.append(
-            F.sum(F.when(F.array_contains("_toks", t), 1).otherwise(0))
-            .cast("double")
-            .alias(f"_df_{i}")
-        )
-    stats = toked.agg(*aggs)
 
-    scored = toked.crossJoin(F.broadcast(stats))
+def bm25_scores_pretokenized(
+    toked: DataFrame,
+    terms: list[str],
+    operator: str = "OR",
+    score_name: str = "bm25_score",
+) -> DataFrame:
+    """BM25 over a DataFrame that already carries `_toks` (array<string>) and
+    `_dl` (double) — the shared scorer behind bm25_scores and the
+    single-scan hybrid path."""
 
     def _tf(term: str) -> Column:
         # NB: F.filter's two-arg lambda form means (element, index) — bind the
         # term via closure, single-arg lambda only.
         return F.size(F.filter("_toks", lambda x: x == F.lit(term))).cast("double")
 
+    tfed = toked.select(
+        "*", *[_tf(t).alias(f"_tf_{i}") for i, t in enumerate(terms)]
+    )
+    return bm25_scores_from_tf(tfed, len(terms), operator, score_name).drop("_toks")
+
+
+def bm25_scores_from_tf(
+    tfed: DataFrame,
+    n_terms: int,
+    operator: str = "OR",
+    score_name: str = "bm25_score",
+) -> DataFrame:
+    """BM25 from precomputed per-term frequencies: expects `_dl` (double)
+    and `_tf_0.._tf_{n-1}` (double) columns. This is the narrowest corpus
+    projection that can answer BM25 — fixed-width scalars, no token arrays —
+    so callers (operators/hybrid.py) can persist it cheaply and scan the
+    corpus exactly once. df_t = Σ [tf_t > 0] equals the array_contains count
+    of the tokenized form, so scores are bit-identical to bm25_scores."""
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        F.avg("_dl").alias("_avgdl"),
+    ]
+    for i in range(n_terms):
+        aggs.append(
+            F.sum(F.when(F.col(f"_tf_{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"_df_{i}")
+        )
+    stats = tfed.agg(*aggs)
+
+    scored = tfed.crossJoin(F.broadcast(stats))
+
     score = F.lit(0.0)
     match_any = F.lit(False)
     match_all = F.lit(True)
-    for i, t in enumerate(terms):
-        tf = _tf(t)
+    for i in range(n_terms):
+        tf = F.col(f"_tf_{i}")
         idf = F.log(
             F.lit(1.0)
             + (F.col("_n_docs") - F.col(f"_df_{i}") + F.lit(0.5))
@@ -236,7 +265,9 @@ def bm25_scores(
 
     matched = match_all if operator.upper() == "AND" else match_any
     out = scored.withColumn(score_name, score).filter(matched)
-    drop = ["_toks", "_dl", "_n_docs", "_avgdl"] + [f"_df_{i}" for i in range(len(terms))]
+    drop = ["_dl", "_n_docs", "_avgdl"] + [
+        f"_{p}_{i}" for i in range(n_terms) for p in ("df", "tf")
+    ]
     return out.drop(*drop)
 
 

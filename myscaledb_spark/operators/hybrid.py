@@ -32,7 +32,6 @@ from pyspark.sql import Window
 from myscaledb_spark.errors import InvalidSearchQuery
 from myscaledb_spark.functions.text import text_search
 from myscaledb_spark.functions.vector import METRIC_ASCENDING
-from myscaledb_spark.operators.topk import vector_topk
 
 DEFAULT_FUSION_K = 60  # src/Core/Settings.h:920
 DEFAULT_FUSION_WEIGHT = 0.5  # src/Core/Settings.h:919
@@ -82,25 +81,74 @@ def hybrid_search(
 
     Returns df rows (by id) with `fusion_score`, ordered DESC, limit k.
 
-    Perf note: candidate generation scans `df` three times (vector ranking,
-    BM25 stats, BM25 scoring). For repeated hybrid queries over the same
-    corpus, pass a persisted df (`df.cache()`) — measured ~25% faster at
-    sf0.1 — or build the FTS/vector index artifacts (plans/) which replace
-    the scans entirely.
+    Plan shape (single corpus scan): one narrow projection
+    (id, distance, tokens, doc_len) is computed and persisted
+    (MEMORY_AND_DISK, spills at scale); vector ranking, BM25 stats, and BM25
+    scoring all read that cached projection, so the full-width corpus is
+    scanned ONCE (previously three times). The two k′-row candidate lists
+    are eagerly local-checkpointed so the cache can be released before
+    returning the (lazy) fused result. The indexed variant
+    (`hybrid_search_indexed`) remains the no-corpus-scan scale path.
     """
+    from pyspark import StorageLevel
+
+    from myscaledb_spark.functions.text import (
+        bm25_scores_from_tf,
+        tokenize,
+        tokenize_query,
+    )
+    from myscaledb_spark.functions.vector import distance
+    from myscaledb_spark.operators.topk import _order, _validate_k
+
     ft = fusion_type.lower()
     if ft not in ("rsf", "rrf"):
         raise InvalidSearchQuery(f"fusion_type must be rsf|rrf, got {fusion_type!r}")
     if k is None or k <= 0:
         raise InvalidSearchQuery("hybrid search requires a positive LIMIT (top-k)")
     kprime = k * candidate_multiple
+    _validate_k(kprime)
 
-    vec_cand = vector_topk(df, vec_col, qvec, kprime, metric, None, id_col, "_vdist").select(
-        id_col, "_vdist"
-    )
-    txt_cand = text_search(
-        df, text_col, qtext, kprime, id_col, tokenizer, score_name="_bm25"
-    ).select(id_col, "_bm25")
+    terms = tokenize_query(qtext, tokenizer)
+    if not terms:
+        raise InvalidSearchQuery("empty text-search query after tokenization")
+
+    # narrowest projection that answers both sides: id, distance, doc length,
+    # and one tf per query term — fixed-width scalars (the token array is
+    # consumed inside the scan and never materialized), so the persisted set
+    # is a sliver of the corpus even at 100 TB
+    toks = tokenize(text_col, tokenizer)
+
+    def _tf_col(term: str, i: int):
+        # single-arg lambda only: F.filter's two-arg form means (elem, index)
+        return (
+            F.size(F.filter(toks, lambda x: x == F.lit(term)))
+            .cast("double")
+            .alias(f"_tf_{i}")
+        )
+
+    tf_cols = [_tf_col(t, i) for i, t in enumerate(terms)]
+    narrow = df.select(
+        F.col(id_col),
+        distance(vec_col, qvec, metric).alias("_vdist"),
+        F.size(toks).cast("double").alias("_dl"),
+        *tf_cols,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        vec_cand = (
+            narrow.select(id_col, "_vdist")
+            .orderBy(*_order(F.col("_vdist"), F.col(id_col), metric))
+            .limit(kprime)
+            .localCheckpoint(eager=True)
+        )
+        txt_cand = (
+            bm25_scores_from_tf(narrow, len(terms), "OR", "_bm25")
+            .orderBy(F.col("_bm25").desc(), F.col(id_col).asc())
+            .limit(kprime)
+            .select(id_col, "_bm25")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        narrow.unpersist()
     return fuse_candidates(
         vec_cand, txt_cand, k, id_col, ft, metric, fusion_weight, fusion_k, score_name
     )
