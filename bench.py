@@ -44,6 +44,8 @@ HEADLINE = [
     "minhash_lsh_pairs",    # explode/groupBy hash pipeline
     "window_funnel_levels", # sorted-array state machine
     "exact_dedup_groups",   # hash groupBy dedup
+    "point_in_polygon_customers",  # per-row geo expression scan (r4)
+    "group_array_moving_qty",      # window + sorted collect per group (r4)
 ]
 
 
