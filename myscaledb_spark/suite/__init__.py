@@ -127,6 +127,7 @@ PRIORITY: list[str] = [
     "point_in_polygon_customers",
     "polygon_metrics",
     "jdbc_roundtrip",
+    "quantile_exact_variants",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "vec_cosine_topk",

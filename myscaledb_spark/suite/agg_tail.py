@@ -416,3 +416,96 @@ def resample_orders_q(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- quantileExact / Low / High / Exclusive / Inclusive -----------------------
+# (QuantileExact.h:95, :141-151 exclusive, :208-215 inclusive, :266-290 low,
+# :345-365 high). All deterministic order statistics -> exactly oracle-able.
+# n is computed as floor(level * size) in double on BOTH engines; the two
+# interpolated variants share the identical double tree then ROUND(x, 6).
+
+
+@register(
+    "quantile_exact_variants",
+    """
+    WITH pv AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v, COUNT(*) AS c FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+             CAST(SUM(c) OVER () AS DOUBLE) AS s
+      FROM pv
+    ),
+    sel AS (
+      SELECT
+        MIN(CASE WHEN cum >= FLOOR(0.25 * s) + 1 THEN v END) AS exact_q25,
+        MIN(CASE WHEN cum >= (CASE WHEN CAST(s AS BIGINT) % 2 = 1
+                                   THEN FLOOR(s / 2) ELSE s / 2 - 1 END) + 1
+                 THEN v END) AS median_low,
+        MIN(CASE WHEN cum >= FLOOR(s / 2) + 1 THEN v END) AS median_high,
+        MIN(CASE WHEN cum >= FLOOR(0.9 * (s + 1)) THEN v END) AS ex_lo,
+        MIN(CASE WHEN cum >= FLOOR(0.9 * (s + 1)) + 1 THEN v END) AS ex_hi,
+        ANY_VALUE(FLOOR(0.9 * (s + 1))) AS ex_n, ANY_VALUE(0.9 * (s + 1)) AS ex_h,
+        MIN(CASE WHEN cum >= FLOOR(0.9 * (s - 1) + 1) THEN v END) AS in_lo,
+        MIN(CASE WHEN cum >= FLOOR(0.9 * (s - 1) + 1) + 1 THEN v END) AS in_hi,
+        ANY_VALUE(FLOOR(0.9 * (s - 1) + 1)) AS in_n, ANY_VALUE(0.9 * (s - 1) + 1) AS in_h
+      FROM cum
+    )
+    SELECT exact_q25, median_low, median_high,
+           ROUND(ex_lo + (ex_h - ex_n) * (ex_hi - ex_lo), 6) AS excl_q90,
+           ROUND(in_lo + (in_h - in_n) * (in_hi - in_lo), 6) AS incl_q90
+    FROM sel
+    """,
+)
+def quantile_exact_variants_q(spark, sf_dir):
+    """quantileExact(0.25), quantileExactLow/High medians, and the
+    interpolated quantileExactExclusive/Inclusive(0.9), all from one
+    per-value-count cumulative window (one shuffle on the value key —
+    nth_element's distributed analog)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy(F.col("l_quantity").cast("bigint").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = pv.select(
+        "v",
+        F.sum("c").over(Window.orderBy("v")).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).cast("double").alias("s"),
+    )
+    s = F.col("s")
+
+    def at_index(n_expr):
+        # element at 0-based index n of the sorted multiset
+        return F.min(F.when(F.col("cum") >= n_expr + 1, F.col("v")))
+
+    ex_n = F.floor(F.lit(0.9) * (s + 1))
+    in_n = F.floor(F.lit(0.9) * (s - 1) + 1)
+    sel = cum.agg(
+        at_index(F.floor(F.lit(0.25) * s)).alias("exact_q25"),
+        at_index(
+            F.when(s.cast("bigint") % 2 == 1, F.floor(s / 2)).otherwise(s / 2 - 1)
+        ).alias("median_low"),
+        at_index(F.floor(s / 2)).alias("median_high"),
+        F.min(F.when(F.col("cum") >= ex_n, F.col("v"))).alias("ex_lo"),
+        at_index(ex_n).alias("ex_hi"),
+        F.first(ex_n).alias("ex_n"),
+        F.first(F.lit(0.9) * (s + 1)).alias("ex_h"),
+        F.min(F.when(F.col("cum") >= in_n, F.col("v"))).alias("in_lo"),
+        at_index(in_n).alias("in_hi"),
+        F.first(in_n).alias("in_n"),
+        F.first(F.lit(0.9) * (s - 1) + 1).alias("in_h"),
+    )
+    return sel.select(
+        "exact_q25",
+        "median_low",
+        "median_high",
+        F.round(
+            F.col("ex_lo") + (F.col("ex_h") - F.col("ex_n")) * (F.col("ex_hi") - F.col("ex_lo")),
+            6,
+        ).alias("excl_q90"),
+        F.round(
+            F.col("in_lo") + (F.col("in_h") - F.col("in_n")) * (F.col("in_hi") - F.col("in_lo")),
+            6,
+        ).alias("incl_q90"),
+    )

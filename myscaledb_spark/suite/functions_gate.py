@@ -438,7 +438,7 @@ def hash_sip_int(spark, sf_dir):
     )
 
     df = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(_HASH_INPUTS)], "id long, s string"
+        [(i, s) for i, s in enumerate(_HASH_INPUTS)], "id int, s string"
     )
     return df.select(
         "id",
