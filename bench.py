@@ -31,6 +31,7 @@ HEADLINE = [
     "bm25_topk",            # corpus stats + broadcast + scoring
     "bm25_phrase_topk",     # NLQ: phrase tf via consecutive-run containment
     "bm25_cjk_topk",        # JVM regex-FMM tokenization path
+    "bm25_cjk_indexed",     # FTS postings artifact: no corpus re-tokenization (r4)
     "sq_rerank_topk",       # int8 SQ index scan + exact re-rank (build cached)
     "bitmap_retention",     # bitmap set-algebra over grouped collect_sets
     "hybrid_search_rsf",    # two candidate pipelines + fusion join

@@ -128,6 +128,7 @@ PRIORITY: list[str] = [
     "polygon_metrics",
     "jdbc_roundtrip",
     "quantile_exact_variants",
+    "bm25_cjk_indexed",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "vec_cosine_topk",
