@@ -210,6 +210,19 @@ TEMPLATES: dict[str, str] = {
         "sqrt(aggregate(cast({1} as array<double>), cast(0.0 as double), (acc, v) -> acc + v * v))))"
     ),
     "L2Norm": "sqrt(aggregate(cast({0} as array<double>), cast(0.0 as double), (acc, v) -> acc + v * v))",
+    # geo (greatCircleDistance.cpp; same haversine tree as ch_compat builders)
+    "greatCircleDistance": (
+        "(2.0 * 6371000.0 * asin(sqrt("
+        "sin((radians({3}) - radians({1})) / 2.0) * sin((radians({3}) - radians({1})) / 2.0)"
+        " + cos(radians({1})) * cos(radians({3}))"
+        " * sin((radians({2}) - radians({0})) / 2.0) * sin((radians({2}) - radians({0})) / 2.0))))"
+    ),
+    "geoDistance": (
+        "(2.0 * 6371000.0 * asin(sqrt("
+        "sin((radians({3}) - radians({1})) / 2.0) * sin((radians({3}) - radians({1})) / 2.0)"
+        " + cos(radians({1})) * cos(radians({3}))"
+        " * sin((radians({2}) - radians({0})) / 2.0) * sin((radians({2}) - radians({0})) / 2.0))))"
+    ),
 }
 
 # parametric CH syntax: name(params)(args) → template with p0..., a0...

@@ -139,3 +139,48 @@ def test_polygon_area_perimeter(spark):
     )
     assert r.area == pytest.approx(9.0)
     assert r.perim == pytest.approx(12.0)
+
+
+# --- property tests -----------------------------------------------------------
+
+import math
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lon=st.floats(min_value=-180.0, max_value=180.0, allow_nan=False),
+    lat=st.floats(min_value=-90.0, max_value=90.0, allow_nan=False),
+    p=st.integers(min_value=1, max_value=12),
+)
+def test_py_roundtrip_cell_invariants(lon, lat, p):
+    gh = geohash_encode_py(lon, lat, p)
+    assert len(gh) == p
+    dlon, dlat = geohash_decode_py(gh)
+    # decoded center re-encodes to the same cell
+    assert geohash_encode_py(dlon, dlat, p) == gh
+    # center is within half a cell span of the input (in-range points)
+    lon_bits = (p * 5) // 2 + (1 if p % 2 else 0)
+    lat_bits = (p * 5) // 2
+    if -180.0 <= lon < 180.0 and -90.0 <= lat < 90.0:
+        assert abs(dlon - lon) <= math.ldexp(360.0, -lon_bits)
+        assert abs(dlat - lat) <= math.ldexp(180.0, -lat_bits)
+
+
+def test_spark_encode_matches_py_random_batch(spark):
+    rng = random.Random(20260814)
+    pts = [
+        (rng.uniform(-180, 180), rng.uniform(-90, 90)) for _ in range(300)
+    ]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    for p in (3, 12):
+        got = [
+            r.gh
+            for r in df.select(
+                geohash_encode(F.col("lon"), F.col("lat"), p).alias("gh")
+            ).collect()
+        ]
+        assert got == [geohash_encode_py(lon, lat, p) for lon, lat in pts]

@@ -163,3 +163,38 @@ def test_parametric_distance_accepts_params(spark):
     )
     rows = df.collect()
     assert len(rows) == 3 and rows[0].d <= rows[1].d
+
+
+def test_great_circle_dialect_matches_builder(spark):
+    """Dialect greatCircleDistance/geoDistance ≡ the ch_compat column
+    builders bit-for-bit (same haversine tree)."""
+    from pyspark.sql import functions as F
+
+    from myscaledb_spark.functions.ch_compat import greatCircleDistance
+
+    pts = spark.createDataFrame(
+        [
+            (-0.1278, 51.5074, 2.3522, 48.8566),   # London -> Paris
+            (139.6917, 35.6895, -122.419, 37.774), # Tokyo -> SF
+            (0.0, 0.0, 0.0, 0.0),
+        ],
+        "lon1 double, lat1 double, lon2 double, lat2 double",
+    )
+    pts.createOrReplaceTempView("_gc")
+    got = [
+        r.d
+        for r in ch_sql(
+            spark,
+            "SELECT greatCircleDistance(lon1, lat1, lon2, lat2) AS d FROM _gc",
+        ).collect()
+    ]
+    want = [
+        r.d
+        for r in pts.select(
+            greatCircleDistance(
+                F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")
+            ).alias("d")
+        ).collect()
+    ]
+    assert got == want
+    assert abs(got[0] - 343_556) < 2000  # London-Paris ≈ 343.5 km
