@@ -225,3 +225,28 @@ def test_priority_names_all_registered():
     ordered = suite._ordered(suite.REGISTRY.keys())[:50]
     rows_only = {n for n in ordered if suite.REGISTRY[n][1] is None}
     assert rows_only <= {"stream_watermark_append"}, rows_only
+
+
+def test_no_python_eval_in_any_gate_plan(spark):
+    """Registry-wide scale audit: NO gate query plans a row-at-a-time or
+    Arrow Python eval node, except the one deliberate UDF-surface demo
+    (avg_vector_centroids — grouped-agg pandas UDF, §2.12). Every other
+    operator family must stay inside JVM codegen to survive 100 TB."""
+    from myscaledb_spark import suite
+
+    suite.load_all()
+    sf = "/root/testdata/sf0.001"
+    allow = {"avg_vector_centroids"}
+    offenders = []
+    for name, (fn, _oracle) in sorted(suite.REGISTRY.items()):
+        if name in allow:
+            continue
+        try:
+            df = fn(spark, sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # pragma: no cover - surface as failure below
+            offenders.append(f"{name}: PLAN_ERR {type(e).__name__}: {e}")
+            continue
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan or "MapInPandas" in plan:
+            offenders.append(f"{name}: python eval in plan")
+    assert not offenders, offenders
