@@ -134,10 +134,15 @@ def _decode_coord(vals: Column, mn: float, mx: float, bits: Column, odd: bool) -
 
 def geohash_decode(gh: Column) -> Column:
     """geohashDecode(string) -> struct(longitude, latitude) of the cell
-    center; empty string decodes to (0, 0) (GeoHash.cpp:240-248)."""
+    center; empty string decodes to (0, 0) (GeoHash.cpp:240-248). A hash
+    containing a non-base32 character decodes to NULL (the reference reads
+    masked garbage from its lookup table for such input; the Python
+    reference raises — NULL is this engine's documented middle ground,
+    never a silently-wrong coordinate)."""
     lookup = F.array(*[F.lit(c) for c in GEOHASH_B32])
     p = F.least(F.length(gh), F.lit(_MAX_PRECISION))
     chars = F.slice(F.split(gh, ""), 1, _MAX_PRECISION)
+    all_valid = F.forall(chars, lambda c: F.array_position(lookup, c) > 0)
     vals_arr = F.array(
         F.struct(
             F.transform(
@@ -162,7 +167,7 @@ def geohash_decode(gh: Column) -> Column:
     zero = F.struct(
         F.lit(0.0).alias("longitude"), F.lit(0.0).alias("latitude")
     )
-    return F.when(p == 0, zero).otherwise(decoded)
+    return F.when(p == 0, zero).when(all_valid, decoded)
 
 
 def geohashes_in_box(
@@ -218,8 +223,11 @@ def geohashes_in_box(
                 ),
             )
         )
+        # GeoHash.cpp:349-357 — a valid box whose aligned grid is empty
+        # (degenerate point on a cell boundary) still yields its one cell
         empty = (s["ni"] <= 0) | (s["nj"] <= 0)
-        return F.when(empty, F.array().cast("array<string>")).otherwise(cells)
+        fallback = F.array(geohash_encode(s["lon0"], s["lat0"], p))
+        return F.when(empty, fallback).otherwise(cells)
 
     bad = (
         (lon_max < lon_min)
@@ -314,11 +322,15 @@ def geohashes_in_box_py(
     lon1 = math.ceil(sat(lon_max, -180.0, 180.0) / lon_step) * lon_step
     lat1 = math.ceil(sat(lat_max, -90.0, 90.0) / lat_step) * lat_step
     ni, nj = int((lon1 - lon0) / lon_step), int((lat1 - lat0) / lat_step)
-    return [
+    out = [
         geohash_encode_py(lon0 + lon_step * i, lat0 + lat_step * j, p)
         for i in range(ni)
         for j in range(nj)
     ]
+    if not out:
+        # GeoHash.cpp:349-357 items==0 fallback: the aligned-origin cell
+        out = [geohash_encode_py(lon0, lat0, p)]
+    return out
 
 
 # --- pointInPolygon / polygon metrics ----------------------------------------
@@ -329,7 +341,8 @@ def point_in_polygon(x: Column, y: Column, ring: Column) -> Column:
     `ring` (array<struct<x:double, y:double>>, closing edge implied). For
     polygons with holes, XOR the per-ring results (even-odd semantics).
     Boundary points are engine-defined in the reference (boost within);
-    callers needing determinism keep points off edges."""
+    callers needing determinism keep points off edges. An empty ring
+    contains nothing (false)."""
     n = F.size(ring)
 
     def step(parity, i):
@@ -340,8 +353,10 @@ def point_in_polygon(x: Column, y: Column, ring: Column) -> Column:
         crosses = straddles & (x < x_int)
         return F.when(crosses, ~parity).otherwise(parity)
 
-    return F.aggregate(
-        F.sequence(F.lit(0), n - 1), F.lit(False), step
+    # sequence(0, -1) is DESCENDING [0, -1], not empty (same gotcha as
+    # functions/text.py) — guard the n == 0 case explicitly
+    return F.when(n == 0, F.lit(False)).otherwise(
+        F.aggregate(F.sequence(F.lit(0), n - 1), F.lit(False), step)
     )
 
 
@@ -355,7 +370,9 @@ def polygon_area_cartesian(ring: Column) -> Column:
         b = F.element_at(ring, ((i + 1) % n) + 1)
         return acc + (a["x"] * b["y"] - b["x"] * a["y"])
 
-    return F.abs(F.aggregate(F.sequence(F.lit(0), n - 1), F.lit(0.0), step)) / 2
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.abs(F.aggregate(F.sequence(F.lit(0), n - 1), F.lit(0.0), step)) / 2
+    )
 
 
 def polygon_perimeter_cartesian(ring: Column) -> Column:
@@ -370,4 +387,6 @@ def polygon_perimeter_cartesian(ring: Column) -> Column:
             + (b["y"] - a["y"]) * (b["y"] - a["y"])
         )
 
-    return F.aggregate(F.sequence(F.lit(0), n - 1), F.lit(0.0), step)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.aggregate(F.sequence(F.lit(0), n - 1), F.lit(0.0), step)
+    )

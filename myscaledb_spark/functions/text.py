@@ -199,6 +199,17 @@ def bm25_scores(
     return bm25_scores_pretokenized(toked, terms, operator, score_name)
 
 
+def term_tf(toks: Column | str, term: str) -> Column:
+    """Per-row term frequency over a token-array column — THE tf definition
+    every BM25 path shares (direct, pretokenized, single-scan hybrid), so
+    the scorers can never diverge.
+
+    NB: F.filter's two-arg lambda form means (element, index) — bind the
+    term via closure, single-arg lambda only."""
+    c = F.col(toks) if isinstance(toks, str) else toks
+    return F.size(F.filter(c, lambda x: x == F.lit(term))).cast("double")
+
+
 def bm25_scores_pretokenized(
     toked: DataFrame,
     terms: list[str],
@@ -208,14 +219,8 @@ def bm25_scores_pretokenized(
     """BM25 over a DataFrame that already carries `_toks` (array<string>) and
     `_dl` (double) — the shared scorer behind bm25_scores and the
     single-scan hybrid path."""
-
-    def _tf(term: str) -> Column:
-        # NB: F.filter's two-arg lambda form means (element, index) — bind the
-        # term via closure, single-arg lambda only.
-        return F.size(F.filter("_toks", lambda x: x == F.lit(term))).cast("double")
-
     tfed = toked.select(
-        "*", *[_tf(t).alias(f"_tf_{i}") for i, t in enumerate(terms)]
+        "*", *[term_tf("_toks", t).alias(f"_tf_{i}") for i, t in enumerate(terms)]
     )
     return bm25_scores_from_tf(tfed, len(terms), operator, score_name).drop("_toks")
 

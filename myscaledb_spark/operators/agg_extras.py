@@ -225,8 +225,8 @@ def agg_resample(
     """-Resample combinator: agg(value) computed independently per
     [start, end) bucket of resample_key, returned as one array per group in
     bucket order (AggregateFunctionResample.h). Rows outside [start, end)
-    are dropped, empty buckets contribute the aggregate over zero rows
-    (count -> 0; others -> null)."""
+    are dropped; buckets with no rows appear as NULL array elements (callers
+    wanting the reference's count->0 coalesce them, as the gate does)."""
     n_buckets = int((end - start + step - 1) // step)
     bucketed = df.where(
         (resample_key >= F.lit(start)) & (resample_key < F.lit(end))

@@ -94,6 +94,7 @@ def hybrid_search(
 
     from myscaledb_spark.functions.text import (
         bm25_scores_from_tf,
+        term_tf,
         tokenize,
         tokenize_query,
     )
@@ -117,16 +118,7 @@ def hybrid_search(
     # consumed inside the scan and never materialized), so the persisted set
     # is a sliver of the corpus even at 100 TB
     toks = tokenize(text_col, tokenizer)
-
-    def _tf_col(term: str, i: int):
-        # single-arg lambda only: F.filter's two-arg form means (elem, index)
-        return (
-            F.size(F.filter(toks, lambda x: x == F.lit(term)))
-            .cast("double")
-            .alias(f"_tf_{i}")
-        )
-
-    tf_cols = [_tf_col(t, i) for i, t in enumerate(terms)]
+    tf_cols = [term_tf(toks, t).alias(f"_tf_{i}") for i, t in enumerate(terms)]
     narrow = df.select(
         F.col(id_col),
         distance(vec_col, qvec, metric).alias("_vdist"),
@@ -135,7 +127,10 @@ def hybrid_search(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         vec_cand = (
+            # NULL distances (malformed vectors) would sort FIRST ascending
+            # and crowd out real neighbors — drop them, as vector_topk does
             narrow.select(id_col, "_vdist")
+            .filter(F.col("_vdist").isNotNull())
             .orderBy(*_order(F.col("_vdist"), F.col(id_col), metric))
             .limit(kprime)
             .localCheckpoint(eager=True)

@@ -82,6 +82,10 @@ def vector_topk(
     if where is not None:
         df = df.filter(where)  # pre-filtered search: filter BEFORE candidates
     scored = df.withColumn(dist_name, distance(vec_col, qvec, metric))
+    # NULL/malformed vectors make the distance NULL; ascending sort would
+    # put them FIRST and crowd out real neighbors — drop them (the
+    # reference skips rows its index cannot embed)
+    scored = scored.filter(F.col(dist_name).isNotNull())
     order = _order(F.col(dist_name), F.col(id_col) if id_col else None, metric)
     return scored.orderBy(*order).limit(k)
 

@@ -92,6 +92,11 @@ def read_jdbc(
         .option("driver", driver)
     )
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "read_jdbc: partition_column requires lower_bound and "
+                "upper_bound (Spark needs the range to slice the scan)"
+            )
         r = (
             r.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))

@@ -184,3 +184,56 @@ def test_spark_encode_matches_py_random_batch(spark):
             ).collect()
         ]
         assert got == [geohash_encode_py(lon, lat, p) for lon, lat in pts]
+
+
+def test_inbox_degenerate_box_single_cell(spark):
+    """GeoHash.cpp items==0 fallback: a valid point-box on a cell boundary
+    still yields its one (aligned-origin) cell."""
+    assert geohashes_in_box_py(0.0, 0.0, 0.0, 0.0, 3) == [
+        geohash_encode_py(0.0, 0.0, 3)
+    ]
+    [r] = (
+        spark.range(1)
+        .select(
+            geohashes_in_box(
+                F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0), 3
+            ).alias("a")
+        )
+        .collect()
+    )
+    assert r.a == [geohash_encode_py(0.0, 0.0, 3)]
+
+
+def test_empty_ring_guards(spark):
+    import pyspark.sql.types as T
+
+    empty = F.lit(None).cast(
+        T.ArrayType(
+            T.StructType(
+                [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+            )
+        )
+    )
+    zero_len = F.slice(
+        F.array(F.struct(F.lit(0.0).alias("x"), F.lit(0.0).alias("y"))), 1, 0
+    )
+    [r] = (
+        spark.range(1)
+        .select(
+            point_in_polygon(F.lit(1.0), F.lit(1.0), zero_len).alias("pip"),
+            polygon_area_cartesian(zero_len).alias("area"),
+            polygon_perimeter_cartesian(zero_len).alias("perim"),
+        )
+        .collect()
+    )
+    assert (r.pip, r.area, r.perim) == (False, 0.0, 0.0)
+
+
+def test_decode_invalid_char_is_null(spark):
+    [r] = (
+        spark.createDataFrame([("ezs42a",), ("EZS42",)], "gh string")
+        .select(geohash_decode(F.col("gh")).alias("d"))
+        .limit(1)
+        .collect()
+    )
+    assert r.d is None

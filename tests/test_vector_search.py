@@ -217,3 +217,16 @@ def test_filtered_batch_and_two_stage(spark, emb_np):
     want2, _ = _np_topk(ids[mask], mat[mask], q, 5, "L2")
     # two-stage with default full-vector stage 1 == exact on filtered set
     assert got2 == list(want2)
+
+
+def test_vector_topk_drops_null_distance_rows(spark):
+    """Rows with NULL embeddings must not crowd out real neighbors (NULLs
+    sort first under ascending order otherwise)."""
+    from pyspark.sql import functions as F
+
+    from myscaledb_spark.operators.topk import vector_topk
+
+    rows = [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, None), (4, None)]
+    df = spark.createDataFrame(rows, "id int, v array<float>")
+    got = vector_topk(df, "v", [0.0, 0.0], 2, "L2", None, "id")
+    assert [r.id for r in got.collect()] == [1, 2]
