@@ -399,6 +399,76 @@ def multiSearchAny(a, needles: Sequence[str]):
     return cond
 
 
+# --- fuzzy n-gram similarity (FunctionsStringSimilarity.cpp:282-298) ----------
+# Literal-needle forms of ngramDistance / ngramSearch with N=4. Deviation
+# (documented): grams are the literal 4-char substrings — the reference
+# hashes grams into a 16-bit space (CRC32 & 0xFFFF) and pads code points, so
+# its counts can collide/differ slightly; the formulas are identical.
+
+
+def _ngram_list(s: str, n: int = 4) -> list[str]:
+    if not s:
+        return []
+    if len(s) < n:
+        return [s]
+    return [s[i : i + n] for i in range(len(s) - n + 1)]
+
+
+def _gram_col(a, n: int = 4):
+    s = _c(a)
+    ln = F.length(s)
+    return (
+        F.when(ln <= 0, F.slice(F.array(F.lit("")), 1, 0))
+        .when(ln < n, F.array(s))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), ln - (n - 1)),
+                lambda i: F.substring(s, i, n),
+            )
+        )
+    )
+
+
+def _multiset_intersection(grams_col, needle: str, n: int = 4):
+    """Σ over distinct needle grams of min(count_in_haystack, count_in_needle)
+    — generated per-gram terms, so Spark and a SQL oracle can build the
+    identical expression tree."""
+    from collections import Counter
+
+    def _count(g: str):
+        # single-arg lambda only: F.filter's two-arg form means (elem, index)
+        lit_g = F.lit(g)
+        return F.size(F.filter(grams_col, lambda x: x == lit_g))
+
+    counts = Counter(_ngram_list(needle, n))
+    inter = F.lit(0)
+    for g, cb in sorted(counts.items()):
+        inter = inter + F.least(_count(g), F.lit(cb))
+    return inter
+
+
+def ngramSearch(a, needle: str, n: int = 4):
+    """ngramSearch(haystack, 'needle'): fraction of the needle's 4-gram
+    multiset found in the haystack — 1 - misses/max(|needle|, 1), in [0, 1],
+    higher = more similar (the asymmetric metric, res branch at
+    FunctionsStringSimilarity.cpp:290)."""
+    nb = len(_ngram_list(needle, n))
+    inter = _multiset_intersection(_gram_col(a, n), needle, n)
+    return F.lit(1.0) - (F.lit(nb) - inter).cast("double") / F.lit(float(max(nb, 1)))
+
+
+def ngramDistance(a, needle: str, n: int = 4):
+    """ngramDistance(haystack, 'needle'): |multiset symmetric difference| /
+    max(|haystack| + |needle|, 1), in [0, 1], lower = more similar (the
+    symmetric metric at FunctionsStringSimilarity.cpp:288)."""
+    grams = _gram_col(a, n)
+    nb = len(_ngram_list(needle, n))
+    inter = _multiset_intersection(grams, needle, n)
+    total = (F.size(grams) + F.lit(nb)).cast("double")
+    sym_diff = total - F.lit(2.0) * inter.cast("double")
+    return sym_diff / F.greatest(total, F.lit(1.0))
+
+
 # replace
 def replaceOne(a, pat: str, rep: str):
     """Replace FIRST occurrence only (CH semantics) via instr+concat."""

@@ -129,6 +129,7 @@ PRIORITY: list[str] = [
     "jdbc_roundtrip",
     "quantile_exact_variants",
     "bm25_cjk_indexed",
+    "ngram_similarity_topk",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "vec_cosine_topk",

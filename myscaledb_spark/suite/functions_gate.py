@@ -448,3 +448,60 @@ def hash_sip_int(spark, sf_dir):
         ch_int_hash64(F.col("id")).alias("ih64"),
         ch_int_hash32(F.col("id")).alias("ih32"),
     )
+
+
+# --- fuzzy n-gram similarity (FunctionsStringSimilarity.cpp:282-298) ----------
+
+_NG_NEEDLE = "spring green"
+
+
+def _ngram_oracle_sql() -> str:
+    from collections import Counter
+
+    from myscaledb_spark.functions.ch_compat import _ngram_list
+
+    counts = Counter(_ngram_list(_NG_NEEDLE))
+    nb = sum(counts.values())
+    terms = " + ".join(
+        f"LEAST(len(list_filter(ngh, x -> x = '{g}')), {cb})"
+        for g, cb in sorted(counts.items())
+    )
+    return f"""
+    WITH g AS (
+      SELECT p_partkey, p_name,
+             CASE WHEN length(p_name) <= 0 THEN []
+                  WHEN length(p_name) < 4 THEN [p_name]
+                  ELSE list_transform(range(1, length(p_name) - 2),
+                                      i -> substring(p_name, i, 4)) END AS ngh
+      FROM part
+    ),
+    s AS (
+      SELECT p_partkey, ({terms}) AS inter, len(ngh) AS na FROM g
+    )
+    SELECT p_partkey,
+           ROUND(1.0 - CAST({nb} - inter AS DOUBLE) / {float(max(nb, 1))!r}, 6) AS sim,
+           ROUND((CAST(na + {nb} AS DOUBLE) - 2.0 * inter)
+                 / GREATEST(CAST(na + {nb} AS DOUBLE), 1.0), 6) AS dist
+    FROM s
+    ORDER BY (1.0 - CAST({nb} - inter AS DOUBLE) / {float(max(nb, 1))!r}) DESC, p_partkey ASC
+    LIMIT 15
+    """
+
+
+@register("ngram_similarity_topk", _ngram_oracle_sql())
+def ngram_similarity_topk(spark, sf_dir):
+    """ngramSearch + ngramDistance of part names vs a literal needle —
+    per-gram LEAST(count, needle_count) terms generated in the SAME sorted
+    order on both engines, integers until the final double division."""
+    from myscaledb_spark.functions.ch_compat import ngramDistance, ngramSearch
+
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.round(ngramSearch("p_name", _NG_NEEDLE), 6).alias("sim"),
+            F.round(ngramDistance("p_name", _NG_NEEDLE), 6).alias("dist"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("p_partkey").asc())
+        .limit(15)
+    )

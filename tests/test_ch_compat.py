@@ -305,3 +305,24 @@ def test_geo_functions(spark):
         pointInEllipses("x", "y", (0.0, 0.0, 1.0, 1.0), (3.0, 0.0, 0.5, 2.0)).alias("inside")
     ).collect()]
     assert got == [True, True, False]
+
+
+def test_ngram_search_and_distance_semantics(spark):
+    """ngramSearch/ngramDistance formulas (FunctionsStringSimilarity.cpp):
+    identical strings -> sim 1 / dist 0; disjoint -> sim 0 / dist 1;
+    short strings fall back to the whole-string gram."""
+    from myscaledb_spark.functions.ch_compat import ngramDistance, ngramSearch
+
+    df = spark.createDataFrame(
+        [("abcdef",), ("zzzzzz",), ("ab",)], "s string"
+    )
+    rows = df.select(
+        "s",
+        ngramSearch("s", "abcdef").alias("sim"),
+        ngramDistance("s", "abcdef").alias("dist"),
+    ).collect()
+    by_s = {r.s: r for r in rows}
+    assert by_s["abcdef"].sim == 1.0 and by_s["abcdef"].dist == 0.0
+    assert by_s["zzzzzz"].sim == 0.0 and by_s["zzzzzz"].dist == 1.0
+    # "ab" -> single gram "ab", not in the needle's 4-gram set
+    assert by_s["ab"].sim == 0.0 and 0.0 < by_s["ab"].dist <= 1.0
