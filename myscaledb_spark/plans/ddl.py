@@ -1,0 +1,227 @@
+"""Vector / FTS index DDL — the reference's `ALTER TABLE … ADD VECTOR INDEX`
+surface (src/Parsers/ParserAlterQuery.cpp:113-114, ParserCreateIndexQuery.cpp:37)
+so a MyScaleDB user can run their index DDL statements verbatim against this
+engine:
+
+    ALTER TABLE t ADD VECTOR INDEX [IF NOT EXISTS] v vec_col
+        TYPE MSTG('metric_type=Cosine', 'alpha=4')
+    ALTER TABLE t ADD INDEX ft text_col TYPE fts('{"type":"stem"}') GRANULARITY 1
+    ALTER TABLE t DROP VECTOR INDEX [IF EXISTS] v
+
+`alter_index_ddl` parses the statement, dispatches to the matching artifact
+builder (plans/), and records it in the IndexRegistry (≈system.vector_indices).
+`search_index` then answers top-k against any registered index by name,
+dispatching on its recorded type — the analog of the reference routing a
+search to whatever index the table declares.
+
+Type mapping (tests/vector_search/benchmark.py:23 sweep):
+  FLAT           -> registry-only record; searches run the exact brute-force path
+  IVFFLAT        -> IVF inverted lists           (ncentroids)
+  IVFPQ          -> product quantization + rerank (pq_m -> m, ks)
+  IVFSQ          -> int8 scalar quantization + rerank (bits)
+  HNSWFLAT       -> HNSW graph                   (m, ef_c)
+  HNSWPQ/HNSWSQ  -> closest analog: PQ / SQ artifact (the graph-over-compressed
+                    composition is a documented simplification)
+  MSTG / SCANN   -> multi-scale tree + graph     (alpha -> num_leaves scale,
+                    metric_type)
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from myscaledb_spark.errors import InvalidSearchQuery
+
+_ADD_VEC = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+ADD\s+VECTOR\s+INDEX\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+(?P<col>\w+)\s+"
+    r"TYPE\s+(?P<type>\w+)\s*(?:\((?P<params>.*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VEC = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+DROP\s+VECTOR\s+INDEX\s+"
+    r"(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*$",
+    re.IGNORECASE,
+)
+_ADD_FTS = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+ADD\s+INDEX\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+(?P<col>\w+)\s+"
+    r"TYPE\s+fts\s*(?:\((?P<params>.*)\))?\s*(?:GRANULARITY\s+\d+)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _parse_params(raw: str | None) -> dict[str, str]:
+    """Reference param syntax: a comma list of 'key=value' string literals
+    (00034_mqvs_vector_index_parameter_check.sh)."""
+    out: dict[str, str] = {}
+    if not raw:
+        return out
+    for piece in re.findall(r"'([^']*)'", raw):
+        if "=" in piece:
+            k, v = piece.split("=", 1)
+            out[k.strip().lower()] = v.strip()
+    return out
+
+
+def alter_index_ddl(
+    spark: SparkSession,
+    sql: str,
+    df: DataFrame | None,
+    id_col: str,
+    artifact_dir: str,
+) -> dict:
+    """Execute one index DDL statement against `df` (the 'table'), building
+    the artifact under `artifact_dir`. Returns the registry record."""
+    from myscaledb_spark.plans.vector_index import IndexRegistry
+
+    m = _DROP_VEC.match(sql)
+    if m:
+        reg = IndexRegistry(artifact_dir)
+        name = m.group("name")
+        if reg.get(name) is None and "IF EXISTS" not in sql.upper():
+            raise InvalidSearchQuery(f"vector index {name!r} does not exist")
+        reg.set_status(name, "Dropped")
+        return {"name": name, "status": "Dropped"}
+
+    m = _ADD_FTS.match(sql)
+    if m:
+        from myscaledb_spark.functions.tokenizer_spec import parse_tokenizer
+        from myscaledb_spark.plans.fts_index import build_fts_index
+
+        if df is None:
+            raise InvalidSearchQuery("ADD INDEX needs the table DataFrame")
+        name, col = m.group("name"), m.group("col")
+        raw = (m.group("params") or "").strip()
+        spec = None
+        tokenizer = "simple"
+        if raw:
+            cfg = raw.strip("'\" ")
+            try:
+                obj = json.loads(cfg)
+            except json.JSONDecodeError as e:
+                raise InvalidSearchQuery(f"bad fts tokenizer config: {e}") from e
+            spec = parse_tokenizer(obj)
+            tokenizer = obj.get("type", "simple")
+        build_fts_index(
+            df, col, id_col, artifact_dir, name=name, tokenizer=tokenizer, spec=spec
+        )
+        return IndexRegistry(artifact_dir).get(name)
+
+    m = _ADD_VEC.match(sql)
+    if not m:
+        raise InvalidSearchQuery(f"unrecognized index DDL: {sql!r}")
+    if df is None:
+        raise InvalidSearchQuery("ADD VECTOR INDEX needs the table DataFrame")
+    name, col = m.group("name"), m.group("col")
+    itype = m.group("type").upper()
+    params = _parse_params(m.group("params"))
+    metric = params.get("metric_type", "L2")
+
+    if itype == "FLAT":
+        reg = IndexRegistry(artifact_dir)
+        reg.set_status(
+            name, "Built", column=col, index_type="FLAT", metric=metric
+        )
+        return reg.get(name)
+    if itype == "IVFFLAT":
+        from myscaledb_spark.plans.vector_index import build_ivf_index
+
+        build_ivf_index(
+            df, col, id_col, artifact_dir, name=name,
+            num_centroids=int(params.get("ncentroids", 16)), metric=metric,
+        )
+    elif itype in ("IVFPQ", "HNSWPQ"):
+        from myscaledb_spark.plans.pq_index import build_pq_index
+
+        build_pq_index(
+            df, col, id_col, artifact_dir, name=name,
+            m=int(params.get("pq_m", params.get("m", 8))),
+            ks=int(params.get("ks", 16)),
+        )
+    elif itype in ("IVFSQ", "HNSWSQ"):
+        from myscaledb_spark.plans.sq_index import build_sq_index
+
+        build_sq_index(
+            df, col, id_col, artifact_dir, name=name,
+            bits=int(params.get("bits", 8)),
+        )
+    elif itype == "HNSWFLAT":
+        from myscaledb_spark.plans.hnsw_index import build_hnsw_index
+
+        build_hnsw_index(
+            df, col, id_col, artifact_dir, name=name,
+            m=int(params.get("m", 8)),
+            ef_construction=int(params.get("ef_c", 32)),
+        )
+    elif itype in ("MSTG", "SCANN"):
+        from myscaledb_spark.plans.mstg_index import build_mstg_index
+
+        build_mstg_index(
+            df, col, id_col, artifact_dir, name=name,
+            num_leaves=int(params.get("alpha", 4)) * 4,
+            m=int(params.get("m", 8)),
+            ef_construction=int(params.get("ef_c", 32)),
+        )
+    else:
+        raise InvalidSearchQuery(
+            f"unknown vector index type {itype!r} (supported: FLAT, IVFFLAT, "
+            "IVFPQ, IVFSQ, HNSWFLAT, HNSWPQ, HNSWSQ, MSTG, SCANN)"
+        )
+    return IndexRegistry(artifact_dir).get(name)
+
+
+def search_index(
+    spark: SparkSession,
+    artifact_dir: str,
+    name: str,
+    qvec,
+    k: int,
+    df: DataFrame | None = None,
+    vec_col: str | None = None,
+    id_col: str = "id",
+    metric: str = "L2",
+    **search_params,
+) -> DataFrame:
+    """Top-k against a DDL-registered index, dispatching on its recorded
+    type. FLAT needs the table back (`df`, `vec_col`) since it has no
+    artifact; every other type searches its artifact files."""
+    from myscaledb_spark.plans.vector_index import IndexRegistry
+
+    rec = IndexRegistry(artifact_dir).get(name)
+    if rec is None or rec.get("status") not in ("Built",):
+        raise InvalidSearchQuery(f"index {name!r} is not built")
+    itype = (rec.get("index_type") or "").upper()
+    if itype == "FLAT":
+        from myscaledb_spark.operators.topk import vector_topk
+
+        if df is None or vec_col is None:
+            raise InvalidSearchQuery("FLAT search needs (df, vec_col)")
+        return vector_topk(df, vec_col, qvec, k, metric, None, id_col)
+    if itype in ("IVF", "IVFFLAT"):
+        from myscaledb_spark.plans.vector_index import ivf_search
+
+        return ivf_search(
+            spark, artifact_dir, qvec, k, name=name, metric=metric,
+            id_col=id_col, **search_params,
+        )
+    if itype in ("PQ", "PQFLAT", "IVFPQ", "HNSWPQ"):
+        from myscaledb_spark.plans.pq_index import pq_search
+
+        return pq_search(spark, artifact_dir, qvec, k, name=name, **search_params)
+    if itype in ("SQ", "IVFSQ", "HNSWSQ"):
+        from myscaledb_spark.plans.sq_index import sq_search
+
+        return sq_search(spark, artifact_dir, qvec, k, name=name, **search_params)
+    if itype in ("HNSW", "HNSWFLAT"):
+        from myscaledb_spark.plans.hnsw_index import hnsw_search
+
+        return hnsw_search(spark, artifact_dir, qvec, k, name=name, **search_params)
+    if itype in ("MSTG", "SCANN"):
+        from myscaledb_spark.plans.mstg_index import mstg_search
+
+        return mstg_search(spark, artifact_dir, qvec, k, name=name, **search_params)
+    raise InvalidSearchQuery(f"index {name!r} has unknown type {itype!r}")

@@ -130,6 +130,7 @@ PRIORITY: list[str] = [
     "quantile_exact_variants",
     "bm25_cjk_indexed",
     "ngram_similarity_topk",
+    "ddl_index_search",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "vec_cosine_topk",

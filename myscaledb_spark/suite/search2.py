@@ -376,3 +376,36 @@ def histogram_totalprice(spark, sf_dir):
             F.round(F.max("o_totalprice"), 2).alias("bin_max"),
         )
     )
+
+
+@register(
+    "ddl_index_search",
+    f"""
+    SELECT vec_id, ROUND({sql_l2('embedding', QV)}, 4) AS dist
+    FROM embeddings
+    ORDER BY {sql_l2('embedding', QV)} ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def ddl_index_search(spark, sf_dir):
+    """The reference's DDL surface end-to-end (ParserAlterQuery.cpp:113):
+    `ALTER TABLE … ADD VECTOR INDEX … TYPE IVFFLAT('ncentroids=8')` parsed
+    and built by plans/ddl.py, then answered through the type-dispatching
+    search_index in exhaustive mode — bit-equal to the brute-force oracle."""
+    from myscaledb_spark.plans.ddl import alter_index_ddl, search_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _build(d: str) -> None:
+        alter_index_ddl(
+            spark,
+            "ALTER TABLE embeddings ADD VECTOR INDEX v_ddl embedding "
+            "TYPE IVFFLAT('ncentroids=8')",
+            emb,
+            "vec_id",
+            d,
+        )
+
+    art = cached_artifact(sf_dir, "ddl_ivf_c8", _build)
+    out = search_index(spark, art, "v_ddl", QV, 10, id_col="vec_id", nprobe=8)
+    return out.select("vec_id", F.round("dist", 4).alias("dist"))

@@ -1,0 +1,106 @@
+"""Index DDL surface: ALTER TABLE … ADD/DROP VECTOR INDEX and ADD INDEX …
+TYPE fts, parsed and dispatched to the artifact builders, plus type-routed
+search_index."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from myscaledb_spark.catalog import load_table
+from myscaledb_spark.errors import InvalidSearchQuery
+from myscaledb_spark.plans.ddl import alter_index_ddl, search_index
+
+SF = "/root/testdata/sf0.001"
+QV = [0.1] * 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def test_add_vector_index_types_and_search(spark, emb):
+    art = tempfile.mkdtemp(prefix="ddl_art_")
+    for stmt, expected_type in [
+        (
+            "ALTER TABLE e ADD VECTOR INDEX v_ivf embedding TYPE IVFFLAT('ncentroids=4')",
+            "IVFFLAT",
+        ),
+        (
+            "ALTER TABLE e ADD VECTOR INDEX v_mstg embedding TYPE MSTG('alpha=1')",
+            "MSTG",
+        ),
+        ("ALTER TABLE e ADD VECTOR INDEX v_sq embedding TYPE IVFSQ", "SQ"),
+    ]:
+        rec = alter_index_ddl(spark, stmt, emb, "vec_id", art)
+        assert rec["status"] == "Built" and rec["index_type"] == expected_type
+
+    # exhaustive-mode search through the DDL-built IVF equals brute force
+    from myscaledb_spark.operators.topk import vector_topk
+
+    want = [
+        r.vec_id for r in vector_topk(emb, "embedding", QV, 5, "L2", None, "vec_id").collect()
+    ]
+    got = [
+        r.vec_id
+        for r in search_index(
+            spark, art, "v_ivf", QV, 5, id_col="vec_id", nprobe=4
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_flat_and_drop(spark, emb):
+    art = tempfile.mkdtemp(prefix="ddl_flat_")
+    rec = alter_index_ddl(
+        spark, "ALTER TABLE e ADD VECTOR INDEX v0 embedding TYPE FLAT", emb,
+        "vec_id", art,
+    )
+    assert rec["index_type"] == "FLAT"
+    out = search_index(
+        spark, art, "v0", QV, 3, df=emb, vec_col="embedding", id_col="vec_id"
+    )
+    assert out.count() == 3
+    alter_index_ddl(spark, "ALTER TABLE e DROP VECTOR INDEX v0", None, "vec_id", art)
+    with pytest.raises(InvalidSearchQuery):
+        search_index(spark, art, "v0", QV, 3, df=emb, vec_col="embedding")
+    # DROP of a missing index without IF EXISTS raises
+    with pytest.raises(InvalidSearchQuery):
+        alter_index_ddl(
+            spark, "ALTER TABLE e DROP VECTOR INDEX nope", None, "vec_id", art
+        )
+    # with IF EXISTS it is a no-op
+    alter_index_ddl(
+        spark, "ALTER TABLE e DROP VECTOR INDEX IF EXISTS nope", None, "vec_id", art
+    )
+
+
+def test_add_fts_index_ddl_and_search(spark):
+    from myscaledb_spark.plans.fts_index import fts_search
+
+    art = tempfile.mkdtemp(prefix="ddl_fts_")
+    docs = load_table(spark, SF, "documents")
+    rec = alter_index_ddl(
+        spark,
+        "ALTER TABLE d ADD INDEX ft text TYPE fts('{\"type\": \"stem\"}') GRANULARITY 1",
+        docs,
+        "doc_id",
+        art,
+    )
+    assert rec["status"] == "Built"
+    hits = fts_search(spark, art, "data systems", 5, name="ft")
+    assert hits.count() == 5
+
+
+def test_bad_ddl_raises(spark, emb):
+    art = tempfile.mkdtemp(prefix="ddl_bad_")
+    with pytest.raises(InvalidSearchQuery):
+        alter_index_ddl(
+            spark, "ALTER TABLE e ADD VECTOR INDEX v embedding TYPE WAT", emb,
+            "vec_id", art,
+        )
+    with pytest.raises(InvalidSearchQuery):
+        alter_index_ddl(spark, "SELECT 1", emb, "vec_id", art)
