@@ -46,6 +46,12 @@ _DROP_VEC = re.compile(
     r"(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*$",
     re.IGNORECASE,
 )
+_CREATE_VEC = re.compile(
+    r"^\s*CREATE\s+VECTOR\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+"
+    r"ON\s+(?P<table>[\w.]+)\s*\(\s*(?P<col>\w+)\s*\)\s+"
+    r"TYPE\s+(?P<type>\w+)\s*(?:\((?P<params>.*)\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _ADD_FTS = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+ADD\s+INDEX\s+"
     r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+(?P<col>\w+)\s+"
@@ -111,7 +117,7 @@ def alter_index_ddl(
         )
         return IndexRegistry(artifact_dir).get(name)
 
-    m = _ADD_VEC.match(sql)
+    m = _ADD_VEC.match(sql) or _CREATE_VEC.match(sql)
     if not m:
         raise InvalidSearchQuery(f"unrecognized index DDL: {sql!r}")
     if df is None:

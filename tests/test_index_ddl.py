@@ -104,3 +104,19 @@ def test_bad_ddl_raises(spark, emb):
         )
     with pytest.raises(InvalidSearchQuery):
         alter_index_ddl(spark, "SELECT 1", emb, "vec_id", art)
+
+
+def test_create_vector_index_form(spark, emb):
+    """ParserCreateIndexQuery.cpp:37 — the standalone CREATE VECTOR INDEX
+    syntax routes to the same builder as ALTER … ADD VECTOR INDEX."""
+    art = tempfile.mkdtemp(prefix="ddl_create_")
+    rec = alter_index_ddl(
+        spark,
+        "CREATE VECTOR INDEX v_c ON e (embedding) TYPE HNSWFLAT('m=4', 'ef_c=16')",
+        emb,
+        "vec_id",
+        art,
+    )
+    assert rec["status"] == "Built" and rec["index_type"] == "HNSWFLAT"
+    out = search_index(spark, art, "v_c", QV, 4, id_col="vec_id")
+    assert out.count() == 4
