@@ -1,0 +1,135 @@
+"""Dataset-mixing operators for training-data pipelines (driver brief:
+LLM-pipeline operations are first-class): sequence packing, deterministic
+stratified sampling, and benchmark-contamination checking.
+
+All three are pure DataFrame compositions designed for the 100 TB shapes:
+  - pack_sequences runs the classic DISTRIBUTED prefix sum (range partition →
+    intra-partition cumsum → tiny per-partition offset table broadcast back);
+    a naive global-order window would move the whole corpus to one partition.
+  - sample_stratified keys the keep-decision on the portable md5-48 hash of a
+    stable id, so the sample is deterministic, reproducible across engines
+    and runs, and join-stable (the same doc always lands in or out).
+  - contamination_check is a shingle equi-join against a (tiny, broadcast)
+    benchmark set — linear in corpus size, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from myscaledb_spark.operators.dedup import md5_48, shingle_sets
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    count_col: str | Column,
+    budget: int,
+    order_cols: list[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy sequence packing: documents in `order_cols` order are laid out
+    back-to-back and cut into fixed-`budget` token windows. Returns
+    (id, seq_id, offset_in_seq, n_tokens); a document whose tokens overflow
+    the window spans into the next one (standard packing semantics —
+    deterministic, loaders handle the boundary).
+
+    Distributed prefix sum: repartitionByRange on the order key, eager
+    local-checkpoint of the narrow (id, order, count, partition_id)
+    projection so both passes see identical partitions, per-partition
+    totals collected (num_partitions rows — the only driver traffic),
+    offsets broadcast back, intra-partition window cumsum. No global-order
+    window, no full shuffle to one partition.
+    """
+    cnt = F.col(count_col) if isinstance(count_col, str) else count_col
+    narrow = df.select(F.col(id_col), *[F.col(c) for c in order_cols], cnt.alias("_n"))
+    parted = (
+        narrow.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else narrow.repartitionByRange(*order_cols)
+    )
+    local = (
+        parted.withColumn("_pid", F.spark_partition_id())
+        # pin the partitioning: repartitionByRange SAMPLES boundaries, so a
+        # second job could split differently — both consumers must see one
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    cum = local.withColumn("_local_cum", F.sum("_n").over(w))
+
+    totals = sorted(
+        (r._pid, r.t)
+        for r in local.groupBy("_pid").agg(F.sum("_n").alias("t")).collect()
+    )
+    offsets, running = [], 0
+    for pid, t in totals:
+        offsets.append((pid, running))
+        running += int(t or 0)
+    off_df = cum.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
+
+    out = (
+        cum.join(F.broadcast(off_df), "_pid")
+        .withColumn("_cum_before", F.col("_offset") + F.col("_local_cum") - F.col("_n"))
+        .select(
+            F.col(id_col),
+            F.floor(F.col("_cum_before") / budget).cast("long").alias("seq_id"),
+            (F.col("_cum_before") % budget).alias("offset_in_seq"),
+            F.col("_n").alias("n_tokens"),
+        )
+    )
+    return out
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key: Column,
+    default_rate: float = 0.0,
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling for dataset mixing: keep a row iff
+    md5_48(key) % denom < rate(stratum) * denom. Unlisted strata use
+    `default_rate`. Reproducible across runs/engines (portable hash), and
+    the same key always samples the same way — exactly what mixture
+    re-weighting pipelines need."""
+    pairs = []
+    for k, r in sorted(rates.items()):
+        pairs.extend([F.lit(k), F.lit(int(r * denom))])
+    thresholds = F.create_map(*pairs) if pairs else F.create_map()
+    thr = F.coalesce(
+        F.element_at(thresholds, F.col(strata_col)),
+        F.lit(int(default_rate * denom)),
+    )
+    return df.where((md5_48(key) % denom) < thr)
+
+
+def contamination_check(
+    train_df: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    eval_df: DataFrame,
+    eval_id_col: str,
+    eval_tokens_col: Column,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: which eval items share at least one word
+    `n`-gram with a training document? Returns per eval item the count of
+    contaminated training docs and the smallest such doc id.
+
+    Shape: train shingles (linear explode) equi-joined with the BROADCAST
+    eval shingle set — the corpus is never self-joined and the join key is
+    the shingle string, so cost is one scan + one broadcast-hash join."""
+    train_sh = shingle_sets(train_df, id_col, tokens_col, n)
+    eval_sh = shingle_sets(eval_df, eval_id_col, eval_tokens_col, n)
+    hits = train_sh.join(
+        F.broadcast(eval_sh.withColumnRenamed(eval_id_col, "_eid")), "sh"
+    )
+    return (
+        hits.groupBy(F.col("_eid").alias(eval_id_col))
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_contaminated_docs"),
+            F.min(F.col(id_col)).alias("first_doc"),
+        )
+    )

@@ -60,6 +60,7 @@ def load_all() -> None:
         agg_tail,
         geo_gate,
         jdbc_gate,
+        datamix,
     )
 
 
@@ -131,6 +132,9 @@ PRIORITY: list[str] = [
     "bm25_cjk_indexed",
     "ngram_similarity_topk",
     "ddl_index_search",
+    "pack_sequences_docs",
+    "stratified_sample_docs",
+    "contamination_eval_docs",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "vec_cosine_topk",
