@@ -451,22 +451,30 @@ def ngramSearch(a, needle: str, n: int = 4):
     """ngramSearch(haystack, 'needle'): fraction of the needle's 4-gram
     multiset found in the haystack — 1 - misses/max(|needle|, 1), in [0, 1],
     higher = more similar (the asymmetric metric, res branch at
-    FunctionsStringSimilarity.cpp:290)."""
+    FunctionsStringSimilarity.cpp:290). NULL haystack -> NULL (guarded:
+    size(NULL array) is -1 under Spark's legacy sizeOfNull, which would
+    otherwise leak out-of-range scores)."""
+    s = _c(a)
     nb = len(_ngram_list(needle, n))
     inter = _multiset_intersection(_gram_col(a, n), needle, n)
-    return F.lit(1.0) - (F.lit(nb) - inter).cast("double") / F.lit(float(max(nb, 1)))
+    score = F.lit(1.0) - (F.lit(nb) - inter).cast("double") / F.lit(
+        float(max(nb, 1))
+    )
+    return F.when(s.isNotNull(), score)
 
 
 def ngramDistance(a, needle: str, n: int = 4):
     """ngramDistance(haystack, 'needle'): |multiset symmetric difference| /
     max(|haystack| + |needle|, 1), in [0, 1], lower = more similar (the
-    symmetric metric at FunctionsStringSimilarity.cpp:288)."""
+    symmetric metric at FunctionsStringSimilarity.cpp:288). NULL haystack
+    -> NULL."""
+    s = _c(a)
     grams = _gram_col(a, n)
     nb = len(_ngram_list(needle, n))
     inter = _multiset_intersection(grams, needle, n)
     total = (F.size(grams) + F.lit(nb)).cast("double")
     sym_diff = total - F.lit(2.0) * inter.cast("double")
-    return sym_diff / F.greatest(total, F.lit(1.0))
+    return F.when(s.isNotNull(), sym_diff / F.greatest(total, F.lit(1.0)))
 
 
 # replace

@@ -55,7 +55,14 @@ def pack_sequences(
         # second job could split differently — both consumers must see one
         .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    # ROWS frame + id tie-break: the default RANGE frame would give rows
+    # tied on the order key the SAME cumulative sum, packing them into
+    # overlapping slots nondeterministically
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = local.withColumn("_local_cum", F.sum("_n").over(w))
 
     totals = sorted(

@@ -37,24 +37,24 @@ from myscaledb_spark.errors import InvalidSearchQuery
 
 _ADD_VEC = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+ADD\s+VECTOR\s+INDEX\s+"
-    r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+(?P<col>\w+)\s+"
+    r"(?P<if_not_exists>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+(?P<col>\w+)\s+"
     r"TYPE\s+(?P<type>\w+)\s*(?:\((?P<params>.*)\))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_VEC = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+DROP\s+VECTOR\s+INDEX\s+"
-    r"(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*$",
+    r"(?P<if_exists>IF\s+EXISTS\s+)?(?P<name>\w+)\s*$",
     re.IGNORECASE,
 )
 _CREATE_VEC = re.compile(
-    r"^\s*CREATE\s+VECTOR\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+"
+    r"^\s*CREATE\s+VECTOR\s+INDEX\s+(?P<if_not_exists>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+"
     r"ON\s+(?P<table>[\w.]+)\s*\(\s*(?P<col>\w+)\s*\)\s+"
     r"TYPE\s+(?P<type>\w+)\s*(?:\((?P<params>.*)\))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _ADD_FTS = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+ADD\s+INDEX\s+"
-    r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+(?P<col>\w+)\s+"
+    r"(?P<if_not_exists>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+(?P<col>\w+)\s+"
     r"TYPE\s+fts\s*(?:\((?P<params>.*)\))?\s*(?:GRANULARITY\s+\d+)?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -88,19 +88,31 @@ def alter_index_ddl(
     if m:
         reg = IndexRegistry(artifact_dir)
         name = m.group("name")
-        if reg.get(name) is None and "IF EXISTS" not in sql.upper():
-            raise InvalidSearchQuery(f"vector index {name!r} does not exist")
+        if reg.get(name) is None:
+            if not m.group("if_exists"):
+                raise InvalidSearchQuery(f"vector index {name!r} does not exist")
+            # IF EXISTS on a missing index is a pure no-op — writing a
+            # "Dropped" record would fabricate a phantom system.vector_indices row
+            return {"name": name, "status": "Dropped"}
         reg.set_status(name, "Dropped")
         return {"name": name, "status": "Dropped"}
 
     m = _ADD_FTS.match(sql)
     if m:
-        from myscaledb_spark.functions.tokenizer_spec import parse_tokenizer
+        from myscaledb_spark.functions.tokenizer_spec import (
+            parse_fts_config,
+            parse_tokenizer,
+        )
         from myscaledb_spark.plans.fts_index import build_fts_index
 
         if df is None:
             raise InvalidSearchQuery("ADD INDEX needs the table DataFrame")
         name, col = m.group("name"), m.group("col")
+        existing = IndexRegistry(artifact_dir).get(name)
+        if existing is not None and existing.get("status") == "Built":
+            if m.group("if_not_exists"):
+                return existing
+            raise InvalidSearchQuery(f"index {name!r} already exists")
         raw = (m.group("params") or "").strip()
         spec = None
         tokenizer = "simple"
@@ -110,8 +122,22 @@ def alter_index_ddl(
                 obj = json.loads(cfg)
             except json.JSONDecodeError as e:
                 raise InvalidSearchQuery(f"bad fts tokenizer config: {e}") from e
-            spec = parse_tokenizer(obj)
-            tokenizer = obj.get("type", "simple")
+            # the reference DDL's config is PER-COLUMN:
+            # '{"col": {"tokenizer": {...}}}' (MergeTreeIndexTantivy config);
+            # a flat '{"type": ...}' tokenizer object is also accepted
+            if obj and all(
+                isinstance(v, dict) and "tokenizer" in v for v in obj.values()
+            ):
+                specs = parse_fts_config(obj)
+                if col not in specs:
+                    raise InvalidSearchQuery(
+                        f"fts config has no entry for indexed column {col!r}"
+                    )
+                spec = specs[col]
+                tokenizer = spec.type
+            else:
+                spec = parse_tokenizer(obj)
+                tokenizer = obj.get("type", "simple")
         build_fts_index(
             df, col, id_col, artifact_dir, name=name, tokenizer=tokenizer, spec=spec
         )
@@ -126,6 +152,21 @@ def alter_index_ddl(
     itype = m.group("type").upper()
     params = _parse_params(m.group("params"))
     metric = params.get("metric_type", "L2")
+
+    existing = IndexRegistry(artifact_dir).get(name)
+    if existing is not None and existing.get("status") == "Built":
+        if m.group("if_not_exists"):
+            return existing  # idempotent: no rebuild
+        raise InvalidSearchQuery(f"vector index {name!r} already exists")
+
+    # only FLAT (searched via vector_topk) and IVFFLAT take a metric; the
+    # PQ/SQ/HNSW/MSTG analogs are L2-only — fail loudly rather than build a
+    # Cosine-declared index that silently ranks by L2
+    if itype not in ("FLAT", "IVFFLAT") and metric.upper() not in ("L2",):
+        raise InvalidSearchQuery(
+            f"metric_type={metric!r} is not supported for TYPE {itype} in this "
+            "engine (L2 only); FLAT and IVFFLAT support L2/Cosine/IP"
+        )
 
     if itype == "FLAT":
         reg = IndexRegistry(artifact_dir)
@@ -189,18 +230,25 @@ def search_index(
     df: DataFrame | None = None,
     vec_col: str | None = None,
     id_col: str = "id",
-    metric: str = "L2",
+    metric: str | None = None,
     **search_params,
 ) -> DataFrame:
     """Top-k against a DDL-registered index, dispatching on its recorded
     type. FLAT needs the table back (`df`, `vec_col`) since it has no
-    artifact; every other type searches its artifact files."""
+    artifact; every other type searches its artifact files. `metric`
+    defaults to the metric the DDL declared (registry record) — pass it
+    only to override."""
     from myscaledb_spark.plans.vector_index import IndexRegistry
 
     rec = IndexRegistry(artifact_dir).get(name)
     if rec is None or rec.get("status") not in ("Built",):
         raise InvalidSearchQuery(f"index {name!r} is not built")
     itype = (rec.get("index_type") or "").upper()
+    if metric is None:
+        # FLAT records metric at top level; IVF keeps it in build params
+        metric = (
+            rec.get("metric") or (rec.get("params") or {}).get("metric") or "L2"
+        )
     if itype == "FLAT":
         from myscaledb_spark.operators.topk import vector_topk
 

@@ -326,3 +326,14 @@ def test_ngram_search_and_distance_semantics(spark):
     assert by_s["zzzzzz"].sim == 0.0 and by_s["zzzzzz"].dist == 1.0
     # "ab" -> single gram "ab", not in the needle's 4-gram set
     assert by_s["ab"].sim == 0.0 and 0.0 < by_s["ab"].dist <= 1.0
+
+
+def test_ngram_null_haystack_is_null(spark):
+    from myscaledb_spark.functions.ch_compat import ngramDistance, ngramSearch
+
+    df = spark.createDataFrame([(None,)], "s string")
+    [r] = df.select(
+        ngramSearch("s", "abcdef").alias("sim"),
+        ngramDistance("s", "abcdef").alias("dist"),
+    ).collect()
+    assert r.sim is None and r.dist is None

@@ -72,3 +72,15 @@ def test_contamination_check_hits_and_misses(spark):
         ).collect()
     }
     assert out == {10: 1}  # eval 11 shares no 8-gram -> absent
+
+
+def test_pack_sequences_tied_order_keys_deterministic(spark):
+    """Rows tied on the order key must not share a slot (ROWS frame + id
+    tie-break, not the default RANGE frame)."""
+    df = spark.createDataFrame(
+        [(1, "same", 100), (2, "same", 100), (3, "same", 100)],
+        "id int, k string, n int",
+    )
+    rows = pack_sequences(df, "id", "n", 256, ["k"]).collect()
+    slots = sorted((r.seq_id, r.offset_in_seq) for r in rows)
+    assert slots == [(0, 0), (0, 100), (0, 200)]

@@ -120,3 +120,83 @@ def test_create_vector_index_form(spark, emb):
     assert rec["status"] == "Built" and rec["index_type"] == "HNSWFLAT"
     out = search_index(spark, art, "v_c", QV, 4, id_col="vec_id")
     assert out.count() == 4
+
+
+def test_if_not_exists_is_idempotent_and_plain_add_raises(spark, emb):
+    art = tempfile.mkdtemp(prefix="ddl_ine_")
+    stmt = "ALTER TABLE e ADD VECTOR INDEX IF NOT EXISTS vi embedding TYPE IVFFLAT('ncentroids=4')"
+    r1 = alter_index_ddl(spark, stmt, emb, "vec_id", art)
+    r2 = alter_index_ddl(spark, stmt, emb, "vec_id", art)  # no rebuild
+    assert r1["status"] == r2["status"] == "Built"
+    with pytest.raises(InvalidSearchQuery):
+        alter_index_ddl(
+            spark,
+            "ALTER TABLE e ADD VECTOR INDEX vi embedding TYPE IVFFLAT",
+            emb, "vec_id", art,
+        )
+
+
+def test_drop_if_exists_no_phantom_record(spark, emb):
+    from myscaledb_spark.plans.vector_index import IndexRegistry
+
+    art = tempfile.mkdtemp(prefix="ddl_ph_")
+    alter_index_ddl(
+        spark, "ALTER TABLE e DROP VECTOR INDEX IF  EXISTS ghost", None, "vec_id", art
+    )  # double space: the regex group, not a substring test, must detect IF EXISTS
+    assert IndexRegistry(art).get("ghost") is None
+    # still raises without IF EXISTS afterwards (no phantom record)
+    with pytest.raises(InvalidSearchQuery):
+        alter_index_ddl(
+            spark, "ALTER TABLE e DROP VECTOR INDEX ghost", None, "vec_id", art
+        )
+
+
+def test_fts_per_column_config_shape(spark):
+    """The reference's per-column '{"col": {"tokenizer": {...}}}' DDL config
+    must reach the index build (not silently fall back to simple)."""
+    from myscaledb_spark.plans.fts_index import IndexRegistry as _IR  # noqa: F401
+
+    art = tempfile.mkdtemp(prefix="ddl_ftscol_")
+    docs = load_table(spark, SF, "documents")
+    cfg = '{"text": {"tokenizer": {"type": "stem", "stop_word_filters": ["english"]}}}'
+    rec = alter_index_ddl(
+        spark,
+        f"ALTER TABLE d ADD INDEX ftc text TYPE fts('{cfg}')",
+        docs,
+        "doc_id",
+        art,
+    )
+    assert rec["status"] == "Built"
+    assert rec.get("tokenizer") in ("stem", None) or "stem" in str(rec)
+
+
+def test_unsupported_metric_raises_loudly(spark, emb):
+    art = tempfile.mkdtemp(prefix="ddl_metric_")
+    with pytest.raises(InvalidSearchQuery):
+        alter_index_ddl(
+            spark,
+            "ALTER TABLE e ADD VECTOR INDEX vm embedding TYPE MSTG('metric_type=Cosine')",
+            emb, "vec_id", art,
+        )
+
+
+def test_search_index_uses_declared_metric(spark, emb):
+    from myscaledb_spark.operators.topk import vector_topk
+
+    art = tempfile.mkdtemp(prefix="ddl_cos_")
+    alter_index_ddl(
+        spark,
+        "ALTER TABLE e ADD VECTOR INDEX vcos embedding TYPE FLAT('metric_type=Cosine')",
+        emb, "vec_id", art,
+    )
+    got = [
+        r.vec_id
+        for r in search_index(
+            spark, art, "vcos", QV, 5, df=emb, vec_col="embedding", id_col="vec_id"
+        ).collect()
+    ]
+    want = [
+        r.vec_id
+        for r in vector_topk(emb, "embedding", QV, 5, "Cosine", None, "vec_id").collect()
+    ]
+    assert got == want
