@@ -47,6 +47,7 @@ HEADLINE = [
     "exact_dedup_groups",   # hash groupBy dedup
     "point_in_polygon_customers",  # per-row geo expression scan (r4)
     "group_array_moving_qty",      # window + sorted collect per group (r4)
+    "pack_sequences_docs",         # distributed prefix sum + checkpoint (r4)
 ]
 
 
