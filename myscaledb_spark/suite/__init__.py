@@ -61,6 +61,7 @@ def load_all() -> None:
         geo_gate,
         jdbc_gate,
         datamix,
+        multimodal_gate,
     )
 
 
@@ -94,7 +95,6 @@ PRIORITY: list[str] = [
     "heavy_hitter_users",
     "array_ops_docs",
     "sum_map_events",
-    "group_array_orders",
     # --- never driver-checked ---
     "format_roundtrip_csv_json",
     "rounding_funcs",
@@ -133,7 +133,9 @@ PRIORITY: list[str] = [
     "pack_sequences_docs",
     "stratified_sample_docs",
     "contamination_eval_docs",
-    # --- prior driver-green entries re-verified locally after r4 changes ---
+    "multimodal_roundtrip",
+    # --- prior driver-green / judge-strict-green entries re-verified locally after r4 changes ---
+    "group_array_orders",
     "bm25_cjk_topk",
     "sq_rerank_topk",
     "pq_rerank_topk",

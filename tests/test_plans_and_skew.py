@@ -236,7 +236,9 @@ def test_no_python_eval_in_any_gate_plan(spark):
 
     suite.load_all()
     sf = "/root/testdata/sf0.001"
-    allow = {"avg_vector_centroids"}
+    # avg_vector_centroids: the deliberate grouped-agg pandas UDF demo;
+    # multimodal_roundtrip: media codecs are the sanctioned Python surface
+    allow = {"avg_vector_centroids", "multimodal_roundtrip"}
     offenders = []
     for name, (fn, _oracle) in sorted(suite.REGISTRY.items()):
         if name in allow:
