@@ -62,6 +62,8 @@ def load_all() -> None:
         jdbc_gate,
         datamix,
         multimodal_gate,
+        engines_gate,
+        bucketed_gate,
     )
 
 
@@ -140,6 +142,15 @@ PRIORITY: list[str] = [
     "sq_rerank_topk",
     "pq_rerank_topk",
     "q18_large_orders",
+    # --- r4 continuation (engine-family FINAL/TTL/OPTIMIZE): queued for the
+    #     next driver window; strict-green via tools/gatecheck this session ---
+    "collapsing_final_state",
+    "versioned_collapsing_state",
+    "summing_final_lineitem",
+    "ttl_delete_column_events",
+    "ttl_group_by_events",
+    "optimize_dedup_events",
+    "bucketed_join_priority",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "vec_cosine_topk",
