@@ -15,6 +15,40 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
+def any_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "left",
+    right_order: Column | str | None = None,
+) -> DataFrame:
+    """ClickHouse `[LEFT|INNER] ANY JOIN` — each left row pairs with at most
+    ONE right row per key (reference: JOIN strictness `Any`,
+    `src/Interpreters/HashJoin.cpp` / `src/Parsers/ASTTablesInSelectQuery.h`;
+    the reference keeps the first hash-table entry per key).
+
+    "First" is insertion-order-dependent in the reference; Spark has no row
+    order, so callers pin the kept row with ``right_order`` (min wins) —
+    deterministic under any partitioning. With a unique-keyed right side the
+    order column is irrelevant and may be any column.
+
+    Plan: the right side collapses to one row per key (partial-aggregable
+    min_by — map-side combine, one shuffle), then a plain equi-join that can
+    broadcast when small. Never multiplies rows, so the join output is
+    bounded by |left| — at 100 TB this is the safe dimension-lookup shape
+    even when the dim has duplicate keys.
+    """
+    if right_order is None:
+        raise ValueError("any_join needs right_order to pin the kept right row")
+    order = F.col(right_order) if isinstance(right_order, str) else right_order
+    payload = F.struct(*[F.col(c) for c in right.columns if c not in on])
+    one = right.groupBy(*on).agg(F.min_by(payload, order).alias("_r"))
+    picked = one.select(
+        *on, *[F.col(f"_r.{c}").alias(c) for c in right.columns if c not in on]
+    )
+    return left.join(picked, on=list(on), how=how)
+
+
 def limit_by(
     df: DataFrame,
     by: Sequence[str],

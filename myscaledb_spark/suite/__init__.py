@@ -151,6 +151,7 @@ PRIORITY: list[str] = [
     "ttl_group_by_events",
     "optimize_dedup_events",
     "bucketed_join_priority",
+    "any_join_first_order",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "vec_cosine_topk",

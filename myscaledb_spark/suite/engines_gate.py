@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from myscaledb_spark.catalog import load_table
+from myscaledb_spark.operators.relational import any_join
 from myscaledb_spark.operators.engines import (
     collapsing_final,
     optimize_deduplicate,
@@ -208,6 +209,36 @@ def ttl_group_by_events(spark, sf_dir):
         F.sum("cnt").alias("total_events"),
         F.sum("val").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "any_join_first_order",
+    """
+    WITH first_ord AS (
+      SELECT o_custkey,
+             ARG_MIN(o_orderkey, o_orderkey) AS first_orderkey,
+             ARG_MIN(o_orderstatus, o_orderkey) AS first_status
+      FROM orders GROUP BY 1
+    )
+    SELECT c_custkey, c_nationkey, first_orderkey, first_status
+    FROM customer LEFT JOIN first_ord ON c_custkey = o_custkey
+    WHERE c_custkey < 500
+    """,
+)
+def any_join_first_order(spark, sf_dir):
+    """LEFT ANY JOIN: every customer exactly once, paired with at most one
+    order (the min-orderkey one) even though o_custkey repeats."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 500)
+        .select("c_custkey", "c_nationkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("first_orderkey"),
+        F.col("o_orderstatus").alias("first_status"),
+    )
+    return any_join(cust, orders, ["c_custkey"], "left", "first_orderkey")
 
 
 @register(

@@ -122,3 +122,22 @@ def test_optimize_deduplicate_full_and_subset(spark):
     assert sorted((r["g"], r["id"]) for r in by_g) == [("a", 1), ("b", 3)]
     with pytest.raises(ValueError):
         optimize_deduplicate(df, by=["g"])
+
+
+def test_any_join_one_match_and_requires_order(spark):
+    from myscaledb_spark.operators.relational import any_join
+
+    left = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 5, "b"), (2, 7, "c")], "k long, seq long, v string"
+    )
+    out = any_join(left, right, ["k"], "left", "seq").collect()
+    got = {r["k"]: (r["seq"], r["v"]) for r in out}
+    assert len(out) == 3  # never multiplies left rows
+    assert got[1] == (5, "b")  # min by seq wins
+    assert got[2] == (7, "c")
+    assert got[3] == (None, None)  # left-outer keeps unmatched
+    inner = any_join(left, right, ["k"], "inner", "seq")
+    assert inner.count() == 2
+    with pytest.raises(ValueError):
+        any_join(left, right, ["k"])
