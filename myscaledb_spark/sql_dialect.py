@@ -6,12 +6,15 @@ user of the reference run their queries verbatim: ClickHouse function names
 [q...])` vector-search function) are rewritten to Spark SQL expressions, and
 the result goes through the ordinary `spark.sql` path so Catalyst plans it.
 
-This is a *function-name* dialect shim, not a full grammar: ClickHouse's
-ANSI-compatible core (SELECT/WHERE/GROUP BY/HAVING/ORDER BY/LIMIT/JOIN/CTE/
-subqueries/window clauses) is already valid Spark SQL and passes through
-untouched. Constructs with dedicated operators (LIMIT BY, WITH FILL, ASOF
-JOIN, SAMPLE, FINAL) have API helpers in operators/ — the rewriter raises a
-clear error naming the helper when it sees them.
+This is a dialect shim, not a full grammar: ClickHouse's ANSI-compatible
+core (SELECT/WHERE/GROUP BY/HAVING/ORDER BY/LIMIT/JOIN/CTE/subqueries/window
+clauses) is already valid Spark SQL and passes through untouched. Three
+clause-level constructs are rewritten structurally — `FROM t FINAL` and
+`FROM t SAMPLE f` (driven by engine metadata declared via
+`register_table_engine`, the dialect's stand-in for the reference's table
+DDL) and top-level `ORDER BY ... LIMIT n [OFFSET k] BY cols`. The remaining
+constructs with dedicated operators (WITH FILL, ASOF JOIN) raise a clear
+error naming the API helper.
 
 Rewrite engine: a paren-matching scanner (string-literal aware) that rewrites
 innermost calls first, so nested expressions like
@@ -248,11 +251,8 @@ PARAMETRIC: dict[str, str] = {
 }
 
 UNSUPPORTED_SYNTAX = {
-    r"\bLIMIT\s+\d+\s+BY\b": "LIMIT n BY → myscaledb_spark.operators.relational.limit_by",
     r"\bWITH\s+FILL\b": "WITH FILL → myscaledb_spark.operators.relational.with_fill",
     r"\bASOF\s+JOIN\b": "ASOF JOIN → myscaledb_spark.operators.relational.asof_join",
-    r"\bFINAL\b": "FINAL → myscaledb_spark.operators.relational.final_dedup",
-    r"\bSAMPLE\s+[\d.]+": "SAMPLE → DataFrame.sample",
     r"\btextsearch\s*\(": "textsearch → myscaledb_spark.functions.text.text_search",
     r"\bhybridsearch\s*\(": "hybridsearch → myscaledb_spark.operators.hybrid.hybrid_search",
     r"\bbatch_distance\s*\(": "batch_distance → myscaledb_spark.operators.topk.batch_vector_topk",
@@ -263,6 +263,224 @@ _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 class ChSqlError(ValueError):
     pass
+
+
+# ---------------------------------------------------------------------------
+# Clause-level constructs: FROM t FINAL, FROM t SAMPLE f, LIMIT n BY cols.
+#
+# The reference resolves these from the table's DDL (engine kind, ORDER BY
+# key, version/sign column, SAMPLE BY expression — ParserCreateQuery /
+# MergeTreeData); Spark temp views carry none of that, so the dialect keeps
+# its own registry mirroring the DDL metadata. The rewrites are pure SQL →
+# SQL: the collapse/sample logic compiles to window/aggregate subqueries that
+# Catalyst plans like any hand-written query (no Python at execution).
+# ---------------------------------------------------------------------------
+
+#: table → engine metadata registered via register_table_engine()
+TABLE_ENGINES: dict[str, dict] = {}
+
+
+def register_table_engine(
+    table: str,
+    kind: str,
+    keys: list[str] | tuple[str, ...],
+    *,
+    version: str | None = None,
+    sign: str | None = None,
+    sum_cols: list[str] | tuple[str, ...] = (),
+    order: str | None = None,
+    sample_by: str | None = None,
+    sample_seed: int = 0,
+) -> None:
+    """Declare the engine metadata a CREATE TABLE would carry in the
+    reference: ``kind`` ∈ replacing | collapsing | versioned_collapsing |
+    summing (FINAL support), plus an optional SAMPLE BY column.
+
+    ``order`` stands in for insertion order where the engine needs it
+    (collapsing kinds; summing's pinned non-summed columns). ``version`` is
+    the Replacing/VersionedCollapsing version column.
+    """
+    kinds = {"replacing", "collapsing", "versioned_collapsing", "summing", "none"}
+    if kind not in kinds:
+        raise ChSqlError(f"unknown engine kind {kind!r}; expected one of {sorted(kinds)}")
+    if kind == "replacing" and not version:
+        raise ChSqlError("replacing engine needs version=")
+    if kind in ("collapsing", "versioned_collapsing") and not (sign and order):
+        raise ChSqlError(f"{kind} engine needs sign= and order=")
+    if kind == "versioned_collapsing" and not version:
+        raise ChSqlError("versioned_collapsing engine needs version=")
+    if kind == "summing" and not (sum_cols and order):
+        raise ChSqlError("summing engine needs sum_cols= and order=")
+    TABLE_ENGINES[table] = {
+        "kind": kind,
+        "keys": list(keys),
+        "version": version,
+        "sign": sign,
+        "sum_cols": list(sum_cols),
+        "order": order,
+        "sample_by": sample_by,
+        "sample_seed": sample_seed,
+    }
+
+
+def _final_subquery(table: str, schema_fn) -> str:
+    """SQL text computing the fully-merged (FINAL) state of ``table``."""
+    if table not in TABLE_ENGINES:
+        raise ChSqlError(
+            f"FINAL on {table!r} needs register_table_engine({table!r}, ...) "
+            "(the reference reads this from the table DDL)"
+        )
+    m = TABLE_ENGINES[table]
+    keys = ", ".join(m["keys"])
+    kind = m["kind"]
+    if kind == "replacing":
+        return (
+            f"(SELECT * EXCEPT (_rn) FROM (SELECT *, ROW_NUMBER() OVER "
+            f"(PARTITION BY {keys} ORDER BY {m['version']} DESC) AS _rn "
+            f"FROM {table}) WHERE _rn = 1)"
+        )
+    if kind in ("collapsing", "versioned_collapsing"):
+        group = keys if kind == "collapsing" else f"{keys}, {m['version']}"
+        return (
+            f"(SELECT _last.* FROM (SELECT max_by(struct(*), CASE WHEN "
+            f"{m['sign']} = 1 THEN {m['order']} END) AS _last, "
+            f"SUM({m['sign']}) AS _net FROM {table} GROUP BY {group}) "
+            f"WHERE _net > 0 AND _last IS NOT NULL)"
+        )
+    if kind == "summing":
+        if schema_fn is None:
+            raise ChSqlError(
+                "summing FINAL needs the live session (use ch_sql, not bare rewrite)"
+            )
+        cols = list(schema_fn(table))
+        others = [c for c in cols if c not in m["keys"] and c not in m["sum_cols"]]
+        sums = ", ".join(f"SUM({c}) AS {c}" for c in m["sum_cols"])
+        not_zero = " AND ".join(
+            f"COALESCE({c}, 0) = 0" for c in m["sum_cols"]
+        )
+        inner_sel = f"{keys}, {sums}" if keys else sums
+        first = ""
+        if others:
+            first_struct = ", ".join(others)
+            inner_sel += f", min_by(struct({first_struct}), {m['order']}) AS _first"
+        outer_cols = ", ".join(
+            m["keys"] + m["sum_cols"] + (["_first.*"] if others else [])
+        )
+        return (
+            f"(SELECT {outer_cols} FROM (SELECT {inner_sel} FROM {table} "
+            f"GROUP BY {keys}) WHERE NOT ({not_zero}))"
+        )
+    raise ChSqlError(f"engine kind {kind!r} has no FINAL semantics")
+
+
+_FINAL_RE = re.compile(r"\bFROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+FINAL\b", re.IGNORECASE)
+_SAMPLE_RE = re.compile(
+    r"\bFROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+SAMPLE\s+(0?\.\d+|1(?:\.0+)?)", re.IGNORECASE
+)
+
+
+def _rewrite_final(sql: str, schema_fn) -> str:
+    def sub(m: re.Match) -> str:
+        t = m.group(1)
+        return f"FROM {_final_subquery(t, schema_fn)} {t}"
+
+    return _FINAL_RE.sub(sub, sql)
+
+
+def _rewrite_sample(sql: str) -> str:
+    """SAMPLE f → deterministic hash filter over the registered SAMPLE BY
+    key (same portable md5-48 formula as operators.relational.sample_by, so
+    SQL and DataFrame sampling select the SAME rows — the reference's
+    replica-stable sampling guarantee)."""
+
+    def sub(m: re.Match) -> str:
+        t, frac = m.group(1), float(m.group(2))
+        meta = TABLE_ENGINES.get(t)
+        if not meta or not meta.get("sample_by"):
+            raise ChSqlError(
+                f"SAMPLE on {t!r} needs register_table_engine({t!r}, ..., "
+                "sample_by=col) (≈ SAMPLE BY in the table DDL)"
+            )
+        if not (0.0 < frac <= 1.0):
+            raise ChSqlError(f"sample fraction must be in (0, 1], got {frac}")
+        key, seed = meta["sample_by"], meta["sample_seed"]
+        thresh = int(frac * (1 << 48))
+        h = (
+            f"CAST(conv(substr(md5(CAST(concat('{seed}:', CAST({key} AS STRING)) "
+            f"AS BINARY)), 1, 12), 16, 10) AS BIGINT)"
+        )
+        return f"FROM (SELECT * FROM {t} WHERE {h} < {thresh}) {t}"
+
+    return _SAMPLE_RE.sub(sub, sql)
+
+
+def _top_level_mask(sql: str) -> str:
+    """Copy of ``sql`` with every char inside parens or string literals
+    replaced by a space — regexes on the mask match only top-level clauses
+    (same scanner discipline as the function rewriter)."""
+    out = list(sql)
+    depth = 0
+    i = 0
+    while i < len(sql):
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < len(sql):
+                if sql[j] == "'" and (j + 1 >= len(sql) or sql[j + 1] != "'"):
+                    break
+                j += 2 if sql[j] == "'" else 1
+            for k in range(i, min(j + 1, len(sql))):
+                out[k] = " "
+            i = j + 1
+            continue
+        if c in "([":
+            depth += 1
+        if depth > 0:
+            out[i] = " "
+        if c in ")]":
+            depth -= 1
+        i += 1
+    return "".join(out)
+
+
+_LIMIT_BY_RE = re.compile(
+    r"\bLIMIT\s+(\d+)(?:\s+OFFSET\s+(\d+))?\s+BY\s+", re.IGNORECASE
+)
+
+
+def _rewrite_limit_by(sql: str) -> str:
+    """`ORDER BY o LIMIT n [OFFSET k] BY cols [LIMIT m]` → ranked-window
+    subquery (LimitByTransform.cpp). Top-level clause only; the per-group
+    order is the query's ORDER BY, which the rewrite therefore requires.
+    Because the window ranks the query's OUTPUT rows, the ORDER BY must
+    reference output column names (select-list aliases), not unaliased
+    aggregate expressions — the normal CH idiom."""
+    mask = _top_level_mask(sql)
+    m = _LIMIT_BY_RE.search(mask)
+    if not m:
+        return sql
+    om = None
+    for om_ in re.finditer(r"\bORDER\s+BY\b", mask, re.IGNORECASE):
+        if om_.start() < m.start():
+            om = om_
+    if om is None:
+        raise ChSqlError(
+            "LIMIT n BY needs a top-level ORDER BY to define which rows are "
+            "kept per group (or use operators.relational.limit_by)"
+        )
+    n, off = int(m.group(1)), int(m.group(2) or 0)
+    order_expr = sql[om.end() : m.start()].strip()
+    head = sql[: om.start()].strip()
+    tail_m = re.compile(r"\bLIMIT\b", re.IGNORECASE).search(mask, m.end())
+    cols_end = tail_m.start() if tail_m else len(sql)
+    cols = sql[m.end() : cols_end].strip().rstrip(",")
+    tail = sql[cols_end:].strip()
+    return (
+        f"SELECT * EXCEPT (_rn) FROM (SELECT *, ROW_NUMBER() OVER "
+        f"(PARTITION BY {cols} ORDER BY {order_expr}) AS _rn FROM ({head}) _lb) "
+        f"WHERE _rn > {off} AND _rn <= {off + n} ORDER BY {order_expr}"
+        + (f" {tail}" if tail else "")
+    )
 
 
 def _find_call_end(s: str, open_idx: int) -> int:
@@ -324,8 +542,10 @@ def _apply(template: str, args: list[str]) -> str:
     return out
 
 
-def rewrite(sql: str) -> str:
-    """Rewrite CH function names in a SQL string to Spark SQL."""
+def rewrite(sql: str, schema_fn=None) -> str:
+    """Rewrite CH-flavored SQL (function names + FINAL / SAMPLE / LIMIT BY
+    clauses) to Spark SQL. ``schema_fn(table) -> [col, ...]`` is needed only
+    for summing-engine FINAL (ch_sql passes the live catalog)."""
     for pat, hint in UNSUPPORTED_SYNTAX.items():
         if re.search(pat, sql, flags=re.IGNORECASE):
             raise ChSqlError(f"construct not supported in SQL dialect shim: {hint}")
@@ -333,7 +553,14 @@ def rewrite(sql: str) -> str:
     # pushdown provides the same effect, so PREWHERE ≡ WHERE here
     # (MergeTreeWhereOptimizer.h:31 — the optimizer moves predicates anyway).
     sql = re.sub(r"\bPREWHERE\b", "WHERE", sql, flags=re.IGNORECASE)
+    sql = _rewrite_final(sql, schema_fn)
+    sql = _rewrite_sample(sql)
+    sql = _rewrite_limit_by(sql)
+    return _rewrite_calls(sql)
 
+
+def _rewrite_calls(sql: str) -> str:
+    """Innermost-first CH function-name rewriting (string-literal aware)."""
     out = []
     i = 0
     while i < len(sql):
@@ -355,7 +582,7 @@ def rewrite(sql: str) -> str:
                 j += 1
             if j < len(sql) and sql[j] == "(":
                 call_end = _find_call_end(sql, j)
-                inner = rewrite(sql[j + 1 : call_end - 1])
+                inner = _rewrite_calls(sql[j + 1 : call_end - 1])
                 args = _split_args(inner)
                 # parametric form name(params)(args)?
                 k = call_end
@@ -363,7 +590,7 @@ def rewrite(sql: str) -> str:
                     k += 1
                 if name in PARAMETRIC and k < len(sql) and sql[k] == "(":
                     call2_end = _find_call_end(sql, k)
-                    inner2 = rewrite(sql[k + 1 : call2_end - 1])
+                    inner2 = _rewrite_calls(sql[k + 1 : call2_end - 1])
                     real_args = _split_args(inner2)
                     t = PARAMETRIC[name]
                     t = t.replace("{p*}", ", ".join(args))
@@ -390,5 +617,5 @@ def rewrite(sql: str) -> str:
 
 def ch_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataFrame:
     """Run a ClickHouse-flavored SQL query on Spark."""
-    translated = rewrite(sql)
+    translated = rewrite(sql, schema_fn=lambda t: spark.table(t).columns)
     return spark.sql(translated, args=args) if args else spark.sql(translated)

@@ -64,6 +64,7 @@ def load_all() -> None:
         multimodal_gate,
         engines_gate,
         bucketed_gate,
+        dialect2,
     )
 
 
@@ -152,6 +153,10 @@ PRIORITY: list[str] = [
     "optimize_dedup_events",
     "bucketed_join_priority",
     "any_join_first_order",
+    "ch_sql_final_replacing",
+    "ch_sql_final_summing",
+    "ch_sql_sample_orders",
+    "ch_sql_limit_by_orders",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "vec_cosine_topk",

@@ -1,0 +1,145 @@
+"""Clause-level CH-SQL dialect gates: FROM t FINAL, SAMPLE f, LIMIT n BY.
+
+Each entry runs the reference's verbatim clause syntax through
+`ch_sql` (sql_dialect.py structural rewrites driven by
+`register_table_engine` metadata — the stand-in for the table DDL the
+reference consults) and is checked against a DuckDB oracle that spells the
+same semantics out longhand.
+"""
+
+from __future__ import annotations
+
+from myscaledb_spark.catalog import load_table
+from myscaledb_spark.sql_dialect import ch_sql, register_table_engine
+from myscaledb_spark.suite import register
+
+_SAMPLE_02 = int(0.2 * (1 << 48))
+
+
+@register(
+    "ch_sql_final_replacing",
+    """
+    SELECT user_id, event_type, event_id AS last_event_id,
+           ROUND(value, 4) AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND user_id < 40
+    """,
+)
+def ch_sql_final_replacing(spark, sf_dir):
+    """`SELECT ... FROM t FINAL` with a ReplacingMergeTree registration —
+    verbatim reference read syntax (00039_test_final.sh)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_chf_events")
+    register_table_engine(
+        "_chf_events", "replacing", ["user_id", "event_type"], version="event_id"
+    )
+    return ch_sql(
+        spark,
+        """
+        SELECT user_id, event_type, event_id AS last_event_id,
+               round(value, 4) AS last_value
+        FROM _chf_events FINAL
+        WHERE user_id < 40
+        """,
+    )
+
+
+@register(
+    "ch_sql_final_summing",
+    """
+    SELECT l_suppkey, l_returnflag,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           ARG_MIN(l_orderkey, l_orderkey * 100000 + l_linenumber) AS first_orderkey
+    FROM lineitem
+    GROUP BY 1, 2
+    HAVING l_suppkey < 50
+    """,
+)
+def ch_sql_final_summing(spark, sf_dir):
+    """SummingMergeTree FINAL through SQL: l_quantity sums per key (exact —
+    integer-valued doubles), every other column pinned to the first row in
+    insertion order. Exercises the schema-aware rewrite path."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_chf_li")
+    register_table_engine(
+        "_chf_li",
+        "summing",
+        ["l_suppkey", "l_returnflag"],
+        sum_cols=["l_quantity"],
+        order="l_orderkey * 100000 + l_linenumber",
+    )
+    return ch_sql(
+        spark,
+        """
+        SELECT l_suppkey, l_returnflag,
+               cast(l_quantity as double) AS sum_qty,
+               l_orderkey AS first_orderkey
+        FROM _chf_li FINAL
+        WHERE l_suppkey < 50
+        """,
+    )
+
+
+@register(
+    "ch_sql_sample_orders",
+    f"""
+    WITH s AS (
+      SELECT * FROM orders
+      WHERE CAST(('0x' || substr(md5('0:' || CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT)
+            < {_SAMPLE_02}
+    )
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM s
+    """,
+)
+def ch_sql_sample_orders(spark, sf_dir):
+    """`FROM t SAMPLE 0.2` — deterministic SAMPLE BY key sampling in SQL,
+    identical row selection to operators.relational.sample_by."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_chs_orders")
+    register_table_engine(
+        "_chs_orders", "none", [], sample_by="o_orderkey"
+    )
+    return ch_sql(
+        spark,
+        """
+        SELECT count(*) AS n,
+               cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total,
+               min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        FROM _chs_orders SAMPLE 0.2
+        """,
+    )
+
+
+@register(
+    "ch_sql_limit_by_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice AS price
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders WHERE o_custkey < 200
+    ) WHERE rn <= 2
+    """,
+)
+def ch_sql_limit_by_orders(spark, sf_dir):
+    """`ORDER BY ... LIMIT 2 BY o_custkey` — the reference's per-group
+    top-n clause, rewritten to a ranked window (LimitByTransform.cpp).
+
+    The oracle intentionally drops the rewrite's trailing global ORDER BY:
+    the gate compares order-insensitively, and the kept-rows set is what
+    LIMIT BY defines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_chl_orders")
+    return ch_sql(
+        spark,
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice AS price
+        FROM _chl_orders
+        WHERE o_custkey < 200
+        ORDER BY price DESC, o_orderkey ASC
+        LIMIT 2 BY o_custkey
+        """,
+    )

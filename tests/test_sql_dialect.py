@@ -60,7 +60,9 @@ def test_split_by_char_escapes_regex(spark):
 
 
 def test_unsupported_constructs_raise_with_hint():
-    with pytest.raises(ChSqlError, match="limit_by"):
+    # LIMIT BY without a top-level ORDER BY has no defined kept-row — the
+    # rewriter demands the ordering (or the API helper)
+    with pytest.raises(ChSqlError, match="ORDER BY"):
         rewrite("SELECT * FROM t LIMIT 3 BY k")
     with pytest.raises(ChSqlError, match="asof_join"):
         rewrite("SELECT * FROM a ASOF JOIN b ON ...")
@@ -198,3 +200,52 @@ def test_great_circle_dialect_matches_builder(spark):
     ]
     assert got == want
     assert abs(got[0] - 343_556) < 2000  # London-Paris ≈ 343.5 km
+
+
+def test_clause_rewrites_final_sample_limit_by():
+    from myscaledb_spark.sql_dialect import register_table_engine
+
+    register_table_engine("rt_", "replacing", ["k"], version="v")
+    out = rewrite("SELECT k FROM rt_ FINAL")
+    assert "ROW_NUMBER() OVER" in out and "PARTITION BY k" in out
+    assert "ORDER BY v DESC" in out
+
+    register_table_engine("ct_", "collapsing", ["k"], sign="s", order="seq")
+    out = rewrite("SELECT k FROM ct_ FINAL")
+    assert "max_by(struct(*)" in out and "SUM(s)" in out and "_net > 0" in out
+
+    register_table_engine("st_", "none", [], sample_by="id", sample_seed=7)
+    out = rewrite("SELECT count(*) FROM st_ SAMPLE 0.5")
+    assert "md5" in out and str(int(0.5 * (1 << 48))) in out and "'7:'" in out
+
+    out = rewrite(
+        "SELECT a, b FROM t ORDER BY b DESC, a ASC LIMIT 3 OFFSET 1 BY a LIMIT 10"
+    )
+    assert "PARTITION BY a ORDER BY b DESC, a ASC" in out
+    assert "_rn > 1 AND _rn <= 4" in out
+    assert out.rstrip().endswith("LIMIT 10")
+
+
+def test_clause_rewrite_errors():
+    from myscaledb_spark.sql_dialect import register_table_engine
+
+    with pytest.raises(ChSqlError, match="register_table_engine"):
+        rewrite("SELECT * FROM unreg_table FINAL")
+    with pytest.raises(ChSqlError, match="sample_by"):
+        register_table_engine("ns_", "none", [])
+        rewrite("SELECT * FROM ns_ SAMPLE 0.1")
+    with pytest.raises(ChSqlError, match="version"):
+        register_table_engine("bad_", "replacing", ["k"])
+    # LIMIT BY inside a subquery (not top level) passes through untouched
+    s = "SELECT * FROM t WHERE x IN (SELECT y FROM u ORDER BY y LIMIT 1 BY y)"
+    assert "ROW_NUMBER" not in rewrite(s)
+
+
+def test_limit_by_subquery_mask_protects_parens():
+    # top-level LIMIT BY with a paren-heavy head must keep the head intact;
+    # ORDER BY references the projection alias (post-projection scope)
+    out = rewrite(
+        "SELECT k, sum(v) AS s FROM t GROUP BY k ORDER BY s DESC LIMIT 1 BY k"
+    )
+    assert "FROM(SELECT k, sum(v) AS s FROM t GROUP BY k) _lb" in out
+    assert "PARTITION BY k ORDER BY s DESC" in out
