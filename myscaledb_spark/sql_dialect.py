@@ -251,7 +251,6 @@ PARAMETRIC: dict[str, str] = {
 }
 
 UNSUPPORTED_SYNTAX = {
-    r"\bWITH\s+FILL\b": "WITH FILL → myscaledb_spark.operators.relational.with_fill",
     r"\bASOF\s+JOIN\b": "ASOF JOIN → myscaledb_spark.operators.relational.asof_join",
     r"\btextsearch\s*\(": "textsearch → myscaledb_spark.functions.text.text_search",
     r"\bhybridsearch\s*\(": "hybridsearch → myscaledb_spark.operators.hybrid.hybrid_search",
@@ -443,6 +442,61 @@ def _top_level_mask(sql: str) -> str:
     return "".join(out)
 
 
+_WITH_FILL_RE = re.compile(
+    r"\bORDER\s+BY\s+([A-Za-z_][A-Za-z0-9_]*)\s*(ASC|DESC)?\s*WITH\s+FILL\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_with_fill(sql: str) -> str:
+    """`ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]` → grid-join subquery
+    (FillingTransform.cpp): explode(sequence(from, to, step)) left-joined to
+    the query. FROM/TO default to the query's own min/max. Fill rows carry
+    NULL in the other columns (same convention as operators.relational
+    .with_fill — callers COALESCE to the reference's type defaults).
+    Single ascending fill column at top level; INTERPOLATE and multi-column
+    fills stay with the API helper."""
+    mask = _top_level_mask(sql)
+    m = _WITH_FILL_RE.search(mask)
+    if not m:
+        if re.search(r"\bWITH\s+FILL\b", sql, re.IGNORECASE):
+            raise ChSqlError(
+                "WITH FILL is rewritten only as the top-level ORDER BY "
+                "col WITH FILL form → myscaledb_spark.operators.relational"
+                ".with_fill for nested/multi-column fills"
+            )
+        return sql
+    if re.search(r"\bINTERPOLATE\b", mask, re.IGNORECASE):
+        raise ChSqlError(
+            "WITH FILL INTERPOLATE → myscaledb_spark.operators.relational.with_fill"
+        )
+    if (m.group(2) or "").upper() == "DESC":
+        raise ChSqlError(
+            "WITH FILL DESC → myscaledb_spark.operators.relational.with_fill"
+        )
+    col = m.group(1)
+    head = sql[: m.start()].strip()
+    rest, rest_mask = sql[m.end() :], mask[m.end() :]
+    kw = {
+        k: re.search(rf"\b{k}\b", rest_mask, re.IGNORECASE)
+        for k in ("FROM", "TO", "STEP")
+    }
+    bounds = sorted(
+        [(mm.start(), mm.end(), k) for k, mm in kw.items() if mm]
+    ) + [(len(rest), len(rest), None)]
+    vals: dict[str, str] = {}
+    for (s_, e_, k), (n_, _, _) in zip(bounds, bounds[1:]):
+        if k:
+            vals[k] = rest[e_:n_].strip()
+    from_ = vals.get("FROM", f"(SELECT min({col}) FROM ({head}) _wfmn)")
+    to = vals.get("TO", f"(SELECT max({col}) FROM ({head}) _wfmx)")
+    step = vals.get("STEP", "1")
+    return (
+        f"SELECT * FROM (SELECT explode(sequence({from_}, {to}, {step})) "
+        f"AS {col}) _grid LEFT JOIN ({head}) _wf USING ({col}) ORDER BY {col}"
+    )
+
+
 _LIMIT_BY_RE = re.compile(
     r"\bLIMIT\s+(\d+)(?:\s+OFFSET\s+(\d+))?\s+BY\s+", re.IGNORECASE
 )
@@ -556,6 +610,7 @@ def rewrite(sql: str, schema_fn=None) -> str:
     sql = _rewrite_final(sql, schema_fn)
     sql = _rewrite_sample(sql)
     sql = _rewrite_limit_by(sql)
+    sql = _rewrite_with_fill(sql)
     return _rewrite_calls(sql)
 
 

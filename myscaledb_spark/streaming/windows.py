@@ -91,6 +91,46 @@ def run_to_memory(df: DataFrame, name: str, mode: str = "complete") -> DataFrame
     return spark.table(name)
 
 
+def stateful_running_totals(stream: DataFrame, key: str = "user_id") -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState`` —
+    per-key running (count, sum(value)) carried in explicit group state
+    across micro-batches.
+
+    This is the escape hatch for operators Spark's built-in streaming aggs
+    can't express (reference analog: a custom stateful transform keeping
+    block-spanning state, e.g. AggregatingTransform's aggregate states,
+    `src/Processors/Transforms/AggregatingTransform.h`). State lives in the
+    state store (per-key, checkpointed, partitioned by the grouping key), so
+    a 1000-executor cluster shards it like any keyed aggregation; the pandas
+    hop is per-group-per-batch, not per-row.
+
+    Built-in aggregations stay the right tool for plain running totals —
+    this exists to pin the API shape (schema, state round-trip, update mode)
+    for genuinely custom state machines.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {key: [key_tuple[0]], "n": [n], "total": [total]}
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key} long, n long, total double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_dedup(
     df: DataFrame,
     keys: list[str],

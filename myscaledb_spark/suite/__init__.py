@@ -157,6 +157,7 @@ PRIORITY: list[str] = [
     "ch_sql_final_summing",
     "ch_sql_sample_orders",
     "ch_sql_limit_by_orders",
+    "ch_sql_with_fill_daily",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "vec_cosine_topk",

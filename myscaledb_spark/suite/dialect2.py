@@ -114,6 +114,43 @@ def ch_sql_sample_orders(spark, sf_dir):
 
 
 @register(
+    "ch_sql_with_fill_daily",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    grid AS (
+      SELECT unnest(generate_series((SELECT MIN(day) FROM daily),
+                                    (SELECT MAX(day) FROM daily),
+                                    INTERVAL 1 DAY)) AS day
+    )
+    SELECT CAST(grid.day AS TIMESTAMP) AS day, COALESCE(daily.n, 0) AS n
+    FROM grid LEFT JOIN daily ON grid.day = daily.day
+    """,
+)
+def ch_sql_with_fill_daily(spark, sf_dir):
+    """`ORDER BY day WITH FILL STEP INTERVAL 1 DAY` in verbatim CH syntax —
+    the grid-join rewrite (FillingTransform.cpp). Fill rows carry NULL; the
+    COALESCE to the reference's 0-default happens on the result frame."""
+    from pyspark.sql import functions as F
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_chw_events")
+    filled = ch_sql(
+        spark,
+        """
+        SELECT toStartOfDay(ts) AS day, count(*) AS n
+        FROM _chw_events
+        WHERE event_type = 'purchase'
+        GROUP BY toStartOfDay(ts)
+        ORDER BY day WITH FILL STEP INTERVAL 1 DAY
+        """,
+    )
+    return filled.select("day", F.coalesce("n", F.lit(0)).alias("n"))
+
+
+@register(
     "ch_sql_limit_by_orders",
     """
     SELECT o_custkey, o_orderkey, o_totalprice AS price

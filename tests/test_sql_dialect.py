@@ -249,3 +249,17 @@ def test_limit_by_subquery_mask_protects_parens():
     )
     assert "FROM(SELECT k, sum(v) AS s FROM t GROUP BY k) _lb" in out
     assert "PARTITION BY k ORDER BY s DESC" in out
+
+
+def test_with_fill_rewrite_and_guards():
+    out = rewrite("SELECT d, n FROM t ORDER BY d WITH FILL FROM 1 TO 10 STEP 2")
+    assert "sequence(1, 10, 2)" in out and "LEFT JOIN" in out and "USING(d)" in out
+    # FROM/TO default to the query's own min/max as scalar subqueries
+    out = rewrite("SELECT d, n FROM t ORDER BY d WITH FILL")
+    assert "min(d)" in out and "max(d)" in out
+    with pytest.raises(ChSqlError, match="with_fill"):
+        rewrite("SELECT d FROM t ORDER BY d WITH FILL INTERPOLATE (n)")
+    with pytest.raises(ChSqlError, match="with_fill"):
+        rewrite("SELECT d FROM t ORDER BY d DESC WITH FILL")
+    with pytest.raises(ChSqlError, match="with_fill"):
+        rewrite("SELECT * FROM (SELECT d FROM t ORDER BY d WITH FILL) q")
