@@ -251,7 +251,6 @@ PARAMETRIC: dict[str, str] = {
 }
 
 UNSUPPORTED_SYNTAX = {
-    r"\bASOF\s+JOIN\b": "ASOF JOIN → myscaledb_spark.operators.relational.asof_join",
     r"\btextsearch\s*\(": "textsearch → myscaledb_spark.functions.text.text_search",
     r"\bhybridsearch\s*\(": "hybridsearch → myscaledb_spark.operators.hybrid.hybrid_search",
     r"\bbatch_distance\s*\(": "batch_distance → myscaledb_spark.operators.topk.batch_vector_topk",
@@ -442,6 +441,87 @@ def _top_level_mask(sql: str) -> str:
     return "".join(out)
 
 
+_ASOF_RE = re.compile(
+    r"\bFROM\s+([A-Za-z_]\w*)"
+    r"(?:\s+(?:AS\s+)?(?!ASOF\b|LEFT\b|JOIN\b)([A-Za-z_]\w*))?"
+    r"\s+ASOF\s+(LEFT\s+)?JOIN\s+([A-Za-z_]\w*)"
+    r"(?:\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*))?"
+    r"\s+ON\s+",
+    re.IGNORECASE,
+)
+_ASOF_HINT = (
+    "this ASOF JOIN shape → myscaledb_spark.operators.relational.asof_join "
+    "(the SQL rewrite needs FROM t1 [a] ASOF [LEFT] JOIN t2 [b] ON "
+    "equalities AND one alias-qualified inequality)"
+)
+
+
+def _rewrite_asof_join(sql: str) -> str:
+    """`FROM a ASOF [LEFT] JOIN b ON a.k = b.k AND a.ts >= b.ts` →
+    correlated LATERAL subquery picking the single closest right row
+    (reference: JOIN strictness `Asof`, src/Interpreters/HashJoin.cpp asof
+    lookup; the inequality defines the direction).
+
+    The LATERAL form is exact but per-row; `operators.relational.asof_join`
+    (union + one window) is the 100 TB shape — the rewrite is the verbatim-
+    syntax compatibility surface.
+    """
+    m = _ASOF_RE.search(sql)
+    if not m:
+        if re.search(r"\bASOF\s+(LEFT\s+)?JOIN\b", sql, re.IGNORECASE):
+            raise ChSqlError(_ASOF_HINT)
+        return sql
+    lt, la, left_kw, rt, ra = (
+        m.group(1),
+        m.group(2) or m.group(1),
+        m.group(3),
+        m.group(4),
+        m.group(5) or m.group(4),
+    )
+    # ON condition extends to the next top-level clause keyword
+    mask = _top_level_mask(sql)
+    stop = re.compile(
+        r"\b(WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|SETTINGS|UNION|JOIN)\b",
+        re.IGNORECASE,
+    ).search(mask, m.end())
+    cond_end = stop.start() if stop else len(sql)
+    cond = sql[m.end() : cond_end].strip()
+    cond_mask = mask[m.end() : cond_end]
+    # find the single inequality conjunct (top-level ANDs)
+    ineq = None
+    pos = 0
+    for part in re.split(r"\bAND\b", cond_mask, flags=re.IGNORECASE):
+        seg = cond[pos : pos + len(part)]
+        pos += len(part) + 3  # 'AND'
+        om = re.search(r"(>=|<=|>|<)", part)
+        if om and not re.search(r"(=\s*=|!=|<>)", part):
+            if ineq is not None:
+                raise ChSqlError(_ASOF_HINT)
+            lhs, op, rhs = (
+                seg[: om.start()].strip(),
+                om.group(1),
+                seg[om.end() :].strip(),
+            )
+            ineq = (lhs, op, rhs)
+    if ineq is None:
+        raise ChSqlError(_ASOF_HINT)
+    lhs, op, rhs = ineq
+    r_pat = re.compile(rf"\b{re.escape(ra)}\s*\.")
+    if r_pat.search(rhs) and not r_pat.search(lhs):
+        r_expr, r_is_upper = rhs, op in (">=", ">")
+    elif r_pat.search(lhs) and not r_pat.search(rhs):
+        r_expr, r_is_upper = lhs, op in ("<=", "<")
+    else:
+        raise ChSqlError(_ASOF_HINT)
+    direction = "DESC" if r_is_upper else "ASC"
+    lateral = (
+        f"FROM {lt} {la} {'LEFT ' if left_kw else ''}JOIN LATERAL "
+        f"(SELECT * FROM {rt} {ra} WHERE {cond} "
+        f"ORDER BY {r_expr} {direction} LIMIT 1) {ra} ON true "
+    )
+    return sql[: m.start()] + lateral + sql[cond_end:]
+
+
 _WITH_FILL_RE = re.compile(
     r"\bORDER\s+BY\s+([A-Za-z_][A-Za-z0-9_]*)\s*(ASC|DESC)?\s*WITH\s+FILL\b",
     re.IGNORECASE,
@@ -609,6 +689,7 @@ def rewrite(sql: str, schema_fn=None) -> str:
     sql = re.sub(r"\bPREWHERE\b", "WHERE", sql, flags=re.IGNORECASE)
     sql = _rewrite_final(sql, schema_fn)
     sql = _rewrite_sample(sql)
+    sql = _rewrite_asof_join(sql)
     sql = _rewrite_limit_by(sql)
     sql = _rewrite_with_fill(sql)
     return _rewrite_calls(sql)

@@ -158,6 +158,7 @@ PRIORITY: list[str] = [
     "ch_sql_sample_orders",
     "ch_sql_limit_by_orders",
     "ch_sql_with_fill_daily",
+    "ch_sql_asof_join",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "vec_cosine_topk",

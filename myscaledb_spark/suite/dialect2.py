@@ -114,6 +114,41 @@ def ch_sql_sample_orders(spark, sf_dir):
 
 
 @register(
+    "ch_sql_asof_join",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         m AS (
+           SELECT p.event_id, p.user_id, p.ts,
+                  (SELECT MAX(c.ts) FROM c
+                   WHERE c.user_id = p.user_id AND c.ts < p.ts) AS click_ts
+           FROM p WHERE p.user_id < 20
+         )
+    SELECT m.event_id, m.ts, m.click_ts, c2.event_id AS click_id
+    FROM m LEFT JOIN c c2
+      ON c2.user_id = m.user_id AND c2.ts = m.click_ts
+    """,
+)
+def ch_sql_asof_join(spark, sf_dir):
+    """Verbatim `ASOF LEFT JOIN` syntax — per purchase, the latest strictly
+    earlier click of the same user — rewritten to a correlated LATERAL
+    lookup (HashJoin.cpp asof strictness). (user_id, ts) is unique among
+    clicks in the testdata, so the kept row is well-defined."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter("event_type = 'purchase'").createOrReplaceTempView("_asof_p")
+    ev.filter("event_type = 'click'").createOrReplaceTempView("_asof_c")
+    return ch_sql(
+        spark,
+        """
+        SELECT l.event_id, l.ts, r.ts AS click_ts, r.event_id AS click_id
+        FROM _asof_p l ASOF LEFT JOIN _asof_c r
+          ON l.user_id = r.user_id AND l.ts > r.ts
+        WHERE l.user_id < 20
+        """,
+    )
+
+
+@register(
     "ch_sql_with_fill_daily",
     """
     WITH daily AS (

@@ -263,3 +263,55 @@ def test_with_fill_rewrite_and_guards():
         rewrite("SELECT d FROM t ORDER BY d DESC WITH FILL")
     with pytest.raises(ChSqlError, match="with_fill"):
         rewrite("SELECT * FROM (SELECT d FROM t ORDER BY d WITH FILL) q")
+
+
+def test_asof_join_rewrite_shapes():
+    out = rewrite(
+        "SELECT l.k FROM a l ASOF LEFT JOIN b r ON l.k = r.k AND l.ts >= r.ts "
+        "WHERE l.k > 0"
+    )
+    assert "LEFT JOIN LATERAL" in out and "LIMIT 1" in out
+    assert "ORDER BY r.ts DESC" in out and out.rstrip().endswith("WHERE l.k > 0")
+    # flipped inequality → ascending pick (first right row at-or-after left)
+    out = rewrite("SELECT 1 FROM a l ASOF JOIN b r ON l.k = r.k AND r.ts >= l.ts")
+    assert "ORDER BY r.ts ASC" in out and "LEFT JOIN LATERAL" not in out
+    # no inequality → helper hint
+    with pytest.raises(ChSqlError, match="asof_join"):
+        rewrite("SELECT * FROM a ASOF JOIN b ON ...")
+
+
+def test_asof_join_sql_matches_operator(spark):
+    from pyspark.sql import functions as F
+
+    from myscaledb_spark.operators.relational import asof_join
+
+    ev = spark.table("events")
+    p = ev.filter("event_type = 'purchase'").filter("user_id < 10")
+    c = ev.filter("event_type = 'click'")
+    p.createOrReplaceTempView("_ta_p")
+    c.createOrReplaceTempView("_ta_c")
+    got = {
+        r["event_id"]: r["click_id"]
+        for r in ch_sql(
+            spark,
+            "SELECT l.event_id, r.event_id AS click_id FROM _ta_p l "
+            "ASOF LEFT JOIN _ta_c r ON l.user_id = r.user_id AND l.ts > r.ts",
+        ).collect()
+    }
+    want_df = asof_join(
+        p.select("event_id", "user_id", "ts"),
+        c.select(
+            F.col("user_id"),
+            F.col("ts").alias("cts"),
+            F.col("event_id").alias("click_id"),
+        ),
+        left_on="ts",
+        right_on="cts",
+        by_left=["user_id"],
+        by_right=["user_id"],
+        direction="backward",
+        strict=True,
+        how="left",
+    )
+    want = {r["event_id"]: r["click_id"] for r in want_df.collect()}
+    assert got == want and len(got) > 0
