@@ -48,6 +48,8 @@ HEADLINE = [
     "point_in_polygon_customers",  # per-row geo expression scan (r4)
     "group_array_moving_qty",      # window + sorted collect per group (r4)
     "pack_sequences_docs",         # distributed prefix sum + checkpoint (r4)
+    "bucketed_join_priority",      # co-located fact-fact join, no probe shuffle (r4)
+    "collapsing_final_state",      # engine-family FINAL: one shuffle-on-key agg (r4)
 ]
 
 

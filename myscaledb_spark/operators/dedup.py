@@ -205,7 +205,12 @@ def minhash_dedup_pairs(
     .cache() — the cached exploded rows cost more to serialize/store than
     three codegen re-scans of the (columnar, compressed) source."""
     sh = shingle_sets(df, id_col, tokens_col, n)
-    sig = minhash_signatures(sh, id_col, num_hashes)
+    # min() is duplicate-insensitive, so the signature path reads the RAW
+    # exploded shingles — skipping shingle_sets' distinct saves a full
+    # shuffle of the largest intermediate (same signatures bit-for-bit;
+    # exact_jaccard below still needs the distinct set semantics).
+    sh_raw = df.select(F.col(id_col), F.explode(shingles(tokens_col, n)).alias("sh"))
+    sig = minhash_signatures(sh_raw, id_col, num_hashes)
     cands = lsh_candidate_pairs(sig, id_col, num_hashes, bands, max_bucket=max_bucket)
     jac = exact_jaccard(sh, cands)
     return jac.filter(F.col("jaccard") >= threshold).select(
