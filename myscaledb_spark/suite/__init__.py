@@ -159,6 +159,8 @@ PRIORITY: list[str] = [
     "ch_sql_limit_by_orders",
     "ch_sql_with_fill_daily",
     "ch_sql_asof_join",
+    "unigram_lm_ppl",
+    "unigram_lm_cross_ppl",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "vec_cosine_topk",

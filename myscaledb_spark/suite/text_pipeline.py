@@ -238,3 +238,128 @@ def pii_scrub(spark, sf_dir):
         ).cast("int").alias("has_phone"),
         F.length(scrubbed).cast("long").alias("scrubbed_len"),
     )
+
+
+# --- corpus-trained unigram LM quality scoring (KenLM-style ppl filter) ------
+@register(
+    "unigram_lm_ppl",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> len(t) > 0) AS ts
+        FROM documents
+      )
+    ),
+    model AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS n, COUNT(*) AS v FROM model),
+    scored AS (
+      SELECT t.doc_id, t.pos,
+             ln(CAST(COALESCE(m.cnt, 0) + 1 AS DOUBLE) /
+                CAST(tot.n + tot.v AS DOUBLE)) AS logp
+      FROM toks t LEFT JOIN model m USING (tok), tot
+    ),
+    perdoc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             list_reduce(ARRAY_AGG(logp ORDER BY pos), (a, b) -> a + b) AS sum_logp
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           sum_logp / n_tokens AS avg_logprob,
+           ROUND(exp(-(sum_logp / n_tokens)), 6) AS ppl
+    FROM perdoc
+    """,
+)
+def unigram_lm_ppl(spark, sf_dir):
+    """Per-document perplexity under the corpus's own add-one-smoothed
+    unigram LM (operators/lm_quality.py) — the cheap-LM quality filter of
+    public LLM-data pipelines. Bit-exact vs DuckDB: the per-doc float sum
+    is a left fold in token order on both engines (0.0-seeded aggregate ≡
+    init-less list_reduce because 0.0 + x == x)."""
+    from myscaledb_spark.operators.lm_quality import unigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = unigram_logprob_scores(docs, "doc_id", "text")
+    # exp() is transcendental — last-ulp differences across libm
+    # implementations are expected; the gate pins 6 decimals (avg_logprob
+    # itself is bit-exact, same left-fold on both engines)
+    return out.withColumn("ppl", F.round("ppl", 6))
+
+
+@register(
+    "unigram_lm_cross_ppl",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos
+      FROM (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> len(t) > 0) AS ts
+        FROM documents
+      )
+    ),
+    model AS (
+      SELECT tok, COUNT(*) AS cnt FROM toks WHERE lang = 'en' GROUP BY tok
+    ),
+    tot AS (SELECT SUM(cnt) AS n, COUNT(*) AS v FROM model),
+    scored AS (
+      SELECT t.doc_id, t.lang, t.pos,
+             ln(CAST(COALESCE(m.cnt, 0) + 1 AS DOUBLE) /
+                CAST(tot.n + tot.v AS DOUBLE)) AS logp,
+             CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks t LEFT JOIN model m USING (tok), tot
+    ),
+    perdoc AS (
+      SELECT doc_id, ANY_VALUE(lang) AS lang, COUNT(*) AS n_tokens,
+             CAST(SUM(oov) AS BIGINT) AS oov_tokens,
+             list_reduce(ARRAY_AGG(logp ORDER BY pos), (a, b) -> a + b) AS sum_logp
+      FROM scored GROUP BY doc_id
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(oov_tokens) AS BIGINT) AS oov_total,
+           ROUND(AVG(CAST(oov_tokens AS DOUBLE) / n_tokens), 6) AS oov_rate,
+           ROUND(MIN(sum_logp / n_tokens), 6) AS worst_avg_logprob
+    FROM perdoc GROUP BY lang
+    """,
+)
+def unigram_lm_cross_ppl(spark, sf_dir):
+    """Cross-corpus scoring — the real curation shape: train the unigram LM
+    on the in-domain slice (lang='en'), score EVERY document. Out-of-domain
+    docs surface through out-of-vocabulary rate and low average logprob;
+    the per-lang rollup keeps the gate small while pinning the unseen-token
+    (+1-smoothing) path. AVG over per-doc doubles is associative-unsafe, so
+    it is rounded after an exact-by-construction per-doc fold; MIN is exact.
+    """
+    from myscaledb_spark.operators.lm_quality import (
+        tokenize_simple,
+        unigram_counts,
+        unigram_logprob_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = unigram_counts(docs.filter(F.col("lang") == "en"), "text")
+    scores = unigram_logprob_scores(docs, "doc_id", "text", model=model)
+    # oov per doc: tokens with no model row
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokenize_simple(F.col("text"))).alias("tok")
+    )
+    oov = (
+        toks.join(F.broadcast(model), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0)).alias("oov_tokens"),
+        )
+    )
+    perdoc = scores.join(oov, "doc_id")
+    return perdoc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("oov_tokens").alias("oov_total"),
+        F.round(
+            F.avg(F.col("oov_tokens").cast("double") / F.col("n_tokens")), 6
+        ).alias("oov_rate"),
+        F.round(F.min("avg_logprob"), 6).alias("worst_avg_logprob"),
+    )

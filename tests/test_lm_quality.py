@@ -1,0 +1,57 @@
+"""Unigram LM quality scoring: smoothing, ordering determinism, OOV path."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from myscaledb_spark.operators.lm_quality import (
+    unigram_counts,
+    unigram_logprob_scores,
+)
+
+
+def test_self_trained_scores_match_hand_computation(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "id long, text string"
+    )
+    out = {r["id"]: r for r in unigram_logprob_scores(df, "id", "text").collect()}
+    # corpus counts: a=2, b=2, c=1; N=5, V=3 → denom 8
+    def lp(c):
+        return math.log((c + 1) / 8.0)
+
+    assert out[1]["n_tokens"] == 3
+    exp1 = (lp(2) + lp(2) + lp(2)) / 3  # a, a, b all have count 2
+    assert abs(out[1]["avg_logprob"] - exp1) < 1e-12
+    exp2 = (lp(2) + lp(1)) / 2
+    assert abs(out[2]["avg_logprob"] - exp2) < 1e-12
+    assert abs(out[2]["ppl"] - math.exp(-exp2)) < 1e-9
+
+
+def test_cross_model_unseen_tokens_smoothed_not_inf(spark):
+    train = spark.createDataFrame([(1, "a a b")], "id long, text string")
+    score = spark.createDataFrame([(9, "z z")], "id long, text string")
+    model = unigram_counts(train, "text")
+    out = unigram_logprob_scores(score, "id", "text", model=model).collect()[0]
+    # z unseen: count 0 → +1 smoothing, never -inf; N=3, V=2 → log(1/5)
+    assert abs(out["avg_logprob"] - math.log(1 / 5.0)) < 1e-12
+    assert out["ppl"] == 5.0 or abs(out["ppl"] - 5.0) < 1e-9
+
+
+def test_empty_documents_dropped(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "!!!")], "id long, text string")
+    out = unigram_logprob_scores(df, "id", "text")
+    assert [r["id"] for r in out.collect()] == [1]
+
+
+def test_score_is_partitioning_invariant(spark):
+    # the ordered fold must give identical bits under any partitioning
+    rows = [(i, "w%d x y z common common" % (i % 7)) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    a = {r["id"]: r["avg_logprob"] for r in unigram_logprob_scores(df, "id", "text").collect()}
+    b = {
+        r["id"]: r["avg_logprob"]
+        for r in unigram_logprob_scores(df.repartition(13, "id"), "id", "text").collect()
+    }
+    assert a == b
