@@ -251,6 +251,11 @@ PARAMETRIC: dict[str, str] = {
 }
 
 UNSUPPORTED_SYNTAX = {
+    r"\b(LEFT\s+|RIGHT\s+|INNER\s+)?ANY\s+JOIN\b": (
+        "ANY JOIN → myscaledb_spark.operators.relational.any_join "
+        "(SQL can't pin which right row survives; the helper makes it "
+        "deterministic via right_order)"
+    ),
     r"\btextsearch\s*\(": "textsearch → myscaledb_spark.functions.text.text_search",
     r"\bhybridsearch\s*\(": "hybridsearch → myscaledb_spark.operators.hybrid.hybrid_search",
     r"\bbatch_distance\s*\(": "batch_distance → myscaledb_spark.operators.topk.batch_vector_topk",
@@ -689,10 +694,30 @@ def rewrite(sql: str, schema_fn=None) -> str:
     sql = re.sub(r"\bPREWHERE\b", "WHERE", sql, flags=re.IGNORECASE)
     sql = _rewrite_final(sql, schema_fn)
     sql = _rewrite_sample(sql)
+    # GLOBAL JOIN / GLOBAL IN: the reference's "ship the right side to every
+    # shard" modifier — exactly Spark's broadcast, which the planner decides
+    # on its own (autoBroadcastJoinThreshold / AQE), so the keyword drops out
+    sql = re.sub(
+        r"\bGLOBAL\s+(?=(ANY|ALL|ASOF|INNER|LEFT|RIGHT|FULL|CROSS|JOIN|IN|NOT)\b)",
+        "",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = _strip_settings(sql)
     sql = _rewrite_asof_join(sql)
     sql = _rewrite_limit_by(sql)
     sql = _rewrite_with_fill(sql)
     return _rewrite_calls(sql)
+
+
+def _strip_settings(sql: str) -> str:
+    """Drop a trailing top-level `SETTINGS k = v, ...` clause (per-query
+    execution knobs, `src/Parsers/ParserSetQuery.cpp`). Spark's equivalents
+    are session confs the engine already pins (session.py ENGINE_CONFS);
+    the query semantics never depend on them."""
+    mask = _top_level_mask(sql)
+    m = re.search(r"\bSETTINGS\b", mask, re.IGNORECASE)
+    return sql if m is None else sql[: m.start()].rstrip()
 
 
 def _rewrite_calls(sql: str) -> str:

@@ -315,3 +315,17 @@ def test_asof_join_sql_matches_operator(spark):
     )
     want = {r["event_id"]: r["click_id"] for r in want_df.collect()}
     assert got == want and len(got) > 0
+
+
+def test_global_and_settings_compat():
+    out = rewrite(
+        "SELECT a FROM t GLOBAL JOIN u ON t.k = u.k "
+        "WHERE x GLOBAL IN (SELECT k FROM v) SETTINGS max_threads = 8, joined_subquery_requires_alias = 0"
+    )
+    assert "GLOBAL" not in out and "SETTINGS" not in out
+    assert out.endswith("IN(SELECT k FROM v)") or "IN (SELECT k FROM v)" in out
+    # SETTINGS inside a string literal is untouched
+    out = rewrite("SELECT 'SETTINGS x' AS s FROM t")
+    assert "'SETTINGS x'" in out
+    with pytest.raises(ChSqlError, match="any_join"):
+        rewrite("SELECT * FROM a LEFT ANY JOIN b ON a.k = b.k")
