@@ -96,7 +96,9 @@ def versioned_collapsing_state(spark, sf_dir):
     SELECT l_suppkey, l_returnflag,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-           ARG_MIN(l_partkey, l_orderkey * 100000 + l_linenumber) AS first_partkey
+           ARG_MIN(l_partkey,
+                   (l_orderkey * 100000 + l_linenumber) * 10000000 + l_partkey)
+             AS first_partkey
     FROM lineitem
     GROUP BY 1, 2
     HAVING NOT (COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2))), 0) = 0
@@ -104,13 +106,19 @@ def versioned_collapsing_state(spark, sf_dir):
     """,
 )
 def summing_final_lineitem(spark, sf_dir):
+    # the generated lineitem data contains duplicate (orderkey, linenumber)
+    # pairs, so the insertion-order stand-in folds the pinned column itself
+    # into the tie-break — fully deterministic on both engines
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_suppkey",
         "l_returnflag",
         F.col("l_quantity").cast("decimal(18,2)").alias("sum_qty"),
         F.col("l_extendedprice").cast("decimal(18,2)").alias("sum_price"),
         "l_partkey",
-        (F.col("l_orderkey") * 100000 + F.col("l_linenumber")).alias("_ord"),
+        (
+            (F.col("l_orderkey") * 100000 + F.col("l_linenumber")) * 10000000
+            + F.col("l_partkey")
+        ).alias("_ord"),
     )
     out = summing_final(
         li,
