@@ -113,3 +113,122 @@ def sequence_match(
     return lv.select(
         "user", (F.col("level") == len(conds)).cast("int").alias("matched")
     )
+
+
+def _entries_with_foreign(
+    df: DataFrame, ts_col: str, user_col: str, conds: Sequence[Column]
+) -> DataFrame:
+    """Like _entries, but events matching NO condition are kept with idx=0 —
+    strict_order needs to see intervening foreign events."""
+    tagged = F.array(
+        *[
+            F.when(
+                cond,
+                F.struct(
+                    F.unix_micros(F.col(ts_col)).alias("ts"),
+                    F.lit(i + 1).cast("int").alias("idx"),
+                ),
+            )
+            for i, cond in enumerate(conds)
+        ]
+    )
+    matched = F.filter(tagged, lambda x: x.isNotNull())
+    with_foreign = F.when(F.size(matched) > 0, matched).otherwise(
+        F.array(
+            F.struct(
+                F.unix_micros(F.col(ts_col)).alias("ts"),
+                F.lit(0).cast("int").alias("idx"),
+            )
+        )
+    )
+    return df.select(
+        F.col(user_col).alias("user"), F.explode(with_foreign).alias("e")
+    )
+
+
+def window_funnel_strict(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    conds: Sequence[Column],
+    window_seconds: int,
+    modes: Sequence[str] = (),
+) -> DataFrame:
+    """windowFunnel with the reference's strict flags
+    (`AggregateFunctionWindowFunnel.h`, modes parsed at `:239-247`):
+
+      - ``strict_order``    an intervening foreign event (matching no
+                            condition) freezes the funnel at its level;
+      - ``strict_dedup``    a repeat of an already-achieved condition
+                            freezes it;
+      - ``strict_increase`` each step's timestamp must strictly exceed the
+                            previous step's (equal timestamps don't chain).
+
+    The accumulator carries per level both the chain-START timestamp
+    (window checks, like the default) and the ACHIEVING event's timestamp
+    (strict_increase compares against it, as the reference's per-level
+    (first, last) pairs do). Same plan shape as the default: one groupBy
+    shuffle, codegen fold, no Python.
+    """
+    bad = set(modes) - {"strict_order", "strict_dedup", "strict_increase"}
+    if bad:
+        raise ValueError(f"unknown windowFunnel modes: {sorted(bad)}")
+    n = len(conds)
+    win = int(window_seconds) * 1_000_000
+    s_order = "strict_order" in modes
+    s_dedup = "strict_dedup" in modes
+    s_inc = "strict_increase" in modes
+    ent = (
+        _entries_with_foreign(df, ts_col, user_col, conds)
+        if s_order
+        else _entries(df, ts_col, user_col, conds)
+    )
+    grouped = ent.groupBy("user").agg(
+        F.array_sort(F.collect_list("e")).alias("evs")
+    )
+
+    nulll = F.lit(None).cast("long")
+    zero = F.struct(
+        *[nulll.alias(f"s{k}") for k in range(1, n + 1)],
+        *[nulll.alias(f"p{k}") for k in range(1, n + 1)],
+        F.lit(False).alias("frz"),
+    )
+
+    def merge(acc: Column, e: Column) -> Column:
+        frz_e = acc["frz"]
+        if s_order:
+            frz_e = frz_e | ((e["idx"] == 0) & acc["s1"].isNotNull())
+        if s_dedup:
+            dup = F.lit(False)
+            for k in range(1, n + 1):
+                dup = dup | ((e["idx"] == k) & acc[f"s{k}"].isNotNull())
+            frz_e = frz_e | dup
+        starts = [
+            F.when((e["idx"] == 1) & ~frz_e, e["ts"]).otherwise(acc["s1"]).alias("s1")
+        ]
+        lasts = [
+            F.when((e["idx"] == 1) & ~frz_e, e["ts"]).otherwise(acc["p1"]).alias("p1")
+        ]
+        for k in range(2, n + 1):
+            sp, pp = acc[f"s{k-1}"], acc[f"p{k-1}"]
+            ok = (
+                (e["idx"] == k)
+                & ~frz_e
+                & sp.isNotNull()
+                & (e["ts"] <= sp + F.lit(win))
+            )
+            if s_inc:
+                ok = ok & (e["ts"] > pp)
+            starts.append(F.when(ok, sp).otherwise(acc[f"s{k}"]).alias(f"s{k}"))
+            lasts.append(F.when(ok, e["ts"]).otherwise(acc[f"p{k}"]).alias(f"p{k}"))
+        return F.struct(*starts, *lasts, frz_e.alias("frz"))
+
+    def finish(acc: Column) -> Column:
+        level = F.lit(0)
+        for k in range(1, n + 1):
+            level = F.when(acc[f"s{k}"].isNotNull(), k).otherwise(level)
+        return level
+
+    return grouped.select(
+        "user", F.aggregate("evs", zero, merge, finish).cast("int").alias("level")
+    )

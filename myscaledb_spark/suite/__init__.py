@@ -161,6 +161,9 @@ PRIORITY: list[str] = [
     "ch_sql_asof_join",
     "unigram_lm_ppl",
     "unigram_lm_cross_ppl",
+    "window_funnel_strict_order",
+    "window_funnel_strict_dedup",
+    "window_funnel_strict_increase",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "vec_cosine_topk",

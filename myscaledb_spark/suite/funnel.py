@@ -186,3 +186,104 @@ def uniq_up_to(spark, sf_dir):
     return ev.groupBy((F.col("user_id") % 7).alias("bucket")).agg(
         F.least(F.countDistinct("event_type"), F.lit(4)).alias("uniq_upto_3")
     )
+
+
+# --- strict windowFunnel modes (AggregateFunctionWindowFunnel.h:239-247) -----
+# Oracle: a recursive CTE replays the SAME per-user state machine row by row
+# (an independent formulation — iteration over rows, not an array fold).
+
+_IDX = (
+    "CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 "
+    "WHEN 'purchase' THEN 3 ELSE 0 END"
+)
+_W_US = 2 * 86400 * 1_000_000  # 2-day window, micros
+
+
+def _strict_oracle(s_order: bool, s_dedup: bool, s_inc: bool) -> str:
+    frz = "(s.frz"
+    if s_order:
+        frz += " OR (e.idx = 0 AND s.s1 IS NOT NULL)"
+    if s_dedup:
+        frz += (
+            " OR (e.idx = 1 AND s.s1 IS NOT NULL)"
+            " OR (e.idx = 2 AND s.s2 IS NOT NULL)"
+            " OR (e.idx = 3 AND s.s3 IS NOT NULL)"
+        )
+    frz += ")"
+    inc2 = " AND e.tsu > s.p1" if s_inc else ""
+    inc3 = " AND e.tsu > s.p2" if s_inc else ""
+    ok2 = (
+        f"(e.idx = 2 AND NOT {frz} AND s.s1 IS NOT NULL "
+        f"AND e.tsu <= s.s1 + {_W_US}{inc2})"
+    )
+    ok3 = (
+        f"(e.idx = 3 AND NOT {frz} AND s.s2 IS NOT NULL "
+        f"AND e.tsu <= s.s2 + {_W_US}{inc3})"
+    )
+    return f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, epoch_us(ts) AS tsu, {_IDX} AS idx,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), {_IDX}) AS rn
+      FROM events
+    ),
+    step AS (
+      SELECT user_id, 0 AS rn,
+             CAST(NULL AS BIGINT) AS s1, CAST(NULL AS BIGINT) AS s2,
+             CAST(NULL AS BIGINT) AS s3, CAST(NULL AS BIGINT) AS p1,
+             CAST(NULL AS BIGINT) AS p2, CAST(NULL AS BIGINT) AS p3,
+             false AS frz
+      FROM (SELECT DISTINCT user_id FROM ev)
+      UNION ALL
+      SELECT e.user_id, e.rn,
+             CASE WHEN e.idx = 1 AND NOT {frz} THEN e.tsu ELSE s.s1 END,
+             CASE WHEN {ok2} THEN s.s1 ELSE s.s2 END,
+             CASE WHEN {ok3} THEN s.s2 ELSE s.s3 END,
+             CASE WHEN e.idx = 1 AND NOT {frz} THEN e.tsu ELSE s.p1 END,
+             CASE WHEN {ok2} THEN e.tsu ELSE s.p2 END,
+             CASE WHEN {ok3} THEN e.tsu ELSE s.p3 END,
+             {frz}
+      FROM step s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+    ),
+    last_step AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY rn DESC) AS rr
+        FROM step
+      ) WHERE rr = 1
+    ),
+    levels AS (
+      SELECT user_id,
+             CASE WHEN s3 IS NOT NULL THEN 3 WHEN s2 IS NOT NULL THEN 2
+                  WHEN s1 IS NOT NULL THEN 1 ELSE 0 END AS level
+      FROM last_step
+    )
+    SELECT level, COUNT(*) AS n_users FROM levels WHERE level > 0 GROUP BY level
+    """
+
+
+def _strict_gate(modes):
+    from myscaledb_spark.operators.funnel import window_funnel_strict
+
+    def fn(spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        conds = [F.col("event_type") == x for x in ("view", "click", "purchase")]
+        lv = window_funnel_strict(ev, "ts", "user_id", conds, 2 * 86400, modes)
+        return (
+            lv.filter(F.col("level") > 0)
+            .groupBy("level")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+        )
+
+    return fn
+
+
+register("window_funnel_strict_order", _strict_oracle(True, False, False))(
+    _strict_gate(["strict_order"])
+)
+register("window_funnel_strict_dedup", _strict_oracle(False, True, False))(
+    _strict_gate(["strict_dedup"])
+)
+register("window_funnel_strict_increase", _strict_oracle(False, False, True))(
+    _strict_gate(["strict_increase"])
+)

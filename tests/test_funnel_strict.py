@@ -1,0 +1,80 @@
+"""Strict windowFunnel modes vs hand-computed expectations
+(AggregateFunctionWindowFunnel.h strict_order/strict_dedup/strict_increase)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from myscaledb_spark.operators.funnel import window_funnel, window_funnel_strict
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "u long, t string, et string").withColumn(
+        "t", F.col("t").cast("timestamp")
+    )
+
+
+def _conds():
+    return [F.col("et") == x for x in ("A", "B", "C")]
+
+
+def _lv(df, modes):
+    out = window_funnel_strict(df, "t", "u", _conds(), 86400 * 30, modes)
+    return {r["user"]: r["level"] for r in out.collect()}
+
+
+def test_strict_order_freezes_on_foreign_event(spark):
+    rows = [
+        (1, "2024-01-01 00:00:01", "A"),
+        (1, "2024-01-01 00:00:02", "B"),
+        (1, "2024-01-01 00:00:03", "D"),  # foreign — freezes at level 2
+        (1, "2024-01-01 00:00:04", "C"),
+        (2, "2024-01-01 00:00:00", "D"),  # foreign BEFORE chain: harmless
+        (2, "2024-01-01 00:00:01", "A"),
+        (2, "2024-01-01 00:00:02", "B"),
+        (2, "2024-01-01 00:00:03", "C"),
+    ]
+    df = _df(spark, rows)
+    assert _lv(df, ["strict_order"]) == {1: 2, 2: 3}
+    # default mode ignores the foreign event entirely
+    dflt = window_funnel(df, "t", "u", _conds(), 86400 * 30)
+    assert {r["user"]: r["level"] for r in dflt.collect()} == {1: 3, 2: 3}
+
+
+def test_strict_dedup_freezes_on_repeat(spark):
+    rows = [
+        (1, "2024-01-01 00:00:01", "A"),
+        (1, "2024-01-01 00:00:02", "A"),  # repeat of achieved level 1
+        (1, "2024-01-01 00:00:03", "B"),
+        (1, "2024-01-01 00:00:04", "C"),
+        (2, "2024-01-01 00:00:01", "A"),
+        (2, "2024-01-01 00:00:02", "B"),
+        (2, "2024-01-01 00:00:03", "C"),
+    ]
+    assert _lv(_df(spark, rows), ["strict_dedup"]) == {1: 1, 2: 3}
+
+
+def test_strict_increase_requires_growing_timestamps(spark):
+    rows = [
+        (1, "2024-01-01 00:00:01", "A"),
+        (1, "2024-01-01 00:00:01", "B"),  # same ts as A: no chain
+        (1, "2024-01-01 00:00:02", "C"),
+        (2, "2024-01-01 00:00:01", "A"),
+        (2, "2024-01-01 00:00:02", "B"),
+        (2, "2024-01-01 00:00:03", "C"),
+    ]
+    df = _df(spark, rows)
+    assert _lv(df, ["strict_increase"]) == {1: 1, 2: 3}
+    # default: equal timestamps chain (sorted by (ts, idx))
+    dflt = window_funnel(df, "t", "u", _conds(), 86400 * 30)
+    assert {r["user"]: r["level"] for r in dflt.collect()}[1] == 3
+
+
+def test_modes_compose_and_validate(spark):
+    import pytest
+
+    rows = [(1, "2024-01-01 00:00:01", "A")]
+    df = _df(spark, rows)
+    assert _lv(df, ["strict_order", "strict_dedup", "strict_increase"]) == {1: 1}
+    with pytest.raises(ValueError, match="unknown"):
+        window_funnel_strict(df, "t", "u", _conds(), 10, ["bogus"])
