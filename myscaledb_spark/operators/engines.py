@@ -113,6 +113,8 @@ def summing_final(
 
     Plan: single shuffle on ``keys``, one aggregate (min_by + sums).
     """
+    if not sum_cols:
+        raise ValueError("summing_final needs at least one sum column")
     other = [c for c in df.columns if c not in set(sum_cols) | set(keys)]
     aggs = [F.sum(c).alias(c) for c in sum_cols]
     if other:
@@ -136,11 +138,19 @@ def summing_final(
     return out.select(*cols)
 
 
+def _alive(ttl: Column, now: Column) -> Column:
+    """True iff the row has NOT expired. A NULL TTL expression means the
+    expiry never arrives — the row is alive (three-valued logic would
+    otherwise silently drop NULL-ttl rows from BOTH slices)."""
+    return F.coalesce(ttl > now, F.lit(True))
+
+
 def ttl_delete(df: DataFrame, ttl_col: Column | str, now: Column) -> DataFrame:
     """TTL <expr> DELETE — drop rows whose TTL timestamp has passed
-    (TTLDeleteAlgorithm.cpp: keep rows with ttl > current time)."""
+    (TTLDeleteAlgorithm.cpp: keep rows with ttl > current time; NULL ttl =
+    never expires)."""
     ttl = F.col(ttl_col) if isinstance(ttl_col, str) else ttl_col
-    return df.filter(ttl > now)
+    return df.filter(_alive(ttl, now))
 
 
 def ttl_column_default(
@@ -148,8 +158,8 @@ def ttl_column_default(
 ) -> DataFrame:
     """Column-level TTL — expired values are reset to the column default
     (TTLColumnAlgorithm.cpp writes the default expression over expired
-    rows; the row itself survives)."""
-    return df.withColumn(col, F.when(ttl > now, F.col(col)).otherwise(default))
+    rows; the row itself survives; NULL ttl = never expires)."""
+    return df.withColumn(col, F.when(_alive(ttl, now), F.col(col)).otherwise(default))
 
 
 def ttl_group_by(
@@ -174,8 +184,8 @@ def ttl_group_by(
     missing = [c for c in df.columns if c not in keys and c not in set_aggs]
     if missing:
         raise ValueError(f"ttl_group_by: columns {missing} need a SET aggregate")
-    fresh = df.filter(ttl > now)
-    expired = df.filter(~(ttl > now))
+    fresh = df.filter(_alive(ttl, now))
+    expired = df.filter(~_alive(ttl, now))
     rolled = expired.groupBy(*keys).agg(
         *[agg.alias(c) for c, agg in set_aggs.items()]
     )

@@ -378,8 +378,43 @@ def _final_subquery(table: str, schema_fn) -> str:
 
 _FINAL_RE = re.compile(r"\bFROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+FINAL\b", re.IGNORECASE)
 _SAMPLE_RE = re.compile(
-    r"\bFROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+SAMPLE\s+(0?\.\d+|1(?:\.0+)?)", re.IGNORECASE
+    r"\bFROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+SAMPLE\s+(\d+\.?\d*|\.\d+)(?![\w.])",
+    re.IGNORECASE,
 )
+
+
+def _string_mask(sql: str) -> str:
+    """Copy of ``sql`` with string-literal contents blanked (parens kept) —
+    clause regexes that must also match inside subqueries run on this, so a
+    literal like 'use FROM t FINAL' can never trigger a rewrite."""
+    out = list(sql)
+    i = 0
+    while i < len(sql):
+        if sql[i] == "'":
+            j = i + 1
+            while j < len(sql):
+                if sql[j] == "'" and (j + 1 >= len(sql) or sql[j + 1] != "'"):
+                    break
+                j += 2 if sql[j] == "'" else 1
+            for k in range(i, min(j + 1, len(sql))):
+                out[k] = " "
+            i = j + 1
+            continue
+        i += 1
+    return "".join(out)
+
+
+def _masked_sub(regex: re.Pattern, fn, sql: str) -> str:
+    """re.sub that matches against the string-literal mask but substitutes
+    on (and hands ``fn`` groups from) the real text."""
+    mask = _string_mask(sql)
+    out, last = [], 0
+    for m in regex.finditer(mask):
+        out.append(sql[last : m.start()])
+        out.append(fn(m))
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
 
 
 def _rewrite_final(sql: str, schema_fn) -> str:
@@ -387,7 +422,17 @@ def _rewrite_final(sql: str, schema_fn) -> str:
         t = m.group(1)
         return f"FROM {_final_subquery(t, schema_fn)} {t}"
 
-    return _FINAL_RE.sub(sub, sql)
+    out = _masked_sub(_FINAL_RE, sub, sql)
+    # a FINAL the pattern could NOT rewrite (qualified/aliased table, FINAL
+    # after a subquery) must not fall through — Spark would parse it as a
+    # table alias and silently return uncollapsed rows
+    if re.search(r"\bFINAL\b", _string_mask(out), re.IGNORECASE):
+        raise ChSqlError(
+            "FINAL is rewritten only as `FROM <bare_table> FINAL` — qualify "
+            "via a temp view, or use the operators in "
+            "myscaledb_spark.operators.engines / relational.final_dedup"
+        )
+    return out
 
 
 def _rewrite_sample(sql: str) -> str:
@@ -397,12 +442,21 @@ def _rewrite_sample(sql: str) -> str:
     replica-stable sampling guarantee)."""
 
     def sub(m: re.Match) -> str:
-        t, frac = m.group(1), float(m.group(2))
+        t, raw = m.group(1), m.group(2)
+        frac = float(raw)
         meta = TABLE_ENGINES.get(t)
         if not meta or not meta.get("sample_by"):
             raise ChSqlError(
                 f"SAMPLE on {t!r} needs register_table_engine({t!r}, ..., "
                 "sample_by=col) (≈ SAMPLE BY in the table DDL)"
+            )
+        if frac > 1.0:
+            # ClickHouse SAMPLE n (row-count form) needs the table size to
+            # derive a fraction — not knowable at rewrite time
+            raise ChSqlError(
+                f"SAMPLE {raw} (approximate row-count form) is not supported "
+                "— compute the fraction and use SAMPLE f in (0, 1], or "
+                "operators.relational.sample_by"
             )
         if not (0.0 < frac <= 1.0):
             raise ChSqlError(f"sample fraction must be in (0, 1], got {frac}")
@@ -414,7 +468,7 @@ def _rewrite_sample(sql: str) -> str:
         )
         return f"FROM (SELECT * FROM {t} WHERE {h} < {thresh}) {t}"
 
-    return _SAMPLE_RE.sub(sub, sql)
+    return _masked_sub(_SAMPLE_RE, sub, sql)
 
 
 def _top_level_mask(sql: str) -> str:
@@ -562,24 +616,53 @@ def _rewrite_with_fill(sql: str) -> str:
     col = m.group(1)
     head = sql[: m.start()].strip()
     rest, rest_mask = sql[m.end() :], mask[m.end() :]
-    kw = {
+    # FROM/TO/STEP value spans end at the next fill keyword OR the start of
+    # a trailing clause (LIMIT/SETTINGS/UNION), which is re-appended —
+    # previously anything after WITH FILL that wasn't a fill keyword was
+    # silently dropped (or glued into the STEP value)
+    fill_kw = {
         k: re.search(rf"\b{k}\b", rest_mask, re.IGNORECASE)
         for k in ("FROM", "TO", "STEP")
     }
+    tail_m = re.search(r"\b(LIMIT|OFFSET|SETTINGS|UNION)\b", rest_mask, re.IGNORECASE)
+    tail_start = tail_m.start() if tail_m else len(rest)
     bounds = sorted(
-        [(mm.start(), mm.end(), k) for k, mm in kw.items() if mm]
-    ) + [(len(rest), len(rest), None)]
+        (mm.start(), mm.end(), k)
+        for k, mm in fill_kw.items()
+        if mm and mm.start() < tail_start
+    ) + [(tail_start, tail_start, None)]
     vals: dict[str, str] = {}
     for (s_, e_, k), (n_, _, _) in zip(bounds, bounds[1:]):
         if k:
             vals[k] = rest[e_:n_].strip()
-    from_ = vals.get("FROM", f"(SELECT min({col}) FROM ({head}) _wfmn)")
-    to = vals.get("TO", f"(SELECT max({col}) FROM ({head}) _wfmx)")
+    vals = {k: v for k, v in vals.items() if v}
+    # everything before the first fill keyword (or the whole pre-tail span
+    # when no keywords) must be blank — else unknown clause text would be
+    # silently dropped
+    first_kw = min((b[0] for b in bounds[:-1]), default=tail_start)
+    if rest[:first_kw].strip():
+        raise ChSqlError(
+            f"WITH FILL: unrecognized clause text {rest[:first_kw].strip()!r}"
+            " → myscaledb_spark.operators.relational.with_fill"
+        )
+    tail = rest[tail_start:].strip()
     step = vals.get("STEP", "1")
-    return (
-        f"SELECT * FROM (SELECT explode(sequence({from_}, {to}, {step})) "
-        f"AS {col}) _grid LEFT JOIN ({head}) _wf USING ({col}) ORDER BY {col}"
+    if "FROM" in vals and "TO" in vals:
+        grid = f"SELECT explode(sequence({vals['FROM']}, {vals['TO']}, {step})) AS {col}"
+    else:
+        # one combined bounds subquery — not one scalar subquery per missing
+        # bound, which would run the head query twice more
+        mn = vals.get("FROM", f"min({col})")
+        mx = vals.get("TO", f"max({col})")
+        grid = (
+            f"SELECT explode(sequence(_wfb.mn, _wfb.mx, {step})) AS {col} "
+            f"FROM (SELECT {mn} AS mn, {mx} AS mx FROM ({head}) _wfh) _wfb"
+        )
+    out = (
+        f"SELECT * FROM ({grid}) _grid LEFT JOIN ({head}) _wf "
+        f"USING ({col}) ORDER BY {col}"
     )
+    return out + (f" {tail}" if tail else "")
 
 
 _LIMIT_BY_RE = re.compile(
@@ -697,11 +780,13 @@ def rewrite(sql: str, schema_fn=None) -> str:
     # GLOBAL JOIN / GLOBAL IN: the reference's "ship the right side to every
     # shard" modifier — exactly Spark's broadcast, which the planner decides
     # on its own (autoBroadcastJoinThreshold / AQE), so the keyword drops out
-    sql = re.sub(
-        r"\bGLOBAL\s+(?=(ANY|ALL|ASOF|INNER|LEFT|RIGHT|FULL|CROSS|JOIN|IN|NOT)\b)",
-        "",
+    sql = _masked_sub(
+        re.compile(
+            r"\bGLOBAL\s+(?=(ANY|ALL|ASOF|INNER|LEFT|RIGHT|FULL|CROSS|JOIN|IN|NOT)\b)",
+            re.IGNORECASE,
+        ),
+        lambda m: "",
         sql,
-        flags=re.IGNORECASE,
     )
     sql = _strip_settings(sql)
     sql = _rewrite_asof_join(sql)

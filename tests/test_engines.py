@@ -141,3 +141,28 @@ def test_any_join_one_match_and_requires_order(spark):
     assert inner.count() == 2
     with pytest.raises(ValueError):
         any_join(left, right, ["k"])
+
+
+def test_ttl_null_rows_never_expire(spark):
+    now = F.lit("2024-01-10 00:00:00").cast("timestamp")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 5.0), (2, None, 7.0)],
+        "id long, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ttl = F.col("ts") + F.expr("INTERVAL 5 DAYS")
+    # NULL ttl row survives deletion, keeps its value, and passes through
+    # ttl_group_by untouched (was silently dropped from both slices)
+    assert sorted(r["id"] for r in ttl_delete(df, ttl, now).collect()) == [2]
+    kept = {r["id"]: r["v"] for r in ttl_column_default(df, "v", ttl, now, F.lit(-1.0)).collect()}
+    assert kept == {1: -1.0, 2: 7.0}
+    g = ttl_group_by(
+        df.select("id", "ts", "v"),
+        ttl=ttl, now=now, keys=["id", "ts"], set_aggs={"v": F.sum("v")},
+    ).collect()
+    assert sorted(r["id"] for r in g) == [1, 2]
+
+
+def test_summing_rejects_empty_sum_cols(spark):
+    df = spark.createDataFrame([("a", 1, 2)], "k string, seq long, amt long")
+    with pytest.raises(ValueError, match="at least one"):
+        summing_final(df, ["k"], [], first_by="seq")

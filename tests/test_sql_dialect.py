@@ -329,3 +329,35 @@ def test_global_and_settings_compat():
     assert "'SETTINGS x'" in out
     with pytest.raises(ChSqlError, match="any_join"):
         rewrite("SELECT * FROM a LEFT ANY JOIN b ON a.k = b.k")
+
+
+def test_review_fixes_final_sample_guards():
+    from myscaledb_spark.sql_dialect import register_table_engine
+
+    # qualified/aliased FINAL can't silently become a table alias
+    with pytest.raises(ChSqlError, match="FINAL"):
+        rewrite("SELECT * FROM db.events FINAL")
+    # FINAL / GLOBAL / SAMPLE inside string literals are untouched
+    out = rewrite("SELECT * FROM logs WHERE msg = 'read FROM cache FINAL done'")
+    assert "'read FROM cache FINAL done'" in out
+    out = rewrite("SELECT 'GLOBAL IN scope' AS s FROM t")
+    assert "'GLOBAL IN scope'" in out
+    # integer row-count SAMPLE form raises instead of no-op full scan
+    register_table_engine("tsm_", "none", [], sample_by="id")
+    with pytest.raises(ChSqlError, match="row-count"):
+        rewrite("SELECT * FROM tsm_ SAMPLE 1000")
+
+
+def test_review_fixes_with_fill_tail():
+    # trailing LIMIT survives the rewrite (was silently dropped)
+    out = rewrite("SELECT d FROM t ORDER BY d WITH FILL LIMIT 5")
+    assert out.rstrip().endswith("LIMIT 5") and "sequence" in out
+    out = rewrite("SELECT d FROM t ORDER BY d WITH FILL FROM 1 TO 9 STEP 2 LIMIT 5")
+    assert "sequence(1, 9, 2)" in out and out.rstrip().endswith("LIMIT 5")
+    # defaulted bounds: ONE combined min/max subquery, not one per bound
+    out = rewrite("SELECT d FROM t ORDER BY d WITH FILL")
+    assert out.count("(SELECT d FROM t)") == 2  # one bounds scan + the join
+    assert "min(d) AS mn, max(d) AS mx" in out
+    # unknown clause text between WITH FILL and keywords raises
+    with pytest.raises(ChSqlError, match="unrecognized"):
+        rewrite("SELECT d FROM t ORDER BY d WITH FILL BOGUS 3")
