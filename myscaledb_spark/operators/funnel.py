@@ -232,3 +232,94 @@ def window_funnel_strict(
     return grouped.select(
         "user", F.aggregate("evs", zero, merge, finish).cast("int").alias("level")
     )
+
+
+def _seq_fold(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    conds: Sequence[Column],
+    max_gaps: Sequence[int | None] | None,
+    count_mode: bool,
+) -> DataFrame:
+    """Shared DP fold for sequenceMatch/sequenceCount with `(?t<=N)` gap
+    constraints (`src/AggregateFunctions/AggregateFunctionSequenceMatch.h`;
+    pattern ops at `:66-85`).
+
+    Per level k the accumulator keeps the LATEST timestamp reaching k —
+    optimal for `<=` gap constraints (events arrive time-sorted, and a later
+    level-(k-1) ts can only make the next gap smaller), so the linear fold
+    finds a match whenever the reference's backtracking regex would. Only
+    `(?t<=N)` constraints are supported — `(?t>N)` would need the earliest
+    ts instead (raise rather than silently mis-evaluate).
+
+    count_mode: on completing level n, increment and reset all levels — the
+    reference's non-overlapping chain counting.
+    """
+    n = len(conds)
+    gaps = list(max_gaps) if max_gaps is not None else [None] * (n - 1)
+    if len(gaps) != n - 1:
+        raise ValueError(f"need {n - 1} gap constraints, got {len(gaps)}")
+    ent = _entries(df, ts_col, user_col, conds)
+    grouped = ent.groupBy("user").agg(F.array_sort(F.collect_list("e")).alias("evs"))
+
+    nulll = F.lit(None).cast("long")
+    zero = F.struct(
+        *[nulll.alias(f"l{k}") for k in range(1, n + 1)],
+        F.lit(0).alias("cnt"),
+    )
+
+    def merge(acc: Column, e: Column) -> Column:
+        oks = [e["idx"] == 1]
+        for k in range(2, n + 1):
+            prev = acc[f"l{k-1}"]
+            ok = (e["idx"] == k) & prev.isNotNull()
+            g = gaps[k - 2]
+            if g is not None:
+                ok = ok & (e["ts"] - prev <= F.lit(int(g) * 1_000_000))
+            oks.append(ok)
+        completed = oks[n - 1] if count_mode else F.lit(False)
+        fields = []
+        for k in range(1, n + 1):
+            # store the achieving event's ts at level k (the gap constraint
+            # compares against the previous level's stored ts)
+            val = F.when(oks[k - 1], e["ts"]).otherwise(acc[f"l{k}"])
+            if count_mode:
+                val = F.when(completed, nulll).otherwise(val)
+            fields.append(val.alias(f"l{k}"))
+        cnt = F.when(completed, acc["cnt"] + 1).otherwise(acc["cnt"])
+        return F.struct(*fields, cnt.alias("cnt"))
+
+    def finish(acc: Column) -> Column:
+        if count_mode:
+            return acc["cnt"]
+        return acc[f"l{n}"].isNotNull().cast("int")
+
+    out_name = "n_matches" if count_mode else "matched"
+    return grouped.select(
+        "user", F.aggregate("evs", zero, merge, finish).cast("int").alias(out_name)
+    )
+
+
+def sequence_match_t(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    conds: Sequence[Column],
+    max_gaps: Sequence[int | None] | None = None,
+) -> DataFrame:
+    """sequenceMatch('(?1)(?t<=g1)(?2)...') — gap-constrained ordered
+    subsequence match (see _seq_fold)."""
+    return _seq_fold(df, ts_col, user_col, conds, max_gaps, count_mode=False)
+
+
+def sequence_count(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    conds: Sequence[Column],
+    max_gaps: Sequence[int | None] | None = None,
+) -> DataFrame:
+    """sequenceCount — number of non-overlapping gap-constrained chains
+    (see _seq_fold)."""
+    return _seq_fold(df, ts_col, user_col, conds, max_gaps, count_mode=True)

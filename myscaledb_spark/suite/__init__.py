@@ -164,6 +164,8 @@ PRIORITY: list[str] = [
     "window_funnel_strict_order",
     "window_funnel_strict_dedup",
     "window_funnel_strict_increase",
+    "sequence_count_view_purchase",
+    "sequence_match_gaps",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "vec_cosine_topk",

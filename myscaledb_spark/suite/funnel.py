@@ -233,7 +233,7 @@ def _strict_oracle(s_order: bool, s_dedup: bool, s_inc: bool) -> str:
              CAST(NULL AS BIGINT) AS s3, CAST(NULL AS BIGINT) AS p1,
              CAST(NULL AS BIGINT) AS p2, CAST(NULL AS BIGINT) AS p3,
              false AS frz
-      FROM (SELECT DISTINCT user_id FROM ev)
+      FROM (SELECT DISTINCT user_id FROM ev WHERE idx > 0)
       UNION ALL
       SELECT e.user_id, e.rn,
              CASE WHEN e.idx = 1 AND NOT {frz} THEN e.tsu ELSE s.s1 END,
@@ -287,3 +287,118 @@ register("window_funnel_strict_dedup", _strict_oracle(False, True, False))(
 register("window_funnel_strict_increase", _strict_oracle(False, False, True))(
     _strict_gate(["strict_increase"])
 )
+
+
+# --- sequenceCount / gap-constrained sequenceMatch ---------------------------
+# (AggregateFunctionSequenceMatch.h; oracle = recursive row replay of the
+# same latest-ts DP, independent of the Spark fold)
+
+_G2D = 2 * 86400 * 1_000_000
+_G3D = 3 * 86400 * 1_000_000
+
+
+@register(
+    "sequence_count_view_purchase",
+    f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, epoch_us(ts) AS tsu,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'purchase' THEN 2
+                  ELSE 0 END AS idx,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts),
+                  CASE event_type WHEN 'view' THEN 1 WHEN 'purchase' THEN 2
+                       ELSE 0 END) AS rn
+      FROM events
+    ),
+    step AS (
+      SELECT user_id, 0 AS rn, CAST(NULL AS BIGINT) AS l1,
+             CAST(NULL AS BIGINT) AS l2, 0 AS cnt
+      FROM (SELECT DISTINCT user_id FROM ev WHERE idx > 0)
+      UNION ALL
+      SELECT e.user_id, e.rn,
+        CASE WHEN (e.idx = 2 AND s.l1 IS NOT NULL AND e.tsu - s.l1 <= {_G3D})
+             THEN NULL
+             ELSE CASE WHEN e.idx = 1 THEN e.tsu ELSE s.l1 END END,
+        CASE WHEN (e.idx = 2 AND s.l1 IS NOT NULL AND e.tsu - s.l1 <= {_G3D})
+             THEN NULL ELSE s.l2 END,
+        CASE WHEN (e.idx = 2 AND s.l1 IS NOT NULL AND e.tsu - s.l1 <= {_G3D})
+             THEN s.cnt + 1 ELSE s.cnt END
+      FROM step s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+    ),
+    last_step AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rr
+        FROM step
+      ) WHERE rr = 1
+    )
+    SELECT cnt AS n_matches, COUNT(*) AS n_users
+    FROM last_step WHERE cnt > 0 GROUP BY cnt
+    """,
+)
+def sequence_count_view_purchase(spark, sf_dir):
+    """sequenceCount('(?1)(?t<=3d)(?2)') — non-overlapping view→purchase
+    chains per user, summarized as a distribution."""
+    from myscaledb_spark.operators.funnel import sequence_count
+
+    ev = load_table(spark, sf_dir, "events")
+    conds = [F.col("event_type") == "view", F.col("event_type") == "purchase"]
+    out = sequence_count(ev, "ts", "user_id", conds, [3 * 86400])
+    return (
+        out.filter(F.col("n_matches") > 0)
+        .groupBy("n_matches")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "sequence_match_gaps",
+    f"""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, epoch_us(ts) AS tsu,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS idx,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts),
+                  CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                       WHEN 'purchase' THEN 3 ELSE 0 END) AS rn
+      FROM events
+    ),
+    step AS (
+      SELECT user_id, 0 AS rn, CAST(NULL AS BIGINT) AS l1,
+             CAST(NULL AS BIGINT) AS l2, CAST(NULL AS BIGINT) AS l3
+      FROM (SELECT DISTINCT user_id FROM ev WHERE idx > 0)
+      UNION ALL
+      SELECT e.user_id, e.rn,
+        CASE WHEN e.idx = 1 THEN e.tsu ELSE s.l1 END,
+        CASE WHEN (e.idx = 2 AND s.l1 IS NOT NULL AND e.tsu - s.l1 <= {_G2D})
+             THEN e.tsu ELSE s.l2 END,
+        CASE WHEN (e.idx = 3 AND s.l2 IS NOT NULL AND e.tsu - s.l2 <= {_G2D})
+             THEN e.tsu ELSE s.l3 END
+      FROM step s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+    ),
+    last_step AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rr
+        FROM step
+      ) WHERE rr = 1
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE l3 IS NOT NULL) AS BIGINT) AS n_matched,
+           COUNT(*) AS n_users
+    FROM last_step
+    """,
+)
+def sequence_match_gaps(spark, sf_dir):
+    """sequenceMatch('(?1)(?t<=2d)(?2)(?t<=2d)(?3)') over
+    view→click→purchase; single-row rollup (matched users / total users
+    with at least one tagged event)."""
+    from myscaledb_spark.operators.funnel import sequence_match_t
+
+    ev = load_table(spark, sf_dir, "events")
+    conds = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    out = sequence_match_t(ev, "ts", "user_id", conds, [2 * 86400, 2 * 86400])
+    return out.agg(
+        F.sum("matched").cast("bigint").alias("n_matched"),
+        F.count(F.lit(1)).alias("n_users"),
+    )

@@ -78,3 +78,51 @@ def test_modes_compose_and_validate(spark):
     assert _lv(df, ["strict_order", "strict_dedup", "strict_increase"]) == {1: 1}
     with pytest.raises(ValueError, match="unknown"):
         window_funnel_strict(df, "t", "u", _conds(), 10, ["bogus"])
+
+
+def test_sequence_match_gap_constraint_backtracks(spark):
+    from myscaledb_spark.operators.funnel import sequence_match_t
+
+    # A(0s) A(10s) B(12s), gap <= 5s: the FIRST A fails but the second
+    # works — the latest-ts DP must find it (greedy-first would miss)
+    rows = [
+        (1, "2024-01-01 00:00:00", "A"),
+        (1, "2024-01-01 00:00:10", "A"),
+        (1, "2024-01-01 00:00:12", "B"),
+        (2, "2024-01-01 00:00:00", "A"),
+        (2, "2024-01-01 00:00:30", "B"),
+    ]
+    df = _df(spark, rows)
+    conds = [F.col("et") == "A", F.col("et") == "B"]
+    out = {r["user"]: r["matched"] for r in
+           sequence_match_t(df, "t", "u", conds, [5]).collect()}
+    assert out == {1: 1, 2: 0}
+    # unconstrained: both match
+    out = {r["user"]: r["matched"] for r in
+           sequence_match_t(df, "t", "u", conds).collect()}
+    assert out == {1: 1, 2: 1}
+
+
+def test_sequence_count_non_overlapping(spark):
+    from myscaledb_spark.operators.funnel import sequence_count
+
+    # A B A B A → two complete A->B chains, trailing A incomplete
+    rows = [
+        (1, "2024-01-01 00:00:0%d" % i, et)
+        for i, et in enumerate(["A", "B", "A", "B", "A"])
+    ]
+    df = _df(spark, rows)
+    conds = [F.col("et") == "A", F.col("et") == "B"]
+    out = sequence_count(df, "t", "u", conds).collect()
+    assert out[0]["n_matches"] == 2
+
+
+def test_sequence_gap_validation(spark):
+    import pytest
+
+    from myscaledb_spark.operators.funnel import sequence_match_t
+
+    df = _df(spark, [(1, "2024-01-01 00:00:00", "A")])
+    conds = [F.col("et") == "A", F.col("et") == "B"]
+    with pytest.raises(ValueError, match="gap"):
+        sequence_match_t(df, "t", "u", conds, [1, 2])
