@@ -54,6 +54,26 @@ TEMPLATES: dict[str, str] = {
     "addDays": "({0} + make_interval(0, 0, 0, {1}))",
     "addMonths": "add_months({0}, {1})",
     "subtractDays": "({0} - make_interval(0, 0, 0, {1}))",
+    "addYears": "({0} + make_interval({1}))",
+    "addWeeks": "({0} + make_interval(0, 0, {1}))",
+    "addHours": "({0} + make_interval(0, 0, 0, 0, {1}))",
+    "addMinutes": "({0} + make_interval(0, 0, 0, 0, 0, {1}))",
+    "addSeconds": "({0} + make_interval(0, 0, 0, 0, 0, 0, {1}))",
+    "subtractYears": "({0} - make_interval({1}))",
+    "subtractMonths": "add_months({0}, -({1}))",
+    "subtractHours": "({0} - make_interval(0, 0, 0, 0, {1}))",
+    "subtractMinutes": "({0} - make_interval(0, 0, 0, 0, 0, {1}))",
+    "subtractSeconds": "({0} - make_interval(0, 0, 0, 0, 0, 0, {1}))",
+    "toIntervalDay": "make_dt_interval({0})",
+    "toIntervalHour": "make_dt_interval(0, {0})",
+    "toIntervalMinute": "make_dt_interval(0, 0, {0})",
+    "toIntervalSecond": "make_dt_interval(0, 0, 0, {0})",
+    "toWeek": "weekofyear({0})",
+    "toISOWeek": "weekofyear({0})",
+    "toQuarter": "quarter({0})",
+    "toDayOfYear": "dayofyear({0})",
+    "timeSlot": "timestamp_seconds((unix_timestamp({0}) div 1800) * 1800)",
+    "toRelativeDayNum": "datediff({0}, DATE '1970-01-01')",
     "yesterday": "date_sub(current_date(), 1)",
     # conversions
     "toInt8": "cast({0} as tinyint)",
@@ -81,6 +101,18 @@ TEMPLATES: dict[str, str] = {
     "ifNull": "coalesce({0}, {1})",
     "nullIf": "nullif({0}, {1})",
     "assumeNotNull": "{0}",
+    # bit ops (operators in Spark SQL, named functions in CH)
+    "bitAnd": "({0} & {1})",
+    "bitOr": "({0} | {1})",
+    "bitXor": "({0} ^ {1})",
+    "bitNot": "(~{0})",
+    "bitShiftLeft": "shiftleft({0}, {1})",
+    "bitShiftRight": "shiftright({0}, {1})",
+    "bitTest": "((shiftright({0}, {1}) & 1))",
+    "roundBankers": "bround({*})",
+    "mapKeys": "map_keys({0})",
+    "mapValues": "map_values({0})",
+    "anyHeavy": "mode({0})",
     # strings
     "lengthUTF8": "length({0})",
     "lowerUTF8": "lower({0})",
@@ -764,6 +796,79 @@ def _apply(template: str, args: list[str]) -> str:
     return out
 
 
+def _unquote(lit: str, fn: str) -> str:
+    lit = lit.strip()
+    if len(lit) >= 2 and lit[0] == "'" and lit[-1] == "'":
+        return lit[1:-1].replace("''", "'")
+    raise ChSqlError(f"{fn} needs a string literal argument, got {lit!r}")
+
+
+def _special_date_diff(args: list[str]) -> str:
+    """dateDiff('unit', start, end[, tz]) → timestampdiff(UNIT, start, end)
+    (same sign convention: end - start)."""
+    if len(args) < 3:
+        raise ChSqlError("dateDiff(unit, start, end) needs 3 arguments")
+    unit = _unquote(args[0], "dateDiff").lower()
+    allowed = {
+        "second", "minute", "hour", "day", "week", "month", "quarter", "year",
+    }
+    if unit not in allowed:
+        raise ChSqlError(f"dateDiff unit {unit!r} not in {sorted(allowed)}")
+    return f"timestampdiff({unit}, {args[1]}, {args[2]})"
+
+
+def _special_multi_if(args: list[str]) -> str:
+    """multiIf(c1, v1, c2, v2, ..., else) → CASE chain."""
+    if len(args) < 3 or len(args) % 2 == 0:
+        raise ChSqlError("multiIf needs cond/value pairs plus an else")
+    whens = "".join(
+        f" WHEN {args[i]} THEN {args[i + 1]}" for i in range(0, len(args) - 1, 2)
+    )
+    return f"(CASE{whens} ELSE {args[-1]} END)"
+
+
+#: ClickHouse formatDateTime % codes → Java SimpleDateFormat patterns
+_FMT_CODES = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH", "I": "hh",
+    "M": "mm", "S": "ss", "p": "a", "j": "DDD", "e": "d", "a": "EEE",
+    "W": "EEEE", "b": "MMM", "F": "yyyy-MM-dd", "T": "HH:mm:ss",
+    "D": "MM/dd/yy", "R": "HH:mm", "%": "%",
+}
+
+
+def _special_format_datetime(args: list[str]) -> str:
+    """formatDateTime(d, '%Y-%m-%d') → date_format(d, 'yyyy-MM-dd')
+    (FunctionsConversion / formatDateTime.cpp % codes)."""
+    if len(args) < 2:
+        raise ChSqlError("formatDateTime(date, format) needs 2 arguments")
+    fmt = _unquote(args[1], "formatDateTime")
+    out, i = [], 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%":
+            if i + 1 >= len(fmt) or fmt[i + 1] not in _FMT_CODES:
+                raise ChSqlError(f"formatDateTime: unsupported code %{fmt[i+1:i+2]}")
+            out.append(_FMT_CODES[fmt[i + 1]])
+            i += 2
+        elif c.isalpha():
+            # a bare letter would be a Java pattern letter — require escaping
+            raise ChSqlError(
+                f"formatDateTime: literal letter {c!r} in format needs a % code"
+            )
+        else:
+            out.append(c)
+            i += 1
+    return f"date_format({args[0]}, '{''.join(out)}')"
+
+
+SPECIAL = {
+    "dateDiff": _special_date_diff,
+    "date_diff": _special_date_diff,
+    "multiIf": _special_multi_if,
+    "formatDateTime": _special_format_datetime,
+}
+
+
 def rewrite(sql: str, schema_fn=None) -> str:
     """Rewrite CH-flavored SQL (function names + FINAL / SAMPLE / LIMIT BY
     clauses) to Spark SQL. ``schema_fn(table) -> [col, ...]`` is needed only
@@ -847,7 +952,9 @@ def _rewrite_calls(sql: str) -> str:
                     out.append(t)
                     i = call2_end
                     continue
-                if name in TEMPLATES:
+                if name in SPECIAL:
+                    out.append(SPECIAL[name](args))
+                elif name in TEMPLATES:
                     out.append(_apply(TEMPLATES[name], args))
                 else:
                     out.append(f"{name}({', '.join(args)})")

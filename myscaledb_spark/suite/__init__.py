@@ -166,6 +166,7 @@ PRIORITY: list[str] = [
     "window_funnel_strict_increase",
     "sequence_count_view_purchase",
     "sequence_match_gaps",
+    "ch_sql_datetime_funcs",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "vec_cosine_topk",

@@ -215,3 +215,41 @@ def ch_sql_limit_by_orders(spark, sf_dir):
         LIMIT 2 BY o_custkey
         """,
     )
+
+
+@register(
+    "ch_sql_datetime_funcs",
+    """
+    SELECT CAST(quarter(o_orderdate) AS INT) AS q,
+           CASE WHEN o_totalprice > 200000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS band,
+           COUNT(*) AS n,
+           CAST(MIN(date_diff('day', o_orderdate,
+                              o_orderdate + INTERVAL 30 DAY)) AS BIGINT) AS dd,
+           MIN(strftime(o_orderdate, '%Y-%m')) AS fm,
+           CAST(MIN(weekofyear(o_orderdate)) AS INT) AS wk
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def ch_sql_datetime_funcs(spark, sf_dir):
+    """dateDiff / multiIf / formatDateTime / addDays / toQuarter / toWeek —
+    the dialect's special handlers end-to-end (reference:
+    src/Functions/formatDateTime.cpp, dateDiff.cpp, multiIf.cpp)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_chd_orders")
+    return ch_sql(
+        spark,
+        """
+        SELECT cast(toQuarter(o_orderdate) as int) AS q,
+               multiIf(o_totalprice > 200000, 'high',
+                       o_totalprice > 100000, 'mid', 'low') AS band,
+               count(*) AS n,
+               cast(min(dateDiff('day', o_orderdate,
+                                 addDays(o_orderdate, 30))) as bigint) AS dd,
+               min(formatDateTime(o_orderdate, '%Y-%m')) AS fm,
+               cast(min(toWeek(o_orderdate)) as int) AS wk
+        FROM _chd_orders
+        GROUP BY toQuarter(o_orderdate), 2
+        """,
+    )

@@ -361,3 +361,22 @@ def test_review_fixes_with_fill_tail():
     # unknown clause text between WITH FILL and keywords raises
     with pytest.raises(ChSqlError, match="unrecognized"):
         rewrite("SELECT d FROM t ORDER BY d WITH FILL BOGUS 3")
+
+
+def test_special_handlers_datediff_multiif_formatdatetime():
+    out = rewrite("SELECT dateDiff('day', a, b) FROM t")
+    assert "timestampdiff(day, a, b)" in out
+    with pytest.raises(ChSqlError, match="unit"):
+        rewrite("SELECT dateDiff('fortnight', a, b) FROM t")
+    out = rewrite("SELECT multiIf(a > 1, 'x', a > 0, 'y', 'z') FROM t")
+    assert out.count("WHEN") == 2 and "ELSE 'z' END" in out
+    with pytest.raises(ChSqlError, match="pairs"):
+        rewrite("SELECT multiIf(a, b) FROM t")
+    out = rewrite("SELECT formatDateTime(d, '%Y-%m-%d %H:%M:%S') FROM t")
+    assert "date_format(d, 'yyyy-MM-dd HH:mm:ss')" in out
+    with pytest.raises(ChSqlError, match="letter"):
+        rewrite("SELECT formatDateTime(d, 'year %Y') FROM t")
+    # bit ops and misc templates
+    assert "(a & b)" in rewrite("SELECT bitAnd(a, b) FROM t")
+    assert "bround(x, 2)" in rewrite("SELECT roundBankers(x, 2) FROM t")
+    assert "weekofyear(d)" in rewrite("SELECT toWeek(d) FROM t")
