@@ -113,3 +113,57 @@ class VersionedTable:
             shutil.rmtree(self._vdir(v), ignore_errors=True)
             removed.append(v)
         return removed
+
+
+def optimize_compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """OPTIMIZE TABLE [FINAL] as parquet-directory compaction — merge many
+    small files into ~target-sized ones (the reference's background part
+    merge, `src/Storages/MergeTree/MergeTreeDataMergerMutator.cpp`; here
+    the user-triggered OPTIMIZE form, InterpreterOptimizeQuery.cpp).
+
+    At 100 TB ingest, streaming sinks and frequent inserts leave thousands
+    of KB-scale files per partition; scans then pay per-file open/footer
+    costs and tiny row groups. Compaction rewrites the directory with
+    ``repartition(ceil(bytes/target))`` (an optional per-file sort restores
+    clustering for min/max pruning) atomically via a temp dir + rename.
+
+    Returns {files_before, files_after, bytes}. The byte size is measured
+    from the filesystem listing, not a collect of the data.
+    """
+    import math
+    import shutil
+    import uuid
+
+    def _list(p):
+        out = []
+        for root, _, files in os.walk(p):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    out.append(os.path.join(root, f))
+        return out
+
+    before = _list(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    df = (
+        df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
+        if sort_cols
+        else df.repartition(n_out)
+    )
+    tmp = f"{path.rstrip('/')}.__compact_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {
+        "files_before": len(before),
+        "files_after": len(_list(path)),
+        "bytes": total,
+    }

@@ -121,3 +121,25 @@ def test_array_enumerate_uniq(spark):
         .first()
     )
     assert r.e == [1, 1, 2, 3, 2]
+
+
+def test_optimize_compact_merges_small_files(spark, tmp_path):
+    from myscaledb_spark.operators.mutations import optimize_compact
+
+    p = str(tmp_path / "frag")
+    # 40 tiny files
+    spark.range(4000).selectExpr("id", "id % 7 AS k").repartition(40).write.parquet(p)
+    import os as _os
+
+    n_before = sum(
+        1 for f in _os.listdir(p) if f.endswith(".parquet")
+    )
+    assert n_before >= 30
+    stats = optimize_compact(spark, p, target_file_bytes=64 * 1024 * 1024)
+    assert stats["files_before"] >= 30 and stats["files_after"] <= 4
+    df = spark.read.parquet(p)
+    assert df.count() == 4000
+    assert df.agg({"id": "sum"}).collect()[0][0] == 4000 * 3999 // 2
+    # sorted compaction clusters the sort key per file for min/max pruning
+    stats = optimize_compact(spark, p, target_file_bytes=64 * 1024 * 1024, sort_cols=["id"])
+    assert spark.read.parquet(p).count() == 4000
