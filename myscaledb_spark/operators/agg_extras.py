@@ -246,3 +246,60 @@ def agg_resample(
         lambda i: F.element_at(F.col("_m"), i),
     )
     return filled.select(*[F.col(g) for g in group], arr.alias("arr"))
+
+
+def quantile_interpolated_weighted(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    weight: str,
+    levels: list[float],
+) -> DataFrame:
+    """quantileInterpolatedWeighted — the reference's weighted-percentile
+    estimator (`src/AggregateFunctions/QuantileInterpolatedWeighted.h:104-195`):
+    weights summed per DISTINCT value, positions
+    p_i = (cumsum_i - 0.5·w_i) / total, linear interpolation at each level
+    with flat extrapolation outside [p_0, p_{n-1}] and the dx==0→1 guard
+    (`:297-305`).
+
+    Deterministic (unlike tdigest), so exactly oracle-able: weights stay
+    integral through cumsum/total (bit-exact under any partitioning), and
+    each float op mirrors the reference's expression order.
+
+    Plan: two key-shuffles (distinct-value weight sum, then per-group
+    bracketing via min_by/max_by) — no sort of the full data, no Python.
+    Output: keys + q_<level> columns.
+    """
+    w = Window.partitionBy(*keys).orderBy(value)
+    wp = Window.partitionBy(*keys)
+    g = (
+        df.groupBy(*keys, value)
+        .agg(F.sum(F.col(weight).cast("long")).alias("_w"))
+        .withColumn("_cum", F.sum("_w").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("_tot", F.sum("_w").over(wp))
+        .withColumn(
+            "_p",
+            (F.col("_cum").cast("double") - 0.5 * F.col("_w").cast("double"))
+            / F.col("_tot").cast("double"),
+        )
+    )
+    aggs = []
+    for lv in levels:
+        lvl = F.lit(float(lv))
+        pair = F.struct(F.col("_p").alias("p"), F.col(value).alias("v"))
+        aggs.append(F.max_by(pair, F.when(F.col("_p") <= lvl, F.col("_p"))).alias(f"_l{len(aggs)}"))
+        aggs.append(F.min_by(pair, F.when(F.col("_p") >= lvl, F.col("_p"))).alias(f"_r{len(aggs)}"))
+    out = g.groupBy(*keys).agg(*aggs)
+    cols = [F.col(k) for k in keys]
+    for i, lv in enumerate(levels):
+        l, r = F.col(f"_l{2*i}"), F.col(f"_r{2*i+1}")
+        dx = r["p"] - l["p"]
+        dx = F.when(dx == 0, F.lit(1.0)).otherwise(dx)
+        interp = l["v"] + ((r["v"] - l["v"]) / dx) * (F.lit(float(lv)) - l["p"])
+        y = (
+            F.when(l.isNull(), r["v"])
+            .when(r.isNull(), l["v"])
+            .otherwise(interp)
+        )
+        cols.append(y.alias(f"q_{str(lv).replace('.', '_')}"))
+    return out.select(*cols)

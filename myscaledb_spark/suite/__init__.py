@@ -167,6 +167,7 @@ PRIORITY: list[str] = [
     "sequence_count_view_purchase",
     "sequence_match_gaps",
     "ch_sql_datetime_funcs",
+    "quantile_interpolated_weighted_qty",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "vec_cosine_topk",

@@ -509,3 +509,54 @@ def quantile_exact_variants_q(spark, sf_dir):
             6,
         ).alias("incl_q90"),
     )
+
+
+@register(
+    "quantile_interpolated_weighted_qty",
+    """
+    WITH g AS (
+      SELECT l_returnflag, l_quantity AS v, SUM(CAST(l_linenumber AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pos AS (
+      SELECT l_returnflag, v, w,
+             (CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+              - 0.5 * CAST(w AS DOUBLE))
+             / CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS p
+      FROM g
+    ),
+    br AS (
+      SELECT l_returnflag,
+             ARG_MAX(p, CASE WHEN p <= 0.5 THEN p END) AS xl5,
+             ARG_MAX(v, CASE WHEN p <= 0.5 THEN p END) AS yl5,
+             ARG_MIN(p, CASE WHEN p >= 0.5 THEN p END) AS xr5,
+             ARG_MIN(v, CASE WHEN p >= 0.5 THEN p END) AS yr5,
+             ARG_MAX(p, CASE WHEN p <= 0.9 THEN p END) AS xl9,
+             ARG_MAX(v, CASE WHEN p <= 0.9 THEN p END) AS yl9,
+             ARG_MIN(p, CASE WHEN p >= 0.9 THEN p END) AS xr9,
+             ARG_MIN(v, CASE WHEN p >= 0.9 THEN p END) AS yr9
+      FROM pos GROUP BY 1
+    )
+    SELECT l_returnflag,
+           CASE WHEN xl5 IS NULL THEN yr5 WHEN xr5 IS NULL THEN yl5
+                ELSE yl5 + ((yr5 - yl5) /
+                     (CASE WHEN xr5 - xl5 = 0 THEN 1.0 ELSE xr5 - xl5 END))
+                     * (0.5 - xl5) END AS q_0_5,
+           CASE WHEN xl9 IS NULL THEN yr9 WHEN xr9 IS NULL THEN yl9
+                ELSE yl9 + ((yr9 - yl9) /
+                     (CASE WHEN xr9 - xl9 = 0 THEN 1.0 ELSE xr9 - xl9 END))
+                     * (0.9 - xl9) END AS q_0_9
+    FROM br
+    """,
+)
+def quantile_interpolated_weighted_qty(spark, sf_dir):
+    """quantileInterpolatedWeighted(0.5, 0.9)(l_quantity, l_linenumber) per
+    return flag — the reference's deterministic weighted-percentile
+    estimator, bit-exact (QuantileInterpolatedWeighted.h)."""
+    from myscaledb_spark.operators.agg_extras import quantile_interpolated_weighted
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return quantile_interpolated_weighted(
+        li, ["l_returnflag"], "l_quantity", "l_linenumber", [0.5, 0.9]
+    )

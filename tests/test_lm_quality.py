@@ -55,3 +55,66 @@ def test_score_is_partitioning_invariant(spark):
         for r in unigram_logprob_scores(df.repartition(13, "id"), "id", "text").collect()
     }
     assert a == b
+
+
+def _ref_qiw(pairs, level):
+    """Direct port of QuantileInterpolatedWeighted.h getImpl (map → sorted
+    distinct values, p_i = (cum - 0.5 w)/total, clamped interpolation)."""
+    from collections import defaultdict
+
+    m = defaultdict(int)
+    for v, w in pairs:
+        m[v] += w
+    vw = sorted(m.items())
+    total = float(sum(w for _, w in vw))
+    cum, ps = 0.0, []
+    for _, w in vw:
+        cum += w
+        ps.append((cum - 0.5 * w) / total)
+    size = len(vw)
+    if size == 1:
+        return vw[0][0]
+    if level >= ps[size - 2]:
+        idx = size - 2
+    else:
+        start, end, idx = 0, size - 1, 0
+        while start <= end:
+            mid = start + (end - start) // 2
+            if mid > size:
+                break
+            if level > ps[mid + 1]:
+                start = mid + 1
+            else:
+                idx = mid
+                end = mid - 1
+    lq, u = idx, min(idx + 1, size - 1)
+    xl, xr = ps[lq], ps[u]
+    yl, yr = vw[lq][0], vw[u][0]
+    if level < xl:
+        yr = yl
+    if level > xr:
+        yl = yr
+    dx = xr - xl
+    dx = 1 if dx == 0 else dx
+    return yl + ((yr - yl) / dx) * (level - xl)
+
+
+def test_quantile_interpolated_weighted_matches_reference_port(spark):
+    import random
+
+    from myscaledb_spark.operators.agg_extras import quantile_interpolated_weighted
+
+    rng = random.Random(7)
+    rows = [("g%d" % (i % 3), float(rng.randint(1, 20)), rng.randint(1, 5))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, v double, w int")
+    for level in (0.1, 0.5, 0.9, 0.99):
+        got = {
+            r["k"]: r[1]
+            for r in quantile_interpolated_weighted(
+                df, ["k"], "v", "w", [level]
+            ).collect()
+        }
+        for k in ("g0", "g1", "g2"):
+            pairs = [(v, w) for kk, v, w in rows if kk == k]
+            assert abs(got[k] - _ref_qiw(pairs, level)) < 1e-12, (k, level)
