@@ -160,6 +160,20 @@ TEMPLATES: dict[str, str] = {
     "arrayMin": "array_min({0})",
     "arrayMax": "array_max({0})",
     "arrayEnumerate": "sequence(1, size({0}))",
+    "arrayPushBack": "concat({0}, array({1}))",
+    "arrayPushFront": "concat(array({1}), {0})",
+    "arrayPopBack": "slice({0}, 1, greatest(0, size({0}) - 1))",
+    "arrayPopFront": "(case when size({0}) <= 1 then array() else slice({0}, 2, size({0}) - 1) end)",
+    "arrayUniq": "size(array_distinct({0}))",
+    "countEqual": "size(filter({0}, _ce -> _ce <=> {1}))",
+    "arrayFirst": "get(filter({1}, {0}), 0)",
+    "arrayLast": "try_element_at(filter({1}, {0}), -1)",
+    "arrayFirstIndex": "coalesce(array_position(transform({1}, {0}), true), 0)",
+    "arrayIntersect": "array_intersect({0}, {1})",
+    "substringIndex": "substring_index({0}, {1}, {2})",
+    "reverseUTF8": "reverse({0})",
+    "translateUTF8": "translate({0}, {1}, {2})",
+    "tokens": "filter(split({0}, '[^\\\\p{L}\\\\p{N}]+'), _tk -> length(_tk) > 0)",
     "range": "sequence(0, {0} - 1)",
     # json
     "JSONExtractString": "get_json_object({0}, concat('$.', {1}))",
@@ -861,11 +875,25 @@ def _special_format_datetime(args: list[str]) -> str:
     return f"date_format({args[0]}, '{''.join(out)}')"
 
 
+def _special_array_resize(args: list[str]) -> str:
+    """arrayResize(a, n[, fill]) — truncate or pad to exactly n elements
+    (fill defaults to NULL; the reference pads with the type default)."""
+    if len(args) not in (2, 3):
+        raise ChSqlError("arrayResize(array, size[, extender]) needs 2-3 args")
+    a, n = args[0], args[1]
+    fill = args[2] if len(args) == 3 else "NULL"
+    return (
+        f"slice(concat({a}, array_repeat({fill}, "
+        f"greatest(0, {n} - size({a})))), 1, {n})"
+    )
+
+
 SPECIAL = {
     "dateDiff": _special_date_diff,
     "date_diff": _special_date_diff,
     "multiIf": _special_multi_if,
     "formatDateTime": _special_format_datetime,
+    "arrayResize": _special_array_resize,
 }
 
 

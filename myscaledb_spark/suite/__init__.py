@@ -168,6 +168,7 @@ PRIORITY: list[str] = [
     "sequence_match_gaps",
     "ch_sql_datetime_funcs",
     "quantile_interpolated_weighted_qty",
+    "ch_sql_array_funcs",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "vec_cosine_topk",

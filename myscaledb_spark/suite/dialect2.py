@@ -253,3 +253,40 @@ def ch_sql_datetime_funcs(spark, sf_dir):
         GROUP BY toQuarter(o_orderdate), 2
         """,
     )
+
+
+@register(
+    "ch_sql_array_funcs",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
+                         t -> len(t) > 0) AS toks
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS uniq_toks,
+           toks[list_position(list_transform(toks, t -> len(t) > 5), true)]
+             AS first_long,
+           CAST(COALESCE(list_position(list_transform(toks, t -> len(t) > 5),
+                                       true), 0) AS BIGINT) AS first_long_idx,
+           CAST(to_json((list_concat(toks[1:3], ['_', '_', '_', '_', '_']))[1:5]) AS VARCHAR) AS first5
+    FROM tk
+    """,
+)
+def ch_sql_array_funcs(spark, sf_dir):
+    """tokens / arrayUniq / arrayFirst / arrayFirstIndex / arrayResize /
+    arraySlice through the dialect (FunctionsStringArray / array family)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_cha_docs")
+    return ch_sql(
+        spark,
+        """
+        SELECT doc_id,
+               cast(arrayUniq(tokens(text)) as bigint) AS uniq_toks,
+               arrayFirst(t -> length(t) > 5, tokens(text)) AS first_long,
+               arrayFirstIndex(t -> length(t) > 5, tokens(text)) AS first_long_idx,
+               to_json(arrayResize(arraySlice(tokens(text), 1, 3), 5, '_')) AS first5
+        FROM _cha_docs
+        WHERE doc_id < 50
+        """,
+    )

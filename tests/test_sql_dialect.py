@@ -380,3 +380,25 @@ def test_special_handlers_datediff_multiif_formatdatetime():
     assert "(a & b)" in rewrite("SELECT bitAnd(a, b) FROM t")
     assert "bround(x, 2)" in rewrite("SELECT roundBankers(x, 2) FROM t")
     assert "weekofyear(d)" in rewrite("SELECT toWeek(d) FROM t")
+
+
+def test_array_family_templates(spark):
+    r = ch_sql(
+        spark,
+        """
+        SELECT arrayPushBack(array(3, 1), 9) AS pb,
+               arrayPopFront(array()) AS pf0,
+               arrayUniq(array(1, 1, 2)) AS un,
+               countEqual(array(1, 1, 2), 1) AS ce,
+               arrayFirst(x -> x > 1, array(1, 5, 7)) AS af,
+               arrayFirstIndex(x -> x > 9, array(1, 5)) AS afi,
+               arrayResize(array('a'), 3, '_') AS ar,
+               tokens('Hello, big-World!') AS tk
+        """,
+    ).first()
+    assert r.pb == [3, 1, 9] and r.pf0 == [] and r.un == 2 and r.ce == 2
+    assert r.af == 5 and r.afi == 0  # not-found index is 0, like the reference
+    assert r.ar == ["a", "_", "_"]
+    assert r.tk == ["Hello", "big", "World"]
+    with pytest.raises(ChSqlError, match="arrayResize"):
+        rewrite("SELECT arrayResize(a) FROM t")
