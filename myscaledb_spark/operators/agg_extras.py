@@ -272,6 +272,9 @@ def quantile_interpolated_weighted(
     """
     w = Window.partitionBy(*keys).orderBy(value)
     wp = Window.partitionBy(*keys)
+    # the reference aggregate skips NULL values; zero/negative weights would
+    # produce duplicate positions (nondeterministic bracket ties)
+    df = df.filter(F.col(value).isNotNull() & (F.col(weight) > 0))
     g = (
         df.groupBy(*keys, value)
         .agg(F.sum(F.col(weight).cast("long")).alias("_w"))

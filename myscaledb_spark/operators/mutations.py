@@ -132,10 +132,21 @@ def optimize_compact(
     ``repartition(ceil(bytes/target))`` (an optional per-file sort restores
     clustering for min/max pruning) atomically via a temp dir + rename.
 
+    Hive-partitioned layouts (``k=v`` subdirectories) are preserved: the
+    rewrite goes through ``partitionBy`` on the discovered partition
+    columns, so partition pruning keeps working after compaction.
+
+    The swap is two renames — NOT atomic: readers racing the swap can see
+    a missing path for an instant, and a crash between the renames leaves
+    the data under ``<path>.__old_*`` (restored automatically when the
+    second rename fails). Run it like the reference runs OPTIMIZE: as an
+    exclusive maintenance step, not under live readers.
+
     Returns {files_before, files_after, bytes}. The byte size is measured
     from the filesystem listing, not a collect of the data.
     """
     import math
+    import re
     import shutil
     import uuid
 
@@ -147,6 +158,18 @@ def optimize_compact(
                     out.append(os.path.join(root, f))
         return out
 
+    part_cols = []
+    probe = path
+    while True:
+        subs = [
+            d for d in os.listdir(probe)
+            if os.path.isdir(os.path.join(probe, d)) and re.match(r"[^=]+=", d)
+        ]
+        if not subs:
+            break
+        part_cols.append(subs[0].split("=", 1)[0])
+        probe = os.path.join(probe, subs[0])
+
     before = _list(path)
     total = sum(os.path.getsize(f) for f in before)
     n_out = max(1, math.ceil(total / target_file_bytes))
@@ -157,10 +180,17 @@ def optimize_compact(
         else df.repartition(n_out)
     )
     tmp = f"{path.rstrip('/')}.__compact_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
+    w = df.write.mode("overwrite")
+    if part_cols:
+        w = w.partitionBy(*part_cols)
+    w.parquet(tmp)
     old = f"{path.rstrip('/')}.__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # restore the original on a failed swap
+        raise
     shutil.rmtree(old, ignore_errors=True)
     return {
         "files_before": len(before),

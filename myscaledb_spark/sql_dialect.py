@@ -68,11 +68,22 @@ TEMPLATES: dict[str, str] = {
     "toIntervalHour": "make_dt_interval(0, {0})",
     "toIntervalMinute": "make_dt_interval(0, 0, {0})",
     "toIntervalSecond": "make_dt_interval(0, 0, 0, {0})",
-    "toWeek": "weekofyear({0})",
+    # toWeek default = MySQL mode 0 (Sunday-start, weeks 0..53; days before
+    # the year's first Sunday are week 0) — NOT ISO week, which is toISOWeek
+    "toWeek": (
+        "(CASE WHEN dayofyear({0}) - 1 < (8 - dayofweek(trunc({0}, 'year'))) % 7 "
+        "THEN 0 ELSE ((dayofyear({0}) - 1 - (8 - dayofweek(trunc({0}, 'year'))) % 7)"
+        " div 7) + 1 END)"
+    ),
     "toISOWeek": "weekofyear({0})",
     "toQuarter": "quarter({0})",
     "toDayOfYear": "dayofyear({0})",
-    "timeSlot": "timestamp_seconds((unix_timestamp({0}) div 1800) * 1800)",
+    # floor division (not div, which truncates toward zero and would round
+    # pre-1970 timestamps UP to the next slot)
+    "timeSlot": (
+        "timestamp_seconds(CAST(floor(unix_timestamp({0}) / 1800.0) AS BIGINT)"
+        " * 1800)"
+    ),
     "toRelativeDayNum": "datediff({0}, DATE '1970-01-01')",
     "yesterday": "date_sub(current_date(), 1)",
     # conversions
@@ -166,6 +177,9 @@ TEMPLATES: dict[str, str] = {
     "arrayPopFront": "(case when size({0}) <= 1 then array() else slice({0}, 2, size({0}) - 1) end)",
     "arrayUniq": "size(array_distinct({0}))",
     "countEqual": "size(filter({0}, _ce -> _ce <=> {1}))",
+    # no-match yields NULL (documented deviation: the reference yields the
+    # element type's default, 0/'' — unknowable in a purely textual rewrite;
+    # NULL is the honest Spark-side answer and composes with coalesce)
     "arrayFirst": "get(filter({1}, {0}), 0)",
     "arrayLast": "try_element_at(filter({1}, {0}), -1)",
     "arrayFirstIndex": "coalesce(array_position(transform({1}, {0}), true), 0)",
@@ -818,10 +832,16 @@ def _unquote(lit: str, fn: str) -> str:
 
 
 def _special_date_diff(args: list[str]) -> str:
-    """dateDiff('unit', start, end[, tz]) → timestampdiff(UNIT, start, end)
-    (same sign convention: end - start)."""
+    """dateDiff('unit', start, end) → timestampdiff(UNIT, start, end)
+    (same sign convention: end - start; the optional tz argument raises)."""
     if len(args) < 3:
         raise ChSqlError("dateDiff(unit, start, end) needs 3 arguments")
+    if len(args) > 3:
+        raise ChSqlError(
+            "dateDiff timezone argument is not supported — convert the "
+            "operands with to_utc_timestamp/from_utc_timestamp explicitly "
+            "(silently ignoring it would shift day boundaries)"
+        )
     unit = _unquote(args[0], "dateDiff").lower()
     allowed = {
         "second", "minute", "hour", "day", "week", "month", "quarter", "year",
@@ -841,21 +861,27 @@ def _special_multi_if(args: list[str]) -> str:
     return f"(CASE{whens} ELSE {args[-1]} END)"
 
 
-#: ClickHouse formatDateTime % codes → Java SimpleDateFormat patterns
+#: ClickHouse formatDateTime % codes → Java SimpleDateFormat patterns.
+#: Modern reference semantics (formatdatetime_parsedatetime_m_is_month_name
+#: defaults on since 23.1): %M = full month name, %i = minutes.
 _FMT_CODES = {
     "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH", "I": "hh",
-    "M": "mm", "S": "ss", "p": "a", "j": "DDD", "e": "d", "a": "EEE",
-    "W": "EEEE", "b": "MMM", "F": "yyyy-MM-dd", "T": "HH:mm:ss",
+    "M": "MMMM", "i": "mm", "S": "ss", "p": "a", "j": "DDD", "e": "d",
+    "a": "EEE", "W": "EEEE", "b": "MMM", "F": "yyyy-MM-dd", "T": "HH:mm:ss",
     "D": "MM/dd/yy", "R": "HH:mm", "%": "%",
 }
 
 
 def _special_format_datetime(args: list[str]) -> str:
     """formatDateTime(d, '%Y-%m-%d') → date_format(d, 'yyyy-MM-dd')
-    (FunctionsConversion / formatDateTime.cpp % codes)."""
+    (src/Functions/formatDateTime.cpp % codes, modern %M/%i semantics)."""
     if len(args) < 2:
         raise ChSqlError("formatDateTime(date, format) needs 2 arguments")
     fmt = _unquote(args[1], "formatDateTime")
+    if "'" in fmt:
+        # ' is Java's pattern-escape char AND would need SQL re-escaping —
+        # both silently change semantics, so refuse
+        raise ChSqlError("formatDateTime: single quotes in format unsupported")
     out, i = [], 0
     while i < len(fmt):
         c = fmt[i]

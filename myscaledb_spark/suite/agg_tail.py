@@ -516,7 +516,9 @@ def quantile_exact_variants_q(spark, sf_dir):
     """
     WITH g AS (
       SELECT l_returnflag, l_quantity AS v, SUM(CAST(l_linenumber AS BIGINT)) AS w
-      FROM lineitem GROUP BY 1, 2
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_linenumber > 0
+      GROUP BY 1, 2
     ),
     pos AS (
       SELECT l_returnflag, v, w,

@@ -248,7 +248,7 @@ def ch_sql_datetime_funcs(spark, sf_dir):
                cast(min(dateDiff('day', o_orderdate,
                                  addDays(o_orderdate, 30))) as bigint) AS dd,
                min(formatDateTime(o_orderdate, '%Y-%m')) AS fm,
-               cast(min(toWeek(o_orderdate)) as int) AS wk
+               cast(min(toISOWeek(o_orderdate)) as int) AS wk
         FROM _chd_orders
         GROUP BY toQuarter(o_orderdate), 2
         """,

@@ -118,3 +118,15 @@ def test_quantile_interpolated_weighted_matches_reference_port(spark):
         for k in ("g0", "g1", "g2"):
             pairs = [(v, w) for kk, v, w in rows if kk == k]
             assert abs(got[k] - _ref_qiw(pairs, level)) < 1e-12, (k, level)
+
+
+def test_quantile_interpolated_weighted_skips_nulls_and_bad_weights(spark):
+    from myscaledb_spark.operators.agg_extras import quantile_interpolated_weighted
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 1), ("g", None, 99), ("g", 2.0, 0), ("g", 3.0, 1)],
+        "k string, v double, w int",
+    )
+    out = quantile_interpolated_weighted(df, ["k"], "v", "w", [0.5]).collect()[0]
+    # only v=1 (w=1) and v=3 (w=1) participate: p = [0.25, 0.75] → q50 = 2.0
+    assert out[1] == 2.0

@@ -143,3 +143,26 @@ def test_optimize_compact_merges_small_files(spark, tmp_path):
     # sorted compaction clusters the sort key per file for min/max pruning
     stats = optimize_compact(spark, p, target_file_bytes=64 * 1024 * 1024, sort_cols=["id"])
     assert spark.read.parquet(p).count() == 4000
+
+
+def test_optimize_compact_preserves_partitioned_layout(spark, tmp_path):
+    import os as _os
+
+    from myscaledb_spark.operators.mutations import optimize_compact
+
+    p = str(tmp_path / "parts")
+    (
+        spark.range(2000)
+        .selectExpr("id", "id % 3 AS day")
+        .repartition(20)
+        .write.partitionBy("day")
+        .parquet(p)
+    )
+    stats = optimize_compact(spark, p)
+    # k=v directories survive, data intact, partition pruning still works
+    assert sorted(
+        d for d in _os.listdir(p) if d.startswith("day=")
+    ) == ["day=0", "day=1", "day=2"]
+    assert stats["files_after"] < stats["files_before"]
+    df = spark.read.parquet(p)
+    assert df.count() == 2000 and df.filter("day = 1").count() == 667

@@ -372,14 +372,15 @@ def test_special_handlers_datediff_multiif_formatdatetime():
     assert out.count("WHEN") == 2 and "ELSE 'z' END" in out
     with pytest.raises(ChSqlError, match="pairs"):
         rewrite("SELECT multiIf(a, b) FROM t")
-    out = rewrite("SELECT formatDateTime(d, '%Y-%m-%d %H:%M:%S') FROM t")
+    out = rewrite("SELECT formatDateTime(d, '%Y-%m-%d %H:%i:%S') FROM t")
     assert "date_format(d, 'yyyy-MM-dd HH:mm:ss')" in out
     with pytest.raises(ChSqlError, match="letter"):
         rewrite("SELECT formatDateTime(d, 'year %Y') FROM t")
     # bit ops and misc templates
     assert "(a & b)" in rewrite("SELECT bitAnd(a, b) FROM t")
     assert "bround(x, 2)" in rewrite("SELECT roundBankers(x, 2) FROM t")
-    assert "weekofyear(d)" in rewrite("SELECT toWeek(d) FROM t")
+    assert "weekofyear(d)" in rewrite("SELECT toISOWeek(d) FROM t")
+    assert "dayofweek" in rewrite("SELECT toWeek(d) FROM t")  # mode-0 arithmetic
 
 
 def test_array_family_templates(spark):
@@ -402,3 +403,31 @@ def test_array_family_templates(spark):
     assert r.tk == ["Hello", "big", "World"]
     with pytest.raises(ChSqlError, match="arrayResize"):
         rewrite("SELECT arrayResize(a) FROM t")
+
+
+def test_toweek_mode0_and_formatdatetime_modern(spark):
+    # MySQL/CH mode-0 weeks: Sunday-start, week 0 before the first Sunday.
+    # 2017-01-01 was a Sunday → week 1; ISO week of the same date is 52.
+    r = ch_sql(
+        spark,
+        "SELECT toWeek(DATE '2017-01-01') AS w0a, toISOWeek(DATE '2017-01-01') AS iso,"
+        "       toWeek(DATE '2017-01-07') AS w1, toWeek(DATE '2017-01-08') AS w2,"
+        "       toWeek(DATE '2024-01-01') AS wm",  # 2024-01-01 Monday → week 0
+    ).first()
+    assert (r.w0a, r.iso, r.w1, r.w2, r.wm) == (1, 52, 1, 2, 0)
+    # modern %M = month name, %i = minutes; quotes and tz-arg refuse loudly
+    r = ch_sql(
+        spark,
+        "SELECT formatDateTime(TIMESTAMP '2024-03-05 07:08:09', '%M %i') AS f",
+    ).first()
+    assert r.f == "March 08"
+    with pytest.raises(ChSqlError, match="single quotes"):
+        rewrite("SELECT formatDateTime(d, '%d''x') FROM t")
+    with pytest.raises(ChSqlError, match="timezone"):
+        rewrite("SELECT dateDiff('day', a, b, 'UTC') FROM t")
+    # timeSlot floors (not truncates) for pre-epoch timestamps
+    r = ch_sql(
+        spark,
+        "SELECT timeSlot(TIMESTAMP '1969-12-31 23:45:00') AS s",
+    ).first()
+    assert str(r.s) == "1969-12-31 23:30:00"
