@@ -12,9 +12,10 @@ Fully declarative and distributed:
     construction — counts, not text);
   - scoring = posexplode → broadcast join on token → per-doc ordered
     refold. The per-doc sum is a LEFT FOLD IN TOKEN ORDER (array_sort on
-    (pos, logp) then aggregate), so the float association order is fixed —
-    any engine reproducing the same fold gets bit-identical scores, which
-    is what makes the DuckDB gate oracle exact.
+    (pos, logp) then aggregate), so the float association order is fixed
+    and scores are partitioning-invariant. Across ENGINES, ln() itself is
+    transcendental (libm implementations may differ in the last ulp), so
+    the gate oracle compares at 6 decimals.
 
 At 100 TB: token explode is linear, the join is a broadcast hash probe
 (model table ≪ corpus), and the refold shuffles one row per token — same

@@ -267,7 +267,7 @@ def pii_scrub(spark, sf_dir):
       FROM scored GROUP BY doc_id
     )
     SELECT doc_id, n_tokens,
-           sum_logp / n_tokens AS avg_logprob,
+           ROUND(sum_logp / n_tokens, 6) AS avg_logprob,
            ROUND(exp(-(sum_logp / n_tokens)), 6) AS ppl
     FROM perdoc
     """,
@@ -282,10 +282,12 @@ def unigram_lm_ppl(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     out = unigram_logprob_scores(docs, "doc_id", "text")
-    # exp() is transcendental — last-ulp differences across libm
-    # implementations are expected; the gate pins 6 decimals (avg_logprob
-    # itself is bit-exact, same left-fold on both engines)
-    return out.withColumn("ppl", F.round("ppl", 6))
+    # ln()/exp() are transcendental — last-ulp differences across libm
+    # implementations are expected (observed on 3/500 docs at sf0.001);
+    # the gate pins 6 decimals on both float outputs
+    return out.withColumn("avg_logprob", F.round("avg_logprob", 6)).withColumn(
+        "ppl", F.round("ppl", 6)
+    )
 
 
 @register(
