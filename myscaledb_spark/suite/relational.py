@@ -194,7 +194,7 @@ def rollup_status_year(spark, sf_dir):
 @register(
     "cube_brand_size",
     """
-    SELECT p_brand, (p_size < 25) AS small_size,
+    SELECT p_brand, CAST((p_size < 25) AS INT) AS small_size,
            CAST(GROUPING(p_brand) AS INT) AS g_brand,
            COUNT(*) AS n,
            CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
@@ -203,7 +203,12 @@ def rollup_status_year(spark, sf_dir):
     """,
 )
 def cube_brand_size(spark, sf_dir):
-    p = load_table(spark, sf_dir, "part").withColumn("small_size", F.col("p_size") < 25)
+    # small_size as INT (not BOOLEAN): CUBE rollup rows carry NULL, and a
+    # nullable bool round-trips through pandas as an unstable bool/NaN mix
+    # (sf-dependent) — ints compare cleanly on both engines
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "small_size", (F.col("p_size") < 25).cast("int")
+    )
     return p.cube("p_brand", "small_size").agg(
         F.grouping("p_brand").cast("int").alias("g_brand"),
         F.count(F.lit(1)).alias("n"),
