@@ -148,6 +148,19 @@ TEMPLATES: dict[str, str] = {
     "startsWith": "startswith({0}, {1})",
     "endsWith": "endswith({0}, {1})",
     "hasToken": "array_contains(split(lower({0}), '[^a-z0-9]+'), lower({1}))",
+    # extractAll: match index 0 = whole match (deviation: the reference
+    # returns capture group 1 when the pattern has one — wrap the pattern's
+    # group yourself or use regexp_extract_all(s, re, 1) directly)
+    "extractAll": "regexp_extract_all({0}, {1}, 0)",
+    "countSubstrings": "(size(split({0}, concat('\\\\Q', {1}, '\\\\E'), -1)) - 1)",
+    "trimLeft": "ltrim({0})",
+    "trimRight": "rtrim({0})",
+    "positionUTF8": "instr({0}, {1})",
+    "space": "repeat(' ', {0})",
+    "parseDateTimeBestEffort": "to_timestamp({0})",
+    "parseDateTimeBestEffortOrNull": "try_to_timestamp({0})",
+    "toDateTimeOrNull": "try_to_timestamp({0})",
+    "toDateOrNull": "try_to_date({0})",
     # arrays
     "arrayJoin": "explode({0})",
     "has": "array_contains({0}, {1})",
@@ -190,6 +203,10 @@ TEMPLATES: dict[str, str] = {
     "tokens": "filter(split({0}, '[^\\\\p{L}\\\\p{N}]+'), _tk -> length(_tk) > 0)",
     "range": "sequence(0, {0} - 1)",
     # json
+    "JSONArrayLength": "json_array_length({0})",
+    "JSONExtractKeys": "json_object_keys({0})",
+    "JSONExtractRaw": "get_json_object({0}, concat('$.', {1}))",
+    "JSONExtractBool": "(cast(get_json_object({0}, concat('$.', {1})) as boolean))",
     "JSONExtractString": "get_json_object({0}, concat('$.', {1}))",
     "JSONExtractInt": "cast(get_json_object({0}, concat('$.', {1})) as bigint)",
     "JSONExtractFloat": "cast(get_json_object({0}, concat('$.', {1})) as double)",
@@ -914,13 +931,62 @@ def _special_array_resize(args: list[str]) -> str:
     )
 
 
+_INTERVAL_RE = re.compile(
+    r"^INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR)S?$",
+    re.IGNORECASE,
+)
+_UNIT_SECONDS = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+}
+
+
+def _special_to_start_of_interval(args: list[str]) -> str:
+    """toStartOfInterval(t, INTERVAL n unit) — epoch-aligned bucketing
+    (src/Functions/toStartOfInterval.cpp). Sub-month units floor on epoch
+    seconds; month/quarter/year floor on months-since-epoch."""
+    if len(args) != 2:
+        raise ChSqlError("toStartOfInterval(time, INTERVAL n unit) needs 2 args")
+    m = _INTERVAL_RE.match(args[1].strip())
+    if not m:
+        raise ChSqlError(
+            f"toStartOfInterval: second argument must be INTERVAL n unit, "
+            f"got {args[1]!r}"
+        )
+    n, unit = int(m.group(1)), m.group(2).lower()
+    t = args[0]
+    if unit in _UNIT_SECONDS:
+        step = n * _UNIT_SECONDS[unit]
+        return (
+            f"timestamp_seconds(CAST(floor(unix_timestamp({t}) / {step}.0) "
+            f"AS BIGINT) * {step})"
+        )
+    n_months = n * {"month": 1, "quarter": 3, "year": 12}[unit]
+    total = f"((year({t}) - 1970) * 12 + month({t}) - 1)"
+    return (
+        f"add_months(DATE '1970-01-01', "
+        f"(CAST(floor({total} / {n_months}.0) AS INT)) * {n_months})"
+    )
+
+
 SPECIAL = {
     "dateDiff": _special_date_diff,
     "date_diff": _special_date_diff,
     "multiIf": _special_multi_if,
     "formatDateTime": _special_format_datetime,
     "arrayResize": _special_array_resize,
+    "toStartOfInterval": _special_to_start_of_interval,
 }
+
+# fixed-width convenience bucketing (same epoch alignment)
+for _name, _secs in (
+    ("toStartOfFiveMinutes", 300),
+    ("toStartOfTenMinutes", 600),
+    ("toStartOfFifteenMinutes", 900),
+):
+    TEMPLATES[_name] = (
+        f"timestamp_seconds(CAST(floor(unix_timestamp({{0}}) / {_secs}.0) "
+        f"AS BIGINT) * {_secs})"
+    )
 
 
 def rewrite(sql: str, schema_fn=None) -> str:

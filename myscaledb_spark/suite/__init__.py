@@ -169,6 +169,7 @@ PRIORITY: list[str] = [
     "ch_sql_datetime_funcs",
     "quantile_interpolated_weighted_qty",
     "ch_sql_array_funcs",
+    "ch_sql_time_buckets",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "vec_cosine_topk",

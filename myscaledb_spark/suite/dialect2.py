@@ -290,3 +290,34 @@ def ch_sql_array_funcs(spark, sf_dir):
         WHERE doc_id < 50
         """,
     )
+
+
+@register(
+    "ch_sql_time_buckets",
+    """
+    WITH b AS (
+      SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) * INTERVAL 1 SECOND
+               AS bucket,
+             value
+      FROM events
+    )
+    SELECT bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM b GROUP BY bucket
+    """,
+)
+def ch_sql_time_buckets(spark, sf_dir):
+    """toStartOfInterval(ts, INTERVAL 6 HOUR) — epoch-aligned time-series
+    bucketing in verbatim CH syntax (src/Functions/toStartOfInterval.cpp)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_chb_events")
+    return ch_sql(
+        spark,
+        """
+        SELECT toStartOfInterval(ts, INTERVAL 6 HOUR) AS bucket,
+               count(*) AS n,
+               cast(sum(cast(round(value, 4) as decimal(18,4))) as double) AS total
+        FROM _chb_events
+        GROUP BY toStartOfInterval(ts, INTERVAL 6 HOUR)
+        """,
+    )

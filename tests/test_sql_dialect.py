@@ -431,3 +431,39 @@ def test_toweek_mode0_and_formatdatetime_modern(spark):
         "SELECT timeSlot(TIMESTAMP '1969-12-31 23:45:00') AS s",
     ).first()
     assert str(r.s) == "1969-12-31 23:30:00"
+
+
+def test_json_string_parse_templates(spark):
+    r = ch_sql(
+        spark,
+        """
+        SELECT JSONArrayLength('[1,2,3]') AS jl,
+               JSONExtractKeys('{"a":1,"b":2}') AS jk,
+               extractAll('a1b22c333', '[0-9]+') AS ea,
+               countSubstrings('ababab', 'ab') AS cs,
+               trimLeft('  x ') AS tl,
+               parseDateTimeBestEffortOrNull('not a date') AS bad,
+               parseDateTimeBestEffort('2024-03-05 06:07:08') AS ok
+        """,
+    ).first()
+    assert r.jl == 3 and r.jk == ["a", "b"]
+    assert r.ea == ["1", "22", "333"] and r.cs == 3 and r.tl == "x "
+    assert r.bad is None and str(r.ok) == "2024-03-05 06:07:08"
+
+
+def test_to_start_of_interval(spark):
+    r = ch_sql(
+        spark,
+        """
+        SELECT toStartOfInterval(TIMESTAMP '2024-03-05 07:38:09', INTERVAL 15 MINUTE) AS m15,
+               toStartOfFiveMinutes(TIMESTAMP '2024-03-05 07:38:09') AS m5,
+               toStartOfInterval(TIMESTAMP '2024-03-05 07:38:09', INTERVAL 6 HOUR) AS h6,
+               toStartOfInterval(DATE '2024-05-20', INTERVAL 3 MONTH) AS q,
+               toStartOfInterval(DATE '2024-05-20', INTERVAL 2 YEAR) AS y2
+        """,
+    ).first()
+    assert str(r.m15) == "2024-03-05 07:30:00" and str(r.m5) == "2024-03-05 07:35:00"
+    assert str(r.h6) == "2024-03-05 06:00:00"
+    assert str(r.q) == "2024-04-01" and str(r.y2) == "2024-01-01"
+    with pytest.raises(ChSqlError, match="INTERVAL"):
+        rewrite("SELECT toStartOfInterval(t, 5) FROM t")
