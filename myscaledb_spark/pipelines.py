@@ -33,6 +33,7 @@ def curate_documents(
     jaccard_threshold: float = 0.5,
     num_hashes: int = 12,
     bands: int = 4,
+    max_avg_neg_logprob: float | None = None,
 ) -> DataFrame:
     """Returns the curated corpus: one row per KEPT document with
     (doc_id, n_tokens, est_bpe_tokens, kept_reason_mask columns folded in).
@@ -42,7 +43,11 @@ def curate_documents(
       2. quality: ≥ min_tokens tokens and unique-token ratio ≥ min_uniq_ratio,
       3. exact dedup: drop rows whose normalized-content hash has a smaller id,
       4. near-dup clustering: MinHash-LSH pairs ≥ threshold → connected
-         components → keep only the min-id representative of each cluster.
+         components → keep only the min-id representative of each cluster,
+      5. (optional) LM-perplexity filter: drop documents whose average
+         negative log-probability under the corpus's own unigram model
+         exceeds ``max_avg_neg_logprob`` (the KenLM-style quality gate of
+         public LLM-data pipelines; operators/lm_quality.py).
     """
     toked = docs.select(
         F.col(id_col), F.col(text_col), tokenize(text_col).alias("_toks")
@@ -80,6 +85,15 @@ def curate_documents(
         F.col("id").alias(id_col)
     )
     kept = base.join(losers, id_col, "left_anti")
+
+    if max_avg_neg_logprob is not None:
+        from myscaledb_spark.operators.lm_quality import unigram_logprob_scores
+
+        scores = unigram_logprob_scores(kept, id_col, text_col)
+        bad = scores.filter(
+            -F.col("avg_logprob") > F.lit(float(max_avg_neg_logprob))
+        ).select(id_col)
+        kept = kept.join(bad, id_col, "left_anti")
 
     bpe = F.aggregate(
         F.transform("_toks", lambda t: F.lit(1) + (F.length(t).cast("long") / F.lit(4)).cast("long")),

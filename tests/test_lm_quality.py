@@ -130,3 +130,16 @@ def test_quantile_interpolated_weighted_skips_nulls_and_bad_weights(spark):
     out = quantile_interpolated_weighted(df, ["k"], "v", "w", [0.5]).collect()[0]
     # only v=1 (w=1) and v=3 (w=1) participate: p = [0.25, 0.75] → q50 = 2.0
     assert out[1] == 2.0
+
+
+def test_curation_pipeline_ppl_filter_composes(spark):
+    from myscaledb_spark.pipelines import curate_documents
+
+    docs = spark.table("documents")
+    base = curate_documents(docs)
+    # an absurdly low threshold must strictly shrink the kept set; a huge
+    # one must change nothing (default path untouched)
+    strict = curate_documents(docs, max_avg_neg_logprob=0.1)
+    loose = curate_documents(docs, max_avg_neg_logprob=1e9)
+    nb, ns, nl = base.count(), strict.count(), loose.count()
+    assert ns == 0 and nl == nb and nb > 0
