@@ -89,6 +89,10 @@ def curate_documents(
     if max_avg_neg_logprob is not None:
         from myscaledb_spark.operators.lm_quality import unigram_logprob_scores
 
+        # the scorer consumes `kept` multiple times (model counts, scoring,
+        # final anti-join) — materialize the dedup tail once, same
+        # discipline as `base` above
+        kept = kept.localCheckpoint()
         scores = unigram_logprob_scores(kept, id_col, text_col)
         bad = scores.filter(
             -F.col("avg_logprob") > F.lit(float(max_avg_neg_logprob))

@@ -157,6 +157,10 @@ TEMPLATES: dict[str, str] = {
     "trimRight": "rtrim({0})",
     "positionUTF8": "instr({0}, {1})",
     "space": "repeat(' ', {0})",
+    # deviation: Spark's parsers accept ISO-like strings only — the
+    # reference's best-effort grammar (DD/MM/YYYY, RFC-1123, compact
+    # YYYYMMDD, ...) is NOT replicated; non-ISO inputs raise (plain form,
+    # ANSI) or yield NULL (OrNull form)
     "parseDateTimeBestEffort": "to_timestamp({0})",
     "parseDateTimeBestEffortOrNull": "try_to_timestamp({0})",
     "toDateTimeOrNull": "try_to_timestamp({0})",
@@ -205,8 +209,12 @@ TEMPLATES: dict[str, str] = {
     # json
     "JSONArrayLength": "json_array_length({0})",
     "JSONExtractKeys": "json_object_keys({0})",
+    # deviation: get_json_object returns objects/arrays raw but UNQUOTES
+    # scalar strings (the reference keeps the '"..."' quoting)
     "JSONExtractRaw": "get_json_object({0}, concat('$.', {1}))",
-    "JSONExtractBool": "(cast(get_json_object({0}, concat('$.', {1})) as boolean))",
+    # reference semantics: true only for a literal JSON true, else false
+    # (a plain cast would accept '1'/'abc' and throw under ANSI)
+    "JSONExtractBool": "(get_json_object({0}, concat('$.', {1})) = 'true')",
     "JSONExtractString": "get_json_object({0}, concat('$.', {1}))",
     "JSONExtractInt": "cast(get_json_object({0}, concat('$.', {1})) as bigint)",
     "JSONExtractFloat": "cast(get_json_object({0}, concat('$.', {1})) as double)",
@@ -953,17 +961,30 @@ def _special_to_start_of_interval(args: list[str]) -> str:
             f"got {args[1]!r}"
         )
     n, unit = int(m.group(1)), m.group(2).lower()
+    if n == 0:
+        raise ChSqlError("toStartOfInterval: interval count cannot be zero")
     t = args[0]
+    if unit == "week":
+        # the reference aligns week intervals to MONDAY (DateLUTImpl
+        # toStartOfWeekInterval), not to the epoch (a Thursday):
+        # 1970-01-05 is the first post-epoch Monday
+        d = 7 * n
+        return (
+            f"date_add(DATE '1970-01-05', (CAST(floor(datediff(to_date({t}), "
+            f"DATE '1970-01-05') / {d}.0) AS INT)) * {d})"
+        )
     if unit in _UNIT_SECONDS:
         step = n * _UNIT_SECONDS[unit]
         return (
             f"timestamp_seconds(CAST(floor(unix_timestamp({t}) / {step}.0) "
             f"AS BIGINT) * {step})"
         )
+    # month-family buckets anchor at 1900 like the reference's date LUT
+    # (DATE_LUT_MIN_YEAR) — 1970 would only agree when n divides 840
     n_months = n * {"month": 1, "quarter": 3, "year": 12}[unit]
-    total = f"((year({t}) - 1970) * 12 + month({t}) - 1)"
+    total = f"((year({t}) - 1900) * 12 + month({t}) - 1)"
     return (
-        f"add_months(DATE '1970-01-01', "
+        f"add_months(DATE '1900-01-01', "
         f"(CAST(floor({total} / {n_months}.0) AS INT)) * {n_months})"
     )
 

@@ -467,3 +467,34 @@ def test_to_start_of_interval(spark):
     assert str(r.q) == "2024-04-01" and str(r.y2) == "2024-01-01"
     with pytest.raises(ChSqlError, match="INTERVAL"):
         rewrite("SELECT toStartOfInterval(t, 5) FROM t")
+
+
+def test_to_start_of_interval_week_and_odd_months(spark):
+    r = ch_sql(
+        spark,
+        """
+        SELECT toStartOfInterval(TIMESTAMP '2024-03-05 12:00:00', INTERVAL 1 WEEK) AS w1,
+               toStartOfInterval(DATE '2024-03-10', INTERVAL 2 WEEK) AS w2,
+               toStartOfInterval(DATE '2024-05-20', INTERVAL 9 MONTH) AS m9
+        """,
+    ).first()
+    # weeks align to MONDAY (2024-03-05 is a Tuesday; 2024-03-04 a Monday)
+    assert str(r.w1) == "2024-03-04"
+    import datetime
+
+    assert r.w2.weekday() == 0  # Monday
+    # 9-month buckets anchor at 1900: months since 1900 = 1492 → floor to
+    # 1485 → 2023-10-01 (1970-anchoring would give 2024-01-01)
+    assert str(r.m9) == "2023-10-01"
+    with pytest.raises(ChSqlError, match="zero"):
+        rewrite("SELECT toStartOfInterval(t, INTERVAL 0 HOUR) FROM t")
+
+
+def test_json_extract_bool_reference_semantics(spark):
+    r = ch_sql(
+        spark,
+        """SELECT JSONExtractBool('{"a":true,"b":1,"c":"abc"}', 'a') AS t,
+                  JSONExtractBool('{"a":true,"b":1,"c":"abc"}', 'b') AS f1,
+                  JSONExtractBool('{"a":true,"b":1,"c":"abc"}', 'c') AS f2""",
+    ).first()
+    assert r.t is True and bool(r.f1) is False and bool(r.f2) is False
