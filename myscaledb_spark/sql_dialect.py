@@ -672,6 +672,29 @@ _WITH_FILL_RE = re.compile(
 )
 
 
+def _rewrite_with_totals(sql: str) -> str:
+    """`GROUP BY k1, k2 WITH TOTALS` → `GROUP BY GROUPING SETS ((k1, k2),
+    ())` — the totals row is the empty grouping set with NULL keys
+    (TotalsHavingTransform.cpp; the reference fills keys with defaults,
+    we keep Spark's NULLs — same rows, documented key-default deviation)."""
+    mask = _top_level_mask(sql)
+    tm = re.search(r"\bWITH\s+TOTALS\b", mask, re.IGNORECASE)
+    if tm is None:
+        return sql
+    gb = None
+    for g in re.finditer(r"\bGROUP\s+BY\b", mask, re.IGNORECASE):
+        if g.end() <= tm.start():
+            gb = g
+    if gb is None:
+        raise ChSqlError("WITH TOTALS without a top-level GROUP BY")
+    keys = sql[gb.end() : tm.start()].strip().rstrip(",")
+    return (
+        sql[: gb.start()]
+        + f"GROUP BY GROUPING SETS (({keys}), ())"
+        + sql[tm.end() :]
+    )
+
+
 def _rewrite_with_fill(sql: str) -> str:
     """`ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]` → grid-join subquery
     (FillingTransform.cpp): explode(sequence(from, to, step)) left-joined to
@@ -1038,6 +1061,7 @@ def rewrite(sql: str, schema_fn=None) -> str:
     sql = _rewrite_asof_join(sql)
     sql = _rewrite_limit_by(sql)
     sql = _rewrite_with_fill(sql)
+    sql = _rewrite_with_totals(sql)
     return _rewrite_calls(sql)
 
 

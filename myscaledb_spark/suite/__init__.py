@@ -170,6 +170,7 @@ PRIORITY: list[str] = [
     "quantile_interpolated_weighted_qty",
     "ch_sql_array_funcs",
     "ch_sql_time_buckets",
+    "ch_sql_with_totals",
     # --- sentinels from the driver-green novel core ---
     "vec_l2_topk",
     "vec_cosine_topk",

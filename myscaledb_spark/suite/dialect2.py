@@ -321,3 +321,29 @@ def ch_sql_time_buckets(spark, sf_dir):
         GROUP BY toStartOfInterval(ts, INTERVAL 6 HOUR)
         """,
     )
+
+
+@register(
+    "ch_sql_with_totals",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), ())
+    """,
+)
+def ch_sql_with_totals(spark, sf_dir):
+    """`GROUP BY ... WITH TOTALS` in verbatim CH syntax — rewritten to
+    GROUPING SETS with the empty set as the totals row
+    (TotalsHavingTransform.cpp; totals keys are NULL, the documented
+    default-value deviation)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_cht_orders")
+    return ch_sql(
+        spark,
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total
+        FROM _cht_orders
+        GROUP BY o_orderpriority WITH TOTALS
+        """,
+    )

@@ -498,3 +498,14 @@ def test_json_extract_bool_reference_semantics(spark):
                   JSONExtractBool('{"a":true,"b":1,"c":"abc"}', 'c') AS f2""",
     ).first()
     assert r.t is True and bool(r.f1) is False and bool(r.f2) is False
+
+
+def test_with_totals_rewrite():
+    out = rewrite("SELECT k, count(*) FROM t GROUP BY k WITH TOTALS")
+    assert "GROUPING SETS((k), ())" in out
+    out = rewrite(
+        "SELECT a, b, sum(v) FROM t GROUP BY a, b WITH TOTALS HAVING sum(v) > 0"
+    )
+    assert "GROUPING SETS((a, b), ())" in out and out.endswith("HAVING sum(v) > 0")
+    with pytest.raises(ChSqlError, match="TOTALS"):
+        rewrite("SELECT count(*) FROM t WITH TOTALS")
