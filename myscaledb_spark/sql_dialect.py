@@ -1067,12 +1067,22 @@ def rewrite(sql: str, schema_fn=None) -> str:
 
 def _strip_settings(sql: str) -> str:
     """Drop a trailing top-level `SETTINGS k = v, ...` clause (per-query
-    execution knobs, `src/Parsers/ParserSetQuery.cpp`). Spark's equivalents
-    are session confs the engine already pins (session.py ENGINE_CONFS);
-    the query semantics never depend on them."""
+    execution knobs, `src/Parsers/ParserSetQuery.cpp`) and a trailing
+    `FORMAT <name>` (client-side output formatting — a DataFrame has no
+    wire format). `INTO OUTFILE` raises: silently dropping it would lose
+    the user's output destination (DataFrameWriter is the Spark path)."""
     mask = _top_level_mask(sql)
+    if re.search(r"\bINTO\s+OUTFILE\b", mask, re.IGNORECASE):
+        raise ChSqlError(
+            "INTO OUTFILE → write the returned DataFrame "
+            "(df.write.csv/parquet/...) instead"
+        )
     m = re.search(r"\bSETTINGS\b", mask, re.IGNORECASE)
-    return sql if m is None else sql[: m.start()].rstrip()
+    if m is not None:
+        sql = sql[: m.start()].rstrip()
+        mask = mask[: m.start()]
+    fm = re.search(r"\bFORMAT\s+[A-Za-z][A-Za-z0-9]*\s*$", mask, re.IGNORECASE)
+    return sql if fm is None else sql[: fm.start()].rstrip()
 
 
 def _rewrite_calls(sql: str) -> str:

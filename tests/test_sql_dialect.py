@@ -509,3 +509,15 @@ def test_with_totals_rewrite():
     assert "GROUPING SETS((a, b), ())" in out and out.endswith("HAVING sum(v) > 0")
     with pytest.raises(ChSqlError, match="TOTALS"):
         rewrite("SELECT count(*) FROM t WITH TOTALS")
+
+
+def test_format_and_outfile_tails():
+    out = rewrite("SELECT k FROM t ORDER BY k LIMIT 5 FORMAT JSONEachRow")
+    assert out.endswith("LIMIT 5")
+    out = rewrite("SELECT k FROM t SETTINGS max_threads = 4 FORMAT Pretty")
+    assert out.endswith("FROM t")
+    # FORMAT as an ordinary identifier mid-query is untouched
+    out = rewrite("SELECT format FROM t WHERE format = 'csv'")
+    assert "SELECT format FROM t" in out
+    with pytest.raises(ChSqlError, match="OUTFILE"):
+        rewrite("SELECT k FROM t INTO OUTFILE 'x.csv'")
