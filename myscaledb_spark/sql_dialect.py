@@ -332,6 +332,14 @@ PARAMETRIC: dict[str, str] = {
         "vv -> struct(-size(filter(collect_list({a0}), y -> y = vv)) as negcnt, "
         "vv as val))), s -> s.val), 1, {p0})"
     ),
+    # weighted heavy hitters: rank by summed weight desc, ties by value asc
+    # (exact for integral weights — the double cast sums them exactly)
+    "topKWeighted": (
+        "slice(transform(array_sort(transform(array_distinct(collect_list({a0})), "
+        "vv -> struct(-aggregate(filter(collect_list(struct({a0} as v, "
+        "cast({a1} as double) as w)), e -> e.v = vv), cast(0.0 as double), "
+        "(acc, e) -> acc + e.w) as negw, vv as val))), s -> s.val), 1, {p0})"
+    ),
     "uniqUpTo": "least(count(distinct {a0}), {p0} + 1)",
 }
 

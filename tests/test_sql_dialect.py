@@ -521,3 +521,15 @@ def test_format_and_outfile_tails():
     assert "SELECT format FROM t" in out
     with pytest.raises(ChSqlError, match="OUTFILE"):
         rewrite("SELECT k FROM t INTO OUTFILE 'x.csv'")
+
+
+def test_topk_weighted_parametric(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1), (1, "b", 10), (1, "a", 2), (1, "c", 5)],
+        "g int, k string, w int",
+    )
+    df.createOrReplaceTempView("_tkw")
+    r = ch_sql(
+        spark, "SELECT topKWeighted(2)(k, w) AS tk FROM _tkw GROUP BY g"
+    ).first()
+    assert r.tk == ["b", "c"]  # weights: b=10, c=5, a=3
