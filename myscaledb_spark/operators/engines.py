@@ -74,26 +74,31 @@ def versioned_collapsing_final(
 
     Unlike plain Collapsing, cancellation is exact-per-version: a (+1, -1)
     pair collapses only when key AND ``version`` match
-    (VersionedCollapsingAlgorithm.cpp keeps a per-version queue). The fully
-    collapsed state keeps, for every (keys, version) whose signs do not net
-    to zero, one representative row — the last state row (by ``order``, the
-    caller's stand-in for insertion order) when the net is positive. Groups
-    netting ≤ 0 vanish (a dangling cancel has no state row to resurrect in
-    the read path).
+    (VersionedCollapsingAlgorithm.cpp keeps a FIFO queue per key+version: an
+    incoming row of opposite sign cancels the EARLIEST queued row). The fully
+    merged state therefore keeps, per (keys, version) group, the LAST
+    ``|sum(sign)|`` rows of the majority sign — including unpaired cancel
+    (-1) rows and multiple surviving state rows (two same-version +1 rows
+    both survive a merge). Groups netting to zero vanish. ``order`` is the
+    caller's stand-in for insertion order.
 
-    Plan: one shuffle on keys+version, map-side-combinable aggregate.
+    Plan: one shuffle on keys+version, two windows over it (net + rank) —
+    no Python, no second pass over the data.
     """
     order = F.col(order) if isinstance(order, str) else order
-    payload = F.struct(*[F.col(c) for c in df.columns])
-    agg = (
-        df.groupBy(*keys, version)
-        .agg(
-            F.sum(sign).alias("_net"),
-            F.max_by(payload, F.when(F.col(sign) == 1, order)).alias("_state"),
+    w_net = Window.partitionBy(*keys, version)
+    w_rn = Window.partitionBy(*keys, version, sign).orderBy(order.desc())
+    majority = F.when(F.col("_net") > 0, 1).otherwise(-1)
+    return (
+        df.withColumn("_net", F.sum(sign).over(w_net))
+        .withColumn("_rn", F.row_number().over(w_rn))
+        .filter(
+            (F.col("_net") != 0)
+            & (F.col(sign) == majority)
+            & (F.col("_rn") <= F.abs(F.col("_net")))
         )
-        .filter((F.col("_net") > 0) & F.col("_state").isNotNull())
+        .select(*df.columns)
     )
-    return agg.select(*[F.col(f"_state.{c}").alias(c) for c in df.columns])
 
 
 def summing_final(

@@ -323,3 +323,100 @@ def sequence_count(
     """sequenceCount — number of non-overlapping gap-constrained chains
     (see _seq_fold)."""
     return _seq_fold(df, ts_col, user_col, conds, max_gaps, count_mode=True)
+
+
+def sequence_next_node(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    event_col: str,
+    conds: Sequence[Column],
+    direction: str = "forward",
+    base: str = "first_match",
+    base_cond: Column | None = None,
+) -> DataFrame:
+    """sequenceNextNode(direction, base)(ts, event, base_cond, e1, e2, ...) —
+    the value of the event adjacent to a CONSECUTIVE matched chain
+    (`src/AggregateFunctions/AggregateFunctionSequenceNextNode.h`:
+    getBaseIndex :336-370, getNextNodeIndex :374-408).
+
+    Semantics replicated exactly:
+      - events sorted by (ts, event value) — the reference's Node::compare
+        tie-break at equal timestamps (:128-149);
+      - base ∈ head | tail | first_match | last_match picks the chain start
+        (head/tail additionally require ``base_cond`` on that row;
+        first/last_match scan for a row matching ``conds[0]`` AND base_cond);
+      - forward: rows base..base+n-1 must match conds 0..n-1 IN A ROW; the
+        result is row base+n's event value (NULL when absent). backward walks
+        base..base-n+1 and returns row base-n's value;
+      - a user with ≤ n events yields NULL (:379-380).
+
+    Returns (user, next_node). One groupBy shuffle; the scan over the sorted
+    per-user array is a pure codegen expression (try_element_at guards every
+    index), no Python.
+    """
+    n = len(conds)
+    if n == 0:
+        raise ValueError("sequence_next_node needs at least one event condition")
+    if n > 31:
+        raise ValueError("at most 31 event conditions (bitmask width)")
+    if direction not in ("forward", "backward"):
+        raise ValueError(f"direction must be forward|backward, got {direction!r}")
+    if base not in ("head", "tail", "first_match", "last_match"):
+        raise ValueError(
+            f"base must be head|tail|first_match|last_match, got {base!r}"
+        )
+    cb = base_cond if base_cond is not None else F.lit(True)
+    mask = None
+    for i, c in enumerate(conds):
+        term = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
+        mask = term if mask is None else (mask + term)
+    e = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("ts"),
+        F.col(event_col).alias("ev"),
+        mask.cast("int").alias("m"),
+        cb.alias("cb"),
+    )
+    grouped = df.groupBy(F.col(user_col).alias("user")).agg(
+        F.array_sort(F.collect_list(e)).alias("evs")
+    )
+
+    evs = F.col("evs")
+    m = F.size(evs)
+
+    def bit(idx: Column, j: int) -> Column:
+        el = F.try_element_at(evs, idx.cast("int"))
+        return F.coalesce(
+            F.shiftright(el["m"], j).bitwiseAND(F.lit(1)) == 1, F.lit(False)
+        )
+
+    def cbase(idx: Column) -> Column:
+        el = F.try_element_at(evs, idx.cast("int"))
+        return F.coalesce(el["cb"], F.lit(False))
+
+    if base == "head":
+        b = F.when(cbase(F.lit(1)), F.lit(1))
+    elif base == "tail":
+        b = F.when(cbase(m), m)
+    else:
+        matches = F.filter(
+            F.sequence(F.lit(1), m),
+            lambda i: bit(i, 0) & cbase(i),
+        )
+        b = (
+            F.get(matches, 0)
+            if base == "first_match"
+            else F.when(F.size(matches) > 0, F.element_at(matches, F.size(matches)))
+        )
+
+    sign = 1 if direction == "forward" else -1
+    ok = F.lit(True)
+    for j in range(n):
+        idx = b + F.lit(sign * j)
+        ok = ok & (idx >= 1) & (idx <= m) & bit(idx, j)
+    ridx = b + F.lit(sign * n)
+    result = F.when(
+        b.isNotNull() & (m > n) & ok & (ridx >= 1) & (ridx <= m),
+        F.try_element_at(evs, ridx.cast("int"))["ev"],
+    )
+    return grouped.select("user", result.alias("next_node"))

@@ -68,13 +68,6 @@ TEMPLATES: dict[str, str] = {
     "toIntervalHour": "make_dt_interval(0, {0})",
     "toIntervalMinute": "make_dt_interval(0, 0, {0})",
     "toIntervalSecond": "make_dt_interval(0, 0, 0, {0})",
-    # toWeek default = MySQL mode 0 (Sunday-start, weeks 0..53; days before
-    # the year's first Sunday are week 0) — NOT ISO week, which is toISOWeek
-    "toWeek": (
-        "(CASE WHEN dayofyear({0}) - 1 < (8 - dayofweek(trunc({0}, 'year'))) % 7 "
-        "THEN 0 ELSE ((dayofyear({0}) - 1 - (8 - dayofweek(trunc({0}, 'year'))) % 7)"
-        " div 7) + 1 END)"
-    ),
     "toISOWeek": "weekofyear({0})",
     "toQuarter": "quarter({0})",
     "toDayOfYear": "dayofyear({0})",
@@ -212,9 +205,13 @@ TEMPLATES: dict[str, str] = {
     # deviation: get_json_object returns objects/arrays raw but UNQUOTES
     # scalar strings (the reference keeps the '"..."' quoting)
     "JSONExtractRaw": "get_json_object({0}, concat('$.', {1}))",
-    # reference semantics: true only for a literal JSON true, else false
-    # (a plain cast would accept '1'/'abc' and throw under ANSI)
-    "JSONExtractBool": "(get_json_object({0}, concat('$.', {1})) = 'true')",
+    # reference semantics: true only for a literal JSON true, else false —
+    # including a MISSING key (get_json_object yields NULL there, which would
+    # propagate differently from false under NOT/aggregation; coalesce pins
+    # the reference's 0)
+    "JSONExtractBool": (
+        "coalesce(get_json_object({0}, concat('$.', {1})) = 'true', false)"
+    ),
     "JSONExtractString": "get_json_object({0}, concat('$.', {1}))",
     "JSONExtractInt": "cast(get_json_object({0}, concat('$.', {1})) as bigint)",
     "JSONExtractFloat": "cast(get_json_object({0}, concat('$.', {1})) as double)",
@@ -349,9 +346,21 @@ UNSUPPORTED_SYNTAX = {
         "(SQL can't pin which right row survives; the helper makes it "
         "deterministic via right_order)"
     ),
-    r"\btextsearch\s*\(": "textsearch → myscaledb_spark.functions.text.text_search",
-    r"\bhybridsearch\s*\(": "hybridsearch → myscaledb_spark.operators.hybrid.hybrid_search",
-    r"\bbatch_distance\s*\(": "batch_distance → myscaledb_spark.operators.topk.batch_vector_topk",
+    # the SQL forms of the search table-functions ARE supported — but only
+    # through ch_sql (they need a live session to run the operators,
+    # sql_search.py); the bare textual rewrite cannot express them
+    r"\btextsearch\s*\(": (
+        "textsearch SQL runs via ch_sql(spark, ...) (sql_search.py), or "
+        "myscaledb_spark.functions.text.text_search"
+    ),
+    r"\bhybridsearch\s*\(": (
+        "hybridsearch SQL runs via ch_sql(spark, ...) (sql_search.py), or "
+        "myscaledb_spark.operators.hybrid.hybrid_search"
+    ),
+    r"\bbatch_distance\s*\(": (
+        "batch_distance SQL runs via ch_sql(spark, ...) (sql_search.py), or "
+        "myscaledb_spark.operators.topk.batch_vector_topk"
+    ),
 }
 
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
@@ -435,13 +444,25 @@ def _final_subquery(table: str, schema_fn) -> str:
             f"(PARTITION BY {keys} ORDER BY {m['version']} DESC) AS _rn "
             f"FROM {table}) WHERE _rn = 1)"
         )
-    if kind in ("collapsing", "versioned_collapsing"):
-        group = keys if kind == "collapsing" else f"{keys}, {m['version']}"
+    if kind == "collapsing":
         return (
             f"(SELECT _last.* FROM (SELECT max_by(struct(*), CASE WHEN "
             f"{m['sign']} = 1 THEN {m['order']} END) AS _last, "
-            f"SUM({m['sign']}) AS _net FROM {table} GROUP BY {group}) "
+            f"SUM({m['sign']}) AS _net FROM {table} GROUP BY {keys}) "
             f"WHERE _net > 0 AND _last IS NOT NULL)"
+        )
+    if kind == "versioned_collapsing":
+        # FIFO pairwise cancellation per (keys, version): the last |net| rows
+        # of the majority sign survive — unpaired -1 rows are emitted too
+        # (VersionedCollapsingAlgorithm.cpp; see operators/engines.py)
+        part = f"{keys}, {m['version']}"
+        return (
+            f"(SELECT * EXCEPT (_net, _rn) FROM (SELECT *, "
+            f"SUM({m['sign']}) OVER (PARTITION BY {part}) AS _net, "
+            f"ROW_NUMBER() OVER (PARTITION BY {part}, {m['sign']} "
+            f"ORDER BY {m['order']} DESC) AS _rn FROM {table}) "
+            f"WHERE _net <> 0 AND {m['sign']} = "
+            f"(CASE WHEN _net > 0 THEN 1 ELSE -1 END) AND _rn <= abs(_net))"
         )
     if kind == "summing":
         if schema_fn is None:
@@ -680,11 +701,35 @@ _WITH_FILL_RE = re.compile(
 )
 
 
-def _rewrite_with_totals(sql: str) -> str:
+#: Spark simpleString dtype → the reference's type-default literal for the
+#: totals row's key columns (Field default values, TotalsHavingTransform.cpp)
+def _type_default(dtype: str) -> str | None:
+    d = dtype.lower()
+    if d == "string":
+        return "''"
+    if d in ("boolean",):
+        return "false"
+    if d == "date":
+        return "DATE '1970-01-01'"
+    if d.startswith("timestamp"):
+        return "TIMESTAMP '1970-01-01 00:00:00'"
+    if d in ("tinyint", "smallint", "int", "bigint", "float", "double") or d.startswith(
+        "decimal"
+    ):
+        return "0"
+    return None  # arrays/maps/structs: keep NULL (documented)
+
+
+def _rewrite_with_totals(sql: str, types_fn=None) -> str:
     """`GROUP BY k1, k2 WITH TOTALS` → `GROUP BY GROUPING SETS ((k1, k2),
-    ())` — the totals row is the empty grouping set with NULL keys
-    (TotalsHavingTransform.cpp; the reference fills keys with defaults,
-    we keep Spark's NULLs — same rows, documented key-default deviation)."""
+    ())` — the totals row is the empty grouping set
+    (TotalsHavingTransform.cpp). The reference fills the totals row's key
+    columns with TYPE DEFAULTS (''/0), not NULLs; when ``types_fn`` resolves
+    the FROM table's schema (the ch_sql path), bare-column keys appearing as
+    plain select items are wrapped in
+    ``CASE WHEN grouping(k) = 1 THEN <default> ELSE k END`` to match.
+    Without schema info (bare rewrite) keys stay NULL — documented
+    deviation."""
     mask = _top_level_mask(sql)
     tm = re.search(r"\bWITH\s+TOTALS\b", mask, re.IGNORECASE)
     if tm is None:
@@ -696,17 +741,54 @@ def _rewrite_with_totals(sql: str) -> str:
     if gb is None:
         raise ChSqlError("WITH TOTALS without a top-level GROUP BY")
     keys = sql[gb.end() : tm.start()].strip().rstrip(",")
-    return (
-        sql[: gb.start()]
-        + f"GROUP BY GROUPING SETS (({keys}), ())"
-        + sql[tm.end() :]
-    )
+    head = sql[: gb.start()]
+    out = head + f"GROUP BY GROUPING SETS (({keys}), ())" + sql[tm.end() :]
+
+    # ---- totals-row key defaults (needs the table schema) ----
+    if types_fn is None:
+        return out
+    ft = re.search(r"\bFROM\s+([A-Za-z_]\w*)", mask, re.IGNORECASE)
+    if ft is None:
+        return out
+    try:
+        types = types_fn(ft.group(1))
+    except Exception:
+        return out  # unresolvable (subquery/CTE name): keep NULL keys
+    sm = re.search(r"\bSELECT\b(\s+DISTINCT\b)?", mask, re.IGNORECASE)
+    fm_ = re.search(r"\bFROM\b", mask, re.IGNORECASE)
+    if sm is None or fm_ is None or sm.end() >= fm_.start():
+        return out
+    sel_span = (sm.end(), fm_.start())
+    items = _split_args(sql[sel_span[0] : sel_span[1]])
+    key_list = [k.strip() for k in _split_args(keys)]
+    defaults = {
+        k: _type_default(types[k])
+        for k in key_list
+        if re.fullmatch(r"[A-Za-z_]\w*", k) and k in types
+    }
+    new_items = []
+    for it in items:
+        m2 = re.fullmatch(
+            r"\s*([A-Za-z_]\w*)(?:\s+AS\s+([A-Za-z_]\w*))?\s*", it, re.IGNORECASE
+        )
+        k = m2.group(1) if m2 else None
+        if k in defaults and defaults[k] is not None:
+            alias = m2.group(2) or k
+            new_items.append(
+                f"CASE WHEN grouping({k}) = 1 THEN {defaults[k]} "
+                f"ELSE {k} END AS {alias}"
+            )
+        else:
+            new_items.append(it.strip())
+    new_select = out[: sel_span[0]] + " " + ", ".join(new_items) + " " + out[sel_span[1] :]
+    return new_select
 
 
 def _rewrite_with_fill(sql: str) -> str:
     """`ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]` → grid-join subquery
-    (FillingTransform.cpp): explode(sequence(from, to, step)) left-joined to
-    the query. FROM/TO default to the query's own min/max. Fill rows carry
+    (FillingTransform.cpp): explode(sequence(from, to, step)) full-outer-
+    joined to the query (original off-grid rows survive). FROM/TO default to
+    the query's own min/max. Fill rows carry
     NULL in the other columns (same convention as operators.relational
     .with_fill — callers COALESCE to the reference's type defaults).
     Single ascending fill column at top level; INTERPOLATE and multi-column
@@ -774,8 +856,13 @@ def _rewrite_with_fill(sql: str) -> str:
             f"SELECT explode(sequence(_wfb.mn, _wfb.mx, {step})) AS {col} "
             f"FROM (SELECT {mn} AS mn, {mx} AS mx FROM ({head}) _wfh) _wfb"
         )
+    # FULL OUTER (not LEFT) so original rows whose fill-column value is OFF
+    # the generated grid (off-step values like 2.5 with STEP 1, or outside an
+    # explicit FROM/TO) survive — the reference's FillingTransform always
+    # keeps every original row and interleaves fill rows. Spark's USING join
+    # coalesces the key across both sides for FULL OUTER.
     out = (
-        f"SELECT * FROM ({grid}) _grid LEFT JOIN ({head}) _wf "
+        f"SELECT * FROM ({grid}) _grid FULL OUTER JOIN ({head}) _wf "
         f"USING ({col}) ORDER BY {col}"
     )
     return out + (f" {tail}" if tail else "")
@@ -873,7 +960,20 @@ def _split_args(s: str) -> list[str]:
     return args
 
 
-def _apply(template: str, args: list[str]) -> str:
+def _apply(template: str, args: list[str], name: str = "?") -> str:
+    # an argument the template never references would be SILENTLY dropped
+    # (e.g. a timezone or mode argument changing semantics) — refuse instead,
+    # matching the explicit-raise discipline of the SPECIAL handlers
+    if "{*}" not in template:
+        referenced = {int(n) for n in re.findall(r"\{(\d+)\}", template)}
+        n_ref = (max(referenced) + 1) if referenced else 0
+        if len(args) > n_ref:
+            raise ChSqlError(
+                f"{name}: takes {n_ref} argument(s) in this dialect, got "
+                f"{len(args)} — the extra argument(s) would be silently "
+                "ignored (likely a timezone/mode parameter that changes "
+                "semantics); rewrite explicitly"
+            )
     out = template.replace("{*}", ", ".join(args))
     for i, a in enumerate(args):
         out = out.replace("{" + str(i) + "}", a)
@@ -1020,9 +1120,40 @@ def _special_to_start_of_interval(args: list[str]) -> str:
     )
 
 
+#: mode-0 week number (MySQL convention: Sunday-start, weeks 0..53; days
+#: before the year's first Sunday are week 0) — NOT ISO week (= toISOWeek)
+_TO_WEEK_MODE0 = (
+    "(CASE WHEN dayofyear({0}) - 1 < (8 - dayofweek(trunc({0}, 'year'))) % 7 "
+    "THEN 0 ELSE ((dayofyear({0}) - 1 - (8 - dayofweek(trunc({0}, 'year'))) % 7)"
+    " div 7) + 1 END)"
+)
+
+
+def _special_to_week(args: list[str]) -> str:
+    """toWeek(d[, mode[, tz]]) — only mode 0 is implemented; a non-zero mode
+    (nine MySQL variants, src/Functions/toCustomWeek.cpp) silently computing
+    mode-0 numbers would be a wrong answer, so it raises. Mode 3 = toISOWeek."""
+    if len(args) == 0:
+        raise ChSqlError("toWeek needs a date argument")
+    if len(args) > 1:
+        mode = args[1].strip()
+        if mode != "0":
+            raise ChSqlError(
+                f"toWeek mode {mode!r} is not supported (only mode 0); "
+                "mode 3 (ISO) = toISOWeek(d)"
+            )
+    if len(args) > 2:
+        raise ChSqlError(
+            "toWeek timezone argument is not supported — convert the operand "
+            "with from_utc_timestamp explicitly"
+        )
+    return _apply(_TO_WEEK_MODE0, args[:1], "toWeek")
+
+
 SPECIAL = {
     "dateDiff": _special_date_diff,
     "date_diff": _special_date_diff,
+    "toWeek": _special_to_week,
     "multiIf": _special_multi_if,
     "formatDateTime": _special_format_datetime,
     "arrayResize": _special_array_resize,
@@ -1041,10 +1172,11 @@ for _name, _secs in (
     )
 
 
-def rewrite(sql: str, schema_fn=None) -> str:
+def rewrite(sql: str, schema_fn=None, types_fn=None) -> str:
     """Rewrite CH-flavored SQL (function names + FINAL / SAMPLE / LIMIT BY
     clauses) to Spark SQL. ``schema_fn(table) -> [col, ...]`` is needed only
-    for summing-engine FINAL (ch_sql passes the live catalog)."""
+    for summing-engine FINAL; ``types_fn(table) -> {col: dtype}`` only for
+    WITH TOTALS key defaults (ch_sql passes the live catalog for both)."""
     for pat, hint in UNSUPPORTED_SYNTAX.items():
         if re.search(pat, sql, flags=re.IGNORECASE):
             raise ChSqlError(f"construct not supported in SQL dialect shim: {hint}")
@@ -1069,7 +1201,7 @@ def rewrite(sql: str, schema_fn=None) -> str:
     sql = _rewrite_asof_join(sql)
     sql = _rewrite_limit_by(sql)
     sql = _rewrite_with_fill(sql)
-    sql = _rewrite_with_totals(sql)
+    sql = _rewrite_with_totals(sql, types_fn)
     return _rewrite_calls(sql)
 
 
@@ -1087,6 +1219,26 @@ def _strip_settings(sql: str) -> str:
         )
     m = re.search(r"\bSETTINGS\b", mask, re.IGNORECASE)
     if m is not None:
+        # only strip a SETTINGS clause that extends to end-of-string (module
+        # an optional trailing FORMAT) — a per-SELECT SETTINGS inside a UNION
+        # (`SELECT a FROM t SETTINGS x=1 UNION ALL SELECT b FROM u`) must NOT
+        # truncate the rest of the query; raise instead of returning wrong
+        # results
+        rest = mask[m.end() :]
+        rest = re.sub(
+            r"\bFORMAT\s+[A-Za-z][A-Za-z0-9]*\s*$", "", rest, flags=re.IGNORECASE
+        )
+        if re.search(
+            r"\b(SELECT|UNION|EXCEPT|INTERSECT|FROM|WHERE|GROUP|ORDER|HAVING|"
+            r"LIMIT|JOIN|WITH)\b",
+            rest,
+            re.IGNORECASE,
+        ) or not re.fullmatch(r"[\s\w=,.'+\-]*", rest):
+            raise ChSqlError(
+                "SETTINGS here is not a trailing clause — per-branch SETTINGS "
+                "inside UNION/subqueries is not supported; move it to the end "
+                "of the query or drop it"
+            )
         sql = sql[: m.start()].rstrip()
         mask = mask[: m.start()]
     fm = re.search(r"\bFORMAT\s+[A-Za-z][A-Za-z0-9]*\s*$", mask, re.IGNORECASE)
@@ -1138,7 +1290,7 @@ def _rewrite_calls(sql: str) -> str:
                 if name in SPECIAL:
                     out.append(SPECIAL[name](args))
                 elif name in TEMPLATES:
-                    out.append(_apply(TEMPLATES[name], args))
+                    out.append(_apply(TEMPLATES[name], args, name))
                 else:
                     out.append(f"{name}({', '.join(args)})")
                 i = call_end
@@ -1153,5 +1305,16 @@ def _rewrite_calls(sql: str) -> str:
 
 def ch_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataFrame:
     """Run a ClickHouse-flavored SQL query on Spark."""
-    translated = rewrite(sql, schema_fn=lambda t: spark.table(t).columns)
+    from myscaledb_spark.sql_search import maybe_search_query
+
+    handled = maybe_search_query(spark, sql)
+    if handled is not None:
+        return handled
+    translated = rewrite(
+        sql,
+        schema_fn=lambda t: spark.table(t).columns,
+        types_fn=lambda t: {
+            f.name: f.dataType.simpleString() for f in spark.table(t).schema.fields
+        },
+    )
     return spark.sql(translated, args=args) if args else spark.sql(translated)

@@ -1,0 +1,346 @@
+"""Verbatim ClickHouse SQL forms of the search table-functions.
+
+The reference accepts `textsearch`, `hybridsearch` and `batch_distance` as
+plain SQL functions inside an ordinary SELECT (TreeRewriter.cpp:1605-1760
+recognizes them, extracts top-k from LIMIT, and enforces the one-search-per-
+query and ORDER-BY-direction rules; surfaces:
+`src/VectorIndex/TableFunctions/TableFunctionFullTextSearch.h:25-56`,
+tests/queries/2_vector_search/00040_mqvs_hybrid_search.sql,
+00002_mqvs_batch_distance.sh). The SQL dialect shim previously refused these
+shapes with a pointer at the API helpers; this module parses the reference's
+canonical query shape and routes it to the existing operators, so a CH user
+can paste their query unchanged:
+
+    SELECT id, textsearch(doc, 'Ancient') AS bm25
+    FROM t [WHERE p] ORDER BY bm25 DESC LIMIT 5
+
+    SELECT id, hybridsearch('fusion_type=rsf')(vec, doc, [1.0,1,1], 'q') AS s
+    FROM t [WHERE p] ORDER BY s DESC[, id] LIMIT 5
+
+    SELECT id, batch_distance(vec, [[..],[..]]) AS dist
+    FROM t [WHERE p] ORDER BY dist.1, dist.2 LIMIT 10 BY dist.1
+
+Semantics notes (documented deviations):
+  - WHERE runs BEFORE scoring (our filtered-search convention — BM25 stats
+    come from the filtered set; the reference's index-backed stats are
+    corpus-global).
+  - batch_distance's tuple column is a struct with fields ``q`` (0-based
+    query index) and ``d`` (distance); ``dist.1`` / ``dist.2`` in ORDER BY /
+    LIMIT BY are recognized and mapped (Spark cannot name struct fields
+    ``1``/``2`` without quoting).
+
+Everything executes as the operators' DataFrame plans — Catalyst sees the
+same declarative shape as the API path; this module is parsing only.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from myscaledb_spark.errors import InvalidSearchQuery
+from myscaledb_spark.sql_dialect import (
+    TABLE_ENGINES,
+    ChSqlError,
+    _find_call_end,
+    _rewrite_calls,
+    _split_args,
+    _string_mask,
+    _top_level_mask,
+    _unquote,
+)
+
+_FN_RE = re.compile(r"\b(textsearch|hybridsearch|batch_distance)\s*\(", re.IGNORECASE)
+_IDENT = r"[A-Za-z_]\w*"
+
+
+def maybe_search_query(spark: SparkSession, sql: str) -> DataFrame | None:
+    """Execute ``sql`` if it is a search-function query; None otherwise."""
+    smask = _string_mask(sql)
+    hits = list(_FN_RE.finditer(smask))
+    if not hits:
+        return None
+    if len(hits) > 1:
+        raise ChSqlError(
+            "only one text/hybrid/batch search function is allowed per query "
+            "(reference serverError 62, TreeRewriter.cpp:1605)"
+        )
+    if re.search(r"\bdistance\s*\(", smask, re.IGNORECASE):
+        raise ChSqlError(
+            "combining distance() with a text/hybrid search function in one "
+            "query is rejected (reference serverError 62)"
+        )
+    kind = hits[0].group(1).lower()
+    try:
+        return _run(spark, sql, kind)
+    except (ChSqlError, InvalidSearchQuery):
+        raise
+    except Exception as e:  # parse slip → actionable error, never silence
+        raise ChSqlError(
+            f"unsupported {kind} query shape ({e}); the canonical form is "
+            f"SELECT cols, {kind}(...) AS alias FROM t [WHERE p] "
+            "ORDER BY alias ... LIMIT k — or use the API operator directly"
+        ) from e
+
+
+def _clause_spans(sql: str) -> dict:
+    """Top-level clause positions; raises on clauses the shape excludes."""
+    mask = _top_level_mask(sql)
+    for bad in ("GROUP\\s+BY", "HAVING", "UNION", "\\bJOIN\\b", "WINDOW"):
+        if re.search(bad, mask, re.IGNORECASE):
+            raise ChSqlError(
+                "search-function SQL supports the flat SELECT ... FROM t "
+                "[WHERE] ORDER BY ... LIMIT shape only (wrap joins/grouping "
+                "in a temp view first)"
+            )
+    sel = re.search(r"\bSELECT\b", mask, re.IGNORECASE)
+    frm = re.search(r"\bFROM\s+(" + _IDENT + r")\b", mask, re.IGNORECASE)
+    if sel is None or frm is None:
+        raise ChSqlError("need SELECT ... FROM <table>")
+    whr = re.search(r"\bWHERE\b", mask, re.IGNORECASE)
+    ob = re.search(r"\bORDER\s+BY\b", mask, re.IGNORECASE)
+    lim = re.search(r"\bLIMIT\s+(\d+)(\s+BY\b)?", mask, re.IGNORECASE)
+    if lim is None:
+        # top-k is extracted from LIMIT and mandatory (TreeRewriter.cpp:1670)
+        raise InvalidSearchQuery("search requires a positive LIMIT (top-k)")
+    spans = {
+        "select": (sel.end(), frm.start()),
+        "table": frm.group(1),
+        "where": None,
+        "order": None,
+        "limit_n": int(lim.group(1)),
+        "limit_by": None,
+    }
+    where_end = ob.start() if ob else lim.start()
+    if whr:
+        spans["where"] = (whr.end(), where_end)
+    if ob:
+        spans["order"] = (ob.end(), lim.start())
+    if lim.group(2):  # LIMIT n BY cols
+        spans["limit_by"] = (lim.end(), len(sql))
+    return spans
+
+
+def _parse_select_items(sql: str, span: tuple, kind: str):
+    """Split the select list into (plain column names, search item text)."""
+    items = _split_args(sql[span[0] : span[1]])
+    plain, search_item = [], None
+    for it in items:
+        if re.match(rf"\s*{kind}\s*\(", it, re.IGNORECASE):
+            if search_item is not None:
+                raise ChSqlError("duplicate search function in select list")
+            search_item = it.strip()
+        elif re.fullmatch(r"\s*" + _IDENT + r"\s*", it):
+            plain.append(it.strip())
+        else:
+            raise ChSqlError(
+                f"select item {it.strip()!r} is not a plain column; only "
+                "bare columns plus the search function are supported here"
+            )
+    if search_item is None:
+        raise ChSqlError(f"{kind} must appear in the SELECT list")
+    return plain, search_item
+
+
+def _parse_call(item: str, kind: str):
+    """Return (params, args, alias) from
+    ``kind[('p1', ...)](a1, ...) [AS alias]``."""
+    m = re.match(rf"\s*{kind}\s*", item, re.IGNORECASE)
+    open1 = item.index("(", m.end() - 1)
+    end1 = _find_call_end(item, open1)
+    first = _split_args(item[open1 + 1 : end1 - 1])
+    rest = item[end1:].lstrip()
+    if rest.startswith("("):
+        end2 = _find_call_end(item, item.index("(", end1))
+        params, args = first, _split_args(item[item.index("(", end1) + 1 : end2 - 1])
+        rest = item[end2:].lstrip()
+    else:
+        params, args = [], first
+    am = re.fullmatch(r"(?:AS\s+)?(" + _IDENT + r")\s*", rest, re.IGNORECASE) if rest else None
+    if rest and am is None:
+        raise ChSqlError(f"trailing text after search call: {rest!r}")
+    alias = am.group(1) if am else {"textsearch": "bm25", "hybridsearch": "score", "batch_distance": "dist"}[kind]
+    return params, args, alias
+
+
+def _parse_vec_literal(text: str) -> list[float]:
+    t = text.strip()
+    if not (t.startswith("[") and t.endswith("]")):
+        raise ChSqlError(f"expected an array literal, got {t!r}")
+    return [float(x) for x in _split_args(t[1:-1])]
+
+
+def _parse_nested_vec_literal(text: str) -> list[list[float]]:
+    t = text.strip()
+    if not (t.startswith("[") and t.endswith("]")):
+        raise ChSqlError(f"expected a nested array literal, got {t!r}")
+    return [_parse_vec_literal(p) for p in _split_args(t[1:-1])]
+
+
+def _infer_id_col(table: str, cols: list[str]) -> str:
+    """The reference ties search rows to the table's primary key; our
+    stand-ins: registered engine keys, then conventional id names."""
+    meta = TABLE_ENGINES.get(table)
+    if meta and meta.get("keys") and meta["keys"][0] in cols:
+        return meta["keys"][0]
+    for c in ("id", "doc_id", "vec_id", "event_id"):
+        if c in cols:
+            return c
+    return cols[0]
+
+
+def _ident_arg(arg: str, what: str) -> str:
+    if not re.fullmatch(_IDENT, arg.strip()):
+        raise ChSqlError(f"{what} must be a bare column name, got {arg!r}")
+    return arg.strip()
+
+
+def _apply_order(df: DataFrame, alias: str, order_text: str | None, id_col: str):
+    """ORDER BY `alias DESC[, col [ASC|DESC]]*` — DESC on the score is
+    mandatory (the reference errors when the direction contradicts the
+    metric, 00027_mqvs_check_order_by_for_metric_type.sql)."""
+    if order_text is None:
+        raise InvalidSearchQuery(
+            f"search requires ORDER BY {alias} DESC (direction is checked)"
+        )
+    parts = [p.strip() for p in _split_args(order_text)]
+    m = re.fullmatch(rf"{re.escape(alias)}\s+DESC", parts[0], re.IGNORECASE)
+    if m is None:
+        raise InvalidSearchQuery(
+            f"first ORDER BY key must be {alias} DESC (scores rank "
+            "descending; ASC would invert the metric direction)"
+        )
+    cols = [F.col(alias).desc()]
+    for p in parts[1:]:
+        om = re.fullmatch(r"(" + _IDENT + r")(?:\s+(ASC|DESC))?", p, re.IGNORECASE)
+        if om is None:
+            raise ChSqlError(f"unsupported ORDER BY key {p!r}")
+        c = F.col(om.group(1))
+        cols.append(c.desc() if (om.group(2) or "").upper() == "DESC" else c.asc())
+    return df.orderBy(*cols)
+
+
+def _run(spark: SparkSession, sql: str, kind: str) -> DataFrame:
+    spans = _clause_spans(sql)
+    table = spans["table"]
+    plain, item = _parse_select_items(sql, spans["select"], kind)
+    params, args, alias = _parse_call(item, kind)
+    df = spark.table(table)
+    id_col = _infer_id_col(table, df.columns)
+    if spans["where"]:
+        pred = sql[spans["where"][0] : spans["where"][1]].strip()
+        df = df.filter(F.expr(_rewrite_calls(pred)))
+    k = spans["limit_n"]
+    order_text = sql[spans["order"][0] : spans["order"][1]].strip() if spans["order"] else None
+
+    if kind == "textsearch":
+        from myscaledb_spark.functions.text import text_search
+
+        if params:
+            raise ChSqlError("textsearch parameters are not supported in SQL")
+        if len(args) != 2:
+            raise ChSqlError("textsearch(text_column, 'query') needs 2 args")
+        col = _ident_arg(args[0], "textsearch column")
+        query = _unquote(args[1], "textsearch")
+        out = text_search(df, col, query, k, id_col=id_col, score_name=alias)
+        sel = plain + [alias] if plain else [id_col, alias]
+        return _apply_order(out.select(*sel), alias, order_text, id_col)
+
+    if kind == "hybridsearch":
+        from myscaledb_spark.operators.hybrid import (
+            DEFAULT_FUSION_K,
+            DEFAULT_FUSION_WEIGHT,
+            hybrid_search,
+        )
+
+        opts = {}
+        for p in params:
+            kv = _unquote(p, "hybridsearch")
+            pm = re.fullmatch(r"(\w+)\s*=\s*(.+)", kv)
+            if pm is None:
+                raise ChSqlError(f"bad hybridsearch parameter {kv!r}")
+            opts[pm.group(1)] = pm.group(2).strip()
+        known = {"fusion_type", "fusion_weight", "fusion_k", "dense_nprobe"}
+        bad = set(opts) - known
+        if bad:
+            # the reference rejects unknown params too (BAD_ARGUMENTS on
+            # dense_alpha, 00040_mqvs_hybrid_search.sql)
+            raise ChSqlError(f"unknown hybridsearch parameter(s): {sorted(bad)}")
+        if "fusion_type" not in opts:
+            raise ChSqlError("hybridsearch needs a 'fusion_type=rsf|rrf' parameter")
+        if len(args) != 4:
+            raise ChSqlError(
+                "hybridsearch(vec_col, text_col, [qvec], 'qtext') needs 4 args"
+            )
+        vec_col = _ident_arg(args[0], "hybridsearch vector column")
+        text_col = _ident_arg(args[1], "hybridsearch text column")
+        qvec = _parse_vec_literal(args[2])
+        qtext = _unquote(args[3], "hybridsearch")
+        # dense_nprobe tunes the reference's index probe; the SQL shim runs
+        # the exact path, so it is accepted and ignored (parseVSParameters.cpp
+        # accepts the same strings on the exact fallback)
+        out = hybrid_search(
+            df, vec_col, text_col, qvec, qtext, k, id_col,
+            fusion_type=opts["fusion_type"],
+            fusion_weight=float(opts.get("fusion_weight", DEFAULT_FUSION_WEIGHT)),
+            fusion_k=int(opts.get("fusion_k", DEFAULT_FUSION_K)),
+            score_name=alias,
+        )
+        extra = [c for c in plain if c != id_col]
+        if extra:
+            out = out.join(df.select(id_col, *extra), id_col)
+        sel = (plain if plain else [id_col]) + [alias]
+        return _apply_order(out.select(*sel), alias, order_text, id_col)
+
+    # ---- batch_distance ----
+    from myscaledb_spark.operators.topk import batch_vector_topk
+
+    metric = "L2"
+    for p in params:
+        kv = _unquote(p, "batch_distance")
+        pm = re.fullmatch(r"metric_type\s*=\s*(\w+)", kv, re.IGNORECASE)
+        if pm is None:
+            raise ChSqlError(f"unknown batch_distance parameter {kv!r}")
+        metric = {"l2": "L2", "ip": "IP", "cosine": "Cosine"}.get(
+            pm.group(1).lower()
+        )
+        if metric is None:
+            raise ChSqlError(f"unknown metric_type {pm.group(1)!r}")
+    if len(args) != 2:
+        raise ChSqlError("batch_distance(vec_col, [[q1...], [q2...]]) needs 2 args")
+    vec_col = _ident_arg(args[0], "batch_distance vector column")
+    qvecs = _parse_nested_vec_literal(args[1])
+    if spans["limit_by"] is None:
+        raise InvalidSearchQuery(
+            f"batch_distance needs `LIMIT n BY {alias}.1` (per-query top-n, "
+            "TreeRewriter.cpp:1674)"
+        )
+    by_text = sql[spans["limit_by"][0] : spans["limit_by"][1]].strip()
+    if not re.fullmatch(rf"{re.escape(alias)}\s*\.\s*1", by_text):
+        raise ChSqlError(f"LIMIT BY key must be {alias}.1, got {by_text!r}")
+    if order_text is not None:
+        om = re.fullmatch(
+            rf"{re.escape(alias)}\s*\.\s*1\s*(?:ASC)?\s*,\s*"
+            rf"{re.escape(alias)}\s*\.\s*2\s*(ASC|DESC)?",
+            order_text,
+            re.IGNORECASE,
+        )
+        if om is None:
+            raise ChSqlError(
+                f"batch_distance ORDER BY must be `{alias}.1, {alias}.2 "
+                f"[DESC]`, got {order_text!r}"
+            )
+    out = batch_vector_topk(
+        df, vec_col, qvecs, k, metric=metric, id_col=id_col,
+        dist_name="_bd", query_id_name="_bq",
+    )
+    tup = F.struct(F.col("_bq").alias("q"), F.col("_bd").alias("d")).alias(alias)
+    sel = [F.col(c) for c in (plain if plain else [id_col])] + [tup]
+    asc = metric != "IP"
+    return out.select(*sel).orderBy(
+        F.col(f"{alias}.q").asc(),
+        F.col(f"{alias}.d").asc() if asc else F.col(f"{alias}.d").desc(),
+        *([F.col(plain[0]).asc()] if plain else []),
+    )

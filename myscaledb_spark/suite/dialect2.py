@@ -326,7 +326,9 @@ def ch_sql_time_buckets(spark, sf_dir):
 @register(
     "ch_sql_with_totals",
     """
-    SELECT o_orderpriority, COUNT(*) AS n,
+    SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN ''
+                ELSE o_orderpriority END AS o_orderpriority,
+           COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority), ())
@@ -334,9 +336,9 @@ def ch_sql_time_buckets(spark, sf_dir):
 )
 def ch_sql_with_totals(spark, sf_dir):
     """`GROUP BY ... WITH TOTALS` in verbatim CH syntax — rewritten to
-    GROUPING SETS with the empty set as the totals row
-    (TotalsHavingTransform.cpp; totals keys are NULL, the documented
-    default-value deviation)."""
+    GROUPING SETS with the empty set as the totals row, whose key columns
+    carry the reference's TYPE DEFAULTS (''/0, TotalsHavingTransform.cpp) —
+    the r4 NULL-key deviation is closed via the schema-aware rewrite."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("_cht_orders")
     return ch_sql(
         spark,

@@ -67,14 +67,26 @@ def collapsing_final_state(spark, sf_dir):
       SELECT *, event_id % 4 AS version,
              CASE WHEN event_id % 7 < 2 THEN -1 ELSE 1 END AS sign
       FROM events
+    ),
+    n AS (
+      SELECT user_id, event_type, version, sign, event_id,
+             SUM(sign) OVER (PARTITION BY user_id, event_type, version) AS net,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type, version, sign
+                                ORDER BY event_id DESC) AS rn
+      FROM src
     )
-    SELECT user_id, event_type, version,
-           MAX(CASE WHEN sign = 1 THEN event_id END) AS state_event_id
-    FROM src GROUP BY 1, 2, 3
-    HAVING SUM(sign) > 0
+    SELECT user_id, event_type, version, CAST(sign AS INT) AS sign,
+           event_id AS state_event_id
+    FROM n
+    WHERE net <> 0 AND sign = (CASE WHEN net > 0 THEN 1 ELSE -1 END)
+      AND rn <= abs(net)
     """,
 )
 def versioned_collapsing_state(spark, sf_dir):
+    """FIFO pairwise cancellation per (key, version): the last |net| rows of
+    the majority sign survive — unpaired -1 rows are emitted and multiple
+    same-version +1 rows all survive (VersionedCollapsingAlgorithm.cpp; the
+    oracle replays the same queue invariant longhand)."""
     ev = (
         load_table(spark, sf_dir, "events")
         .withColumn("version", F.col("event_id") % 4)
@@ -86,7 +98,8 @@ def versioned_collapsing_state(spark, sf_dir):
         ev, ["user_id", "event_type"], "sign", "version", "event_id"
     )
     return out.select(
-        "user_id", "event_type", "version", F.col("event_id").alias("state_event_id")
+        "user_id", "event_type", "version", "sign",
+        F.col("event_id").alias("state_event_id"),
     )
 
 

@@ -402,3 +402,43 @@ def sequence_match_gaps(spark, sf_dir):
         F.sum("matched").cast("bigint").alias("n_matched"),
         F.count(F.lit(1)).alias("n_users"),
     )
+
+
+@register(
+    "sequence_next_node_chain",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS n1,
+             lead(event_type, 2) OVER w AS n2,
+             ROW_NUMBER() OVER w AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ),
+    c AS (SELECT user_id, COUNT(*) AS m FROM events GROUP BY 1),
+    f AS (
+      -- the base is the FIRST cond-1 row; the chain is checked ONCE from
+      -- there (no retry at later bases — getNextNodeIndex runs once)
+      SELECT user_id, n1, n2,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS k
+      FROM o WHERE event_type = 'click'
+    )
+    SELECT c.user_id AS user,
+           CASE WHEN c.m > 2 AND f.n1 = 'view' THEN f.n2 END AS next_node
+    FROM c LEFT JOIN f ON c.user_id = f.user_id AND f.k = 1
+    """,
+)
+def sequence_next_node_gate(spark, sf_dir):
+    """sequenceNextNode('forward', 'first_match')(ts, event_type, true,
+    event_type = 'click', event_type = 'view') — the event following the
+    first CONSECUTIVE click→view pair per user
+    (AggregateFunctionSequenceNextNode.h:336-408; the oracle replays the
+    same scan with lead() windows over the identical (ts, event) ordering)."""
+    from myscaledb_spark.operators.funnel import sequence_next_node
+
+    ev = load_table(spark, sf_dir, "events")
+    return sequence_next_node(
+        ev, "ts", "user_id", "event_type",
+        [F.col("event_type") == "click", F.col("event_type") == "view"],
+        direction="forward", base="first_match",
+    )

@@ -166,3 +166,21 @@ def test_summing_rejects_empty_sum_cols(spark):
     df = spark.createDataFrame([("a", 1, 2)], "k string, seq long, amt long")
     with pytest.raises(ValueError, match="at least one"):
         summing_final(df, ["k"], [], first_by="seq")
+
+
+def test_versioned_collapsing_keeps_unpaired_rows(spark):
+    # ADVICE r4: the reference's FIFO queue emits unpaired rows of EITHER
+    # sign — a dangling -1 survives, and two same-version +1 rows both
+    # survive (VersionedCollapsingAlgorithm.cpp).
+    df = spark.createDataFrame(
+        [
+            ("a", 1, -1, 10),                      # lone cancel → emitted
+            ("b", 1, 1, 20), ("b", 1, 1, 21),      # double state → both out
+            ("c", 1, 1, 30), ("c", 1, -1, 31),     # exact pair → gone
+            ("d", 1, 1, 40), ("d", 1, 1, 41), ("d", 1, -1, 42),  # net +1 → last state
+        ],
+        "k string, ver int, sign int, seq long",
+    )
+    out = versioned_collapsing_final(df, ["k"], "sign", "ver", "seq").collect()
+    got = sorted((r["k"], r["sign"], r["seq"]) for r in out)
+    assert got == [("a", -1, 10), ("b", 1, 20), ("b", 1, 21), ("d", 1, 41)]

@@ -126,3 +126,87 @@ def test_sequence_gap_validation(spark):
     conds = [F.col("et") == "A", F.col("et") == "B"]
     with pytest.raises(ValueError, match="gap"):
         sequence_match_t(df, "t", "u", conds, [1, 2])
+
+
+def test_sequence_next_node_forward_first_match(spark):
+    from myscaledb_spark.operators.funnel import sequence_next_node
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            # u1: A B C D → chain (A,B) matched at pos 1 → next = C
+            (1, 1, "A"), (1, 2, "B"), (1, 3, "C"), (1, 4, "D"),
+            # u2: A X B → A at pos1 but next is X (not consecutive) → NULL
+            (2, 1, "A"), (2, 2, "X"), (2, 3, "B"),
+            # u3: X A B → chain at pos 2, next absent → NULL
+            (3, 1, "X"), (3, 2, "A"), (3, 3, "B"),
+            # u4: only 2 events (== n) → NULL by the size guard
+            (4, 1, "A"), (4, 2, "B"),
+        ],
+        "u int, t long, ev string",
+    ).withColumn("ts", F.timestamp_seconds("t"))
+    out = {
+        r["user"]: r["next_node"]
+        for r in sequence_next_node(
+            df, "ts", "u", "ev",
+            [F.col("ev") == "A", F.col("ev") == "B"],
+        ).collect()
+    }
+    assert out == {1: "C", 2: None, 3: None, 4: None}
+
+
+def test_sequence_next_node_bases_and_backward(spark):
+    from myscaledb_spark.operators.funnel import sequence_next_node
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 1, "Z"), (1, 2, "A"), (1, 3, "B"), (1, 4, "C"), (1, 5, "A"), (1, 6, "B"), (1, 7, "D")],
+        "u int, t long, ev string",
+    ).withColumn("ts", F.timestamp_seconds("t"))
+    conds = [F.col("ev") == "A", F.col("ev") == "B"]
+
+    def run(**kw):
+        return sequence_next_node(df, "ts", "u", "ev", conds, **kw).collect()[0]["next_node"]
+
+    assert run(base="first_match") == "C"       # chain at pos 2 → next C
+    assert run(base="last_match") == "D"        # chain at pos 5 → next D
+    assert run(base="head") is None             # head is Z, not A
+    # backward from tail: events walked to the past — tail D, cond0 must
+    # match D → no. first_match backward: first A (pos 2), walk back needs
+    # B at pos 1 → Z, no; the reference then yields NULL
+    assert run(base="tail", direction="backward") is None
+    # backward chain that does match: conds reversed (B then A) from
+    # last_match base: last B at pos 6, pos 5 = A → next node pos 4 = C
+    assert (
+        sequence_next_node(
+            df, "ts", "u", "ev",
+            [F.col("ev") == "B", F.col("ev") == "A"],
+            direction="backward", base="last_match",
+        ).collect()[0]["next_node"]
+        == "C"
+    )
+
+
+def test_sequence_next_node_head_tail_base_cond(spark):
+    from myscaledb_spark.operators.funnel import sequence_next_node
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 1, "A"), (1, 2, "B"), (1, 3, "C")],
+        "u int, t long, ev string",
+    ).withColumn("ts", F.timestamp_seconds("t"))
+    conds = [F.col("ev") == "A"]
+    assert (
+        sequence_next_node(df, "ts", "u", "ev", conds, base="head").collect()[0][
+            "next_node"
+        ]
+        == "B"
+    )
+    # base_cond false on the head row → no base → NULL
+    assert (
+        sequence_next_node(
+            df, "ts", "u", "ev", conds, base="head",
+            base_cond=F.col("ev") == "Q",
+        ).collect()[0]["next_node"]
+        is None
+    )

@@ -253,7 +253,7 @@ def test_limit_by_subquery_mask_protects_parens():
 
 def test_with_fill_rewrite_and_guards():
     out = rewrite("SELECT d, n FROM t ORDER BY d WITH FILL FROM 1 TO 10 STEP 2")
-    assert "sequence(1, 10, 2)" in out and "LEFT JOIN" in out and "USING(d)" in out
+    assert "sequence(1, 10, 2)" in out and "FULL OUTER JOIN" in out and "USING(d)" in out
     # FROM/TO default to the query's own min/max as scalar subqueries
     out = rewrite("SELECT d, n FROM t ORDER BY d WITH FILL")
     assert "min(d)" in out and "max(d)" in out
@@ -533,3 +533,57 @@ def test_topk_weighted_parametric(spark):
         spark, "SELECT topKWeighted(2)(k, w) AS tk FROM _tkw GROUP BY g"
     ).first()
     assert r.tk == ["b", "c"]  # weights: b=10, c=5, a=3
+
+
+def test_settings_inside_union_raises():
+    # ADVICE r4: per-SELECT SETTINGS inside a UNION used to truncate the
+    # second branch silently — now it raises instead of wrong results
+    with pytest.raises(ChSqlError, match="SETTINGS"):
+        rewrite("SELECT a FROM t SETTINGS x = 1 UNION ALL SELECT b FROM u")
+    # trailing SETTINGS (with FORMAT) still strips fine
+    out = rewrite("SELECT a FROM t SETTINGS max_threads = 8 FORMAT CSV")
+    assert out.endswith("FROM t")
+
+
+def test_to_week_mode_and_extra_args_raise():
+    # mode 0 (explicit or default) works; any other mode raises instead of
+    # silently computing mode-0 numbers
+    assert "dayofweek" in rewrite("SELECT toWeek(d) FROM t")
+    assert "dayofweek" in rewrite("SELECT toWeek(d, 0) FROM t")
+    with pytest.raises(ChSqlError, match="mode"):
+        rewrite("SELECT toWeek(d, 3) FROM t")
+    # generic guard: an arg the template never references raises
+    with pytest.raises(ChSqlError, match="argument"):
+        rewrite("SELECT parseDateTimeBestEffort(s, 'UTC') FROM t")
+    with pytest.raises(ChSqlError, match="argument"):
+        rewrite("SELECT toStartOfWeek(d, 1) FROM t")
+
+
+def test_with_fill_keeps_off_grid_rows(spark):
+    # ADVICE r4: original rows whose fill value is off the grid must survive
+    spark.createDataFrame(
+        [(1.0, "a"), (2.5, "b"), (4.0, "c")], "x double, v string"
+    ).createOrReplaceTempView("_wf_off")
+    out = ch_sql(
+        spark,
+        "SELECT x, v FROM _wf_off ORDER BY x WITH FILL FROM 1 TO 4 STEP 1",
+    )
+    rows = [(r["x"], r["v"]) for r in out.collect()]
+    assert (2.5, "b") in rows          # off-grid original row kept
+    assert (3.0, None) in rows         # grid fill row present
+    assert rows == [(1.0, "a"), (2.0, None), (2.5, "b"), (3.0, None), (4.0, "c")]
+
+
+def test_with_totals_key_defaults(spark):
+    # ch_sql path fills totals-row keys with type defaults (''/0) like
+    # TotalsHavingTransform.cpp; bare rewrite (no schema) keeps NULL
+    spark.createDataFrame(
+        [("x", 1), ("x", 2), ("y", 3)], "k string, v int"
+    ).createOrReplaceTempView("_wt_t")
+    rows = {
+        r["k"]: r["s"]
+        for r in ch_sql(
+            spark, "SELECT k, sum(v) AS s FROM _wt_t GROUP BY k WITH TOTALS"
+        ).collect()
+    }
+    assert rows == {"x": 3, "y": 3, "": 6}
