@@ -470,13 +470,46 @@ def text_search(
     operator: str = "OR",
     score_name: str = "bm25_score",
     spec=None,
+    artifact_dir: str | None = None,
+    index_name: str = "fts",
 ) -> DataFrame:
     """`textsearch` top-k: BM25 scores, ORDER BY score DESC LIMIT k
-    (direction fixed-DESC as the reference enforces, TreeRewriter.cpp:1738)."""
+    (direction fixed-DESC as the reference enforces, TreeRewriter.cpp:1738).
+
+    When ``artifact_dir`` names a directory whose registry holds a BUILT fts
+    postings index (plans/fts_index.py), the query is routed through the
+    index automatically — term-pruned postings scan instead of tokenizing
+    the corpus, then a broadcast semi-join recovers the full rows — the
+    reference's behavior of using the tantivy index transparently once it
+    exists (MergeTreeIndexTantivy; the direct scan is the index-less
+    fallback). Indexed and direct scores are bit-identical by construction
+    (fts_search keeps the same term-ordered float summation). A missing or
+    unbuilt index falls back to the direct path."""
     if k is None or k <= 0:
         raise InvalidSearchQuery("text search requires a positive LIMIT (top-k)")
     if k > MAX_SEARCH_RESULT_WINDOW:
         raise InvalidSearchQuery(f"LIMIT {k} exceeds max_search_result_window")
+    if artifact_dir is not None:
+        from myscaledb_spark.plans.vector_index import IndexRegistry
+
+        rec = IndexRegistry(artifact_dir).get(index_name)
+        if rec is not None and rec.get("status") == "Built":
+            if id_col is None:
+                raise InvalidSearchQuery(
+                    "index-routed text_search needs id_col to join rows back"
+                )
+            from myscaledb_spark.plans.fts_index import fts_search
+
+            cands = fts_search(
+                df.sparkSession, artifact_dir, query, k,
+                name=index_name, operator=operator, score_name=score_name,
+            ).withColumnRenamed("doc_id", id_col)
+            out = df.join(F.broadcast(cands), id_col).select(
+                *df.columns, score_name
+            )
+            return out.orderBy(
+                F.col(score_name).desc(), F.col(id_col).asc()
+            ).limit(k)
     scored = bm25_scores(df, text_col, query, tokenizer, operator, score_name, spec=spec)
     order = [F.col(score_name).desc()]
     if id_col:

