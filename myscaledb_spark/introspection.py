@@ -61,3 +61,37 @@ def system_vector_indices(spark: SparkSession, artifact_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "name string, column string, type string, params string, status string"
     )
+
+
+#: ch_sql statement log — ≈ system.query_log (the reference records every
+#: query with its normalized form; we record the CH statement, the Spark SQL
+#: it rewrote to, and the rewrite/planning wall time. Execution time lives
+#: with the action, which Spark's own listener/UI already tracks.)
+QUERY_LOG: list[dict] = []
+
+
+def log_query(statement: str, translated: str, rewrite_ms: float, kind: str = "select") -> None:
+    import time
+
+    QUERY_LOG.append(
+        {
+            "event_time": time.time(),
+            "kind": kind,
+            "query": statement,
+            "translated": translated,
+            "rewrite_ms": round(rewrite_ms, 3),
+        }
+    )
+
+
+def system_query_log(spark: SparkSession) -> DataFrame:
+    """≈ SELECT * FROM system.query_log (attachSystemTables.cpp)."""
+    schema = (
+        "event_time double, kind string, query string, translated string, "
+        "rewrite_ms double"
+    )
+    rows = [
+        (r["event_time"], r["kind"], r["query"], r["translated"], r["rewrite_ms"])
+        for r in QUERY_LOG
+    ]
+    return spark.createDataFrame(rows, schema)

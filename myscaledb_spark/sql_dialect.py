@@ -396,6 +396,7 @@ def register_table_engine(
     order: str | None = None,
     sample_by: str | None = None,
     sample_seed: int = 0,
+    store: str | None = None,
 ) -> None:
     """Declare the engine metadata a CREATE TABLE would carry in the
     reference: ``kind`` ∈ replacing | collapsing | versioned_collapsing |
@@ -425,6 +426,9 @@ def register_table_engine(
         "order": order,
         "sample_by": sample_by,
         "sample_seed": sample_seed,
+        # DDL-created tables (plans/table_ddl.py): the backing view carrying
+        # the hidden insertion-sequence column named by ``order``
+        "store": store,
     }
 
 
@@ -438,29 +442,42 @@ def _final_subquery(table: str, schema_fn) -> str:
     m = TABLE_ENGINES[table]
     keys = ", ".join(m["keys"])
     kind = m["kind"]
+    # DDL-created tables (plans/table_ddl.py) keep their rows in a backing
+    # view that carries a hidden insertion-sequence column — the engine's
+    # true insertion order; FINAL reads the store and strips the column
+    src = m.get("store") or table
+    hide = [m["order"]] if m.get("store") and m.get("order") else []
+
+    def _exc(*cols: str) -> str:
+        return ", ".join(list(cols) + hide)
+
     if kind == "replacing":
-        return (
-            f"(SELECT * EXCEPT (_rn) FROM (SELECT *, ROW_NUMBER() OVER "
+        body = (
+            f"SELECT * EXCEPT ({_exc('_rn')}) FROM (SELECT *, ROW_NUMBER() OVER "
             f"(PARTITION BY {keys} ORDER BY {m['version']} DESC) AS _rn "
-            f"FROM {table}) WHERE _rn = 1)"
+            f"FROM {src}) WHERE _rn = 1"
         )
+        return f"({body})"
     if kind == "collapsing":
-        return (
-            f"(SELECT _last.* FROM (SELECT max_by(struct(*), CASE WHEN "
+        body = (
+            f"SELECT _last.* FROM (SELECT max_by(struct(*), CASE WHEN "
             f"{m['sign']} = 1 THEN {m['order']} END) AS _last, "
-            f"SUM({m['sign']}) AS _net FROM {table} GROUP BY {keys}) "
-            f"WHERE _net > 0 AND _last IS NOT NULL)"
+            f"SUM({m['sign']}) AS _net FROM {src} GROUP BY {keys}) "
+            f"WHERE _net > 0 AND _last IS NOT NULL"
         )
+        if hide:
+            body = f"SELECT * EXCEPT ({hide[0]}) FROM ({body})"
+        return f"({body})"
     if kind == "versioned_collapsing":
         # FIFO pairwise cancellation per (keys, version): the last |net| rows
         # of the majority sign survive — unpaired -1 rows are emitted too
         # (VersionedCollapsingAlgorithm.cpp; see operators/engines.py)
         part = f"{keys}, {m['version']}"
         return (
-            f"(SELECT * EXCEPT (_net, _rn) FROM (SELECT *, "
+            f"(SELECT * EXCEPT ({_exc('_net', '_rn')}) FROM (SELECT *, "
             f"SUM({m['sign']}) OVER (PARTITION BY {part}) AS _net, "
             f"ROW_NUMBER() OVER (PARTITION BY {part}, {m['sign']} "
-            f"ORDER BY {m['order']} DESC) AS _rn FROM {table}) "
+            f"ORDER BY {m['order']} DESC) AS _rn FROM {src}) "
             f"WHERE _net <> 0 AND {m['sign']} = "
             f"(CASE WHEN _net > 0 THEN 1 ELSE -1 END) AND _rn <= abs(_net))"
         )
@@ -484,7 +501,7 @@ def _final_subquery(table: str, schema_fn) -> str:
             m["keys"] + m["sum_cols"] + (["_first.*"] if others else [])
         )
         return (
-            f"(SELECT {outer_cols} FROM (SELECT {inner_sel} FROM {table} "
+            f"(SELECT {outer_cols} FROM (SELECT {inner_sel} FROM {src} "
             f"GROUP BY {keys}) WHERE NOT ({not_zero}))"
         )
     raise ChSqlError(f"engine kind {kind!r} has no FINAL semantics")
@@ -1305,10 +1322,15 @@ def _rewrite_calls(sql: str) -> str:
 
 def ch_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataFrame:
     """Run a ClickHouse-flavored SQL query on Spark."""
+    import time as _time
+
+    from myscaledb_spark.introspection import log_query
     from myscaledb_spark.sql_search import maybe_search_query
 
+    t0 = _time.perf_counter()
     handled = maybe_search_query(spark, sql)
     if handled is not None:
+        log_query(sql, "<search-operator plan>", (_time.perf_counter() - t0) * 1e3, "search")
         return handled
     translated = rewrite(
         sql,
@@ -1317,4 +1339,6 @@ def ch_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataFrame
             f.name: f.dataType.simpleString() for f in spark.table(t).schema.fields
         },
     )
-    return spark.sql(translated, args=args) if args else spark.sql(translated)
+    out = spark.sql(translated, args=args) if args else spark.sql(translated)
+    log_query(sql, translated, (_time.perf_counter() - t0) * 1e3)
+    return out

@@ -123,7 +123,10 @@ PRIORITY: list[str] = [
     "ivf_append_search",
     "text_search_routed",
     "sequence_next_node_chain",
-    # --- r5 additions, part 2 (filled as the round progresses) ---
+    # --- r5 additions, part 2: table DDL lifecycle + dialect-fix pins ---
+    "ch_sql_ddl_insert_final",
+    "ch_sql_json_bool_missing",
+    "ch_sql_with_fill_off_grid",
     # --- sentinels from the driver-green novel core (backfill) ---
     "vec_l2_topk",
     "vec_cosine_topk",

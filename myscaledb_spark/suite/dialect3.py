@@ -126,3 +126,114 @@ def ch_sql_batch_distance(spark, sf_dir):
         "vec_id",
         F.round("dist.d", 4).alias("dist"),
     )
+
+
+@register(
+    "ch_sql_ddl_insert_final",
+    """
+    WITH src AS (
+      SELECT o_orderkey % 500 AS k, o_totalprice AS price, o_orderkey AS ver
+      FROM orders
+      UNION ALL
+      SELECT * FROM (VALUES (9000001, 42.5, 1), (9000001, 43.5, 2),
+                            (9000002, 7.25, 1)) t(k, price, ver)
+    )
+    SELECT k, ROUND(ARG_MAX(price, ver), 2) AS price,
+           CAST(MAX(ver) AS BIGINT) AS ver
+    FROM src GROUP BY k
+    """,
+)
+def ch_sql_ddl_insert_final(spark, sf_dir):
+    """The full table lifecycle from verbatim SQL statements: CREATE TABLE
+    ... ENGINE = ReplacingMergeTree(ver) ORDER BY k (ParserCreateQuery.cpp /
+    registerStorageMergeTree.cpp), INSERT INTO ... SELECT, INSERT INTO ...
+    VALUES, then SELECT ... FROM t FINAL — the engine metadata drives the
+    collapse exactly as the reference reads it from the DDL. Oracle replays
+    the same inserts longhand (Replacing keeps the max-version row)."""
+    from myscaledb_spark.plans.table_ddl import ch_ddl
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_ddlg_orders")
+    ch_ddl(spark, "DROP TABLE IF EXISTS _ddlg")
+    ch_ddl(
+        spark,
+        "CREATE TABLE _ddlg (k Int64, price Float64, ver Int64) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY k",
+    )
+    ch_ddl(
+        spark,
+        "INSERT INTO _ddlg SELECT modulo(o_orderkey, 500) AS k, "
+        "o_totalprice AS price, o_orderkey AS ver FROM _ddlg_orders",
+    )
+    ch_ddl(
+        spark,
+        "INSERT INTO _ddlg VALUES (9000001, 42.5, 1), (9000001, 43.5, 2), "
+        "(9000002, 7.25, 1)",
+    )
+    return ch_sql(
+        spark, "SELECT k, round(price, 2) AS price, ver FROM _ddlg FINAL"
+    )
+
+
+@register(
+    "ch_sql_json_bool_missing",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN NOT COALESCE(
+               json_extract_string(props, '$.flag') = 'true', false)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_not_flagged,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_has_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS max_k
+    FROM events GROUP BY 1
+    """,
+)
+def ch_sql_json_bool_missing(spark, sf_dir):
+    """JSONExtractBool on a MISSING key returns false — not NULL — so
+    `countIf(NOT JSONExtractBool(...))` counts every row (the r4 ADVICE fix:
+    NULL would propagate through NOT and count zero). Plus JSONHas /
+    JSONExtractInt on the present key."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_jb_events")
+    return ch_sql(
+        spark,
+        """
+        SELECT event_type,
+               count(*) AS n,
+               countIf(NOT JSONExtractBool(props, 'flag')) AS n_not_flagged,
+               countIf(JSONHas(props, 'k')) AS n_has_k,
+               cast(max(JSONExtractInt(props, 'k')) as bigint) AS max_k
+        FROM _jb_events GROUP BY event_type
+        """,
+    )
+
+
+@register(
+    "ch_sql_with_fill_off_grid",
+    """
+    WITH head AS (
+      SELECT o_orderkey AS x, COUNT(*) AS n FROM orders
+      WHERE o_orderkey < 80 GROUP BY 1
+    ),
+    grid AS (SELECT unnest(generate_series(1, 80, 7)) AS x)
+    SELECT COALESCE(g.x, h.x) AS x, COALESCE(h.n, 0) AS n
+    FROM grid g FULL OUTER JOIN head h ON g.x = h.x
+    """,
+)
+def ch_sql_with_fill_off_grid(spark, sf_dir):
+    """WITH FILL where original rows sit OFF the generated grid (sparse
+    TPC-H orderkeys vs STEP 7): the full-outer grid join keeps every
+    original row AND interleaves fill rows — the r4 ADVICE fix (a left
+    join from the grid silently dropped off-step originals, diverging from
+    FillingTransform.cpp)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_wfo_orders")
+    out = ch_sql(
+        spark,
+        """
+        SELECT o_orderkey AS x, count(*) AS n
+        FROM _wfo_orders WHERE o_orderkey < 80
+        GROUP BY o_orderkey
+        ORDER BY x WITH FILL FROM 1 TO 80 STEP 7
+        """,
+    )
+    return out.select("x", F.coalesce("n", F.lit(0)).alias("n"))
