@@ -76,10 +76,19 @@ def hybrid_search(
     candidate_multiple: int = DEFAULT_CANDIDATE_MULTIPLE,
     tokenizer: str = "simple",
     score_name: str = "fusion_score",
+    artifact_dir: str | None = None,
+    index_name: str = "ivf",
+    fts_name: str = "fts",
+    **search_params,
 ) -> DataFrame:
     """`hybridsearch('fusion_type=rsf|rrf')(vec, text, qvec, 'qtext')` top-k.
 
     Returns df rows (by id) with `fusion_score`, ordered DESC, limit k.
+
+    When ``artifact_dir`` holds BUILT vector + fts index records, the query
+    routes through ``hybrid_search_indexed`` automatically (zero corpus
+    scans) — the reference's transparent index use once the table declares
+    one; a missing/unbuilt artifact falls back to the single-scan default.
 
     Plan shape (single corpus scan): one narrow projection
     (id, distance, tokens, doc_len) is computed and persisted
@@ -106,6 +115,25 @@ def hybrid_search(
         raise InvalidSearchQuery(f"fusion_type must be rsf|rrf, got {fusion_type!r}")
     if k is None or k <= 0:
         raise InvalidSearchQuery("hybrid search requires a positive LIMIT (top-k)")
+    if artifact_dir is not None:
+        from myscaledb_spark.plans.vector_index import IndexRegistry
+
+        reg = IndexRegistry(artifact_dir)
+        vrec, frec = reg.get(index_name), reg.get(fts_name)
+        if (
+            vrec is not None and vrec.get("status") == "Built"
+            and frec is not None and frec.get("status") == "Built"
+        ):
+            kind = (vrec.get("index_type") or "ivf").lower()
+            kind = {"ivfflat": "ivf", "hnswflat": "hnsw"}.get(kind, kind)
+            return hybrid_search_indexed(
+                df.sparkSession, artifact_dir, None, None, qvec, qtext, k,
+                id_col, index_kind=kind, index_name=index_name,
+                fts_name=fts_name, fusion_type=ft, metric=metric,
+                fusion_weight=fusion_weight, fusion_k=fusion_k,
+                candidate_multiple=candidate_multiple, tokenizer=tokenizer,
+                score_name=score_name, **search_params,
+            )
     kprime = k * candidate_multiple
     _validate_k(kprime)
 

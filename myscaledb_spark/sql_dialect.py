@@ -1167,10 +1167,26 @@ def _special_to_week(args: list[str]) -> str:
     return _apply(_TO_WEEK_MODE0, args[:1], "toWeek")
 
 
+def _special_numbers(args: list[str]) -> str:
+    """numbers(N) / numbers(offset, count) table function
+    (src/TableFunctions/TableFunctionNumbers.cpp) → Spark's range() TVF as a
+    subquery exposing the reference's `number` column. Note the 2-arg forms
+    differ: CH takes (offset, COUNT), Spark range takes (start, END)."""
+    if len(args) == 1:
+        return f"(SELECT id AS number FROM range({args[0]}))"
+    if len(args) == 2:
+        return (
+            f"(SELECT id AS number FROM range({args[0]}, "
+            f"({args[0]}) + ({args[1]})))"
+        )
+    raise ChSqlError("numbers(N) or numbers(offset, count)")
+
+
 SPECIAL = {
     "dateDiff": _special_date_diff,
     "date_diff": _special_date_diff,
     "toWeek": _special_to_week,
+    "numbers": _special_numbers,
     "multiIf": _special_multi_if,
     "formatDateTime": _special_format_datetime,
     "arrayResize": _special_array_resize,
@@ -1219,7 +1235,105 @@ def rewrite(sql: str, schema_fn=None, types_fn=None) -> str:
     sql = _rewrite_limit_by(sql)
     sql = _rewrite_with_fill(sql)
     sql = _rewrite_with_totals(sql, types_fn)
+    sql = _rewrite_array_literals(sql)
     return _rewrite_calls(sql)
+
+
+def _subscript_base_start(s: str) -> int:
+    """Start index of the primary expression a subscript applies to, walking
+    back over identifier chains (`a.b`), call/paren groups and prior
+    subscripts (already rewritten to `element_at(...)`, i.e. ending in ')').
+    Uses the string-literal mask so quotes can't confuse the bracket walk."""
+    mask = _string_mask(s)
+    k = len(s)
+    while k > 0:
+        c = mask[k - 1]
+        if c in ")]":
+            opener = "(" if c == ")" else "["
+            depth = 0
+            k -= 1
+            while k > 0:
+                if mask[k] == c:
+                    depth += 1
+                elif mask[k] == opener:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k -= 1
+            continue
+        if c.isalnum() or c in "_.":
+            k -= 1
+            continue
+        break
+    return k
+
+
+def _rewrite_array_literals(sql: str) -> str:
+    """ClickHouse bracket array literals `[1, 2, 3]` → Spark `array(1, 2, 3)`
+    (nested literals recurse: `[[1],[2]]` → array(array(1), array(2));
+    `[]` → array()). A `[` directly following an identifier, `)` or `]` is
+    SUBSCRIPT access (`m['k']`, `arr[1]` — valid in both dialects) and is
+    left untouched. String literals are respected."""
+    out = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and (j + 1 >= n or sql[j + 1] != "'"):
+                    break
+                j += 2 if sql[j] == "'" else 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if c == "[":
+            # find the matching bracket (string-aware) — needed either way
+            depth = 0
+            j = i
+            while j < n:
+                cj = sql[j]
+                if cj == "'":
+                    j += 1
+                    while j < n:
+                        if sql[j] == "'" and (j + 1 >= n or sql[j + 1] != "'"):
+                            break
+                        j += 2 if sql[j] == "'" else 1
+                elif cj == "[":
+                    depth += 1
+                elif cj == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j >= n:
+                raise ChSqlError(f"unbalanced '[' at {i}")
+            inner = _rewrite_array_literals(sql[i + 1 : j])
+            # subscript access (`arr[1]`, `m['k']`, `f(x)[2]`) is juxtaposed
+            # with NO whitespace; a literal after a keyword/comma/paren always
+            # has a boundary — look at the char DIRECTLY before '['
+            prev = ""
+            for seg in reversed(out):
+                if seg:
+                    prev = seg[-1]
+                    break
+            if prev and (prev.isalnum() or prev in "_)]"):
+                # SUBSCRIPT: ClickHouse indexing is 1-BASED (and supports
+                # negative-from-end); Spark's [] operator is 0-based — a
+                # silent off-by-one — so rewrite to element_at(base, idx),
+                # which has exactly the CH convention for arrays AND maps
+                s_out = "".join(out)
+                base_start = _subscript_base_start(s_out)
+                base = s_out[base_start:]
+                out = [s_out[:base_start], f"element_at({base}, {inner})"]
+            else:
+                out.append(f"array({inner})")  # array literal
+            i = j + 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _strip_settings(sql: str) -> str:

@@ -223,6 +223,12 @@ def _apply_order(df: DataFrame, alias: str, order_text: str | None, id_col: str)
 
 
 def _run(spark: SparkSession, sql: str, kind: str) -> DataFrame:
+    from myscaledb_spark.sql_dialect import _strip_settings
+
+    # the reference's own search tests end in `SETTINGS
+    # enable_brute_force_vector_search=1` — strip trailing SETTINGS/FORMAT
+    # exactly like the main rewrite path before shape parsing
+    sql = _strip_settings(sql.strip().rstrip(";"))
     spans = _clause_spans(sql)
     table = spans["table"]
     plain, item = _parse_select_items(sql, spans["select"], kind)

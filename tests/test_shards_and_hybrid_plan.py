@@ -57,3 +57,46 @@ def test_hybrid_fused_plan_reads_no_corpus(spark):
     assert "FileScan" not in plan and "Scan parquet" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert out.count() == 5
+
+
+def test_hybrid_search_auto_routes_through_artifacts(spark, tmp_path):
+    """hybrid_search(artifact_dir=...) consults the registry and, when both
+    the vector and fts artifacts are Built, serves through the indexed path
+    — with exhaustive probing the result equals the default single-scan
+    path exactly; a missing artifact falls back silently."""
+    from pyspark.sql import functions as F
+
+    from myscaledb_spark.operators.hybrid import hybrid_search
+    from myscaledb_spark.plans.fts_index import build_fts_index
+    from myscaledb_spark.plans.vector_index import build_ivf_index
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"{'ancient' if i % 3 == 0 else 'modern'} text number {i}",
+             [float(i), float(i % 5), 1.0])
+            for i in range(30)
+        ],
+        "doc_id long, text string, embedding array<double>",
+    )
+    art = str(tmp_path / "hyb_route")
+    build_ivf_index(docs, "embedding", "doc_id", art, name="ivf", num_centroids=4)
+    build_fts_index(docs, "text", "doc_id", art, name="fts")
+
+    direct = hybrid_search(
+        docs, "embedding", "text", [2.0, 2.0, 1.0], "ancient", 5, "doc_id"
+    ).collect()
+    routed = hybrid_search(
+        docs, "embedding", "text", [2.0, 2.0, 1.0], "ancient", 5, "doc_id",
+        artifact_dir=art, nprobe=4,  # exhaustive: 4 of 4 centroids
+    ).collect()
+    assert [(r["doc_id"], round(r["fusion_score"], 9)) for r in routed] == [
+        (r["doc_id"], round(r["fusion_score"], 9)) for r in direct
+    ]
+    # unbuilt artifact name → silent fallback to the single-scan path
+    fallback = hybrid_search(
+        docs, "embedding", "text", [2.0, 2.0, 1.0], "ancient", 5, "doc_id",
+        artifact_dir=art, index_name="nope",
+    ).collect()
+    assert [(r["doc_id"], round(r["fusion_score"], 9)) for r in fallback] == [
+        (r["doc_id"], round(r["fusion_score"], 9)) for r in direct
+    ]

@@ -587,3 +587,36 @@ def test_with_totals_key_defaults(spark):
         ).collect()
     }
     assert rows == {"x": 3, "y": 3, "": 6}
+
+
+def test_array_literals_and_numbers_tvf(spark):
+    # CH bracket array literals → array(); numbers() → range() TVF
+    r = ch_sql(
+        spark,
+        "SELECT [1, 2, 3] AS a, [[1.0], [2.0]] AS nested, [] AS empty,"
+        "       arraySum([1.0, 2.5]) AS s, [10, 20][1] AS first"
+        "  FROM (SELECT 1)",
+    ).first()
+    assert r.a == [1, 2, 3] and r.nested == [[1.0], [2.0]] and r.empty == []
+    assert r.s == 3.5 and r.first == 10
+    # subscript access survives (no-space juxtaposition)
+    spark.createDataFrame(
+        [([5, 6], {"k": 9})], "arr array<int>, m map<string,int>"
+    ).createOrReplaceTempView("_al_t")
+    r2 = ch_sql(spark, "SELECT arr[2] AS x, m['k'] AS y FROM _al_t").first()
+    assert r2.x == 6 and r2.y == 9
+    # numbers() table function, both arities (CH: offset, COUNT)
+    assert ch_sql(spark, "SELECT count(*) AS n FROM numbers(100)").first().n == 100
+    r3 = ch_sql(
+        spark,
+        "SELECT min(number) AS mn, max(number) AS mx, count(*) AS n "
+        "FROM numbers(50, 50)",
+    ).first()
+    assert (r3.mn, r3.mx, r3.n) == (50, 99, 50)
+    # the reference's own INSERT source shape: SELECT number, [n,n,n] FROM numbers(...)
+    r4 = ch_sql(
+        spark,
+        "SELECT number, [number, number, number] AS vec FROM numbers(3) "
+        "ORDER BY number",
+    ).collect()
+    assert [tuple(r) for r in r4] == [(0, [0, 0, 0]), (1, [1, 1, 1]), (2, [2, 2, 2])]

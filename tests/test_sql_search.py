@@ -120,3 +120,13 @@ def test_search_sql_error_rules(spark):
             "SELECT id, batch_distance(vector, [[1.0, 1.0, 1.0]]) AS dist "
             "FROM t_search ORDER BY dist.1, dist.2 LIMIT 3",
         )
+
+
+def test_search_sql_trailing_settings_stripped(spark):
+    # the reference's own tests end in SETTINGS enable_brute_force...=1
+    rows = ch_sql(
+        spark,
+        "SELECT id, textsearch(doc, 'ancient') AS bm25 FROM t_search "
+        "ORDER BY bm25 DESC LIMIT 3 SETTINGS enable_brute_force_vector_search=1",
+    ).collect()
+    assert {r["id"] for r in rows} == {0, 2}

@@ -184,3 +184,32 @@ def test_query_log_records_statements(spark):
     log_df = system_query_log(spark)
     assert log_df.count() == len(QUERY_LOG)
     assert set(log_df.columns) == {"event_time", "kind", "query", "translated", "rewrite_ms"}
+
+
+def test_reference_script_shape_end_to_end(spark):
+    """The reference's own test-file shape (00036_mqvs_with_clause_process
+    _function.sql / 00002_mqvs_batch_distance.sh): CREATE TABLE with
+    PRIMARY KEY, INSERT ... SELECT number, [number,...] FROM numbers(N),
+    then a distance query with a bracket vector literal — verbatim."""
+    from myscaledb_spark.plans.table_ddl import ch_script
+
+    out = ch_script(
+        spark,
+        """
+        DROP TABLE IF EXISTS test_vector_ref;
+        CREATE TABLE test_vector_ref (id UInt32, vector Array(Float32))
+            ENGINE = MergeTree PRIMARY KEY id;
+        INSERT INTO test_vector_ref SELECT number, [number, number, number]
+            FROM numbers(0, 50);
+        INSERT INTO test_vector_ref SELECT number, [number, number, number]
+            FROM numbers(50, 50);
+        SELECT id, distance(vector, [1.0, 1.0, 1.0]) AS d
+        FROM test_vector_ref ORDER BY d ASC, id ASC LIMIT 3
+        """,
+    )
+    rows = out.collect()
+    assert [r["id"] for r in rows] == [1, 0, 2]
+    assert abs(rows[0]["d"]) < 1e-9                      # [1,1,1] exact hit
+    assert abs(rows[1]["d"] - 3 ** 0.5) < 1e-9           # [0,0,0]
+    assert spark.table("test_vector_ref").count() == 100
+    ch_script(spark, "DROP TABLE test_vector_ref")
