@@ -54,6 +54,8 @@ HEADLINE = [
     "text_search_routed",          # registry-routed postings path + row recovery (r5)
     "versioned_collapsing_state",  # two-window FINAL w/ unpaired-row emission (r5)
     "sequence_next_node_chain",    # sorted-array next-node scan (r5)
+    "gopher_repetition_docs",      # per-row n-gram repetition expressions (r5)
+    "dsir_importance_docs",        # 2 linear model aggs + codegen scoring fold (r5)
 ]
 
 

@@ -67,6 +67,7 @@ def load_all() -> None:
         dialect2,
         dialect3,
         search3,
+        quality_gate,
     )
 
 
@@ -123,10 +124,13 @@ PRIORITY: list[str] = [
     "ivf_append_search",
     "text_search_routed",
     "sequence_next_node_chain",
-    # --- r5 additions, part 2: table DDL lifecycle + dialect-fix pins ---
+    # --- r5 additions, part 2: table DDL lifecycle + dialect-fix pins +
+    #     curation-quality signals (Gopher repetition, DSIR weighting) ---
     "ch_sql_ddl_insert_final",
     "ch_sql_json_bool_missing",
     "ch_sql_with_fill_off_grid",
+    "gopher_repetition_docs",
+    "dsir_importance_docs",
     # --- sentinels from the driver-green novel core (backfill) ---
     "vec_l2_topk",
     "vec_cosine_topk",
