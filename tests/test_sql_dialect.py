@@ -620,3 +620,47 @@ def test_array_literals_and_numbers_tvf(spark):
         "ORDER BY number",
     ).collect()
     assert [tuple(r) for r in r4] == [(0, [0, 0, 0]), (1, [1, 1, 1]), (2, [2, 2, 2])]
+
+
+def test_every_template_rewrites_to_parseable_sql(spark):
+    """Safety net over the whole TEMPLATES/PARAMETRIC/SPECIAL surface: each
+    rewrite output must be syntactically valid Spark SQL (parse-only — no
+    type analysis, so generic dummy args work). Catches unbalanced parens /
+    bad keywords in templates that no gate query happens to exercise."""
+    import re as _re
+
+    from myscaledb_spark.sql_dialect import PARAMETRIC, SPECIAL, TEMPLATES
+
+    parser = spark._jsparkSession.sessionState().sqlParser()
+
+    def parses(sql: str) -> None:
+        parser.parsePlan(sql)  # raises ParseException on bad syntax
+
+    for name, tpl in sorted(TEMPLATES.items()):
+        if "{*}" in tpl:
+            args = ["a0", "a1"]
+        else:
+            idx = [int(n) for n in _re.findall(r"\{(\d+)\}", tpl)]
+            args = [f"a{i}" for i in range(max(idx) + 1)] if idx else []
+        call = f"{name}({', '.join(args)})"
+        out = rewrite(f"SELECT {call} FROM t")
+        parses(out)
+
+    for name in sorted(PARAMETRIC):
+        out = rewrite(f"SELECT {name}(0.5)(a0, a1) FROM t")
+        parses(out)
+
+    special_calls = {
+        "dateDiff": "dateDiff('day', a, b)",
+        "date_diff": "date_diff('day', a, b)",
+        "toWeek": "toWeek(a)",
+        "numbers": "numbers(5)",
+        "multiIf": "multiIf(a, b, c)",
+        "formatDateTime": "formatDateTime(a, '%Y-%m-%d')",
+        "arrayResize": "arrayResize(a, 3)",
+        "toStartOfInterval": "toStartOfInterval(a, INTERVAL 2 HOUR)",
+    }
+    assert set(special_calls) == set(SPECIAL), "new SPECIAL needs a sweep case"
+    for name, call in sorted(special_calls.items()):
+        out = rewrite(f"SELECT {call} FROM t")
+        parses(out)
