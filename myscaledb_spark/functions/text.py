@@ -510,6 +510,15 @@ def text_search(
             return out.orderBy(
                 F.col(score_name).desc(), F.col(id_col).asc()
             ).limit(k)
+    # NOTE (r5 experiment, reverted): a single-tokenization variant (persist
+    # the narrow (id, dl, tf) sliver like operators/hybrid.py, then broadcast-
+    # join the top-k ids back for full rows) was measured at sf0.1 and did
+    # NOT pay: cheap analyzers are a wash (0.81 vs 0.80 s) and derived
+    # corpora (the CJK gate derives its text column per scan) REGRESS ~20%
+    # because the row-recovery scan re-runs the derivation while the cache/
+    # checkpoint/join overhead stays. The two-scan plan below is the better
+    # default; the artifact path (fts_index / artifact_dir routing above) is
+    # the real answer when tokenization dominates.
     scored = bm25_scores(df, text_col, query, tokenizer, operator, score_name, spec=spec)
     order = [F.col(score_name).desc()]
     if id_col:
