@@ -101,6 +101,20 @@ TEMPLATES: dict[str, str] = {
     "modulo": "({0} % {1})",
     "negate": "(-{0})",
     "intDivOrZero": "(case when {1} = 0 then 0 else {0} div {1} end)",
+    # comparison / logic as named functions (FunctionsComparison.h — CH
+    # emits these from expression serialization, users paste them)
+    "equals": "({0} = {1})",
+    "notEquals": "({0} <> {1})",
+    "less": "({0} < {1})",
+    "greater": "({0} > {1})",
+    "lessOrEquals": "({0} <= {1})",
+    "greaterOrEquals": "({0} >= {1})",
+    # NB: and()/or()/not() can NOT be templates — the scanner would match the
+    # SQL keywords in `a AND (b)` / `NOT (x)`; Spark SQL accepts them as
+    # keywords anyway, and the variadic function forms are rare in queries
+    # tuples / array element access (1-based, same as the [] rewrite)
+    "tuple": "struct({*})",
+    "arrayElement": "element_at({0}, {1})",
     # conditionals
     "ifNull": "coalesce({0}, {1})",
     "nullIf": "nullif({0}, {1})",
@@ -123,12 +137,10 @@ TEMPLATES: dict[str, str] = {
     "upperUTF8": "upper({0})",
     "substringUTF8": "substring({*})",
     "mid": "substring({*})",
-    "position": "instr({0}, {1})",
     "positionCaseInsensitive": "instr(lower({0}), lower({1}))",
     "match": "({0} rlike {1})",
     "replaceAll": "replace({0}, {1}, {2})",
     "replaceRegexpAll": "regexp_replace({0}, {1}, {2})",
-    "extract": "regexp_extract({0}, {1}, 1)",
     # \Q...\E regex-quotes the separator (CH passes a literal char, Spark
     # split() takes a REGEX — '.' or '|' would otherwise split everywhere)
     "splitByChar": "split({1}, concat('\\\\Q', {0}, '\\\\E'))",
@@ -227,8 +239,8 @@ TEMPLATES: dict[str, str] = {
     "unhex": "unhex({0})",
     "base64Encode": "base64(cast({0} as binary))",
     "base64Decode": "cast(unbase64({0}) as string)",
-    # aggregates
-    "count": "count({*})",
+    # aggregates — count() with NO argument is the CH idiom for count(*)
+    # (Spark requires the star); count(x)/count(DISTINCT x) pass through
     "countIf": "count_if({0})",
     "sumIf": "sum(case when {1} then {0} end)",
     "avgIf": "avg(case when {1} then {0} end)",
@@ -991,6 +1003,13 @@ def _apply(template: str, args: list[str], name: str = "?") -> str:
                 "ignored (likely a timezone/mode parameter that changes "
                 "semantics); rewrite explicitly"
             )
+        if len(args) < n_ref:
+            # emitting an unfilled {i} placeholder would be garbage SQL —
+            # fail with the real reason instead
+            raise ChSqlError(
+                f"{name}: takes {n_ref} argument(s) in this dialect, got "
+                f"{len(args)}"
+            )
     out = template.replace("{*}", ", ".join(args))
     for i, a in enumerate(args):
         out = out.replace("{" + str(i) + "}", a)
@@ -1167,6 +1186,35 @@ def _special_to_week(args: list[str]) -> str:
     return _apply(_TO_WEEK_MODE0, args[:1], "toWeek")
 
 
+def _special_extract(args: list[str]) -> str:
+    """Two meanings share the name: ANSI `EXTRACT(unit FROM ts)` (valid in
+    both dialects — pass through) and ClickHouse `extract(haystack, regex)`
+    (first regex match → regexp_extract). Previously the ANSI form hit the
+    2-arg template and emitted an unfilled placeholder."""
+    if len(args) == 1 and re.match(r"^\w+\s+FROM\s+", args[0].strip(), re.IGNORECASE):
+        return f"extract({args[0]})"
+    if len(args) == 2:
+        return f"regexp_extract({args[0]}, {args[1]}, 1)"
+    raise ChSqlError(
+        "extract(unit FROM ts) or extract(haystack, 'regex') — got "
+        f"{len(args)} argument(s)"
+    )
+
+
+def _special_position(args: list[str]) -> str:
+    """`POSITION(needle IN haystack)` (ANSI — pass through; note the ANSI
+    argument order is needle-first) vs ClickHouse
+    `position(haystack, needle[, start])` → locate/instr."""
+    if len(args) == 1 and re.search(r"\sIN\s", args[0], re.IGNORECASE):
+        return f"position({args[0]})"
+    if len(args) == 2:
+        return f"instr({args[0]}, {args[1]})"
+    if len(args) == 3:
+        # Spark locate(substr, str, pos) — CH is haystack-first
+        return f"locate({args[1]}, {args[0]}, {args[2]})"
+    raise ChSqlError("position(haystack, needle[, start]) needs 2-3 arguments")
+
+
 def _special_numbers(args: list[str]) -> str:
     """numbers(N) / numbers(offset, count) table function
     (src/TableFunctions/TableFunctionNumbers.cpp) → Spark's range() TVF as a
@@ -1187,6 +1235,9 @@ SPECIAL = {
     "date_diff": _special_date_diff,
     "toWeek": _special_to_week,
     "numbers": _special_numbers,
+    "extract": _special_extract,
+    "position": _special_position,
+    "count": lambda args: f"count({', '.join(args)})" if args else "count(*)",
     "multiIf": _special_multi_if,
     "formatDateTime": _special_format_datetime,
     "arrayResize": _special_array_resize,
@@ -1232,6 +1283,13 @@ def rewrite(sql: str, schema_fn=None, types_fn=None) -> str:
     )
     sql = _strip_settings(sql)
     sql = _rewrite_asof_join(sql)
+    # MySQL-style `LIMIT offset, n` (ClickHouse accepts it) → LIMIT/OFFSET;
+    # `LIMIT n, m BY cols` stays with the LIMIT BY rewrite below
+    sql = _masked_sub(
+        re.compile(r"\bLIMIT\s+(\d+)\s*,\s*(\d+)(?!\s*(?:,|BY\b))", re.IGNORECASE),
+        lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}",
+        sql,
+    )
     sql = _rewrite_limit_by(sql)
     sql = _rewrite_with_fill(sql)
     sql = _rewrite_with_totals(sql, types_fn)

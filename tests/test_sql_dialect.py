@@ -659,8 +659,46 @@ def test_every_template_rewrites_to_parseable_sql(spark):
         "formatDateTime": "formatDateTime(a, '%Y-%m-%d')",
         "arrayResize": "arrayResize(a, 3)",
         "toStartOfInterval": "toStartOfInterval(a, INTERVAL 2 HOUR)",
+        "extract": "extract(a, 'x(y)')",
+        "position": "position(a, b)",
+        "count": "count()",
     }
     assert set(special_calls) == set(SPECIAL), "new SPECIAL needs a sweep case"
     for name, call in sorted(special_calls.items()):
         out = rewrite(f"SELECT {call} FROM t")
         parses(out)
+
+
+def test_ansi_collisions_and_mysql_limit(spark):
+    # ANSI EXTRACT(unit FROM ts) passes through; CH extract(s, re) rewrites
+    out = rewrite("SELECT extract(YEAR FROM d) FROM t")
+    assert "extract(YEAR FROM d)" in out
+    out = rewrite("SELECT extract(s, '([0-9]+)') FROM t")
+    assert "regexp_extract(s, '([0-9]+)', 1)" in out
+    # ANSI POSITION(x IN y) passes through; CH position(h, n[, start]) maps
+    out = rewrite("SELECT position(n IN h) FROM t")
+    assert "position(n IN h)" in out
+    out = rewrite("SELECT position(h, n) FROM t")
+    assert "instr(h, n)" in out
+    out = rewrite("SELECT position(h, n, 3) FROM t")
+    assert "locate(n, h, 3)" in out
+    # count() with no args = count(*)
+    r = ch_sql(spark, "SELECT count() AS n FROM numbers(7)").first()
+    assert r.n == 7
+    # MySQL/CH LIMIT offset, n
+    rows = ch_sql(
+        spark, "SELECT number FROM numbers(10) ORDER BY number LIMIT 3, 4"
+    ).collect()
+    assert [r["number"] for r in rows] == [3, 4, 5, 6]
+    # comparison-function names and tuple/arrayElement
+    r2 = ch_sql(
+        spark,
+        "SELECT equals(1, 1) AS e, notEquals(1, 2) AS ne, less(1, 2) AS l,"
+        "       greaterOrEquals(2, 2) AS ge, tuple(1, 'x') AS tp,"
+        "       arrayElement([10, 20], 2) AS ae FROM (SELECT 1)",
+    ).first()
+    assert r2.e and r2.ne and r2.l and r2.ge and r2.ae == 20
+    assert tuple(r2.tp) == (1, "x")
+    # missing arguments now raise instead of emitting bad SQL
+    with pytest.raises(ChSqlError, match="argument"):
+        rewrite("SELECT arraySlice(a, 1) FROM t")
