@@ -120,6 +120,13 @@ def _clause_spans(sql: str) -> dict:
         spans["order"] = (ob.end(), lim.start())
     if lim.group(2):  # LIMIT n BY cols
         spans["limit_by"] = (lim.end(), len(sql))
+    elif sql[lim.end() :].strip():
+        # anything after a bare LIMIT k (e.g. `LIMIT 3, 4`, OFFSET) would be
+        # silently ignored — the supported search shape ends at LIMIT k
+        raise ChSqlError(
+            f"unsupported text after LIMIT in search query: "
+            f"{sql[lim.end():].strip()!r}"
+        )
     return spans
 
 

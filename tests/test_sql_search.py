@@ -130,3 +130,18 @@ def test_search_sql_trailing_settings_stripped(spark):
         "ORDER BY bm25 DESC LIMIT 3 SETTINGS enable_brute_force_vector_search=1",
     ).collect()
     assert {r["id"] for r in rows} == {0, 2}
+
+
+def test_search_sql_rejects_trailing_text_after_limit(spark):
+    with pytest.raises(ChSqlError, match="after LIMIT"):
+        ch_sql(
+            spark,
+            "SELECT id, textsearch(doc, 'a') AS b FROM t_search "
+            "ORDER BY b DESC LIMIT 3, 4",
+        )
+    with pytest.raises(ChSqlError, match="after LIMIT"):
+        ch_sql(
+            spark,
+            "SELECT id, textsearch(doc, 'a') AS b FROM t_search "
+            "ORDER BY b DESC LIMIT 3 OFFSET 2",
+        )
