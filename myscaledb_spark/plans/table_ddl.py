@@ -249,7 +249,11 @@ def insert_into(spark: SparkSession, sql: str) -> int:
 
     body = sql[m.start("rest") :]
     if body[:6].upper() == "VALUES":
-        rows_sql = body[6:].strip()
+        from myscaledb_spark.sql_dialect import _rewrite_array_literals
+
+        # CH VALUES rows use bracket array literals — rewrite like the
+        # SELECT path does (string literals are respected)
+        rows_sql = _rewrite_array_literals(body[6:].strip())
         src = spark.sql(
             f"SELECT * FROM VALUES {rows_sql} AS _ins({', '.join(ins_cols)})"
         )

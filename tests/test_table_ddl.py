@@ -213,3 +213,42 @@ def test_reference_script_shape_end_to_end(spark):
     assert abs(rows[1]["d"] - 3 ** 0.5) < 1e-9           # [0,0,0]
     assert spark.table("test_vector_ref").count() == 100
     ch_script(spark, "DROP TABLE test_vector_ref")
+
+
+def test_reference_00040_script_runs_verbatim(spark):
+    """A trimmed-but-verbatim slice of the reference's own
+    tests/queries/2_vector_search/00040_mqvs_hybrid_search.sql — table DDL
+    with INDEX/CONSTRAINT clauses, quoted-apostrophe INSERT VALUES, then the
+    textsearch and hybridsearch SQL forms — all through ch_script. (Fusion
+    SCORES differ from the reference's printed values because our distance()
+    convention is sqrt-L2; the text-side ranking must agree.)"""
+    from myscaledb_spark.plans.table_ddl import ch_script
+
+    out = ch_script(
+        spark,
+        """
+        DROP TABLE IF EXISTS t_vector_invert;
+        CREATE TABLE t_vector_invert(
+            id UInt64,
+            vector Array(Float32),
+            doc String,
+            INDEX inv_idx(doc) TYPE fts GRANULARITY 1,
+            CONSTRAINT vector_len CHECK length(vector) = 3
+        ) ENGINE = MergeTree ORDER BY id;
+        INSERT INTO t_vector_invert VALUES (0, [0,0,0], 'Ancient empires rise and fall, shaping history''s course.'),(1,[1,1,1], 'Artistic expressions reflect diverse cultural heritages.'),(2,[2,2,2], 'Social movements transform societies, forging new paths.'),(3,[3,3,3], 'Economies fluctuate, reflecting the complex interplay of global forces.'),(4,[4,4,4], 'Strategic military campaigns alter the balance of power.'),(13,[13,13,13], 'Ancient philosophies provide wisdom for modern dilemmas.');
+        SELECT id, textsearch(doc, 'Ancient') as bm25 FROM t_vector_invert ORDER BY bm25 DESC LIMIT 5
+        """,
+    )
+    rows = out.collect()
+    assert {r["id"] for r in rows} == {0, 13}  # the two 'Ancient' docs
+    assert all(r["bm25"] > 0 for r in rows)
+
+    hs = ch_script(
+        spark,
+        "SELECT id, hybridsearch('fusion_type=rsf')(vector, doc, [1.0,1,1], "
+        "'Ancient') as score FROM t_vector_invert "
+        "ORDER BY score DESC, id LIMIT 5",
+    ).collect()
+    assert len(hs) == 5 and hs[0]["score"] >= hs[-1]["score"]
+    assert {r["id"] for r in hs} >= {0, 13}  # text matches always fuse in
+    ch_script(spark, "DROP TABLE t_vector_invert")
