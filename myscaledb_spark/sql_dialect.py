@@ -749,6 +749,54 @@ def _type_default(dtype: str) -> str | None:
     return None  # arrays/maps/structs: keep NULL (documented)
 
 
+_ARRAY_JOIN_RE = re.compile(
+    r"\b(LEFT\s+)?ARRAY\s+JOIN\s+", re.IGNORECASE
+)
+
+
+def _rewrite_array_join(sql: str) -> str:
+    """`FROM t [LEFT] ARRAY JOIN <expr> AS <alias>` → Spark
+    `LATERAL VIEW [OUTER] explode(<expr>) AS <alias>` (ArrayJoinAction.cpp;
+    LEFT keeps rows with empty arrays, emitting NULL — exactly LATERAL VIEW
+    OUTER). Same clause position in both dialects, so the rewrite is
+    in-place. Only the single-array AS-alias form: multiple ARRAY JOIN
+    arrays are ZIPPED positionally in the reference (not crossed), which
+    needs arrays_zip — raise with the pointer; an alias is required because
+    the reference's no-alias form shadows the array column's own name."""
+    mask = _string_mask(sql)
+    out, last = [], 0
+    for m in _ARRAY_JOIN_RE.finditer(mask):
+        # expression extends to the next top-level clause keyword
+        tmask = _top_level_mask(sql)
+        stop = re.compile(
+            r"\b(WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|SETTINGS|UNION|"
+            r"JOIN|LEFT|RIGHT|INNER|FULL|CROSS|ARRAY)\b",
+            re.IGNORECASE,
+        ).search(tmask, m.end())
+        seg_end = stop.start() if stop else len(sql)
+        seg = sql[m.end() : seg_end].strip()
+        if "," in _top_level_mask(seg):
+            raise ChSqlError(
+                "ARRAY JOIN with multiple arrays zips them positionally — "
+                "use arrays_zip + explode (or operators' explode helpers)"
+            )
+        am = re.fullmatch(r"(.+?)\s+AS\s+(\w+)", seg, re.IGNORECASE | re.DOTALL)
+        if am is None:
+            raise ChSqlError(
+                "ARRAY JOIN needs `<expr> AS alias` (the no-alias form "
+                "shadows the source column; name the element explicitly)"
+            )
+        outer = "OUTER " if m.group(1) else ""
+        out.append(sql[last : m.start()])
+        out.append(
+            f" LATERAL VIEW {outer}explode({am.group(1).strip()}) "
+            f"AS {am.group(2)} "
+        )
+        last = seg_end
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def _rewrite_with_totals(sql: str, types_fn=None) -> str:
     """`GROUP BY k1, k2 WITH TOTALS` → `GROUP BY GROUPING SETS ((k1, k2),
     ())` — the totals row is the empty grouping set
@@ -1293,6 +1341,7 @@ def rewrite(sql: str, schema_fn=None, types_fn=None) -> str:
     sql = _rewrite_limit_by(sql)
     sql = _rewrite_with_fill(sql)
     sql = _rewrite_with_totals(sql, types_fn)
+    sql = _rewrite_array_join(sql)
     sql = _rewrite_array_literals(sql)
     return _rewrite_calls(sql)
 

@@ -131,6 +131,7 @@ PRIORITY: list[str] = [
     "ch_sql_with_fill_off_grid",
     "gopher_repetition_docs",
     "dsir_importance_docs",
+    "ch_sql_array_join_clause",
     # --- sentinels from the driver-green novel core (backfill) ---
     "vec_l2_topk",
     "vec_cosine_topk",

@@ -237,3 +237,33 @@ def ch_sql_with_fill_off_grid(spark, sf_dir):
         """,
     )
     return out.select("x", F.coalesce("n", F.lit(0)).alias("n"))
+
+
+@register(
+    "ch_sql_array_join_clause",
+    r"""
+    WITH e AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
+                                t -> len(t) > 0)) AS tok
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT tok, COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM e GROUP BY tok
+    """,
+)
+def ch_sql_array_join_clause(spark, sf_dir):
+    """Verbatim `FROM t ARRAY JOIN <expr> AS alias` clause (the reference's
+    row-expansion syntax, ArrayJoinAction.cpp) rewritten to LATERAL VIEW
+    explode — with a CH function expression inside the clause and WHERE /
+    GROUP BY following it in the reference's clause order."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_caj_docs")
+    return ch_sql(
+        spark,
+        """
+        SELECT tok, count() AS n, cast(min(doc_id) as bigint) AS first_doc
+        FROM _caj_docs ARRAY JOIN tokens(text) AS tok
+        WHERE doc_id < 100
+        GROUP BY tok
+        """,
+    )

@@ -702,3 +702,32 @@ def test_ansi_collisions_and_mysql_limit(spark):
     # missing arguments now raise instead of emitting bad SQL
     with pytest.raises(ChSqlError, match="argument"):
         rewrite("SELECT arraySlice(a, 1) FROM t")
+
+
+def test_array_join_clause(spark):
+    spark.createDataFrame(
+        [(1, [10, 20]), (2, []), (3, [30])], "id long, arr array<int>"
+    ).createOrReplaceTempView("_aj_t")
+    rows = ch_sql(
+        spark,
+        "SELECT id, x FROM _aj_t ARRAY JOIN arr AS x ORDER BY id, x",
+    ).collect()
+    assert [(r["id"], r["x"]) for r in rows] == [(1, 10), (1, 20), (3, 30)]
+    # LEFT ARRAY JOIN keeps empty-array rows with NULL element
+    rows = ch_sql(
+        spark,
+        "SELECT id, x FROM _aj_t LEFT ARRAY JOIN arr AS x ORDER BY id, x",
+    ).collect()
+    assert (2, None) in [(r["id"], r["x"]) for r in rows]
+    # expression form with CH functions inside + WHERE after the clause
+    rows = ch_sql(
+        spark,
+        "SELECT id, t FROM _aj_t ARRAY JOIN arrayMap(v -> v + 1, arr) AS t "
+        "WHERE id = 1 ORDER BY t",
+    ).collect()
+    assert [r["t"] for r in rows] == [11, 21]
+    # guards: multi-array zip and the no-alias shadow form raise
+    with pytest.raises(ChSqlError, match="zip"):
+        rewrite("SELECT a, b FROM t ARRAY JOIN x AS a, y AS b")
+    with pytest.raises(ChSqlError, match="alias"):
+        rewrite("SELECT arr FROM t ARRAY JOIN arr")
