@@ -249,7 +249,13 @@ TEMPLATES: dict[str, str] = {
     "uniq": "approx_count_distinct({0})",
     "uniqExact": "count(distinct {0})",
     "uniqCombined": "approx_count_distinct({0})",
+    "uniqCombined64": "approx_count_distinct({0})",
+    "uniqTheta": "approx_count_distinct({0})",
     "uniqHLL12": "approx_count_distinct({0})",
+    "countDistinct": "count(distinct {*})",
+    "uniqIf": "approx_count_distinct(case when {1} then {0} end)",
+    "uniqExactIf": "count(distinct case when {1} then {0} end)",
+    "now64": "current_timestamp()",
     "groupArray": "collect_list({0})",
     "groupUniqArray": "collect_set({0})",
     "argMax": "max_by({0}, {1})",
@@ -747,6 +753,57 @@ def _type_default(dtype: str) -> str | None:
     ):
         return "0"
     return None  # arrays/maps/structs: keep NULL (documented)
+
+
+def _rewrite_scalar_with(sql: str) -> str:
+    """ClickHouse's scalar WITH clause — `WITH <expr> AS <ident>, ... SELECT
+    ...` (ParserWithElement: the CH-specific alias form, e.g.
+    `WITH (arrayMap(...)) AS v SELECT distance(vec, v) ...`, reference test
+    00036) — has no Spark equivalent: Spark's WITH only takes
+    `ident AS (subquery)`. Scalar items are inlined: every later
+    word-boundary occurrence of the alias (outside string literals) becomes
+    the parenthesized expression. Standard CTE items pass through untouched;
+    mixed lists keep the CTEs and inline the scalars."""
+    head = re.match(r"\s*WITH\b", sql, re.IGNORECASE)
+    if head is None:
+        return sql
+    mask = _top_level_mask(sql)
+    sm = re.search(r"\bSELECT\b", mask, re.IGNORECASE)
+    if sm is None:
+        return sql
+    span = sql[head.end() : sm.start()]
+    items = _split_args(span)
+    if not items:
+        return sql
+    cte_items, scalars = [], []
+    for it in items:
+        s = it.strip()
+        if re.fullmatch(r"\w+\s+AS\s*\(.*\)", s, re.IGNORECASE | re.DOTALL):
+            cte_items.append(s)  # standard CTE: ident AS (subquery)
+            continue
+        m2 = re.fullmatch(r"(.+?)\s+AS\s+(\w+)", s, re.IGNORECASE | re.DOTALL)
+        if m2 is None:
+            return sql  # unrecognized WITH shape — leave for Spark to report
+        scalars.append((m2.group(1).strip(), m2.group(2)))
+    if not scalars:
+        return sql
+    rest = sql[sm.start() :]
+    i = 0
+    while i < len(scalars):
+        expr, ident = scalars[i]
+        # earlier scalars may be referenced by later ones AND by the body
+        repl = f"({expr})"
+        pat = re.compile(rf"\b{re.escape(ident)}\b")
+        cte_items = [_masked_sub(pat, lambda _m: repl, c) for c in cte_items]
+        rest = _masked_sub(pat, lambda _m: repl, rest)
+        for j in range(i + 1, len(scalars)):
+            scalars[j] = (
+                _masked_sub(pat, lambda _m: repl, scalars[j][0]),
+                scalars[j][1],
+            )
+        i += 1
+    prefix = f"WITH {', '.join(cte_items)} " if cte_items else ""
+    return sql[: head.start()] + prefix + rest
 
 
 _ARRAY_JOIN_RE = re.compile(
@@ -1263,6 +1320,22 @@ def _special_position(args: list[str]) -> str:
     raise ChSqlError("position(haystack, needle[, start]) needs 2-3 arguments")
 
 
+def _special_remote(args: list[str]) -> str:
+    """remote('host', db, table) / remote('host', db.table) /
+    cluster('name', db.table) — the reference's scatter table functions
+    (TableFunctionRemote.cpp). Spark owns distribution, so the function
+    reduces to the TABLE itself (last identifier argument, db prefix
+    dropped — temp views are flat)."""
+    if len(args) < 2:
+        raise ChSqlError("remote/cluster need an address and a table")
+    t = args[-1].strip()
+    m = re.fullmatch(r"(?:(\w+)\.)?(\w+)", t)
+    if m is None:
+        # remote('host', db, table) 3-arg form: table is the last arg
+        raise ChSqlError(f"remote/cluster: cannot resolve table from {t!r}")
+    return m.group(2)
+
+
 def _special_numbers(args: list[str]) -> str:
     """numbers(N) / numbers(offset, count) table function
     (src/TableFunctions/TableFunctionNumbers.cpp) → Spark's range() TVF as a
@@ -1283,6 +1356,10 @@ SPECIAL = {
     "date_diff": _special_date_diff,
     "toWeek": _special_to_week,
     "numbers": _special_numbers,
+    "remote": _special_remote,
+    "remoteSecure": _special_remote,
+    "cluster": _special_remote,
+    "clusterAllReplicas": _special_remote,
     "extract": _special_extract,
     "position": _special_position,
     "count": lambda args: f"count({', '.join(args)})" if args else "count(*)",
@@ -1341,6 +1418,7 @@ def rewrite(sql: str, schema_fn=None, types_fn=None) -> str:
     sql = _rewrite_limit_by(sql)
     sql = _rewrite_with_fill(sql)
     sql = _rewrite_with_totals(sql, types_fn)
+    sql = _rewrite_scalar_with(sql)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_array_literals(sql)
     return _rewrite_calls(sql)

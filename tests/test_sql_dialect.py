@@ -662,6 +662,10 @@ def test_every_template_rewrites_to_parseable_sql(spark):
         "extract": "extract(a, 'x(y)')",
         "position": "position(a, b)",
         "count": "count()",
+        "remote": "remote('h', d, t)",
+        "remoteSecure": "remoteSecure('h', d.t)",
+        "cluster": "cluster('c', d.t)",
+        "clusterAllReplicas": "clusterAllReplicas('c', d.t)",
     }
     assert set(special_calls) == set(SPECIAL), "new SPECIAL needs a sweep case"
     for name, call in sorted(special_calls.items()):
@@ -731,3 +735,44 @@ def test_array_join_clause(spark):
         rewrite("SELECT a, b FROM t ARRAY JOIN x AS a, y AS b")
     with pytest.raises(ChSqlError, match="alias"):
         rewrite("SELECT arr FROM t ARRAY JOIN arr")
+
+
+def test_scalar_with_remote_and_uniq_aliases(spark):
+    # CH scalar WITH: expr AS ident inlined at every later reference
+    r = ch_sql(
+        spark,
+        "WITH 5 AS k, k * 2 AS k2 SELECT k + 1 AS a, k2 AS b FROM (SELECT 1)",
+    ).first()
+    assert (r.a, r.b) == (6, 10)
+    # the reference-00036 shape: parenthesized lambda expression as a vector
+    r2 = ch_sql(
+        spark,
+        "WITH (arrayMap(x -> x * 1.0, [1, 2, 3])) AS gv "
+        "SELECT arraySum(gv) AS s, arrayElement(gv, 2) AS e FROM (SELECT 1)",
+    ).first()
+    assert (r2.s, r2.e) == (6.0, 2.0)
+    # mixed: standard CTE kept, scalar inlined
+    r3 = ch_sql(
+        spark,
+        "WITH t AS (SELECT 7 AS v), 100 AS base "
+        "SELECT v + base AS tot FROM t",
+    ).first()
+    assert r3.tot == 107
+    # pure standard CTEs untouched
+    out = rewrite("WITH q AS (SELECT 1 AS x) SELECT x FROM q")
+    assert out.strip().startswith("WITH q AS")
+    # remote()/cluster() scatter table functions reduce to the table
+    spark.createDataFrame([(1,)], "x int").createOrReplaceTempView("_rm_t")
+    assert ch_sql(
+        spark, "SELECT count() AS n FROM remote('127.0.0.1', db, _rm_t)"
+    ).first().n == 1
+    assert ch_sql(
+        spark, "SELECT count() AS n FROM cluster('c1', db._rm_t)"
+    ).first().n == 1
+    # uniq-family aliases
+    r4 = ch_sql(
+        spark,
+        "SELECT countDistinct(number % 3) AS cd, uniqCombined64(number) AS u,"
+        "       uniqExactIf(number, number > 5) AS ue FROM numbers(10)",
+    ).first()
+    assert (r4.cd, r4.ue) == (3, 4) and r4.u > 0
