@@ -210,7 +210,6 @@ TEMPLATES: dict[str, str] = {
     "reverseUTF8": "reverse({0})",
     "translateUTF8": "translate({0}, {1}, {2})",
     "tokens": "filter(split({0}, '[^\\\\p{L}\\\\p{N}]+'), _tk -> length(_tk) > 0)",
-    "range": "sequence(0, {0} - 1)",
     # json
     "JSONArrayLength": "json_array_length({0})",
     "JSONExtractKeys": "json_object_keys({0})",
@@ -1336,6 +1335,20 @@ def _special_remote(args: list[str]) -> str:
     return m.group(2)
 
 
+def _special_range(args: list[str]) -> str:
+    """range(N) / range(start, end[, step]) — CH is END-EXCLUSIVE
+    (FunctionsRange), Spark's sequence is inclusive, so the stop becomes
+    end-1 (exact for step 1; for step s sequence stops at <= end-1, which
+    matches exclusivity)."""
+    if len(args) == 1:
+        return f"sequence(0, ({args[0]}) - 1)"
+    if len(args) == 2:
+        return f"sequence({args[0]}, ({args[1]}) - 1)"
+    if len(args) == 3:
+        return f"sequence({args[0]}, ({args[1]}) - 1, {args[2]})"
+    raise ChSqlError("range(N) / range(start, end[, step])")
+
+
 def _special_numbers(args: list[str]) -> str:
     """numbers(N) / numbers(offset, count) table function
     (src/TableFunctions/TableFunctionNumbers.cpp) → Spark's range() TVF as a
@@ -1363,6 +1376,7 @@ SPECIAL = {
     "extract": _special_extract,
     "position": _special_position,
     "count": lambda args: f"count({', '.join(args)})" if args else "count(*)",
+    "range": _special_range,
     "multiIf": _special_multi_if,
     "formatDateTime": _special_format_datetime,
     "arrayResize": _special_array_resize,

@@ -662,6 +662,7 @@ def test_every_template_rewrites_to_parseable_sql(spark):
         "extract": "extract(a, 'x(y)')",
         "position": "position(a, b)",
         "count": "count()",
+        "range": "range(1, 4)",
         "remote": "remote('h', d, t)",
         "remoteSecure": "remoteSecure('h', d.t)",
         "cluster": "cluster('c', d.t)",

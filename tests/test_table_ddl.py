@@ -252,3 +252,33 @@ def test_reference_00040_script_runs_verbatim(spark):
     assert len(hs) == 5 and hs[0]["score"] >= hs[-1]["score"]
     assert {r["id"] for r in hs} >= {0, 13}  # text matches always fuse in
     ch_script(spark, "DROP TABLE t_vector_invert")
+
+
+def test_reference_00036_with_lambda_verbatim(spark):
+    """The reference's 00036 'Lambda function inside WITH clause' query,
+    verbatim (scalar WITH + arrayMap lambda + range + if + distance):
+    tests/queries/2_vector_search/00036_mqvs_with_clause_process_function.sql."""
+    from myscaledb_spark.plans.table_ddl import ch_script
+
+    out = ch_script(
+        spark,
+        """
+        DROP TABLE IF EXISTS t_wlp;
+        CREATE TABLE t_wlp (id UInt32, vector Array(Float32))
+            ENGINE = MergeTree PRIMARY KEY id;
+        INSERT INTO t_wlp SELECT number, [number, number, number]
+            FROM numbers(10);
+        WITH(
+                arrayMap(x -> ((x / 100.0) * if((x % 2) = 0, -1, 1)), range(1, 4))
+            ) AS generated_vector
+        SELECT id, distance(vector, generated_vector) AS d
+        FROM t_wlp
+        ORDER BY d ASC, id ASC
+        LIMIT 3
+        """,
+    )
+    rows = out.collect()
+    # generated_vector = [0.01, -0.02, 0.03]; nearest rows are the smallest ids
+    assert [r["id"] for r in rows] == [0, 1, 2]
+    assert rows[0]["d"] < rows[1]["d"] < rows[2]["d"]
+    ch_script(spark, "DROP TABLE t_wlp")
