@@ -353,3 +353,59 @@ def ch_script(spark: SparkSession, script: str):
         else:
             result = ch_sql(spark, s)
     return result
+
+
+_ENGINE_NAMES = {
+    "none": "MergeTree",
+    "replacing": "ReplacingMergeTree",
+    "collapsing": "CollapsingMergeTree",
+    "versioned_collapsing": "VersionedCollapsingMergeTree",
+    "summing": "SummingMergeTree",
+}
+
+_SPARK_TO_CH = {
+    "tinyint": "Int8", "smallint": "Int16", "int": "Int32", "bigint": "Int64",
+    "float": "Float32", "double": "Float64", "string": "String",
+    "date": "Date", "timestamp": "DateTime", "boolean": "Bool",
+}
+
+
+def _spark_type_to_ch(t: str) -> str:
+    if t in _SPARK_TO_CH:
+        return _SPARK_TO_CH[t]
+    m = re.fullmatch(r"array<(.*)>", t)
+    if m:
+        return f"Array({_spark_type_to_ch(m.group(1))})"
+    m = re.fullmatch(r"decimal\((\d+),(\d+)\)", t)
+    if m:
+        return f"Decimal({m.group(1)}, {m.group(2)})"
+    return t
+
+
+def show_create_table(table: str) -> str:
+    """≈ SHOW CREATE TABLE — reconstructed ClickHouse DDL from the metadata
+    ch_ddl recorded (InterpreterShowCreateQuery.cpp renders the stored AST
+    the same way). Round-trippable: the output parses back through ch_ddl."""
+    if table not in TABLES:
+        raise ChSqlError(f"table {table!r} was not created via ch_ddl")
+    meta = TABLE_ENGINES[table]
+    cols = ",\n    ".join(
+        f"{c} {_spark_type_to_ch(t)}" for c, t in TABLES[table]["schema"]
+    )
+    eng = _ENGINE_NAMES[meta["kind"]]
+    args = []
+    if meta["kind"] == "collapsing":
+        args = [meta["sign"]]
+    elif meta["kind"] == "versioned_collapsing":
+        args = [meta["sign"], meta["version"]]
+    elif meta["kind"] == "replacing" and meta["version"] != ISEQ:
+        args = [meta["version"]]
+    elif meta["kind"] == "summing" and meta["sum_cols"]:
+        args = ["(" + ", ".join(meta["sum_cols"]) + ")"]
+    engine = eng + (f"({', '.join(args)})" if args else "")
+    out = f"CREATE TABLE {table}\n(\n    {cols}\n)\nENGINE = {engine}"
+    if meta["keys"]:
+        out += f"\nORDER BY ({', '.join(meta['keys'])})"
+    if meta.get("sample_by"):
+        out += f"\nSAMPLE BY {meta['sample_by']}"
+    return out

@@ -282,3 +282,23 @@ def test_reference_00036_with_lambda_verbatim(spark):
     assert [r["id"] for r in rows] == [0, 1, 2]
     assert rows[0]["d"] < rows[1]["d"] < rows[2]["d"]
     ch_script(spark, "DROP TABLE t_wlp")
+
+
+def test_show_create_table_round_trips(spark):
+    from myscaledb_spark.plans.table_ddl import ch_ddl, show_create_table
+
+    ch_ddl(spark, "DROP TABLE IF EXISTS t_sct")
+    ch_ddl(
+        spark,
+        "CREATE TABLE t_sct (k Int64, price Decimal(18, 2), tags Array(String), ver Int64) "
+        "ENGINE = ReplacingMergeTree(ver) ORDER BY k SAMPLE BY k",
+    )
+    ddl = show_create_table("t_sct")
+    assert "ReplacingMergeTree(ver)" in ddl and "ORDER BY (k)" in ddl
+    assert "price Decimal(18, 2)" in ddl and "tags Array(String)" in ddl
+    assert "SAMPLE BY k" in ddl
+    # round trip: the emitted DDL parses back
+    ch_ddl(spark, "DROP TABLE t_sct")
+    ch_ddl(spark, ddl)
+    assert spark.table("t_sct").columns == ["k", "price", "tags", "ver"]
+    ch_ddl(spark, "DROP TABLE t_sct")
