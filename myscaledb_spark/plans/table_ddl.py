@@ -324,13 +324,18 @@ def ch_ddl(spark: SparkSession, sql: str):
     raise ChSqlError(f"unrecognized DDL statement: {s[:80]!r}")
 
 
-def ch_script(spark: SparkSession, script: str):
+def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None):
     """Run a multi-statement ClickHouse SQL script — the shape of the
     reference's own .sql test files (statements separated by top-level
-    semicolons; string literals respected). DDL/DML statements route to
-    ch_ddl, everything else to ch_sql; returns the LAST statement's
-    DataFrame (or the last ch_ddl result when the script ends with DDL)."""
-    from myscaledb_spark.sql_dialect import _string_mask, ch_sql
+    semicolons; string literals respected). Routing per statement:
+    CREATE TABLE / INSERT / DROP TABLE → ch_ddl; ALTER TABLE ... ADD|DROP
+    [VECTOR] INDEX and CREATE VECTOR INDEX → plans/ddl.alter_index_ddl
+    against the statement's table (index artifacts land under
+    ``artifact_dir``, a per-script temp dir by default); everything else →
+    ch_sql. Returns the LAST statement's result."""
+    import tempfile
+
+    from myscaledb_spark.sql_dialect import TABLE_ENGINES, _string_mask, ch_sql
 
     mask = _string_mask(script)
     stmts, last = [], 0
@@ -343,6 +348,30 @@ def ch_script(spark: SparkSession, script: str):
     for stmt in stmts:
         s = stmt.strip()
         if not s or s.startswith("--"):
+            continue
+        im = re.match(
+            r"^\s*(?:ALTER\s+TABLE\s+(?P<t1>\w+)\s+(?:ADD|DROP)\s+(?:VECTOR\s+)?INDEX"
+            r"|CREATE\s+VECTOR\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?\w+\s+ON\s+(?P<t2>\w+))",
+            s,
+            re.IGNORECASE,
+        )
+        if im:
+            from myscaledb_spark.plans.ddl import alter_index_ddl
+
+            table = im.group("t1") or im.group("t2")
+            if artifact_dir is None:
+                artifact_dir = tempfile.mkdtemp(prefix="ch_script_idx_")
+            meta = TABLE_ENGINES.get(table) or {}
+            id_col = (meta.get("keys") or [None])[0]
+            df = spark.table(table)
+            if id_col is None:
+                for c in ("id", "doc_id", "vec_id"):
+                    if c in df.columns:
+                        id_col = c
+                        break
+                else:
+                    id_col = df.columns[0]
+            result = alter_index_ddl(spark, s, df, id_col, artifact_dir)
             continue
         if (
             _CREATE_RE.match(s)

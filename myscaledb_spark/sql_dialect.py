@@ -79,6 +79,10 @@ TEMPLATES: dict[str, str] = {
     ),
     "toRelativeDayNum": "datediff({0}, DATE '1970-01-01')",
     "yesterday": "date_sub(current_date(), 1)",
+    # sleep(n) returns 0 after waiting — reference test scripts call it while
+    # async index builds finish; builds here are synchronous, so no wait
+    "sleep": "({0} * 0)",
+    "sleepEachRow": "({0} * 0)",
     # conversions
     "toInt8": "cast({0} as tinyint)",
     "toInt16": "cast({0} as smallint)",

@@ -302,3 +302,36 @@ def test_show_create_table_round_trips(spark):
     ch_ddl(spark, ddl)
     assert spark.table("t_sct").columns == ["k", "price", "tags", "ver"]
     ch_ddl(spark, "DROP TABLE t_sct")
+
+
+def test_ch_script_index_ddl_and_sleep(spark, tmp_path):
+    """Reference scripts interleave ALTER TABLE ... ADD VECTOR INDEX and
+    SELECT sleep(N) between DDL and queries (00002/00015 shapes) — the
+    script runner routes index DDL to the artifact builders and sleep()
+    maps to a no-wait 0 (builds here are synchronous)."""
+    from myscaledb_spark.plans.table_ddl import ch_script
+    from myscaledb_spark.plans.vector_index import IndexRegistry
+
+    art = str(tmp_path / "script_idx")
+    out = ch_script(
+        spark,
+        """
+        DROP TABLE IF EXISTS t_sidx;
+        CREATE TABLE t_sidx (id UInt64, vector Array(Float32))
+            ENGINE = MergeTree ORDER BY id;
+        INSERT INTO t_sidx SELECT number, [number, number, number] FROM numbers(40);
+        ALTER TABLE t_sidx ADD VECTOR INDEX v1 vector TYPE IVFFLAT('ncentroids=4');
+        SELECT sleep(3);
+        SELECT id, distance(vector, [5.0, 5.0, 5.0]) AS d
+        FROM t_sidx ORDER BY d ASC, id ASC LIMIT 3
+        """,
+        artifact_dir=art,
+    )
+    rows = out.collect()
+    assert [r["id"] for r in rows] == [5, 4, 6]
+    rec = IndexRegistry(art).get("v1")
+    assert rec is not None and rec["status"] == "Built"
+    # DROP VECTOR INDEX routes too
+    ch_script(spark, "ALTER TABLE t_sidx DROP VECTOR INDEX v1", artifact_dir=art)
+    assert IndexRegistry(art).get("v1")["status"] == "Dropped"
+    ch_script(spark, "DROP TABLE t_sidx")
