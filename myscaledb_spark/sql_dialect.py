@@ -232,6 +232,53 @@ TEMPLATES: dict[str, str] = {
     "JSONExtractFloat": "cast(get_json_object({0}, concat('$.', {1})) as double)",
     "JSONHas": "(get_json_object({0}, concat('$.', {1})) is not null)",
     "visitParamExtractString": "get_json_object({0}, concat('$.', {1}))",
+    # URL family (FunctionsURL.h) — same parse_url expressions as the
+    # ch_compat builders, so SQL and DataFrame paths agree exactly
+    "protocol": "parse_url({0}, 'PROTOCOL')",
+    "domain": "parse_url({0}, 'HOST')",
+    "domainWithoutWWW": "regexp_replace(parse_url({0}, 'HOST'), '^www\\\\.', '')",
+    "topLevelDomain": "regexp_extract(parse_url({0}, 'HOST'), '\\\\.([^.]+)$', 1)",
+    "firstSignificantSubdomain": (
+        "regexp_extract(parse_url({0}, 'HOST'), '([^.]+)\\\\.[^.]+$', 1)"
+    ),
+    "path": "parse_url({0}, 'PATH')",
+    "pathFull": (
+        "concat(parse_url({0}, 'PATH'), coalesce(concat('?', "
+        "parse_url({0}, 'QUERY')), ''))"
+    ),
+    "queryString": "parse_url({0}, 'QUERY')",
+    "fragment": "parse_url({0}, 'REF')",
+    "extractURLParameter": "parse_url({0}, 'QUERY', {1})",
+    "cutQueryString": "regexp_replace({0}, '\\\\?.*$', '')",
+    # bit / math names that differ from Spark's
+    "bitCount": "bit_count({0})",
+    "exp2": "power(2.0, {0})",
+    "exp10": "power(10.0, {0})",
+    "intExp2": "cast(power(2.0, {0}) as bigint)",
+    "intExp10": "cast(power(10.0, {0}) as bigint)",
+    # aggregates with name differences
+    "groupBitAnd": "bit_and({0})",
+    "groupBitOr": "bit_or({0})",
+    "groupBitXor": "bit_xor({0})",
+    "sumCount": "struct(sum({0}) as sum, count({0}) as count)",
+    # arrays (expression forms matching the ch_compat builders)
+    "arrayCumSum": (
+        "(aggregate({0}, struct(cast(array() as array<double>) as acc, "
+        "cast(0.0 as double) as run), (s, x) -> struct(concat(s.acc, "
+        "array(s.run + x)) as acc, s.run + x as run), s -> s.acc))"
+    ),
+    "arrayDifference": (
+        "transform(sequence(1, size({0})), i -> CASE WHEN i = 1 THEN 0.0 "
+        "ELSE cast(element_at({0}, i) - element_at({0}, i - 1) as double) END)"
+    ),
+    "arrayCount": "size(filter({1}, {0}))",
+    "arrayZip": "arrays_zip({*})",
+    "concatWithSeparator": "concat_ws({*})",
+    "splitByRegexp": "split({1}, {0})",
+    "multiSearchAny": "exists({1}, _ms -> contains({0}, _ms))",
+    "mapContains": "map_contains_key({0}, {1})",
+    "tupleElement": "{0}.col{1}",
+    "toMonday": "cast(date_trunc('week', {0}) as date)",
     # hash / encoding
     "xxHash64": "xxhash64({0})",
     "cityHash64": "xxhash64({0})",

@@ -777,3 +777,43 @@ def test_scalar_with_remote_and_uniq_aliases(spark):
         "       uniqExactIf(number, number > 5) AS ue FROM numbers(10)",
     ).first()
     assert (r4.cd, r4.ue) == (3, 4) and r4.u > 0
+
+
+def test_url_family_and_array_extras(spark):
+    u = "'https://www.example.co.uk/a/b?x=1&y=2#frag'"
+    r = ch_sql(
+        spark,
+        f"SELECT protocol({u}) AS pr, domain({u}) AS dom,"
+        f"       domainWithoutWWW({u}) AS dw, topLevelDomain({u}) AS tld,"
+        f"       path({u}) AS p, queryString({u}) AS qs,"
+        f"       fragment({u}) AS fr, extractURLParameter({u}, 'y') AS y,"
+        f"       cutQueryString({u}) AS cq FROM (SELECT 1)",
+    ).first()
+    assert r.pr == "https" and r.dom == "www.example.co.uk"
+    assert r.dw == "example.co.uk" and r.tld == "uk"
+    assert r.p == "/a/b" and r.qs == "x=1&y=2" and r.fr == "frag" and r.y == "2"
+    assert r.cq == "https://www.example.co.uk/a/b"
+
+    r2 = ch_sql(
+        spark,
+        "SELECT arrayCumSum([1.0, 2.0, 3.0]) AS cs,"
+        "       arrayDifference([10, 13, 11]) AS df,"
+        "       arrayCount(x -> x > 1, [1, 2, 3]) AS ac,"
+        "       bitCount(7) AS bc, exp2(10) AS e2,"
+        "       multiSearchAny('hello world', ['xyz', 'wor']) AS ms,"
+        "       tupleElement(tuple(7, 'z'), 2) AS te,"
+        "       splitByRegexp('[0-9]+', 'a1b22c') AS sp"
+        "  FROM (SELECT 1)",
+    ).first()
+    assert r2.cs == [1.0, 3.0, 6.0]
+    assert r2.df == [0.0, 3.0, -2.0]
+    assert r2.ac == 2 and r2.bc == 3 and r2.e2 == 1024.0
+    assert r2.ms is True and r2.te == "z" and r2.sp == ["a", "b", "c"]
+
+    r3 = ch_sql(
+        spark,
+        "SELECT groupBitAnd(number) AS ba, groupBitOr(number) AS bo,"
+        "       sumCount(number) AS sc FROM numbers(4)",
+    ).first()
+    assert (r3.ba, r3.bo) == (0, 3)
+    assert (r3.sc["sum"], r3.sc["count"]) == (6, 4)
