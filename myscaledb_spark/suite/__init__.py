@@ -132,6 +132,7 @@ PRIORITY: list[str] = [
     "gopher_repetition_docs",
     "dsir_importance_docs",
     "ch_sql_array_join_clause",
+    "ch_sql_url_funcs",
     # --- sentinels from the driver-green novel core (backfill) ---
     "vec_l2_topk",
     "vec_cosine_topk",

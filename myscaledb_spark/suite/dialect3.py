@@ -267,3 +267,44 @@ def ch_sql_array_join_clause(spark, sf_dir):
         GROUP BY tok
         """,
     )
+
+
+@register(
+    "ch_sql_url_funcs",
+    """
+    SELECT doc_id,
+           'https' AS pr,
+           'www.' || source || '.example.com' AS dom,
+           source || '.example.com' AS dw,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS p,
+           lang AS lang2,
+           'top' AS fr
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def ch_sql_url_funcs(spark, sf_dir):
+    """URL function family through the dialect (FunctionsURL.h):
+    protocol/domain/domainWithoutWWW/path/extractURLParameter/fragment over
+    URLs constructed in-query from table columns; the oracle derives the
+    expected components directly from the same columns, pinning the
+    parse_url decomposition exactly."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_cu_docs")
+    return ch_sql(
+        spark,
+        """
+        WITH u AS (
+          SELECT doc_id, lang,
+                 concat('https://www.', source, '.example.com/docs/',
+                        cast(doc_id as string), '?lang=', lang, '#top') AS url
+          FROM _cu_docs WHERE doc_id < 50
+        )
+        SELECT doc_id,
+               protocol(url) AS pr,
+               domain(url) AS dom,
+               domainWithoutWWW(url) AS dw,
+               path(url) AS p,
+               extractURLParameter(url, 'lang') AS lang2,
+               fragment(url) AS fr
+        FROM u
+        """,
+    )
