@@ -321,6 +321,14 @@ def ch_ddl(spark: SparkSession, sql: str):
     dm = re.match(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", s, re.IGNORECASE)
     if dm:
         return drop_table(spark, dm.group(1))
+    if re.match(r"^\s*CREATE\s+FUNCTION\b", s, re.IGNORECASE):
+        from myscaledb_spark.sql_dialect import create_sql_function
+
+        return create_sql_function(s)
+    if re.match(r"^\s*DROP\s+FUNCTION\b", s, re.IGNORECASE):
+        from myscaledb_spark.sql_dialect import drop_sql_function
+
+        return drop_sql_function(s)
     raise ChSqlError(f"unrecognized DDL statement: {s[:80]!r}")
 
 
@@ -376,7 +384,7 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
         if (
             _CREATE_RE.match(s)
             or _INSERT_RE.match(s)
-            or re.match(r"^\s*DROP\s+TABLE\b", s, re.IGNORECASE)
+            or re.match(r"^\s*(DROP\s+TABLE|CREATE\s+FUNCTION|DROP\s+FUNCTION)\b", s, re.IGNORECASE)
         ):
             result = ch_ddl(spark, s)
         else:

@@ -433,6 +433,65 @@ UNSUPPORTED_SYNTAX = {
 
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
+#: user-defined SQL lambda functions: name → (param names, body text).
+#: The reference's `CREATE FUNCTION f AS (x, y) -> expr` registers an AST
+#: substitution (UserDefinedSQLFunctionFactory.cpp) — exactly what the
+#: rewriter does at call sites: params replaced by the (parenthesized)
+#: arguments, then the body rewritten like any other expression.
+USER_FUNCTIONS: dict[str, tuple[list[str], str]] = {}
+
+_CREATE_FN_RE = re.compile(
+    r"^\s*CREATE\s+FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+AS\s+(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_FN_RE = re.compile(
+    r"^\s*DROP\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.IGNORECASE
+)
+
+
+def create_sql_function(stmt: str) -> str:
+    """Register a `CREATE FUNCTION name AS x -> expr` /
+    `... AS (x, y) -> expr` SQL lambda UDF; returns the name."""
+    m = _CREATE_FN_RE.match(stmt.strip().rstrip(";"))
+    if not m:
+        raise ChSqlError("expected CREATE FUNCTION name AS (params) -> expr")
+    name, lam = m.group(1), m.group(2).strip()
+    am = re.match(
+        r"^(?:\(\s*([\w\s,]*?)\s*\)|(\w+))\s*->\s*(.+)$", lam, re.DOTALL
+    )
+    if not am:
+        raise ChSqlError(f"CREATE FUNCTION body must be a lambda, got {lam!r}")
+    params = (
+        [p.strip() for p in am.group(1).split(",") if p.strip()]
+        if am.group(1) is not None
+        else [am.group(2)]
+    )
+    if name in TEMPLATES or name in SPECIAL or name in PARAMETRIC:
+        raise ChSqlError(f"cannot shadow built-in function {name!r}")
+    USER_FUNCTIONS[name] = (params, am.group(3).strip())
+    return name
+
+
+def drop_sql_function(stmt_or_name: str) -> None:
+    m = _DROP_FN_RE.match(stmt_or_name.strip().rstrip(";"))
+    USER_FUNCTIONS.pop(m.group(1) if m else stmt_or_name, None)
+
+
+def _apply_user_function(name: str, args: list[str], depth: int) -> str:
+    params, body = USER_FUNCTIONS[name]
+    if len(args) != len(params):
+        raise ChSqlError(
+            f"{name}() takes {len(params)} argument(s), got {len(args)}"
+        )
+    if depth > 16:
+        raise ChSqlError(f"user function recursion too deep at {name!r}")
+    out = body
+    for p, a in zip(params, args):
+        out = _masked_sub(
+            re.compile(rf"\b{re.escape(p)}\b"), lambda _m, a=a: f"({a})", out
+        )
+    return _rewrite_calls(f"({out})", depth + 1)
+
 
 class ChSqlError(ValueError):
     pass
@@ -1626,7 +1685,7 @@ def _strip_settings(sql: str) -> str:
     return sql if fm is None else sql[: fm.start()].rstrip()
 
 
-def _rewrite_calls(sql: str) -> str:
+def _rewrite_calls(sql: str, depth: int = 0) -> str:
     """Innermost-first CH function-name rewriting (string-literal aware)."""
     out = []
     i = 0
@@ -1649,7 +1708,7 @@ def _rewrite_calls(sql: str) -> str:
                 j += 1
             if j < len(sql) and sql[j] == "(":
                 call_end = _find_call_end(sql, j)
-                inner = _rewrite_calls(sql[j + 1 : call_end - 1])
+                inner = _rewrite_calls(sql[j + 1 : call_end - 1], depth)
                 args = _split_args(inner)
                 # parametric form name(params)(args)?
                 k = call_end
@@ -1657,7 +1716,7 @@ def _rewrite_calls(sql: str) -> str:
                     k += 1
                 if name in PARAMETRIC and k < len(sql) and sql[k] == "(":
                     call2_end = _find_call_end(sql, k)
-                    inner2 = _rewrite_calls(sql[k + 1 : call2_end - 1])
+                    inner2 = _rewrite_calls(sql[k + 1 : call2_end - 1], depth)
                     real_args = _split_args(inner2)
                     t = PARAMETRIC[name]
                     t = t.replace("{p*}", ", ".join(args))
@@ -1668,7 +1727,9 @@ def _rewrite_calls(sql: str) -> str:
                     out.append(t)
                     i = call2_end
                     continue
-                if name in SPECIAL:
+                if name in USER_FUNCTIONS:
+                    out.append(_apply_user_function(name, args, depth))
+                elif name in SPECIAL:
                     out.append(SPECIAL[name](args))
                 elif name in TEMPLATES:
                     out.append(_apply(TEMPLATES[name], args, name))

@@ -133,6 +133,7 @@ PRIORITY: list[str] = [
     "dsir_importance_docs",
     "ch_sql_array_join_clause",
     "ch_sql_url_funcs",
+    "ch_sql_create_function",
     # --- sentinels from the driver-green novel core (backfill) ---
     "vec_l2_topk",
     "vec_cosine_topk",
@@ -154,7 +155,10 @@ PRIORITY: list[str] = [
     "pack_sequences_docs",
     "bm25_cjk_indexed",
     "multimodal_roundtrip",
-    # --- past the window: driver-green families rotate back in later rounds ---
+    # --- past the window: driver-green families rotate back in later rounds.
+    #     r6 rotation plan: if r5 comes back 50/50, the r6 window should lead
+    #     with the oldest driver records still on r02/r03 evidence (search2 /
+    #     relational3-6 / functions_gate families), then r6 additions ---
     "minhash_signatures",
     "simhash_fingerprints",
     "dedup_clusters",

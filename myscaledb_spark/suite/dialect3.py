@@ -308,3 +308,37 @@ def ch_sql_url_funcs(spark, sf_dir):
         FROM u
         """,
     )
+
+
+@register(
+    "ch_sql_create_function",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(ROUND(o_totalprice * (1 + 0.07), 2) AS DECIMAL(18,2)))
+                AS DOUBLE) AS taxed_total,
+           COUNT(*) AS n
+    FROM orders WHERE o_custkey < 400 GROUP BY 1
+    """,
+)
+def ch_sql_create_function(spark, sf_dir):
+    """`CREATE FUNCTION name AS (params) -> expr` — the reference's SQL
+    lambda UDFs (UserDefinedSQLFunctionFactory.cpp: pure AST substitution at
+    call sites, which is exactly what the dialect does) — defined and then
+    used inside an aggregate; the oracle inlines the same expression."""
+    from myscaledb_spark.sql_dialect import create_sql_function
+
+    create_sql_function(
+        "CREATE FUNCTION gate_taxed AS (p, r) -> round(p * (1 + r), 2)"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_cf_orders")
+    return ch_sql(
+        spark,
+        """
+        SELECT o_orderpriority,
+               cast(sum(cast(gate_taxed(o_totalprice, 0.07) as decimal(18,2)))
+                    as double) AS taxed_total,
+               count() AS n
+        FROM _cf_orders WHERE o_custkey < 400
+        GROUP BY o_orderpriority
+        """,
+    )

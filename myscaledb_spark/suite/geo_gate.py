@@ -158,7 +158,8 @@ def _pip_oracle_sql() -> str:
     return f"""
     WITH pts AS (
       SELECT c_custkey, c_mktsegment,
-             (c_custkey % 97) / 10.0 AS x, (c_custkey % 89) / 10.0 AS y
+             (c_custkey % 97) / 10.0 + 0.0009765625 AS x,
+             (c_custkey % 89) / 10.0 + 0.00048828125 AS y
       FROM customer
     ),
     edges AS (SELECT * FROM (VALUES {edges}) AS e(ax, ay, bx, by)),
@@ -188,11 +189,16 @@ def point_in_polygon_q(spark, sf_dir):
     ring = F.array(
         *[F.struct(F.lit(a).alias("x"), F.lit(b).alias("y")) for a, b in _RING]
     )
+    # the +1/1024, +1/2048 nudges (exact binary fractions, identical on
+    # both engines) move the grid OFF the ring's rational edges: a point
+    # exactly on an edge has ill-defined even-odd parity and the engines'
+    # equal-magnitude double comparisons can break the tie differently
+    # (observed at sf0.1: one customer out of 15k sat on an edge)
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_mktsegment",
-        ((F.col("c_custkey") % 97) / 10.0).alias("x"),
-        ((F.col("c_custkey") % 89) / 10.0).alias("y"),
+        ((F.col("c_custkey") % 97) / 10.0 + 0.0009765625).alias("x"),
+        ((F.col("c_custkey") % 89) / 10.0 + 0.00048828125).alias("y"),
     )
     return (
         c.where(point_in_polygon(F.col("x"), F.col("y"), ring))

@@ -817,3 +817,56 @@ def test_url_family_and_array_extras(spark):
     ).first()
     assert (r3.ba, r3.bo) == (0, 3)
     assert (r3.sc["sum"], r3.sc["count"]) == (6, 4)
+
+
+def test_create_sql_function(spark):
+    from myscaledb_spark.sql_dialect import (
+        USER_FUNCTIONS,
+        create_sql_function,
+        drop_sql_function,
+    )
+
+    create_sql_function("CREATE FUNCTION linear AS (x, k, b) -> k*x + b")
+    create_sql_function("CREATE FUNCTION sq AS x -> x * x")
+    # user functions compose with each other and with CH builtins
+    create_sql_function(
+        "CREATE FUNCTION normsq AS (a, b) -> plus(sq(a), sq(b))"
+    )
+    try:
+        r = ch_sql(
+            spark,
+            "SELECT linear(number, 3, 1) AS l, sq(number) AS s,"
+            "       normsq(number, 2) AS n FROM numbers(4) ORDER BY number",
+        ).collect()
+        assert [tuple(x) for x in r] == [
+            (1, 0, 4), (4, 1, 5), (7, 4, 8), (10, 9, 13),
+        ]
+        # substitution is hygienic: params replace whole words only
+        create_sql_function("CREATE FUNCTION addx AS x -> x + xx")
+        out = rewrite("SELECT addx(5) FROM t")
+        assert "(5) + xx" in out  # param x replaced, xx untouched
+        with pytest.raises(ChSqlError, match="argument"):
+            rewrite("SELECT sq(1, 2) FROM t")
+        with pytest.raises(ChSqlError, match="shadow"):
+            create_sql_function("CREATE FUNCTION toYear AS x -> x")
+    finally:
+        for f in ("linear", "sq", "normsq", "addx"):
+            drop_sql_function(f)
+        assert "sq" not in USER_FUNCTIONS
+
+
+def test_create_function_via_script(spark):
+    from myscaledb_spark.plans.table_ddl import ch_script
+    from myscaledb_spark.sql_dialect import drop_sql_function
+
+    try:
+        out = ch_script(
+            spark,
+            """
+            CREATE FUNCTION taxed AS (p, r) -> p * (1 + r);
+            SELECT round(taxed(100.0, 0.2), 2) AS t FROM (SELECT 1)
+            """,
+        )
+        assert out.first().t == 120.0
+    finally:
+        drop_sql_function("taxed")
