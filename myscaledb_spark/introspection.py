@@ -95,3 +95,20 @@ def system_query_log(spark: SparkSession) -> DataFrame:
         for r in QUERY_LOG
     ]
     return spark.createDataFrame(rows, schema)
+
+
+def system_vector_index_event_log(spark: SparkSession, artifact_dir: str) -> DataFrame:
+    """≈ SELECT * FROM system.vector_index_event_log — the status-transition
+    history the registry records on every set_status
+    (src/VectorIndex/Interpreters/VIEventLog.cpp: NotBuilt → InProgress →
+    Built/Dropped rows with timestamps)."""
+    from myscaledb_spark.plans.vector_index import IndexRegistry
+
+    rows = [
+        (r.get("name"), e.get("status"), float(e.get("event_time", 0.0)))
+        for r in IndexRegistry(artifact_dir).list()
+        for e in r.get("events", [])
+    ]
+    return spark.createDataFrame(
+        rows, "name string, status string, event_time double"
+    )

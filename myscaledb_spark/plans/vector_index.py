@@ -52,8 +52,15 @@ class IndexRegistry:
         rec = {"name": name, "status": status, "updated_at": time.time(), **extra}
         if os.path.exists(self._path(name)):
             old = json.load(open(self._path(name)))
+            events = old.pop("events", [])
             old.update(rec)
             rec = old
+            rec["events"] = events
+        else:
+            rec["events"] = []
+        # status-transition history ≈ system.vector_index_event_log
+        # (src/VectorIndex/Interpreters/VIEventLog.cpp)
+        rec["events"].append({"status": status, "event_time": time.time()})
         json.dump(rec, open(self._path(name), "w"), indent=1)
 
     def get(self, name: str) -> dict | None:

@@ -132,3 +132,20 @@ def test_ivf_search_excludes_deleted(spark, tmp_path):
         id_col="vec_id",
     ).collect()
     assert [r.vec_id for r in masked] == [r.vec_id for r in want]
+
+
+def test_vector_index_event_log(spark, tmp_path):
+    from myscaledb_spark.introspection import system_vector_index_event_log
+    from myscaledb_spark.plans.vector_index import IndexRegistry, build_ivf_index
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    art = str(tmp_path / "evlog")
+    build_ivf_index(emb, "embedding", "vec_id", art, name="ivf", num_centroids=2)
+    IndexRegistry(art).set_status("ivf", "Dropped")
+    log = system_vector_index_event_log(spark, art)
+    statuses = [r["status"] for r in log.orderBy("event_time").collect()]
+    # InProgress -> Built -> Dropped, in order (VIEventLog lifecycle)
+    assert statuses == ["InProgress", "Built", "Dropped"]
