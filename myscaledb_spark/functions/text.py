@@ -472,6 +472,7 @@ def text_search(
     spec=None,
     artifact_dir: str | None = None,
     index_name: str = "fts",
+    where=None,
 ) -> DataFrame:
     """`textsearch` top-k: BM25 scores, ORDER BY score DESC LIMIT k
     (direction fixed-DESC as the reference enforces, TreeRewriter.cpp:1738).
@@ -507,6 +508,8 @@ def text_search(
             out = df.join(F.broadcast(cands), id_col).select(
                 *df.columns, score_name
             )
+            if where is not None:
+                out = out.filter(where)
             return out.orderBy(
                 F.col(score_name).desc(), F.col(id_col).asc()
             ).limit(k)
@@ -520,6 +523,13 @@ def text_search(
     # default; the artifact path (fts_index / artifact_dir routing above) is
     # the real answer when tokenization dominates.
     scored = bm25_scores(df, text_col, query, tokenizer, operator, score_name, spec=spec)
+    if where is not None:
+        # ``where`` is the reference's filtered-search shape: BM25 stats
+        # (df/N/avgdl) stay CORPUS-GLOBAL — the tantivy index computed them
+        # at build time — and the predicate prunes candidates afterwards
+        # (00040 'text search with WHERE clause' prints the same score for
+        # the surviving doc as the unfiltered query does)
+        scored = scored.filter(where)
     order = [F.col(score_name).desc()]
     if id_col:
         order.append(F.col(id_col).asc())

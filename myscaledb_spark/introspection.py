@@ -97,18 +97,199 @@ def system_query_log(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
-def system_vector_index_event_log(spark: SparkSession, artifact_dir: str) -> DataFrame:
+def system_vector_index_event_log(
+    spark: SparkSession, artifact_dir: str | None
+) -> DataFrame:
     """≈ SELECT * FROM system.vector_index_event_log — the status-transition
     history the registry records on every set_status
     (src/VectorIndex/Interpreters/VIEventLog.cpp: NotBuilt → InProgress →
     Built/Dropped rows with timestamps)."""
     from myscaledb_spark.plans.vector_index import IndexRegistry
 
+    # registry lifecycle → the reference's VIEventLog event_type vocabulary
+    # (load/cache events don't exist here: artifacts are read per query, not
+    # cached server-side — documented row-set difference)
+    event_type = {
+        "Defined": "DefinitionCreated",
+        "NotBuilt": "DefinitionCreated",
+        "InProgress": "BuildStart",
+        "Built": "BuildSucceed",
+        "Dropped": "DefinitionDroped",  # [sic] — reference spelling
+    }
     rows = [
-        (r.get("name"), e.get("status"), float(e.get("event_time", 0.0)))
-        for r in IndexRegistry(artifact_dir).list()
+        (
+            "default",
+            r.get("table", ""),
+            r.get("name"),
+            e.get("status"),
+            event_type.get(e.get("status"), e.get("status")),
+            float(e.get("event_time", 0.0)),
+            float(e.get("event_time", 0.0)) * 1e6,
+        )
+        for r in (IndexRegistry(artifact_dir).list() if artifact_dir else [])
         for e in r.get("events", [])
     ]
     return spark.createDataFrame(
-        rows, "name string, status string, event_time double"
+        rows,
+        "database string, table string, name string, status string, "
+        "event_type string, event_time double, event_time_microseconds double",
+    )
+
+
+def system_vector_indices_ddl(
+    spark: SparkSession, artifact_dir: str | None
+) -> DataFrame:
+    """≈ SELECT * FROM system.vector_indices with the REFERENCE's columns
+    (StorageSystemVIs.cpp:40-52: database/table/name/type/expr/total_parts/
+    parts_with_vector_index/small_parts/status/host_name/latest_failed_part/
+    latest_fail_reason) — the shape its own test scripts select. Dropped
+    indexes fall out of the listing, as in the reference. Artifacts here are
+    whole-table (Spark has no part granularity), so total_parts ==
+    parts_with_vector_index == 1 and small_parts == 0 once Built."""
+    import socket
+
+    from myscaledb_spark.plans.vector_index import IndexRegistry
+
+    host = socket.gethostname()
+    rows = [
+        (
+            "default",
+            r.get("table", ""),
+            r.get("name"),
+            (r.get("declared_type") or r.get("index_type") or "FLAT"),
+            r.get("expr")
+            or f"{r.get('name')} {r.get('column', '')} TYPE "
+            f"{r.get('declared_type') or r.get('index_type') or 'FLAT'}",
+            1,
+            1 if r.get("status") == "Built" else 0,
+            0,
+            r.get("status"),
+            host,
+            r.get("latest_failed_part", ""),
+            r.get("latest_fail_reason", ""),
+        )
+        for r in (IndexRegistry(artifact_dir).list() if artifact_dir else [])
+        if r.get("status") != "Dropped"
+    ]
+    return spark.createDataFrame(
+        rows,
+        "database string, table string, name string, type string, expr string, "
+        "total_parts bigint, parts_with_vector_index bigint, small_parts bigint, "
+        "status string, host_name string, latest_failed_part string, "
+        "latest_fail_reason string",
+    )
+
+
+def system_data_skipping_indices(spark: SparkSession) -> DataFrame:
+    """≈ SELECT * FROM system.data_skipping_indices — the skipping-index
+    declarations ch_ddl recorded (StorageSystemDataSkippingIndices.cpp)."""
+    from myscaledb_spark.plans.table_ddl import SKIP_INDICES
+
+    rows = [
+        ("default", t, r["name"], r["type"], r["expr"], r["granularity"])
+        for t, recs in SKIP_INDICES.items()
+        for r in recs
+    ]
+    return spark.createDataFrame(
+        rows,
+        "database string, table string, name string, type string, expr string, "
+        "granularity bigint",
+    )
+
+
+def system_vector_index_segments(
+    spark: SparkSession, artifact_dir: str | None
+) -> DataFrame:
+    """≈ system.vector_index_segments (StorageSystemVIsWithPart.cpp:43-56).
+    Artifacts here are whole-table, so each Built index reports one segment
+    named like the reference's single compact part ('all_1_1_0'); BUILT is
+    the terminal state (we have no LRU cache, so no LOADED/CACHE states)."""
+    from myscaledb_spark.plans.vector_index import IndexRegistry
+
+    rows = [
+        (
+            "default",
+            r.get("table", ""),
+            "all_1_1_0",
+            "all_1_1_0",
+            0,
+            r.get("name"),
+            (r.get("declared_type") or r.get("index_type") or "FLAT"),
+            0,
+            "BUILT",
+            0,
+            0,
+            0,
+            100,
+            0,
+            "",
+        )
+        for r in (IndexRegistry(artifact_dir).list() if artifact_dir else [])
+        if r.get("status") == "Built"
+    ]
+    return spark.createDataFrame(
+        rows,
+        "database string, table string, part string, owner_part string, "
+        "owner_part_id int, name string, type string, dimension int, "
+        "status string, total_vectors bigint, memory_usage_bytes bigint, "
+        "disk_usage_bytes bigint, progress int, elapsed bigint, error string",
+    )
+
+
+def system_parts(spark: SparkSession) -> DataFrame:
+    """≈ system.parts — one active part per ch_ddl table (parts are merged
+    logically on write here; StorageSystemParts.cpp surface, reduced)."""
+    from myscaledb_spark.plans.table_ddl import TABLES
+
+    rows = [
+        ("default", t, "all_1_1_0", 1, int(meta.get("n_parts", 0) > 0))
+        for t, meta in TABLES.items()
+    ]
+    return spark.createDataFrame(
+        rows, "database string, table string, name string, active int, has_rows int"
+    )
+
+
+def system_merge_tree_settings(spark: SparkSession) -> DataFrame:
+    """≈ SELECT name FROM system.merge_tree_settings — the vector-search
+    MergeTree settings the reference registers (MergeTreeSettings.h; the
+    engine accepts them as no-ops, plans/table_ddl._NOOP_SETTINGS)."""
+    names = [
+        "min_rows_to_build_vector_index",
+        "min_bytes_to_build_vector_index",
+        "build_vector_index_on_random_single_replica",
+        "enable_rebuild_for_decouple",
+        "disable_rebuild_for_decouple",
+        "float_vector_search_metric_type",
+        "binary_vector_search_metric_type",
+        "index_granularity",
+        "enable_brute_force_vector_search",
+        "max_rows_in_building_vector_index",
+        "slow_mode_build_vector_index_in_merge",
+    ]
+    return spark.createDataFrame([(n, "") for n in names], "name string, value string")
+
+
+def system_zookeeper(spark: SparkSession) -> DataFrame:
+    """≈ system.zookeeper — replication coordination state; this engine has
+    no ZooKeeper (replication is a no-op), so the listing is empty."""
+    return spark.createDataFrame([], "name string, value string, path string")
+
+
+def system_functions(spark: SparkSession) -> DataFrame:
+    """≈ SELECT name FROM system.functions — every function name the dialect
+    rewrites plus the search/multimodal table functions
+    (StorageSystemFunctions.cpp)."""
+    from myscaledb_spark import sql_dialect as d
+
+    names = set()
+    for attr in ("TEMPLATES", "SPECIAL"):
+        names.update(getattr(d, attr, {}) or {})
+    names.update(getattr(d, "USER_FUNCTIONS", {}) or {})
+    names.update(
+        {"distance", "batch_distance", "textsearch", "hybridsearch",
+         "getObject", "ObjectToFetch", "full_text_search"}
+    )
+    return spark.createDataFrame(
+        [(n,) for n in sorted(names, key=str)], "name string"
     )

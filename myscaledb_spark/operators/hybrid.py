@@ -1,9 +1,11 @@
 """Hybrid search — vector + text candidate generation fused with RSF / RRF.
 
 Reference parity (`src/VectorIndex/Utils/HybridSearchUtils.cpp`):
-  - both searches run with num_candidates = k × hybrid_search_top_k_multiple_base
-    (default 3, `src/Core/Settings.h:921`), then fuse, then top-k DESC
-    (`MergeTreeHybridSearchManager.cpp:114-151`).
+  - single-node: both searches run with the query's top-k, then fuse, then
+    top-k DESC (`MergeTreeHybridSearchManager.cpp:114-151`); the ×3
+    `hybrid_search_top_k_multiple_base` (`Settings.h:921`) is the
+    distributed shard fan-in only. The fused vector score is faiss
+    METRIC_L2 — SQUARED L2 (00040_mqvs_hybrid_search.reference).
   - RRF (RankFusion, HybridSearchUtils.cpp:163-209):
         score = Σ over lists containing the row of 1 / (fusion_k + rank),
     rank 1-based within each candidate list; fusion_k default 60
@@ -35,7 +37,13 @@ from myscaledb_spark.functions.vector import METRIC_ASCENDING
 
 DEFAULT_FUSION_K = 60  # src/Core/Settings.h:920
 DEFAULT_FUSION_WEIGHT = 0.5  # src/Core/Settings.h:919
-DEFAULT_CANDIDATE_MULTIPLE = 3  # src/Core/Settings.h:921
+#: single-node hybrid runs each leg with the query's LIMIT k
+#: (00040_mqvs_hybrid_search.reference arithmetic: exactly k vector
+#: candidates enter the fusion); the ×3 `hybrid_search_top_k_multiple_base`
+#: (Settings.h:921) applies only to the DISTRIBUTED shard fan-in
+#: (HybridSearchUtils.cpp:31 replaceLimitAST), where each shard over-returns
+#: before the global re-fuse — Spark's single plan has no such split.
+DEFAULT_CANDIDATE_MULTIPLE = 1
 
 
 def _ranked(df: DataFrame, score_col: str, ascending: bool, id_col: str) -> DataFrame:
@@ -195,6 +203,12 @@ def fuse_candidates(
     IVF/HNSW/MSTG artifact, or an external retriever."""
     ft = fusion_type.lower()
     asc = METRIC_ASCENDING.get(metric, True)
+    if metric.upper() == "L2":
+        # the reference fuses faiss METRIC_L2 scores, i.e. SQUARED L2
+        # (00040_mqvs_hybrid_search.reference: id0 norm = 1 - 3/27 over
+        # squared candidate distances). Ranking is unchanged (monotone), but
+        # RSF min-max normalization is not — square before normalizing.
+        vec_cand = vec_cand.withColumn("_vdist", F.col("_vdist") * F.col("_vdist"))
 
     if ft == "rrf":
         v = _ranked(vec_cand, "_vdist", asc, id_col).select(

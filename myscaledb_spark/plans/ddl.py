@@ -37,19 +37,22 @@ from myscaledb_spark.errors import InvalidSearchQuery
 
 _ADD_VEC = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+ADD\s+VECTOR\s+INDEX\s+"
-    r"(?P<if_not_exists>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+(?P<col>\w+)\s+"
-    r"TYPE\s+(?P<type>\w+)\s*(?:\((?P<params>.*)\))?\s*$",
+    r"(?P<if_not_exists>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+(?P<col>\w+)"
+    r"(?:\s+TYPE\s+(?P<type>\w+)\s*(?:\((?P<params>.*)\))?)?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_VEC = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+DROP\s+VECTOR\s+INDEX\s+"
-    r"(?P<if_exists>IF\s+EXISTS\s+)?(?P<name>\w+)\s*$",
+    r"^\s*(?:ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+)?DROP\s+VECTOR\s+INDEX\s+"
+    r"(?P<if_exists>IF\s+EXISTS\s+)?(?P<name>\w+)"
+    r"(?:\s+ON\s+(?P<table2>[\w.]+))?\s*$",
     re.IGNORECASE,
 )
+# the indexed column takes both forms: `ON t(col)` and `ON t col`
+# (ParserCreateIndexQuery accepts a bare expression)
 _CREATE_VEC = re.compile(
     r"^\s*CREATE\s+VECTOR\s+INDEX\s+(?P<if_not_exists>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+"
-    r"ON\s+(?P<table>[\w.]+)\s*\(\s*(?P<col>\w+)\s*\)\s+"
-    r"TYPE\s+(?P<type>\w+)\s*(?:\((?P<params>.*)\))?\s*$",
+    r"ON\s+(?P<table>[\w.]+)\s*(?:\(\s*(?P<col>\w+)\s*\)|\s(?P<col2>\w+))"
+    r"(?:\s+TYPE\s+(?P<type>\w+)\s*(?:\((?P<params>.*)\))?)?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _ADD_FTS = re.compile(
@@ -60,17 +63,34 @@ _ADD_FTS = re.compile(
 )
 
 
-def _parse_params(raw: str | None) -> dict[str, str]:
+#: index-build parameter names the reference's parseVSParameters accepts —
+#: anything else is rejected at DDL time (vector_index_parameter_check=1,
+#: the default; 00033_mqvs_incorrect_index_status.sql relies on the error)
+_KNOWN_PARAMS = {
+    "metric_type", "ncentroids", "nprobe", "m", "ef_c", "ef_s",
+    "ef_construction", "ef_search", "alpha", "bits", "pq_m", "ks", "dim",
+    "max_degree", "l_size", "build_quant", "search_quant", "disk_mode",
+}
+
+
+def _parse_params(raw: str | None) -> tuple[dict[str, str], list[str]]:
     """Reference param syntax: a comma list of 'key=value' string literals
-    (00034_mqvs_vector_index_parameter_check.sh)."""
+    (00034_mqvs_vector_index_parameter_check.sh). Returns (params, unknown
+    raw pieces) — the caller decides whether unknown keys fail the DDL or
+    the build (vector_index_parameter_check)."""
     out: dict[str, str] = {}
+    unknown: list[str] = []
     if not raw:
-        return out
+        return out, unknown
     for piece in re.findall(r"'([^']*)'", raw):
         if "=" in piece:
             k, v = piece.split("=", 1)
-            out[k.strip().lower()] = v.strip()
-    return out
+            key = k.strip().lower()
+            if key not in _KNOWN_PARAMS:
+                unknown.append(piece)
+                continue
+            out[key] = v.strip()
+    return out, unknown
 
 
 def alter_index_ddl(
@@ -148,10 +168,49 @@ def alter_index_ddl(
         raise InvalidSearchQuery(f"unrecognized index DDL: {sql!r}")
     if df is None:
         raise InvalidSearchQuery("ADD VECTOR INDEX needs the table DataFrame")
-    name, col = m.group("name"), m.group("col")
-    itype = m.group("type").upper()
-    params = _parse_params(m.group("params"))
-    metric = params.get("metric_type", "L2")
+    name = m.group("name")
+    col = m.groupdict().get("col") or m.groupdict().get("col2")
+    raw_type = m.group("type")
+    params, unknown = _parse_params(m.group("params"))
+    if unknown:
+        from myscaledb_spark.sql_dialect import PARAM_CHECK_DISABLED
+
+        table = (m.groupdict().get("table") or "").split(".")[-1]
+        if table not in PARAM_CHECK_DISABLED:
+            raise InvalidSearchQuery(
+                f"unknown vector index parameter(s) {unknown!r} "
+                "(reference BAD_ARGUMENTS, parseVSParameters.cpp)"
+            )
+        # vector_index_parameter_check=0: the DDL passes and the BUILD
+        # fails — status Error with the reference's fail fields
+        # (00033_mqvs_incorrect_index_status.sql)
+        reg = IndexRegistry(artifact_dir)
+        expr_txt = f"{name} {col} TYPE {m.group('type')}({m.group('params')})"
+        reg.set_status(
+            name, "Error", column=col,
+            index_type=(m.group("type") or "MSTG").upper(),
+            declared_type=m.group("type"), expr=expr_txt,
+            latest_failed_part="all_1_1_0",
+            latest_fail_reason=(
+                "VectorIndex: Error in Build Index, "
+                f"Error(UNSUPPORTED_PARAMETER): Unknown parameter: {unknown[0]}"
+            ),
+        )
+        return reg.get(name)
+    itype = (raw_type or "DEFAULT").upper()
+    expr_type = raw_type or "DEFAULT"  # verbatim, for system.vector_indices
+    if m.group("params") is not None:
+        expr_type = f"{raw_type}({m.group('params')})"
+    is_binary = False
+    if col in df.columns:
+        dt = dict(zip(df.columns, [f.dataType.typeName() for f in df.schema.fields]))[col]
+        is_binary = dt in ("string", "binary")
+    if itype == "DEFAULT":
+        # TYPE omitted / TYPE default resolves to the reference's default
+        # index kind: MSTG for float vectors, BinaryMSTG for FixedString
+        # binary vectors (VIUtils getDefaultIndexType)
+        itype = "BINARYMSTG" if is_binary else "MSTG"
+    metric = params.get("metric_type", "Hamming" if is_binary else "L2")
 
     existing = IndexRegistry(artifact_dir).get(name)
     if existing is not None and existing.get("status") == "Built":
@@ -160,20 +219,41 @@ def alter_index_ddl(
         raise InvalidSearchQuery(f"vector index {name!r} already exists")
 
     # only FLAT (searched via vector_topk) and IVFFLAT take a metric; the
-    # PQ/SQ/HNSW/MSTG analogs are L2-only — fail loudly rather than build a
-    # Cosine-declared index that silently ranks by L2
-    if itype not in ("FLAT", "IVFFLAT") and metric.upper() not in ("L2",):
-        raise InvalidSearchQuery(
-            f"metric_type={metric!r} is not supported for TYPE {itype} in this "
-            "engine (L2 only); FLAT and IVFFLAT support L2/Cosine/IP"
+    # PQ/SQ/HNSW/MSTG analogs are L2-only — a non-L2 declaration falls back
+    # to the exact FLAT path carrying the declared metric (never silently
+    # rank a Cosine/IP-declared index by L2; the reference builds the graph
+    # with the metric, we serve the same results from the exact scan)
+    if itype not in ("FLAT", "IVFFLAT", "BINARYMSTG") and metric.upper() not in ("L2",):
+        reg = IndexRegistry(artifact_dir)
+        reg.set_status(
+            name, "Built", column=col, index_type="FLAT", metric=metric,
+            declared_type=itype, expr=f"{name} {col} TYPE {expr_type}",
         )
+        return reg.get(name)
 
-    if itype == "FLAT":
+    def _annotate_and_get():
+        reg = IndexRegistry(artifact_dir)
+        # system.vector_indices shows the type as WRITTEN in the DDL
+        # ('IVFFlat' stays IVFFlat, 00018), except TYPE default which
+        # resolves to the default kind (00041)
+        display = {"BINARYMSTG": "BinaryMSTG"}.get(itype, itype)
+        if raw_type and raw_type.upper() not in ("DEFAULT",):
+            display = raw_type
+        reg.annotate(
+            name,
+            declared_type=display,
+            expr=f"{name} {col} TYPE {expr_type}",
+        )
+        return reg.get(name)
+
+    if itype in ("FLAT", "BINARYMSTG"):
+        # FLAT is definitionally exact; BinaryMSTG's analog serves binary
+        # vectors (FixedString) from the exact Hamming/Jaccard scan
         reg = IndexRegistry(artifact_dir)
         reg.set_status(
             name, "Built", column=col, index_type="FLAT", metric=metric
         )
-        return reg.get(name)
+        return _annotate_and_get()
     if itype == "IVFFLAT":
         from myscaledb_spark.plans.vector_index import build_ivf_index
 
@@ -218,7 +298,7 @@ def alter_index_ddl(
             f"unknown vector index type {itype!r} (supported: FLAT, IVFFLAT, "
             "IVFPQ, IVFSQ, HNSWFLAT, HNSWPQ, HNSWSQ, MSTG, SCANN)"
         )
-    return IndexRegistry(artifact_dir).get(name)
+    return _annotate_and_get()
 
 
 def search_index(

@@ -175,6 +175,10 @@ def build_hnsw_index(
         name, "InProgress", column=vec_col, index_type="HNSWFLAT",
         params={"m": m, "ef_c": ef_construction, "n_parts": n_parts},
     )
+    if df.limit(2).count() < 2:
+        # index declared before data exists: exact FLAT stand-in
+        reg.set_status(name, "Built", column=vec_col, index_type="FLAT", metric="L2")
+        return reg.get(name)
 
     keyed = df.select(
         (F.col(id_col) % n_parts).cast("int").alias("part_id"),

@@ -105,6 +105,16 @@ def build_mstg_index(
         "_feat", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     n_total = df.count()
+    if n_total < 2:
+        # index declared before data exists (reference DDL-first scripts):
+        # record an exact FLAT stand-in — searches stay correct, and the
+        # status is Built like the reference's trivially-built empty part
+        reg.set_status(name, "Built", column=vec_col, index_type="FLAT", metric="L2")
+        return reg.get(name)
+    # tiny tables (reference tests insert a handful of rows): KMeans needs
+    # k <= n distinct points — clamp rather than fail the DDL
+    num_leaves = max(2, min(num_leaves, n_total))
+    num_top = max(1, min(num_top, num_leaves))
     train_cap = max(num_leaves * 200, 20_000)
     train = (
         feats.sample(fraction=min(1.0, train_cap / max(n_total, 1)), seed=seed)

@@ -87,6 +87,10 @@ def build_pq_index(
     )
 
     n_total = df.count()
+    if n_total < 2:
+        # index declared before data exists: exact FLAT stand-in
+        reg.set_status(name, "Built", column=vec_col, index_type="FLAT", metric="L2")
+        return reg.get(name)
     frac = min(1.0, TRAIN_SAMPLE_CAP / max(n_total, 1))
     sample = (
         df.select(vec_col).sample(fraction=frac, seed=seed).collect()

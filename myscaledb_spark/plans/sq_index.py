@@ -58,7 +58,12 @@ def build_sq_index(
     )
     levels = (1 << bits) - 1  # 255 for int8
 
-    d = len(df.select(vec_col).first()[0])
+    first = df.select(vec_col).first()
+    if first is None:
+        # index declared before data exists: exact FLAT stand-in
+        reg.set_status(name, "Built", column=vec_col, index_type="FLAT", metric="L2")
+        return reg.get(name)
+    d = len(first[0])
     # per-dimension min/max in ONE aggregation pass (2d agg expressions, no
     # explode shuffle — element_at is a cheap projection)
     aggs = []

@@ -56,6 +56,11 @@ _SIMPLE_TYPES = {
     "date": "date", "date32": "date", "datetime": "timestamp",
     "datetime64": "timestamp", "bool": "boolean", "boolean": "boolean",
     "uuid": "string",
+    # ClickHouse type aliases (ParserDataType registers the SQL-standard
+    # names as case-insensitive synonyms)
+    "int": "int", "integer": "int", "bigint": "bigint", "smallint": "smallint",
+    "tinyint": "tinyint", "float": "float", "double": "double",
+    "varchar": "string", "text": "string",
 }
 
 
@@ -70,6 +75,11 @@ def ch_type_to_spark(t: str) -> str:
     m = re.fullmatch(r"array\s*\((.*)\)", low, re.DOTALL)
     if m:
         return f"array<{ch_type_to_spark(m.group(1))}>"
+    m = re.fullmatch(r"map\s*\((.*)\)", low, re.DOTALL)
+    if m:
+        kv = _split_args(m.group(1))
+        if len(kv) == 2:
+            return f"map<{ch_type_to_spark(kv[0])},{ch_type_to_spark(kv[1])}>"
     m = re.fullmatch(r"decimal\s*\((\d+)\s*,\s*(\d+)\)", low)
     if m:
         return f"decimal({m.group(1)},{m.group(2)})"
@@ -79,6 +89,12 @@ def ch_type_to_spark(t: str) -> str:
     m = re.fullmatch(r"datetime64\s*\(.*\)", low)
     if m:
         return "timestamp"
+    # Enum8('a' = 1, 'b' = 2) — values are read back as their names
+    # (DataTypeEnum renders the name on SELECT), so the faithful Spark type
+    # is string; the numeric codes are a storage detail
+    m = re.fullmatch(r"enum(?:8|16)?\s*\(.*\)", low, re.DOTALL)
+    if m:
+        return "string"
     raise ChSqlError(f"unsupported ClickHouse type {t!r}")
 
 
@@ -95,6 +111,72 @@ _INSERT_RE = re.compile(
 #: created tables: name → {"schema": [(col, spark_type)...], "n_parts": int}
 TABLES: dict[str, dict] = {}
 _SEQ: dict[str, int] = {}
+
+#: data-skipping indexes (minmax / bloom_filter / set...) — metadata only:
+#: Spark's parquet scan already does min/max pruning and dictionary/bloom
+#: skipping at the format layer, so these DDLs register the declaration
+#: (≈ system.data_skipping_indices) without a separate artifact.
+#: table → [{"name", "type", "expr", "granularity"}]
+SKIP_INDICES: dict[str, list[dict]] = {}
+
+_SKIP_TYPES = r"(?:minmax|bloom_filter|set|tokenbf_v1|ngrambf_v1|hypothesis|inverted)"
+
+_CREATE_SKIP_RE = re.compile(
+    r"^\s*CREATE\s+INDEX\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+"
+    r"ON\s+(?P<table>\w+)\s*\(\s*(?P<expr>[^)]*)\)\s+"
+    rf"TYPE\s+(?P<type>{_SKIP_TYPES})\s*(?:\((?P<targs>[^)]*)\))?"
+    r"(?:\s+GRANULARITY\s+(?P<gran>\d+))?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_SKIP_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>\w+)\s+ADD\s+INDEX\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+(?P<expr>.+?)\s+"
+    rf"TYPE\s+(?P<type>{_SKIP_TYPES})\s*(?:\((?P<targs>[^)]*)\))?"
+    r"(?:\s+GRANULARITY\s+(?P<gran>\d+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_SKIP_RE = re.compile(
+    r"^\s*(?:DROP\s+INDEX\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>\w+)\s+ON\s+(?P<table>\w+)"
+    r"|ALTER\s+TABLE\s+(?P<table2>\w+)\s+DROP\s+INDEX\s+(?P<ie2>IF\s+EXISTS\s+)?(?P<name2>\w+))\s*$",
+    re.IGNORECASE,
+)
+
+
+def skip_index_ddl(sql: str):
+    """CREATE INDEX / ALTER TABLE ADD INDEX (skipping-index types) and the
+    matching DROPs. Returns the record, or None for a DROP / no-op."""
+    m = _CREATE_SKIP_RE.match(sql) or _ALTER_SKIP_RE.match(sql)
+    if m:
+        table, name = m.group("table"), m.group("name")
+        if table not in TABLES:
+            raise ChSqlError(f"table {table!r} was not created via ch_ddl")
+        lst = SKIP_INDICES.setdefault(table, [])
+        if any(r["name"] == name for r in lst):
+            if m.group("ine"):
+                return next(r for r in lst if r["name"] == name)
+            raise ChSqlError(f"index {name!r} already exists on {table!r}")
+        rec = {
+            "name": name,
+            "type": m.group("type").lower(),
+            "expr": m.group("expr").strip(),
+            "granularity": int(m.group("gran") or 1),
+        }
+        lst.append(rec)
+        return rec
+    m = _DROP_SKIP_RE.match(sql)
+    if m:
+        table = m.group("table") or m.group("table2")
+        name = m.group("name") or m.group("name2")
+        if_exists = m.group("ie") or m.group("ie2")
+        if table not in TABLES:
+            raise ChSqlError(f"table {table!r} was not created via ch_ddl")
+        lst = SKIP_INDICES.get(table, [])
+        hit = [r for r in lst if r["name"] == name]
+        if not hit and not if_exists:
+            raise ChSqlError(f"index {name!r} does not exist on {table!r}")
+        SKIP_INDICES[table] = [r for r in lst if r["name"] != name]
+        return None
+    raise ChSqlError(f"unrecognized index DDL {sql[:80]!r}")
 
 
 def _parse_engine(clause: str) -> tuple[str, list[str]]:
@@ -135,8 +217,49 @@ def create_table(spark: SparkSession, sql: str) -> dict:
     cols_raw, tail = sql[open_idx + 1 : i], sql[i + 1 :]
 
     schema: list[tuple[str, str]] = []
+    inline_indices: list[dict] = []
+    pending_vector: list[str] = []
     for item in _split_args(cols_raw):
         it = item.strip()
+        vm = re.match(
+            r"VECTOR\s+INDEX\s+(?P<name>\w+)\s+(?P<col>\w+)(?P<type>\s+TYPE\s+.+)?$",
+            it, re.IGNORECASE | re.DOTALL,
+        )
+        if vm:
+            # inline vector-index declaration (00041: default indexes in the
+            # CREATE column list) — deferred: built after the first INSERT
+            # lands rows, like the reference's build-on-part-write
+            vname, vcol = vm.group("name"), vm.group("col")
+            seen = [
+                re.match(r"ALTER TABLE \w+ ADD VECTOR INDEX (\w+) (\w+)", p).groups()
+                for p in pending_vector
+            ]
+            if any(n == vname for n, _ in seen):
+                raise ChSqlError(
+                    f"duplicate vector index name {vname!r} (reference LOGICAL_ERROR)"
+                )
+            if any(c == vcol for _, c in seen):
+                raise ChSqlError(
+                    f"multiple vector indexes on column {vcol!r} are not "
+                    "supported (reference NOT_IMPLEMENTED)"
+                )
+            pending_vector.append(
+                f"ALTER TABLE {table} ADD VECTOR INDEX {vname} "
+                f"{vcol}{vm.group('type') or ''}"
+            )
+            continue
+        sm = re.match(
+            rf"INDEX\s+(?P<name>\w+)\s+(?P<expr>.+?)\s+TYPE\s+(?P<type>{_SKIP_TYPES})"
+            r"\s*(?:\([^)]*\))?(?:\s+GRANULARITY\s+(?P<gran>\d+))?$",
+            it, re.IGNORECASE | re.DOTALL,
+        )
+        if sm:
+            inline_indices.append({
+                "name": sm.group("name"), "type": sm.group("type").lower(),
+                "expr": sm.group("expr").strip(),
+                "granularity": int(sm.group("gran") or 1),
+            })
+            continue
         if not it or re.match(r"(CONSTRAINT|INDEX|PRIMARY\s+KEY)\b", it, re.IGNORECASE):
             continue  # constraints/indexes parse but route through their own ops
         cm = re.match(r"(\w+)\s+(.+?)(?:\s+DEFAULT\s+.+)?$", it, re.DOTALL)
@@ -146,7 +269,8 @@ def create_table(spark: SparkSession, sql: str) -> dict:
     if not schema:
         raise ChSqlError("CREATE TABLE needs at least one plain column")
 
-    em = re.search(r"\bENGINE\s*=\s*", tail, re.IGNORECASE)
+    # the `=` is optional in ClickHouse (`engine MergeTree primary key id`)
+    em = re.search(r"\bENGINE\s*=?\s*", tail, re.IGNORECASE)
     if not em:
         raise ChSqlError("CREATE TABLE needs ENGINE = <MergeTree family>")
     ekind_end = re.search(
@@ -170,7 +294,58 @@ def create_table(spark: SparkSession, sql: str) -> dict:
     sample_raw = clause("SAMPLE\\s+BY")
     colnames = [c for c, _ in schema]
 
+    # table-level vector-search metric (MergeTreeSettings.h:183): distance()
+    # SQL on this table resolves its metric through sql_dialect
+    sm = re.search(
+        r"\b(?:float|binary)_vector_search_metric_type\s*=\s*'?(\w+)'?",
+        tail, re.IGNORECASE,
+    )
+    from myscaledb_spark.sql_dialect import PARAM_CHECK_DISABLED, TABLE_VS_METRIC
+
+    if sm:
+        TABLE_VS_METRIC[table] = sm.group(1)
+    else:
+        TABLE_VS_METRIC.pop(table, None)
+    if re.search(r"\bvector_index_parameter_check\s*=\s*0\b", tail, re.IGNORECASE):
+        PARAM_CHECK_DISABLED.add(table)
+    else:
+        PARAM_CHECK_DISABLED.discard(table)
+
     eng = engine.lower()
+    if eng == "distributed":
+        # Distributed(cluster, database, table[, sharding_key]) — a routing
+        # shell over the local table; in Spark every table is already
+        # cluster-wide, so the faithful mapping is a view over the target
+        # (StorageDistributed reads fan out to the same local table)
+        if len(eargs) < 3:
+            raise ChSqlError("Distributed(cluster, database, table) needs 3 args")
+        target = eargs[2].strip().strip("'\"")
+        if target not in TABLES:
+            raise ChSqlError(
+                f"Distributed target table {target!r} was not created via ch_ddl"
+            )
+        spark.table(target).createOrReplaceTempView(table)
+        TABLES[table] = {
+            "schema": TABLES[target]["schema"], "n_parts": 0,
+            "distributed_over": target,
+        }
+        _SEQ[table] = 0
+        meta = dict(TABLE_ENGINES.get(target) or {})
+        register_table_engine(
+            table, meta.get("kind", "none"), meta.get("keys", []),
+            **{k: v for k, v in meta.items() if k not in ("kind", "keys")},
+        )
+        return {"table": table, "engine": engine, "keys": meta.get("keys", []),
+                "schema": TABLES[target]["schema"]}
+    if eng.startswith("replicated"):
+        # ReplicatedXMergeTree('/zk/path', 'replica'[, engine args...]) —
+        # replication is a storage-availability concern with no query
+        # semantics; strip the prefix and the two ZooKeeper-coordinates args
+        # (registerStorageMergeTree.cpp: the replicated variants share the
+        # merge algorithm with their plain twins)
+        eng = eng[len("replicated"):]
+        if len(eargs) >= 2 and all(a.startswith("'") for a in eargs[:2]):
+            eargs = eargs[2:]
     kind, version, sign, sum_cols = "none", None, None, ()
     keys: list[str] = _parse_key_list(order_raw) if order_raw else []
     if eng in ("mergetree", "memory", "tinylog", "log"):
@@ -223,7 +398,10 @@ def create_table(spark: SparkSession, sql: str) -> dict:
         store=store,
     )
     TABLES[table] = {"schema": schema, "n_parts": 0}
+    if pending_vector:
+        TABLES[table]["pending_vector_indices"] = pending_vector
     _SEQ[table] = 0
+    SKIP_INDICES[table] = inline_indices
     return {"table": table, "engine": engine, "keys": keys, "schema": schema}
 
 
@@ -249,11 +427,18 @@ def insert_into(spark: SparkSession, sql: str) -> int:
 
     body = sql[m.start("rest") :]
     if body[:6].upper() == "VALUES":
-        from myscaledb_spark.sql_dialect import _rewrite_array_literals
+        from myscaledb_spark.sql_dialect import (
+            _rewrite_array_literals,
+            _rewrite_calls,
+            _rewrite_map_literals,
+        )
 
-        # CH VALUES rows use bracket array literals — rewrite like the
-        # SELECT path does (string literals are respected)
-        rows_sql = _rewrite_array_literals(body[6:].strip())
+        # CH VALUES rows use bracket array / brace map literals and CH
+        # function names (char(...), toDate(...)) — rewrite like the SELECT
+        # path does (string literals are respected)
+        rows_sql = _rewrite_calls(
+            _rewrite_array_literals(_rewrite_map_literals(body[6:].strip()))
+        )
         src = spark.sql(
             f"SELECT * FROM VALUES {rows_sql} AS _ins({', '.join(ins_cols)})"
         )
@@ -307,20 +492,256 @@ def drop_table(spark: SparkSession, table: str) -> None:
     TABLES.pop(table, None)
     _SEQ.pop(table, None)
     TABLE_ENGINES.pop(table, None)
+    SKIP_INDICES.pop(table, None)
+    from myscaledb_spark.sql_dialect import PARAM_CHECK_DISABLED, TABLE_VS_METRIC
+
+    TABLE_VS_METRIC.pop(table, None)
+    PARAM_CHECK_DISABLED.discard(table)
+
+
+def _strip_backquotes(sql: str) -> str:
+    """ClickHouse identifier quoting: `` `name` `` → ``name`` for plain
+    word identifiers, outside string literals."""
+    from myscaledb_spark.sql_dialect import _string_mask
+
+    mask = _string_mask(sql)
+    out, i = [], 0
+    for m in re.finditer(r"`(\w+)`", sql):
+        if mask[m.start()] == "`":  # not inside a string literal
+            out.append(sql[i : m.start()])
+            out.append(m.group(1))
+            i = m.end()
+    out.append(sql[i:])
+    return "".join(out)
+
+
+#: `SET name = value` server settings that tune storage/build machinery the
+#: Spark engine has no analog for (index build thresholds, mutation sync,
+#: brute-force toggles, experimental flags). Accepted and ignored; any OTHER
+#: setting raises so a semantic setting is never silently dropped.
+_NOOP_SETTINGS = re.compile(
+    r"^(enable_brute_force_vector_search|min_rows_to_build_vector_index|"
+    r"min_bytes_to_build_vector_index|index_granularity|mutations_sync|"
+    r"float_vector_search_metric_type|binary_vector_search_metric_type|"
+    r"max_threads|allow_experimental_[a-z_]+|vector_search_[a-z_]+|"
+    r"max_build_index_train_size|slow_mode_build_vector_index_in_merge|"
+    r"max_rows_in_building_vector_index|enable_rebuild_for_decouple|"
+    r"disable_rebuild_for_decouple|vector_index_parameter_check|"
+    r"allow_vector_search_with_mutations|exact_search_top_k|"
+    r"batch_distance_queue_size|two_stage_search_option|"
+    r"build_vector_index_on_random_single_replica|optimize_trivial_count_query|"
+    r"enable_optimizer|joined_subquery_requires_alias|"
+    r"output_format_pretty_[a-z_]+|max_block_size|min_insert_block_size_rows)$",
+    re.IGNORECASE,
+)
+
+
+def set_statement(sql: str) -> None:
+    """`SET name = value[, ...]` — session settings. Settings with no Spark
+    semantic land in the no-op list; anything else raises (same discipline as
+    the dialect's SETTINGS clause)."""
+    body = re.sub(r"^\s*SET\s+", "", sql.strip().rstrip(";"), flags=re.IGNORECASE)
+    for piece in _split_args(body):
+        am = re.match(r"\s*(\w+)\s*=\s*(.+?)\s*$", piece)
+        if not am:
+            raise ChSqlError(f"cannot parse SET assignment {piece!r}")
+        if not _NOOP_SETTINGS.match(am.group(1)):
+            raise ChSqlError(
+                f"SET {am.group(1)} has a query-semantic effect this engine "
+                "does not emulate — set the Spark conf equivalent instead"
+            )
+
+
+def delete_where(spark: SparkSession, sql: str) -> None:
+    """Lightweight DELETE (`DELETE FROM t WHERE cond`) on a ch_ddl table —
+    the store drops matching rows immediately (the reference's
+    `_row_exists` mask applied eagerly; MutationsInterpreter.cpp)."""
+    m = re.match(
+        r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*?)(?:\s+SETTINGS\s+.*)?$",
+        sql.strip().rstrip(";"),
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ChSqlError(f"cannot parse DELETE statement {sql[:80]!r}")
+    table, cond = m.group(1), m.group(2)
+    if table not in TABLES:
+        raise ChSqlError(f"table {table!r} was not created via ch_ddl")
+    if "distributed_over" in TABLES[table]:
+        raise ChSqlError("DELETE must target the local table, not the Distributed shell")
+    from myscaledb_spark.sql_dialect import ch_sql
+
+    store = f"{table}__store"
+    # NULL-condition rows survive (DELETE removes only cond=true rows);
+    # the condition goes through the full dialect rewrite
+    kept = ch_sql(
+        spark, f"SELECT * FROM {store} WHERE NOT coalesce(({cond}), false)"
+    ).localCheckpoint(eager=True)
+    kept.createOrReplaceTempView(store)
+    spark.sql(f"SELECT * EXCEPT ({ISEQ}) FROM {store}").createOrReplaceTempView(table)
+
+
+def truncate_table(spark: SparkSession, table: str) -> None:
+    """TRUNCATE TABLE — drop every row, keep schema + engine metadata."""
+    if table not in TABLES:
+        raise ChSqlError(f"table {table!r} was not created via ch_ddl")
+    schema = TABLES[table]["schema"]
+    fields = ", ".join(f"{c} {t}" for c, t in schema)
+    store = f"{table}__store"
+    spark.createDataFrame([], f"{fields}, {ISEQ} bigint").createOrReplaceTempView(store)
+    spark.sql(f"SELECT * EXCEPT ({ISEQ}) FROM {store}").createOrReplaceTempView(table)
+    TABLES[table]["n_parts"] = 0
+
+
+def optimize_final(spark: SparkSession, sql: str) -> None:
+    """`OPTIMIZE TABLE t FINAL [DEDUPLICATE]` — run the engine's merge to
+    completion: the store is replaced by its fully-collapsed state, so
+    subsequent plain SELECTs (no FINAL) see merged rows, exactly the
+    reference's post-OPTIMIZE behavior."""
+    m = re.match(
+        r"^\s*OPTIMIZE\s+TABLE\s+(\w+)(?:\s+FINAL)?(?P<dedup>\s+DEDUPLICATE)?\s*$",
+        sql.strip().rstrip(";"),
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ChSqlError(f"cannot parse OPTIMIZE statement {sql[:80]!r}")
+    table = m.group(1)
+    if table not in TABLES:
+        raise ChSqlError(f"table {table!r} was not created via ch_ddl")
+    from myscaledb_spark.sql_dialect import ch_sql
+
+    meta = TABLE_ENGINES.get(table) or {}
+    if meta.get("kind", "none") != "none":
+        merged = ch_sql(spark, f"SELECT * FROM {table} FINAL")
+    else:
+        merged = spark.table(table)
+    if m.group("dedup"):
+        merged = merged.dropDuplicates()
+    store = f"{table}__store"
+    part_no = _SEQ[table]
+    _SEQ[table] = part_no + 1
+    new_store = merged.withColumn(
+        ISEQ,
+        (F.lit(part_no).cast("bigint") * F.lit(1 << 50))
+        + F.monotonically_increasing_id(),
+    ).localCheckpoint(eager=True)
+    new_store.createOrReplaceTempView(store)
+    spark.sql(f"SELECT * EXCEPT ({ISEQ}) FROM {store}").createOrReplaceTempView(table)
+    TABLES[table]["n_parts"] = 1
+
+
+_ALTER_COLS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>\w+)\s+(?=(ADD\s+COLUMN|DROP\s+COLUMN|"
+    r"ADD\s+CONSTRAINT|DROP\s+CONSTRAINT|MODIFY\s+COLUMN|RENAME\s+COLUMN|COMMENT\s+COLUMN))",
+    re.IGNORECASE,
+)
+
+
+def alter_table_columns(spark: SparkSession, sql: str):
+    """ALTER TABLE t ADD COLUMN / DROP COLUMN / ADD CONSTRAINT [, ...] —
+    the reference's mutation-free metadata alters (ParserAlterQuery). ADD
+    COLUMN materializes the DEFAULT expression over existing rows, exactly
+    the reference's read-time default fill."""
+    m = _ALTER_COLS_RE.match(sql)
+    if not m:
+        raise ChSqlError(f"unrecognized ALTER statement {sql[:80]!r}")
+    table = m.group("table")
+    if table not in TABLES:
+        raise ChSqlError(f"table {table!r} was not created via ch_ddl")
+    store = f"{table}__store"
+    for action in _split_args(sql[m.end() :]):
+        a = action.strip()
+        am = re.match(
+            r"ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+"
+            r"(?P<type>\w+(?:\s*\([^)]*\))?)(?:\s+DEFAULT\s+(?P<dflt>.+))?$",
+            a, re.IGNORECASE | re.DOTALL,
+        )
+        if am:
+            name = am.group("name")
+            if any(c == name for c, _ in TABLES[table]["schema"]):
+                continue  # IF NOT EXISTS semantics; duplicate adds are no-ops
+            stype = ch_type_to_spark(am.group("type"))
+            dflt = am.group("dflt")
+            from myscaledb_spark.sql_dialect import rewrite as _rw
+
+            expr = _rw(dflt) if dflt else "NULL"
+            new = spark.sql(
+                f"SELECT *, cast(({expr}) as {stype}) AS {name} FROM {store}"
+            )
+            # keep ISEQ the trailing column (insert_into appends by name, so
+            # order only matters for readability)
+            new.createOrReplaceTempView(store)
+            TABLES[table]["schema"].append((name, stype))
+            spark.sql(
+                f"SELECT * EXCEPT ({ISEQ}) FROM {store}"
+            ).createOrReplaceTempView(table)
+            continue
+        dm = re.match(
+            r"DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)$", a, re.IGNORECASE
+        )
+        if dm:
+            name = dm.group("name")
+            if not any(c == name for c, _ in TABLES[table]["schema"]):
+                continue
+            spark.sql(f"SELECT * EXCEPT ({name}) FROM {store}").createOrReplaceTempView(store)
+            TABLES[table]["schema"] = [
+                (c, t) for c, t in TABLES[table]["schema"] if c != name
+            ]
+            spark.sql(
+                f"SELECT * EXCEPT ({ISEQ}) FROM {store}"
+            ).createOrReplaceTempView(table)
+            continue
+        if re.match(r"(ADD|DROP)\s+CONSTRAINT\b", a, re.IGNORECASE):
+            # CHECK constraints verify on insert in the reference; our
+            # constraint ops live in operators/constraints.py — the DDL
+            # records nothing further here
+            continue
+        raise ChSqlError(f"unsupported ALTER action {a[:60]!r}")
+    return None
 
 
 def ch_ddl(spark: SparkSession, sql: str):
     """Single entry point for the DDL/DML statements ch_sql does not cover:
     CREATE TABLE → metadata dict, INSERT INTO → row count, DROP TABLE →
-    None."""
-    s = sql.strip().rstrip(";")
+    None; plus the mutation/maintenance statements (DELETE, TRUNCATE,
+    OPTIMIZE FINAL, SET, DETACH/ATTACH)."""
+    s = _strip_backquotes(sql.strip().rstrip(";"))
     if _CREATE_RE.match(s):
         return create_table(spark, s)
     if _INSERT_RE.match(s):
         return insert_into(spark, s)
-    dm = re.match(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", s, re.IGNORECASE)
+    dm = re.match(
+        r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*(?:SYNC)?\s*$",
+        s, re.IGNORECASE,
+    )
     if dm:
         return drop_table(spark, dm.group(1))
+    if re.match(r"^\s*SET\s+\w+\s*=", s, re.IGNORECASE):
+        return set_statement(s)
+    if re.match(r"^\s*DELETE\s+FROM\b", s, re.IGNORECASE):
+        return delete_where(spark, s)
+    tm = re.match(
+        r"^\s*TRUNCATE\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*(?:SYNC)?\s*$",
+        s, re.IGNORECASE,
+    )
+    if tm:
+        if tm.group(1).lower().startswith("system."):
+            return None  # system log truncation: ch_script clears the registry log
+        return truncate_table(spark, tm.group(1))
+    if re.match(r"^\s*OPTIMIZE\s+TABLE\b", s, re.IGNORECASE):
+        return optimize_final(spark, s)
+    if _CREATE_SKIP_RE.match(s) or _ALTER_SKIP_RE.match(s) or _DROP_SKIP_RE.match(s):
+        return skip_index_ddl(s)
+    if _ALTER_COLS_RE.match(s):
+        return alter_table_columns(spark, s)
+    am = re.match(
+        r"^\s*(?:DETACH|ATTACH)\s+TABLE\s+(\w+)\s*(?:SYNC)?\s*$", s, re.IGNORECASE
+    )
+    if am:
+        # detach/attach round-trips on-disk state; views + registries are
+        # already durable here, so the pair is a no-op
+        if am.group(1) not in TABLES:
+            raise ChSqlError(f"table {am.group(1)!r} was not created via ch_ddl")
+        return None
     if re.match(r"^\s*CREATE\s+FUNCTION\b", s, re.IGNORECASE):
         from myscaledb_spark.sql_dialect import create_sql_function
 
@@ -357,16 +778,60 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
         s = stmt.strip()
         if not s or s.startswith("--"):
             continue
+        s = _strip_backquotes(s)
+        if artifact_dir is not None:
+            # distance() metric resolution reads the script's index registry
+            import myscaledb_spark.sql_dialect as _dialect
+
+            _dialect.CURRENT_REGISTRY_DIR = artifact_dir
+        if re.match(
+            r"^\s*SYSTEM\s+(FLUSH|RELOAD|DROP\s+\w*CACHE|STOP|START|SYNC|RESTART)\b",
+            s, re.IGNORECASE,
+        ):
+            # maintenance commands for machinery Spark manages itself (log
+            # flushing, merges, background index builds, replication) —
+            # builds here are synchronous, merges are logical: no-ops
+            result = None
+            continue
+        sm = re.match(r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*$", s, re.IGNORECASE)
+        if sm:
+            result = spark.createDataFrame(
+                [(show_create_table(sm.group(1)),)], "statement string"
+            )
+            continue
+        # skipping-index DDL (TYPE minmax/bloom_filter/...) routes to its
+        # metadata registry, never to the vector/FTS artifact builders
+        dsm = _DROP_SKIP_RE.match(s)
+        if (
+            _CREATE_SKIP_RE.match(s)
+            or _ALTER_SKIP_RE.match(s)
+            or (
+                dsm
+                and (
+                    # the standalone `DROP INDEX ... ON t` form is always a
+                    # skipping index in CH; the ALTER form is ambiguous with
+                    # FTS drops, so only route names the skip registry knows
+                    dsm.group("name") is not None
+                    or any(
+                        r["name"] == dsm.group("name2")
+                        for recs in SKIP_INDICES.values() for r in recs
+                    )
+                )
+            )
+        ):
+            result = skip_index_ddl(s)
+            continue
         im = re.match(
             r"^\s*(?:ALTER\s+TABLE\s+(?P<t1>\w+)\s+(?:ADD|DROP)\s+(?:VECTOR\s+)?INDEX"
-            r"|CREATE\s+VECTOR\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?\w+\s+ON\s+(?P<t2>\w+))",
+            r"|CREATE\s+VECTOR\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?\w+\s+ON\s+(?P<t2>\w+)"
+            r"|DROP\s+VECTOR\s+INDEX\s+(?:IF\s+EXISTS\s+)?\w+\s+ON\s+(?P<t3>\w+))",
             s,
             re.IGNORECASE,
         )
         if im:
             from myscaledb_spark.plans.ddl import alter_index_ddl
 
-            table = im.group("t1") or im.group("t2")
+            table = im.group("t1") or im.group("t2") or im.group("t3")
             if artifact_dir is None:
                 artifact_dir = tempfile.mkdtemp(prefix="ch_script_idx_")
             meta = TABLE_ENGINES.get(table) or {}
@@ -380,16 +845,104 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
                 else:
                     id_col = df.columns[0]
             result = alter_index_ddl(spark, s, df, id_col, artifact_dir)
+            if isinstance(result, dict) and result.get("name"):
+                # record the owning table so system.vector_indices can
+                # filter by it (the reference keys the registry per table)
+                from myscaledb_spark.plans.vector_index import IndexRegistry
+
+                try:
+                    IndexRegistry(artifact_dir).annotate(
+                        result["name"], table=table
+                    )
+                except KeyError:
+                    pass  # IF EXISTS drop of a missing index: no record
+            continue
+        if re.match(
+            r"^\s*TRUNCATE\s+TABLE\s+(?:IF\s+EXISTS\s+)?system\.vector_index_event_log\b",
+            s, re.IGNORECASE,
+        ):
+            # clear the registry's event history (VIEventLog truncation)
+            if artifact_dir is not None:
+                from myscaledb_spark.plans.vector_index import IndexRegistry
+
+                IndexRegistry(artifact_dir).clear_events()
+            result = None
             continue
         if (
             _CREATE_RE.match(s)
             or _INSERT_RE.match(s)
-            or re.match(r"^\s*(DROP\s+TABLE|CREATE\s+FUNCTION|DROP\s+FUNCTION)\b", s, re.IGNORECASE)
+            or re.match(
+                r"^\s*(DROP\s+TABLE|CREATE\s+FUNCTION|DROP\s+FUNCTION|SET\s+\w+\s*=|"
+                r"DELETE\s+FROM|TRUNCATE\s+TABLE|OPTIMIZE\s+TABLE|DETACH\s+TABLE|"
+                r"ATTACH\s+TABLE)\b",
+                s, re.IGNORECASE,
+            )
+            or _ALTER_COLS_RE.match(s)
         ):
             result = ch_ddl(spark, s)
+            insm = _INSERT_RE.match(s)
+            if insm and TABLES.get(insm.group("table"), {}).get("pending_vector_indices"):
+                # inline VECTOR INDEX declarations build once data exists
+                from myscaledb_spark.plans.ddl import alter_index_ddl
+                from myscaledb_spark.plans.vector_index import IndexRegistry
+
+                t = insm.group("table")
+                if artifact_dir is None:
+                    artifact_dir = tempfile.mkdtemp(prefix="ch_script_idx_")
+                meta = TABLE_ENGINES.get(t) or {}
+                idc = (meta.get("keys") or ["id"])[0]
+                for ddl_stmt in TABLES[t].pop("pending_vector_indices"):
+                    rec = alter_index_ddl(spark, ddl_stmt, spark.table(t), idc, artifact_dir)
+                    if isinstance(rec, dict) and rec.get("name"):
+                        IndexRegistry(artifact_dir).annotate(rec["name"], table=t)
         else:
+            if re.search(r"\bsystem\.\w+", s, re.IGNORECASE):
+                s = _bind_system_tables(spark, s, artifact_dir)
             result = ch_sql(spark, s)
     return result
+
+
+#: system.<table> names servable as temp views inside ch_script SELECTs
+_SYSTEM_TABLES = ("vector_indices", "data_skipping_indices", "functions",
+                  "vector_index_event_log", "query_log", "tables",
+                  "merge_tree_settings", "zookeeper", "vector_index_segments",
+                  "parts")
+
+
+def _bind_system_tables(spark: SparkSession, s: str, artifact_dir: str | None) -> str:
+    """Rewrite `system.<name>` references to temp views materialized from the
+    live registries (attachSystemTables.cpp analog), so reference test
+    SELECTs over system tables run verbatim."""
+    from myscaledb_spark import introspection as intro
+
+    used = {m.group(1).lower() for m in re.finditer(r"\bsystem\.(\w+)", s, re.IGNORECASE)}
+    for name in used:
+        if name not in _SYSTEM_TABLES:
+            raise ChSqlError(f"system.{name} is not served by this engine")
+        view = f"system_{name}"
+        if name == "vector_indices":
+            intro.system_vector_indices_ddl(spark, artifact_dir).createOrReplaceTempView(view)
+        elif name == "data_skipping_indices":
+            intro.system_data_skipping_indices(spark).createOrReplaceTempView(view)
+        elif name == "functions":
+            intro.system_functions(spark).createOrReplaceTempView(view)
+        elif name == "vector_index_event_log":
+            intro.system_vector_index_event_log(
+                spark, artifact_dir
+            ).createOrReplaceTempView(view)
+        elif name == "query_log":
+            intro.system_query_log(spark).createOrReplaceTempView(view)
+        elif name == "tables":
+            intro.system_tables(spark).createOrReplaceTempView(view)
+        elif name == "merge_tree_settings":
+            intro.system_merge_tree_settings(spark).createOrReplaceTempView(view)
+        elif name == "zookeeper":
+            intro.system_zookeeper(spark).createOrReplaceTempView(view)
+        elif name == "vector_index_segments":
+            intro.system_vector_index_segments(spark, artifact_dir).createOrReplaceTempView(view)
+        elif name == "parts":
+            intro.system_parts(spark).createOrReplaceTempView(view)
+    return re.sub(r"\bsystem\.(\w+)", r"system_\1", s, flags=re.IGNORECASE)
 
 
 _ENGINE_NAMES = {

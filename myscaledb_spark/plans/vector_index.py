@@ -57,22 +57,53 @@ class IndexRegistry:
             rec = old
             rec["events"] = events
         else:
-            rec["events"] = []
+            # a brand-new record is the index definition landing
+            # (VIEventLog: DefinitionCreated precedes the build events);
+            # seq preserves declaration order for the listing (the reference
+            # lists indexes in metadata order, 00041)
+            rec["events"] = [{"status": "Defined", "event_time": time.time()}]
+            existing = [
+                json.load(open(os.path.join(self.dir, f))).get("seq", 0)
+                for f in os.listdir(self.dir)
+                if f.endswith(".json")
+            ]
+            rec["seq"] = (max(existing) if existing else 0) + 1
         # status-transition history ≈ system.vector_index_event_log
         # (src/VectorIndex/Interpreters/VIEventLog.cpp)
         rec["events"].append({"status": status, "event_time": time.time()})
         json.dump(rec, open(self._path(name), "w"), indent=1)
+
+    def annotate(self, name: str, **extra) -> None:
+        """Merge metadata fields into a record WITHOUT a status transition
+        (no event row — e.g. recording the owning table name)."""
+        p = self._path(name)
+        if not os.path.exists(p):
+            raise KeyError(f"no index record {name!r}")
+        rec = json.load(open(p))
+        rec.update(extra)
+        json.dump(rec, open(p, "w"), indent=1)
+
+    def clear_events(self) -> None:
+        """TRUNCATE system.vector_index_event_log — drop the transition
+        history, keep the index records."""
+        for f in os.listdir(self.dir):
+            if f.endswith(".json"):
+                p = os.path.join(self.dir, f)
+                rec = json.load(open(p))
+                rec["events"] = []
+                json.dump(rec, open(p, "w"), indent=1)
 
     def get(self, name: str) -> dict | None:
         p = self._path(name)
         return json.load(open(p)) if os.path.exists(p) else None
 
     def list(self) -> list[dict]:
-        return [
+        recs = [
             json.load(open(os.path.join(self.dir, f)))
             for f in sorted(os.listdir(self.dir))
             if f.endswith(".json")
         ]
+        return sorted(recs, key=lambda r: (r.get("seq", 0), r.get("name") or ""))
 
 
 def build_ivf_index(
@@ -108,6 +139,13 @@ def build_ivf_index(
     # Settings.h:118) — centroid quality needs ~100 points per centroid, not
     # the full table; assignment below still covers every row
     n_total = df.count()
+    if n_total < 2:
+        # index declared before data exists: exact FLAT stand-in (see
+        # mstg_index.py — same DDL-first script shape)
+        reg.set_status(name, "Built", column=vec_col, index_type="FLAT", metric=metric)
+        return reg.get(name)
+    # tiny tables: KMeans needs k <= n points — clamp rather than fail DDL
+    num_centroids = max(2, min(num_centroids, n_total))
     train_cap = max(num_centroids * 200, 20_000)
     train = (
         feats.sample(fraction=min(1.0, train_cap / max(n_total, 1)), seed=seed)

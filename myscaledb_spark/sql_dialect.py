@@ -51,6 +51,14 @@ TEMPLATES: dict[str, str] = {
     "fromUnixTimestamp": "timestamp_seconds({0})",
     "now": "current_timestamp()",
     "today": "current_date()",
+    # single-catalog engine: every ch_ddl table lives in 'default'
+    "currentDatabase": "'default'",
+    # non-deterministic by contract (FunctionsRandom.h) — rand() is the
+    # faithful mapping; chr(32..126) spans the printable-ASCII alphabet
+    "randomPrintableASCII": (
+        "concat_ws('', transform(sequence(1, cast({0} as int)), "
+        "x -> chr(32 + cast(floor(rand() * 95) as int))))"
+    ),
     "addDays": "({0} + make_interval(0, 0, 0, {1}))",
     "addMonths": "add_months({0}, {1})",
     "subtractDays": "({0} - make_interval(0, 0, 0, {1}))",
@@ -340,9 +348,14 @@ TEMPLATES: dict[str, str] = {
         "sqrt(aggregate(zip_with(cast({0} as array<double>), cast({1} as array<double>), "
         "(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, v) -> acc + v))"
     ),
+    # distance() carries the reference's faiss METRIC_L2 semantics: SQUARED
+    # L2 (tests/queries/2_vector_search/00001_mqvs_distance.reference prints
+    # 0.03 for a [0.1,0.1,0.1] offset, not 0.1732). L2Distance (the standard
+    # ClickHouse function) stays true Euclidean. Cosine/IP tables swap this
+    # template via _distance_metric_rewrite.
     "distance": (
-        "sqrt(aggregate(zip_with(cast({0} as array<double>), cast({1} as array<double>), "
-        "(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, v) -> acc + v))"
+        "aggregate(zip_with(cast({0} as array<double>), cast({1} as array<double>), "
+        "(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, v) -> acc + v)"
     ),
     "L2SquaredDistance": (
         "aggregate(zip_with(cast({0} as array<double>), cast({1} as array<double>), "
@@ -384,8 +397,8 @@ PARAMETRIC: dict[str, str] = {
     # the SQL dialect always computes the exact form, so params are accepted
     # and ignored (parseVSParameters.cpp accepts the same strings).
     "distance": (
-        "sqrt(aggregate(zip_with(cast({a0} as array<double>), cast({a1} as array<double>), "
-        "(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, v) -> acc + v))"
+        "aggregate(zip_with(cast({a0} as array<double>), cast({a1} as array<double>), "
+        "(x, y) -> (x - y) * (x - y)), cast(0.0 as double), (acc, v) -> acc + v)"
     ),
     "quantile": "percentile({a0}, {p0})",
     "quantileExact": "percentile({a0}, {p0})",
@@ -557,6 +570,215 @@ def register_table_engine(
         # the hidden insertion-sequence column named by ``order``
         "store": store,
     }
+
+
+#: table-level vector-search metric (CREATE TABLE ... SETTINGS
+#: float_vector_search_metric_type='Cosine' — MergeTreeSettings.h:183);
+#: maintained by plans/table_ddl.create_table
+TABLE_VS_METRIC: dict[str, str] = {}
+
+#: tables created with SETTINGS vector_index_parameter_check=0 — unknown
+#: index params pass DDL and fail the BUILD instead (status=Error), matching
+#: the reference's deferred check (00033_mqvs_incorrect_index_status.sql)
+PARAM_CHECK_DISABLED: set[str] = set()
+
+#: index-registry directory of the currently-running ch_script (set by
+#: plans/table_ddl.ch_script) — lets distance() SQL resolve the metric a
+#: vector index declared via DDL, like the reference's query planner reading
+#: the table's index descriptions
+CURRENT_REGISTRY_DIR: str | None = None
+
+
+def effective_vs_metric(table: str) -> str:
+    """Metric resolution order (MergeTreeVSManager::getVSDescription):
+    Built vector index's declared metric_type → table SETTINGS → L2."""
+    try:
+        from myscaledb_spark.plans.table_ddl import TABLES
+
+        seen = set()
+        while table in TABLES and "distributed_over" in TABLES[table]:
+            if table in seen:
+                break
+            seen.add(table)
+            table = TABLES[table]["distributed_over"]
+    except ImportError:  # pragma: no cover
+        pass
+    if CURRENT_REGISTRY_DIR is not None:
+        from myscaledb_spark.plans.vector_index import IndexRegistry
+
+        for r in IndexRegistry(CURRENT_REGISTRY_DIR).list():
+            if r.get("table") == table and r.get("status") == "Built":
+                m = r.get("metric") or (r.get("params") or {}).get("metric")
+                if m:
+                    return str(m)
+    return TABLE_VS_METRIC.get(table, "L2")
+
+
+#: distance() template per metric (faiss semantics: L2 → squared distance
+#: ASC, Cosine → 1-cos ASC, IP → dot product DESC)
+_METRIC_FN = {"l2": "distance", "cosine": "cosineDistance", "ip": "arrayDotProduct"}
+
+_DIST_CALL_RE = re.compile(r"\bdistance\s*(\('[^)]*\))?\s*\(", re.IGNORECASE)
+
+
+def _distance_metric_and_direction(sql: str) -> str:
+    """Apply the table's vector-search metric to bare `distance()` calls and
+    enforce the reference's ORDER-BY-direction rule (TreeRewriter.cpp /
+    MergeTreeVSManager: L2 & Cosine are min-metrics → ASC only; IP is a
+    max-metric → DESC only; violation is serverError 62)."""
+    mask = _string_mask(sql)
+    calls = [m for m in _DIST_CALL_RE.finditer(sql) if mask[m.start()] == "d"]
+    if not calls:
+        return sql
+    fm = re.search(r"\bFROM\s+(\w+)", _top_level_mask(sql), re.IGNORECASE)
+    metric = "L2"
+    if fm:
+        metric = effective_vs_metric(fm.group(1))
+    ml = metric.lower()
+    if ml not in _METRIC_FN:
+        raise ChSqlError(f"unknown vector-search metric {metric!r}")
+
+    # direction rule — applies to the vector-search shape: distance() in the
+    # SELECT list, ordered by it (directly or via alias), with a LIMIT
+    m0 = calls[0]
+    close = _find_call_end(sql, m0.end() - 1)  # index just past ')'
+    am = re.match(r"\s+AS\s+(\w+)", sql[close:], re.IGNORECASE)
+    alias = am.group(1) if am else None
+    tmask = _top_level_mask(sql)
+    ob = re.search(r"\bORDER\s+BY\b", tmask, re.IGNORECASE)
+    lim = re.search(r"\bLIMIT\s+\d+", tmask, re.IGNORECASE)
+    if ob and lim:
+        key = sql[ob.end() : lim.start()].split(",")[0].strip()
+        refs_dist = bool(
+            re.match(r"distance\s*\(", key, re.IGNORECASE)
+            or (alias and re.match(rf"{re.escape(alias)}\b", key))
+        )
+        if refs_dist:
+            desc = bool(re.search(r"\bDESC\s*$", key, re.IGNORECASE))
+            if ml == "ip" and not desc:
+                raise ChSqlError(
+                    "metric_type=IP ranks by MAXIMUM inner product — ORDER BY "
+                    "the distance alias DESC (reference serverError 62)"
+                )
+            if ml in ("l2", "cosine") and desc:
+                raise ChSqlError(
+                    f"metric_type={metric} ranks by MINIMUM distance — ORDER "
+                    "BY the distance alias ASC (reference serverError 62)"
+                )
+            # lone distance key: break ties by the table's primary key, the
+            # reference's implicit determinism (rows come back in PK order
+            # within equal distances — FinishSortingTransform over parts)
+            keys_text = sql[ob.end() : lim.start()]
+            if ("," not in keys_text and fm
+                    and (TABLE_ENGINES.get(fm.group(1)) or {}).get("keys")):
+                pk = TABLE_ENGINES[fm.group(1)]["keys"][0]
+                if not re.fullmatch(rf"\s*{re.escape(pk)}\s*(ASC|DESC)?\s*", keys_text, re.IGNORECASE):
+                    sql = sql[: lim.start()] + f", {pk} " + sql[lim.start() :]
+    fn = _METRIC_FN[ml]
+    if fn == "distance":
+        return sql
+    # swap the function name (parametric search params tune only the index
+    # path; the exact expression ignores them for every metric alike)
+    out, last = [], 0
+    for m in calls:
+        out.append(sql[last : m.start()])
+        out.append(fn + "(")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+def _sql_literal(v) -> str:
+    """Render a collected scalar as a SQL literal (arrays elementwise)."""
+    import decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, decimal.Decimal):
+        return format(v, "f")
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (list, tuple)):
+        return "array(" + ", ".join(_sql_literal(x) for x in v) + ")"
+    raise ChSqlError(f"cannot inline scalar subquery result of type {type(v).__name__}")
+
+
+def _preeval_vector_subqueries(spark, sql: str) -> str:
+    """Evaluate scalar subqueries appearing as distance()-family arguments
+    and inline the result as a literal. The reference evaluates the scalar
+    subquery before vector search (00025_mqvs_distance_with_subquery,
+    00036 'Scalar Subquery inside WITH clause'); Spark cannot place a
+    subquery expression inside the higher-order function the distance
+    template expands to, so the one-row result is bound here instead —
+    driver-side by design: it is a 1×1 scalar, same as the reference's
+    scalar-subquery pass."""
+    out = sql
+    guard = 0
+    while guard < 16:
+        guard += 1
+        mask = _string_mask(out)
+        hit = None
+        for m in _DIST_CALL_RE.finditer(out):
+            if mask[m.start()] != "d":
+                continue
+            close = _find_call_end(out, m.end() - 1)
+            args = _split_args(out[m.end() : close - 1])
+            off = m.end()
+            for a in args:
+                astr = a.strip()
+                # unwrap redundant outer parens: ((SELECT ...)) from the
+                # scalar-WITH inliner is the same scalar subquery
+                core = astr
+                while (
+                    core.startswith("(")
+                    and core.endswith(")")
+                    and _find_call_end(core, 0) == len(core)
+                    and re.match(r"^\(\s*\(", core, re.DOTALL)
+                ):
+                    core = core[1:-1].strip()
+                if re.match(r"^\(\s*SELECT\b", core, re.IGNORECASE | re.DOTALL):
+                    start = out.index(astr, off, close)
+                    hit = (start, start + len(astr), core)
+                    break
+                off += len(a) + 1
+            if hit:
+                break
+        if hit is None:
+            return out
+        start, end, astr = hit
+        rows = ch_sql(spark, astr[1:-1]).collect()
+        if len(rows) != 1 or len(rows[0]) != 1:
+            raise ChSqlError(
+                "scalar subquery in a distance argument must yield exactly "
+                f"one value, got {len(rows)} row(s)"
+            )
+        out = out[:start] + _sql_literal(rows[0][0]) + out[end:]
+    raise ChSqlError("too many scalar subqueries in distance arguments")
+
+
+def _rewrite_tuple_order_by(sql: str) -> str:
+    """ClickHouse `ORDER BY (a, b) [ASC|DESC]` — tuple comparison is
+    lexicographic, i.e. identical to `ORDER BY a, b` with the direction
+    distributed to every key."""
+    mask = _top_level_mask(sql)
+    m = re.search(r"\bORDER\s+BY\s*\(", mask, re.IGNORECASE)
+    if m is None:
+        return sql
+    close = _find_call_end(sql, m.end() - 1)
+    keys = [k.strip() for k in _split_args(sql[m.end() : close - 1])]
+    if len(keys) < 2:
+        return sql
+    dm = re.match(r"\s*(ASC|DESC)\b", sql[close:], re.IGNORECASE)
+    if dm:
+        d = dm.group(1).upper()
+        keys = [f"{k} {d}" for k in keys]
+        close += dm.end()
+    prefix = sql[: m.start()] + re.sub(r"\s*\($", "", sql[m.start() : m.end()])
+    return _rewrite_tuple_order_by(prefix + " " + ", ".join(keys) + sql[close:])
 
 
 def _final_subquery(table: str, schema_fn) -> str:
@@ -1491,6 +1713,13 @@ SPECIAL = {
     "formatDateTime": _special_format_datetime,
     "arrayResize": _special_array_resize,
     "toStartOfInterval": _special_to_start_of_interval,
+    # char(n1, n2, ...) — one byte per argument, mod 256
+    # (src/Functions/char.cpp); Spark's char takes exactly one code point
+    "char": lambda args: (
+        "concat(" + ", ".join(f"chr(pmod(cast({a} as int), 256))" for a in args) + ")"
+        if args
+        else (_ for _ in ()).throw(ChSqlError("char() needs at least one argument"))
+    ),
 }
 
 # fixed-width convenience bucketing (same epoch alignment)
@@ -1544,8 +1773,36 @@ def rewrite(sql: str, schema_fn=None, types_fn=None) -> str:
     sql = _rewrite_with_totals(sql, types_fn)
     sql = _rewrite_scalar_with(sql)
     sql = _rewrite_array_join(sql)
+    sql = _rewrite_cast_types(sql)
+    sql = _rewrite_map_literals(sql)
     sql = _rewrite_array_literals(sql)
     return _rewrite_calls(sql)
+
+
+#: ClickHouse type name → Spark SQL type, for CAST(x AS <ChType>) and the
+#: postfix x::<ChType> form (same table as plans/table_ddl.ch_type_to_spark;
+#: only the spellings Spark's parser rejects need mapping)
+_CAST_TYPES = {
+    "int8": "TINYINT", "int16": "SMALLINT", "int32": "INT", "int64": "BIGINT",
+    "uint8": "INT", "uint16": "INT", "uint32": "BIGINT", "uint64": "BIGINT",
+    "float32": "FLOAT", "float64": "DOUBLE", "datetime": "TIMESTAMP",
+    "datetime64": "TIMESTAMP", "date32": "DATE", "uuid": "STRING",
+}
+
+_CAST_AS_RE = re.compile(
+    r"\b(AS\s+|::\s*)(" + "|".join(_CAST_TYPES) + r")\b", re.IGNORECASE
+)
+
+
+def _rewrite_cast_types(sql: str) -> str:
+    """CAST(x AS Float64) / x::UInt32 → the Spark type names (every CH
+    numeric spelling Spark's parser rejects; `AS <alias>` collisions are
+    impossible — these are type keywords, not valid aliases worth keeping)."""
+    return _masked_sub(
+        _CAST_AS_RE,
+        lambda m: m.group(1) + _CAST_TYPES[m.group(2).lower()],
+        sql,
+    )
 
 
 def _subscript_base_start(s: str) -> int:
@@ -1575,6 +1832,47 @@ def _subscript_base_start(s: str) -> int:
             continue
         break
     return k
+
+
+def _rewrite_map_literals(sql: str) -> str:
+    """ClickHouse map literals `{'k': 'v', ...}` → Spark `map('k', 'v', ...)`
+    (src/Parsers/ExpressionElementParsers.cpp map literal). Only braces whose
+    first non-space char opens a quoted/numeric key are rewritten — the
+    `{param:Type}` parameterized-query placeholders keep their braces."""
+    mask = _string_mask(sql)
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        if mask[i] == "{":
+            head = re.match(r"\{\s*(['\d\-])", sql[i:])
+            if head:
+                depth, j = 0, i
+                while j < n:
+                    if mask[j] == "{":
+                        depth += 1
+                    elif mask[j] == "}":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                if j < n:
+                    inner = sql[i + 1 : j]
+                    pairs = []
+                    for item in _split_args(inner):
+                        imask = _string_mask(item)
+                        ci = imask.find(":")
+                        if ci < 0:
+                            pairs = None
+                            break
+                        pairs += [item[:ci].strip(), item[ci + 1 :].strip()]
+                    if pairs is not None:
+                        out.append(
+                            "map(" + ", ".join(_rewrite_map_literals(p) for p in pairs) + ")"
+                        )
+                        i = j + 1
+                        continue
+        out.append(sql[i])
+        i += 1
+    return "".join(out)
 
 
 def _rewrite_array_literals(sql: str) -> str:
@@ -1757,6 +2055,26 @@ def ch_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataFrame
     if handled is not None:
         log_query(sql, "<search-operator plan>", (_time.perf_counter() - t0) * 1e3, "search")
         return handled
+    em = re.match(r"^\s*EXPLAIN\s+SYNTAX\s+", sql, re.IGNORECASE)
+    if em:
+        # EXPLAIN SYNTAX prints the rewritten query (InterpreterExplainQuery
+        # QueryKind::Syntax) — here that is the Spark SQL the shim emits
+        translated = rewrite(
+            sql[em.end() :],
+            schema_fn=lambda t: spark.table(t).columns,
+            types_fn=lambda t: {
+                f.name: f.dataType.simpleString() for f in spark.table(t).schema.fields
+            },
+        )
+        return spark.createDataFrame(
+            [(line,) for line in (translated.splitlines() or [translated])],
+            "explain string",
+        )
+    sql = _rewrite_scalar_with(sql)
+    sql = _rewrite_tuple_order_by(sql)
+    if _DIST_CALL_RE.search(sql):
+        sql = _preeval_vector_subqueries(spark, sql)
+    sql = _distance_metric_and_direction(sql)
     translated = rewrite(
         sql,
         schema_fn=lambda t: spark.table(t).columns,

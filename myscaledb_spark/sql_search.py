@@ -20,10 +20,12 @@ can paste their query unchanged:
     SELECT id, batch_distance(vec, [[..],[..]]) AS dist
     FROM t [WHERE p] ORDER BY dist.1, dist.2 LIMIT 10 BY dist.1
 
-Semantics notes (documented deviations):
-  - WHERE runs BEFORE scoring (our filtered-search convention — BM25 stats
-    come from the filtered set; the reference's index-backed stats are
-    corpus-global).
+Semantics notes:
+  - textsearch WHERE prunes AFTER scoring: BM25 stats stay corpus-global,
+    matching the reference's index-backed filtered search (00040 'text
+    search with WHERE clause'). hybridsearch/batch_distance filter before
+    candidate generation, which is observably identical for fusion (the
+    candidate lists are filtered either way).
   - batch_distance's tuple column is a struct with fields ``q`` (0-based
     query index) and ``d`` (distance); ``dist.1`` / ``dist.2`` in ORDER BY /
     LIMIT BY are recognized and mapped (Spark cannot name struct fields
@@ -73,6 +75,40 @@ def maybe_search_query(spark: SparkSession, sql: str) -> DataFrame | None:
             "query is rejected (reference serverError 62)"
         )
     kind = hits[0].group(1).lower()
+    # wrapper shape: SELECT <cols> FROM ( <search query> ) [...] — the
+    # reference projects over a search subquery (00025_mqvs_distance_with_
+    # subquery 'batch distance', 00040 'with_subquery'); run the inner search
+    # and let the outer query read it as a view
+    tmask = _top_level_mask(sql)
+    fm = None
+    for cand in re.finditer(r"\bFROM\b", tmask, re.IGNORECASE):
+        nxt = re.match(r"\s*\(", sql[cand.end() :])
+        if nxt:  # the '(' itself is masked, so probe the original text
+            fm = cand
+            open_idx = cand.end() + nxt.end() - 1
+            break
+    if fm is not None:
+        close = _find_call_end(sql, open_idx)
+        if all(open_idx < h.start() < close for h in hits):
+            from myscaledb_spark.sql_dialect import ch_sql
+
+            inner = sql[open_idx + 1 : close - 1]
+            inner_df = maybe_search_query(spark, inner)
+            if inner_df is None:  # pragma: no cover — hits guarantee a shape
+                raise ChSqlError("unrecognized search subquery shape")
+            inner_df.createOrReplaceTempView("__search_inner__")
+            am = re.match(r"\s*(?:AS\s+)?(\w+)", sql[close:], re.IGNORECASE)
+            alias = ""
+            rest = sql[close:]
+            if am and am.group(1).upper() not in (
+                "WHERE", "ORDER", "LIMIT", "GROUP", "HAVING", "UNION",
+            ):
+                alias = " " + am.group(0).strip()
+                rest = sql[close + am.end() :]
+            return ch_sql(
+                spark,
+                sql[: fm.start()] + " FROM __search_inner__" + alias + rest,
+            )
     try:
         return _run(spark, sql, kind)
     except (ChSqlError, InvalidSearchQuery):
@@ -242,9 +278,12 @@ def _run(spark: SparkSession, sql: str, kind: str) -> DataFrame:
     params, args, alias = _parse_call(item, kind)
     df = spark.table(table)
     id_col = _infer_id_col(table, df.columns)
+    where_col = None
     if spans["where"]:
         pred = sql[spans["where"][0] : spans["where"][1]].strip()
-        df = df.filter(F.expr(_rewrite_calls(pred)))
+        where_col = F.expr(_rewrite_calls(pred))
+        if kind != "textsearch":
+            df = df.filter(where_col)
     k = spans["limit_n"]
     order_text = sql[spans["order"][0] : spans["order"][1]].strip() if spans["order"] else None
 
@@ -255,9 +294,26 @@ def _run(spark: SparkSession, sql: str, kind: str) -> DataFrame:
             raise ChSqlError("textsearch parameters are not supported in SQL")
         if len(args) != 2:
             raise ChSqlError("textsearch(text_column, 'query') needs 2 args")
-        col = _ident_arg(args[0], "textsearch column")
+        if re.fullmatch(_IDENT, args[0].strip()):
+            col = args[0].strip()
+        else:
+            # expression argument (e.g. textsearch(mapKeys(doc_map), ...),
+            # 00040 'text search with map column') — derive a text column
+            col = "_ts_text"
+            df = df.withColumn(col, F.expr(_rewrite_calls(args[0])))
         query = _unquote(args[1], "textsearch")
-        out = text_search(df, col, query, k, id_col=id_col, score_name=alias)
+        dtypes = dict(df.dtypes)
+        if dtypes.get(col, "").startswith("array<"):
+            # Array(String) text columns: the reference's Tantivy index
+            # treats the array as one multi-value text field
+            # (00040 'text search with array column') — concatenate
+            df = df.withColumn(col, F.array_join(F.col(col), " "))
+        # the predicate prunes AFTER scoring: BM25 stats stay corpus-global,
+        # like the reference's index-backed filtered search (00040 'text
+        # search with WHERE clause' keeps the unfiltered score)
+        out = text_search(
+            df, col, query, k, id_col=id_col, score_name=alias, where=where_col
+        )
         sel = plain + [alias] if plain else [id_col, alias]
         return _apply_order(out.select(*sel), alias, order_text, id_col)
 
@@ -289,8 +345,38 @@ def _run(spark: SparkSession, sql: str, kind: str) -> DataFrame:
             )
         vec_col = _ident_arg(args[0], "hybridsearch vector column")
         text_col = _ident_arg(args[1], "hybridsearch text column")
-        qvec = _parse_vec_literal(args[2])
         qtext = _unquote(args[3], "hybridsearch")
+        if not args[2].strip().startswith("["):
+            # binary-vector hybrid (00040 'on binary vector'): the query
+            # vector is a FixedString expression (char(1,1,1)); the dense
+            # leg ranks by Hamming distance, fused exactly like L2 but
+            # without the squared-metric mapping (Hamming IS the score)
+            from myscaledb_spark.functions.text import text_search
+            from myscaledb_spark.functions.vector import hamming_distance
+            from myscaledb_spark.operators.hybrid import fuse_candidates
+
+            qval = spark.sql(f"SELECT {_rewrite_calls(args[2])}").first()[0]
+            qbytes = qval if isinstance(qval, (bytes, bytearray)) else str(qval).encode("utf-8")
+            vec_cand = (
+                df.select(id_col, hamming_distance(vec_col, bytes(qbytes)).alias("_vdist"))
+                .filter(F.col("_vdist").isNotNull())
+                .orderBy(F.col("_vdist").asc(), F.col(id_col).asc())
+                .limit(k)
+            )
+            txt_cand = (
+                text_search(df, text_col, qtext, k, id_col=id_col, score_name="_bm25")
+                .select(id_col, "_bm25")
+            )
+            out = fuse_candidates(
+                vec_cand, txt_cand, k, id_col,
+                fusion_type=opts["fusion_type"], metric="Hamming",
+                fusion_weight=float(opts.get("fusion_weight", DEFAULT_FUSION_WEIGHT)),
+                fusion_k=int(opts.get("fusion_k", DEFAULT_FUSION_K)),
+                score_name=alias,
+            )
+            sel = (plain if plain else [id_col]) + [alias]
+            return _apply_order(out.select(*sel), alias, order_text, id_col)
+        qvec = _parse_vec_literal(args[2])
         # dense_nprobe tunes the reference's index probe; the SQL shim runs
         # the exact path, so it is accepted and ignored (parseVSParameters.cpp
         # accepts the same strings on the exact fallback)
@@ -324,7 +410,22 @@ def _run(spark: SparkSession, sql: str, kind: str) -> DataFrame:
     if len(args) != 2:
         raise ChSqlError("batch_distance(vec_col, [[q1...], [q2...]]) needs 2 args")
     vec_col = _ident_arg(args[0], "batch_distance vector column")
-    qvecs = _parse_nested_vec_literal(args[1])
+    qv_text = args[1].strip()
+    while re.match(r"^\(\s*\(", qv_text, re.DOTALL) and _find_call_end(qv_text, 0) == len(qv_text):
+        qv_text = qv_text[1:-1].strip()
+    if re.match(r"^\(\s*SELECT\b", qv_text, re.IGNORECASE | re.DOTALL):
+        # scalar subquery query-set (00025 'batch distance'): the reference
+        # evaluates it up front — a 1×1 scalar, driver-side by design
+        from myscaledb_spark.sql_dialect import ch_sql
+
+        rows = ch_sql(spark, qv_text[1:-1]).collect()
+        if len(rows) != 1 or len(rows[0]) != 1:
+            raise ChSqlError(
+                "batch_distance scalar subquery must yield one nested array"
+            )
+        qvecs = [[float(x) for x in v] for v in rows[0][0]]
+    else:
+        qvecs = _parse_nested_vec_literal(args[1])
     if spans["limit_by"] is None:
         raise InvalidSearchQuery(
             f"batch_distance needs `LIMIT n BY {alias}.1` (per-query top-n, "
@@ -346,7 +447,12 @@ def _run(spark: SparkSession, sql: str, kind: str) -> DataFrame:
                 f"[DESC]`, got {order_text!r}"
             )
     out = batch_vector_topk(
-        df, vec_col, qvecs, k, metric=metric, id_col=id_col,
+        df, vec_col, qvecs, k,
+        # SQL batch_distance carries the reference's faiss METRIC_L2
+        # semantics — SQUARED L2 (00002_mqvs_batch_distance.reference);
+        # the API operator keeps the explicit metric names
+        metric=("L2Squared" if metric == "L2" else metric),
+        id_col=id_col,
         dist_name="_bd", query_id_name="_bq",
     )
     tup = F.struct(F.col("_bq").alias("q"), F.col("_bd").alias("d")).alias(alias)

@@ -42,10 +42,12 @@ def ch_sql_monthly_stats(spark, sf_dir):
     "ch_sql_vector_search",
     """
     WITH scored AS (
+      -- squared L2: SQL distance() carries faiss METRIC_L2 semantics
+      -- (00001_mqvs_distance.reference prints 0.03 for a 0.1^2*3 offset)
       SELECT vec_id,
-             sqrt(list_reduce(list_transform(range(1, len(embedding)+1),
+             list_reduce(list_transform(range(1, len(embedding)+1),
                i -> (CAST(embedding[i] AS DOUBLE) - 0.25) * (CAST(embedding[i] AS DOUBLE) - 0.25)),
-               (a, b) -> a + b)) AS d
+               (a, b) -> a + b) AS d
       FROM embeddings
     )
     SELECT vec_id, ROUND(d, 4) AS d

@@ -90,10 +90,12 @@ def ch_sql_hybridsearch(spark, sf_dir):
       AS t(query_id, qv)
     ),
     scored AS (
+      -- squared L2: SQL batch_distance carries faiss METRIC_L2 semantics
+      -- (00002_mqvs_batch_distance.reference)
       SELECT q.query_id, e.vec_id,
-             sqrt(list_reduce(list_transform(range(1, len(e.embedding)+1),
+             list_reduce(list_transform(range(1, len(e.embedding)+1),
                i -> (CAST(e.embedding[i] AS DOUBLE) - qv[i]) * (CAST(e.embedding[i] AS DOUBLE) - qv[i])),
-               (a, b) -> a + b)) AS d
+               (a, b) -> a + b) AS d
       FROM embeddings e CROSS JOIN q
     )
     SELECT query_id, vec_id, ROUND(d, 4) AS dist

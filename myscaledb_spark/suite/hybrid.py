@@ -16,7 +16,9 @@ from myscaledb_spark.suite import register
 from myscaledb_spark.suite.search import QTEXT, QV, sql_l2
 
 K = 8
-KPRIME = 3 * K  # hybrid_search_top_k_multiple_base = 3 (Settings.h:921)
+#: single-node hybrid runs each leg at the query's k; the ×3 multiple_base
+#: is the distributed shard fan-in only (operators/hybrid.py)
+KPRIME = K
 FUSION_K = 60  # Settings.h:920
 W = 0.5  # Settings.h:919
 
@@ -59,10 +61,15 @@ def _bm25_scored_sql() -> str:
       LIMIT {KPRIME}
     ),
     vec_cand AS (
-      SELECT doc_id, {sql_l2('embedding', QV)} AS d
-      FROM corpus
-      ORDER BY {sql_l2('embedding', QV)} ASC, doc_id ASC
-      LIMIT {KPRIME}
+      -- the fused vector score is faiss METRIC_L2 = SQUARED L2; the engine
+      -- squares the sqrt-L2 candidate distance at fusion time, so the
+      -- oracle replicates d*d on the same double (not the raw sum)
+      SELECT doc_id, d * d AS d FROM (
+        SELECT doc_id, {sql_l2('embedding', QV)} AS d
+        FROM corpus
+        ORDER BY {sql_l2('embedding', QV)} ASC, doc_id ASC
+        LIMIT {KPRIME}
+      )
     )
     """
 

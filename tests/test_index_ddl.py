@@ -170,14 +170,23 @@ def test_fts_per_column_config_shape(spark):
     assert rec.get("tokenizer") in ("stem", None) or "stem" in str(rec)
 
 
-def test_unsupported_metric_raises_loudly(spark, emb):
+def test_non_l2_graph_index_falls_back_to_flat(spark, emb):
+    """A Cosine/IP declaration on the L2-only graph/compressed analogs must
+    never silently rank by L2 — it registers an exact FLAT record carrying
+    the declared metric (00030_mqvs_skip_check_order_direction uses
+    HNSWFLAT('metric_type=IP') this way)."""
+    from myscaledb_spark.plans.vector_index import IndexRegistry
+
     art = tempfile.mkdtemp(prefix="ddl_metric_")
-    with pytest.raises(InvalidSearchQuery):
-        alter_index_ddl(
-            spark,
-            "ALTER TABLE e ADD VECTOR INDEX vm embedding TYPE MSTG('metric_type=Cosine')",
-            emb, "vec_id", art,
-        )
+    rec = alter_index_ddl(
+        spark,
+        "ALTER TABLE e ADD VECTOR INDEX vm embedding TYPE MSTG('metric_type=Cosine')",
+        emb, "vec_id", art,
+    )
+    assert rec["status"] == "Built"
+    assert rec["index_type"] == "FLAT" and rec["declared_type"] == "MSTG"
+    assert rec["metric"] == "Cosine"
+    assert IndexRegistry(art).get("vm")["metric"] == "Cosine"
 
 
 def test_search_index_uses_declared_metric(spark, emb):

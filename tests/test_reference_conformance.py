@@ -1,0 +1,46 @@
+"""Reference-conformance pins: the reference's OWN .sql test files (verbatim,
+tests/queries/2_vector_search/) run through ch_script and their printed
+output matches the recorded .reference TSV (tools/conformance.py harness —
+typed compare, Float32-grain tolerance, `-- { serverError }` annotations
+honored).
+
+Pinned = files that fully PASS today; the sweep tool covers the rest. The
+flagship is 00040_mqvs_hybrid_search.sql: 65 statements — DDL with inline
+fts INDEX, map/array/binary columns, textsearch/hybridsearch SQL forms,
+expected-error checks — 74 output rows bit-matching, including RSF/RRF
+fusion scores (squared-L2 dense leg, per-leg k candidates) and BM25 scores.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+REF_DIR = "/root/reference/tests/queries/2_vector_search"
+
+#: files that must PASS end-to-end (kept to the fast ones + the flagship;
+#: the full sweep lives in tools/conformance.py)
+PINNED = [
+    "00014_mqvs_distance_cosine_bruteforce.sql",
+    "00020_mqvs_refactor_support_prewhere_where.sql",
+    "00025_mqvs_distance_with_subquery.sql",
+    "00027_mqvs_check_order_by_for_metric_type.sql",
+    "00030_mqvs_skip_check_order_direction_for_distributed.sql",
+    "00032_mqvs_lightweight_delete_small_ranges.sql",
+    "00036_mqvs_with_clause_process_function.sql",
+    "00040_mqvs_hybrid_search.sql",
+]
+
+
+@pytest.mark.parametrize("fname", PINNED)
+def test_reference_sql_file_passes(spark, fname):
+    if not os.path.isdir(REF_DIR):
+        pytest.skip("reference checkout not present")
+    import conformance
+
+    status, detail = conformance.run_file(spark, os.path.join(REF_DIR, fname))
+    assert status == "PASS", f"{fname}: {status} — {detail}"

@@ -663,6 +663,7 @@ def test_every_template_rewrites_to_parseable_sql(spark):
         "position": "position(a, b)",
         "count": "count()",
         "range": "range(1, 4)",
+        "char": "char(65, 66, 67)",
         "remote": "remote('h', d, t)",
         "remoteSecure": "remoteSecure('h', d.t)",
         "cluster": "cluster('c', d.t)",

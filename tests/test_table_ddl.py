@@ -210,7 +210,7 @@ def test_reference_script_shape_end_to_end(spark):
     rows = out.collect()
     assert [r["id"] for r in rows] == [1, 0, 2]
     assert abs(rows[0]["d"]) < 1e-9                      # [1,1,1] exact hit
-    assert abs(rows[1]["d"] - 3 ** 0.5) < 1e-9           # [0,0,0]
+    assert abs(rows[1]["d"] - 3.0) < 1e-9                # [0,0,0], squared L2
     assert spark.table("test_vector_ref").count() == 100
     ch_script(spark, "DROP TABLE test_vector_ref")
 
@@ -220,8 +220,8 @@ def test_reference_00040_script_runs_verbatim(spark):
     tests/queries/2_vector_search/00040_mqvs_hybrid_search.sql — table DDL
     with INDEX/CONSTRAINT clauses, quoted-apostrophe INSERT VALUES, then the
     textsearch and hybridsearch SQL forms — all through ch_script. (Fusion
-    SCORES differ from the reference's printed values because our distance()
-    convention is sqrt-L2; the text-side ranking must agree.)"""
+    SCORES come from our BM25/distance pipeline — the text-side ranking must
+    agree with the reference's.)"""
     from myscaledb_spark.plans.table_ddl import ch_script
 
     out = ch_script(

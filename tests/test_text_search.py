@@ -119,14 +119,14 @@ def test_hybrid_search(spark, docs, kind):
     from myscaledb_spark.functions.text import text_search as ts
 
     vec_list = [
-        (r.doc_id, r.dist)
-        for r in vector_topk(df, "embedding", q, 3 * k, "L2", id_col="doc_id")
+        (r.doc_id, r.dist * r.dist)
+        for r in vector_topk(df, "embedding", q, k, "L2", id_col="doc_id")
         .select("doc_id", "dist")
         .collect()
     ]
     txt_list = [
         (r.doc_id, r.bm25_score)
-        for r in ts(df, "text", QUERY, 3 * k, id_col="doc_id")
+        for r in ts(df, "text", QUERY, k, id_col="doc_id")
         .select("doc_id", "bm25_score")
         .collect()
     ]

@@ -146,6 +146,9 @@ def test_vector_index_event_log(spark, tmp_path):
     build_ivf_index(emb, "embedding", "vec_id", art, name="ivf", num_centroids=2)
     IndexRegistry(art).set_status("ivf", "Dropped")
     log = system_vector_index_event_log(spark, art)
-    statuses = [r["status"] for r in log.orderBy("event_time").collect()]
-    # InProgress -> Built -> Dropped, in order (VIEventLog lifecycle)
-    assert statuses == ["InProgress", "Built", "Dropped"]
+    rows = log.orderBy("event_time").collect()
+    # Defined -> InProgress -> Built -> Dropped, in order (VIEventLog lifecycle)
+    assert [r["status"] for r in rows] == ["Defined", "InProgress", "Built", "Dropped"]
+    assert [r["event_type"] for r in rows] == [
+        "DefinitionCreated", "BuildStart", "BuildSucceed", "DefinitionDroped",
+    ]

