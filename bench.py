@@ -56,6 +56,8 @@ HEADLINE = [
     "sequence_next_node_chain",    # sorted-array next-node scan (r5)
     "gopher_repetition_docs",      # per-row n-gram repetition expressions (r5)
     "dsir_importance_docs",        # 2 linear model aggs + codegen scoring fold (r5)
+    "agg_state_merge_orders",      # -State build + -Merge: 2-level partial agg (r5)
+    "uniq_hll_state_events",       # portable-HLL registers: build/merge/estimate (r5)
 ]
 
 

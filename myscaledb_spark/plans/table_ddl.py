@@ -64,11 +64,101 @@ _SIMPLE_TYPES = {
 }
 
 
+#: aggregate functions allowed inside AggregateFunction(...) /
+#: SimpleAggregateFunction(...) column types, lowercase → canonical
+_CANON_AGG = {
+    "count": "count", "sum": "sum", "min": "min", "max": "max",
+    "any": "any", "anylast": "anyLast", "avg": "avg",
+    "sumcount": "sumCount", "argmin": "argMin", "argmax": "argMax",
+    "uniq": "uniq", "uniqexact": "uniqExact", "grouparray": "groupArray",
+    "quantileexact": "quantileExact", "groupbitand": "groupBitAnd",
+    "groupbitor": "groupBitOr", "groupbitxor": "groupBitXor",
+    "grouparrayarray": "groupArrayArray",
+    "groupuniqarrayarray": "groupUniqArrayArray",
+}
+_SIMPLE_AGG = {
+    "sum", "min", "max", "any", "anyLast", "groupBitAnd", "groupBitOr",
+    "groupBitXor", "groupArrayArray", "groupUniqArrayArray",
+}
+
+
+def _sum_state_type(spark_t: str) -> str:
+    """The widened sum type (AggregateFunctionSum sums Int* in Int64,
+    floats in Float64, Decimal(p,s) in Decimal128(s))."""
+    if spark_t in ("tinyint", "smallint", "int", "bigint"):
+        return "bigint"
+    if spark_t in ("float", "double"):
+        return "double"
+    m = re.fullmatch(r"decimal\((\d+),(\d+)\)", spark_t)
+    if m:
+        return f"decimal(38,{m.group(2)})"
+    raise ChSqlError(f"sum state over non-numeric type {spark_t!r}")
+
+
+def parse_agg_type(t: str) -> tuple[str, str] | None:
+    """(canonical function, Spark state type) when ``t`` is an
+    AggregateFunction(f, T...) / SimpleAggregateFunction(f, T) column type,
+    else None.  State representations: see operators/agg_state.py
+    (plain struct/array columns standing in for the reference's opaque
+    serialized blobs, DataTypeAggregateFunction.h)."""
+    low = t.strip().lower()
+    m = re.fullmatch(r"(simpleaggregatefunction|aggregatefunction)\s*\((.*)\)",
+                     low, re.DOTALL)
+    if not m:
+        return None
+    simple = m.group(1) == "simpleaggregatefunction"
+    parts = [p.strip() for p in _split_args(m.group(2)) if p.strip()]
+    if not parts:
+        raise ChSqlError(f"empty {t!r}")
+    fn_raw, types = parts[0], parts[1:]
+    if not re.fullmatch(r"\w+", fn_raw) or fn_raw not in _CANON_AGG:
+        raise ChSqlError(
+            f"unsupported aggregate function {fn_raw!r} in {t!r} — supported: "
+            f"{sorted(set(_CANON_AGG.values()))}"
+        )
+    fn = _CANON_AGG[fn_raw]
+    if simple:
+        # state == value (DataTypeCustomSimpleAggregateFunction.cpp checks
+        # the function merges values of the column type itself)
+        if fn not in _SIMPLE_AGG:
+            raise ChSqlError(
+                f"SimpleAggregateFunction does not support {fn!r} "
+                "(its state must equal the value type)"
+            )
+        if len(types) != 1:
+            raise ChSqlError(f"SimpleAggregateFunction({fn}, T) needs one type")
+        return fn, ch_type_to_spark(types[0])
+    if fn == "count":
+        return fn, "bigint"
+    if fn == "uniq":
+        return fn, "array<int>"
+    if fn in ("argMin", "argMax"):
+        if len(types) != 2:
+            raise ChSqlError(f"AggregateFunction({fn}, A, B) needs two types")
+        a, b = ch_type_to_spark(types[0]), ch_type_to_spark(types[1])
+        return fn, f"struct<arg:{a},val:{b}>"
+    if len(types) != 1:
+        raise ChSqlError(f"AggregateFunction({fn}, T) needs one value type")
+    vt = ch_type_to_spark(types[0])
+    if fn == "sum":
+        return fn, _sum_state_type(vt)
+    if fn in ("avg", "sumCount"):
+        return fn, f"struct<sum:{_sum_state_type(vt)},count:bigint>"
+    if fn in ("min", "max", "any", "anyLast"):
+        return fn, vt
+    if fn in ("uniqExact", "groupArray", "quantileExact"):
+        return fn, f"array<{vt}>"
+    raise ChSqlError(f"unsupported aggregate state type {t!r}")
+
+
 def ch_type_to_spark(t: str) -> str:
     t = t.strip()
     low = t.lower()
     if low in _SIMPLE_TYPES:
         return _SIMPLE_TYPES[low]
+    agg = parse_agg_type(t)
+    if agg is not None:
+        return agg[1]
     m = re.fullmatch(r"(nullable|lowcardinality)\s*\((.*)\)", low, re.DOTALL)
     if m:
         return ch_type_to_spark(m.group(2))  # everything is nullable in Spark
@@ -219,6 +309,8 @@ def create_table(spark: SparkSession, sql: str) -> dict:
     schema: list[tuple[str, str]] = []
     inline_indices: list[dict] = []
     pending_vector: list[str] = []
+    agg_cols: dict[str, str] = {}
+    ch_types: dict[str, str] = {}
     for item in _split_args(cols_raw):
         it = item.strip()
         vm = re.match(
@@ -265,6 +357,10 @@ def create_table(spark: SparkSession, sql: str) -> dict:
         cm = re.match(r"(\w+)\s+(.+?)(?:\s+DEFAULT\s+.+)?$", it, re.DOTALL)
         if not cm:
             raise ChSqlError(f"cannot parse column declaration {it!r}")
+        agg = parse_agg_type(cm.group(2))
+        if agg is not None:
+            agg_cols[cm.group(1)] = agg[0]
+            ch_types[cm.group(1)] = re.sub(r"\s+", " ", cm.group(2).strip())
         schema.append((cm.group(1), ch_type_to_spark(cm.group(2))))
     if not schema:
         raise ChSqlError("CREATE TABLE needs at least one plain column")
@@ -365,6 +461,16 @@ def create_table(spark: SparkSession, sql: str) -> dict:
         if len(eargs) != 2:
             raise ChSqlError("VersionedCollapsingMergeTree(sign, version)")
         kind, sign, version = "versioned_collapsing", eargs[0], eargs[1]
+    elif eng == "aggregatingmergetree":
+        # AggregatingMergeTree takes no engine args; the merge behavior is
+        # declared by the AggregateFunction / SimpleAggregateFunction column
+        # types (registerStorageMergeTree.cpp, AggregatingSortedAlgorithm.cpp)
+        kind = "aggregating"
+        if not agg_cols:
+            raise ChSqlError(
+                "AggregatingMergeTree needs at least one AggregateFunction / "
+                "SimpleAggregateFunction column (otherwise use ReplacingMergeTree)"
+            )
     elif eng == "summingmergetree":
         kind = "summing"
         if eargs:
@@ -396,8 +502,11 @@ def create_table(spark: SparkSession, sql: str) -> dict:
         order=ISEQ if kind != "none" else None,
         sample_by=(sample_raw if sample_raw else None),
         store=store,
+        agg_cols=agg_cols if kind == "aggregating" else None,
     )
     TABLES[table] = {"schema": schema, "n_parts": 0}
+    if ch_types:
+        TABLES[table]["ch_types"] = ch_types
     if pending_vector:
         TABLES[table]["pending_vector_indices"] = pending_vector
     _SEQ[table] = 0
@@ -951,6 +1060,7 @@ _ENGINE_NAMES = {
     "collapsing": "CollapsingMergeTree",
     "versioned_collapsing": "VersionedCollapsingMergeTree",
     "summing": "SummingMergeTree",
+    "aggregating": "AggregatingMergeTree",
 }
 
 _SPARK_TO_CH = {
@@ -979,8 +1089,10 @@ def show_create_table(table: str) -> str:
     if table not in TABLES:
         raise ChSqlError(f"table {table!r} was not created via ch_ddl")
     meta = TABLE_ENGINES[table]
+    ch_types = TABLES[table].get("ch_types", {})
     cols = ",\n    ".join(
-        f"{c} {_spark_type_to_ch(t)}" for c, t in TABLES[table]["schema"]
+        f"{c} {ch_types.get(c) or _spark_type_to_ch(t)}"
+        for c, t in TABLES[table]["schema"]
     )
     eng = _ENGINE_NAMES[meta["kind"]]
     args = []

@@ -328,6 +328,35 @@ TEMPLATES: dict[str, str] = {
     "covarPop": "covar_pop({0}, {1})",
     "covarSamp": "covar_samp({0}, {1})",
     "avgWeighted": "(sum({0} * {1}) / sum({1}))",
+    # -State / -Merge combinators over plain-column states (struct/array —
+    # see operators/agg_state.py; AggregateFunctionState.h /
+    # AggregateFunctionMerge.h).  sum/min/max/count are their own state, so
+    # State == the aggregate and Merge == re-aggregating the stored value.
+    "sumState": "sum({0})",
+    "minState": "min({0})",
+    "maxState": "max({0})",
+    "anyState": "any_value({0})",
+    "avgState": "named_struct('sum', sum({0}), 'count', count({0}))",
+    "sumCountState": "named_struct('sum', sum({0}), 'count', count({0}))",
+    "uniqExactState": "array_sort(collect_set({0}))",
+    "groupArrayState": "collect_list({0})",
+    "quantileExactState": "array_sort(collect_list({0}))",
+    "argMinState": "min_by(named_struct('arg', {0}, 'val', {1}), {1})",
+    "argMaxState": "max_by(named_struct('arg', {0}, 'val', {1}), {1})",
+    "sumMerge": "sum({0})",
+    "countMerge": "sum({0})",
+    "minMerge": "min({0})",
+    "maxMerge": "max({0})",
+    "anyMerge": "any_value({0})",
+    # avg returns Float64 whatever the input (AggregateFunctionAvg.h)
+    "avgMerge": "(cast(sum({0}.sum) as double) / sum({0}.count))",
+    "sumCountMerge": "named_struct('sum', sum({0}.sum), 'count', sum({0}.count))",
+    "avgMergeState": "named_struct('sum', sum({0}.sum), 'count', sum({0}.count))",
+    "uniqExactMerge": "cast(size(array_distinct(flatten(collect_list({0})))) as bigint)",
+    "uniqExactMergeState": "array_sort(array_distinct(flatten(collect_list({0}))))",
+    "groupArrayMerge": "flatten(collect_list({0}))",
+    "argMinMerge": "min_by({0}, {0}.val).arg",
+    "argMaxMerge": "max_by({0}, {0}.val).arg",
     # sumMap aggregates values on EQUAL keys (AggregateFunctionSumMap.h) —
     # a plain map_from_entries(collect_list) throws DUPLICATE_MAP_KEY the
     # moment a key repeats across rows
@@ -537,6 +566,7 @@ def register_table_engine(
     sample_by: str | None = None,
     sample_seed: int = 0,
     store: str | None = None,
+    agg_cols: dict[str, str] | None = None,
 ) -> None:
     """Declare the engine metadata a CREATE TABLE would carry in the
     reference: ``kind`` ∈ replacing | collapsing | versioned_collapsing |
@@ -546,9 +576,15 @@ def register_table_engine(
     (collapsing kinds; summing's pinned non-summed columns). ``version`` is
     the Replacing/VersionedCollapsing version column.
     """
-    kinds = {"replacing", "collapsing", "versioned_collapsing", "summing", "none"}
+    kinds = {"replacing", "collapsing", "versioned_collapsing", "summing",
+             "aggregating", "none"}
     if kind not in kinds:
         raise ChSqlError(f"unknown engine kind {kind!r}; expected one of {sorted(kinds)}")
+    if kind == "aggregating" and not agg_cols:
+        raise ChSqlError(
+            "aggregating engine needs agg_cols= (column → aggregate function, "
+            "from the AggregateFunction/SimpleAggregateFunction column types)"
+        )
     if kind == "replacing" and not version:
         raise ChSqlError("replacing engine needs version=")
     if kind in ("collapsing", "versioned_collapsing") and not (sign and order):
@@ -569,6 +605,8 @@ def register_table_engine(
         # DDL-created tables (plans/table_ddl.py): the backing view carrying
         # the hidden insertion-sequence column named by ``order``
         "store": store,
+        # aggregating kind: column → aggregate-function name
+        "agg_cols": dict(agg_cols or {}),
     }
 
 
@@ -781,6 +819,53 @@ def _rewrite_tuple_order_by(sql: str) -> str:
     return _rewrite_tuple_order_by(prefix + " " + ", ".join(keys) + sql[close:])
 
 
+#: state-to-state merge SQL per aggregate function (the SQL twin of
+#: operators/agg_state.merge_state — AggregatingMergeTree FINAL and the
+#: -Merge dialect functions share these shapes)
+def _merge_sql(kind: str, col: str, order: str | None) -> str:
+    if kind in ("count", "sum"):
+        return f"SUM({col})"
+    if kind == "min":
+        return f"MIN({col})"
+    if kind == "max":
+        return f"MAX({col})"
+    if kind == "any":
+        return f"min_by({col}, {order})" if order else f"any_value({col})"
+    if kind == "anyLast":
+        return f"max_by({col}, {order})" if order else f"any_value({col})"
+    if kind in ("avg", "sumCount"):
+        return (f"named_struct('sum', SUM({col}.sum), "
+                f"'count', SUM({col}.count))")
+    if kind == "argMin":
+        return f"min_by({col}, {col}.val)"
+    if kind == "argMax":
+        return f"max_by({col}, {col}.val)"
+    if kind == "uniqExact":
+        return f"array_sort(array_distinct(flatten(collect_list({col}))))"
+    if kind == "groupArray":
+        return f"flatten(collect_list({col}))"
+    if kind == "quantileExact":
+        return f"array_sort(flatten(collect_list({col})))"
+    if kind == "uniq":
+        return _hll_merged_registers(col)
+    if kind == "groupBitAnd":
+        return f"bit_and({col})"
+    if kind == "groupBitOr":
+        return f"bit_or({col})"
+    if kind == "groupBitXor":
+        return f"bit_xor({col})"
+    if kind == "groupArrayArray":
+        return f"flatten(collect_list({col}))"
+    if kind == "groupUniqArrayArray":
+        return f"array_sort(array_distinct(flatten(collect_list({col}))))"
+    raise ChSqlError(
+        f"AggregateFunction({kind}, ...) has no merge rule — supported: "
+        "count sum min max any anyLast avg sumCount argMin argMax uniq "
+        "uniqExact groupArray quantileExact groupBit* groupArrayArray "
+        "groupUniqArrayArray"
+    )
+
+
 def _final_subquery(table: str, schema_fn) -> str:
     """SQL text computing the fully-merged (FINAL) state of ``table``."""
     if table not in TABLE_ENGINES:
@@ -853,6 +938,42 @@ def _final_subquery(table: str, schema_fn) -> str:
             f"(SELECT {outer_cols} FROM (SELECT {inner_sel} FROM {src} "
             f"GROUP BY {keys}) WHERE NOT ({not_zero}))"
         )
+    if kind == "aggregating":
+        # AggregatingSortedAlgorithm.cpp: equal-key rows fold by calling each
+        # AggregateFunction column's merge; ordinary columns keep the first
+        # row's values (insertion order = the store's hidden sequence)
+        if schema_fn is None:
+            raise ChSqlError(
+                "aggregating FINAL needs the live session (use ch_sql, not "
+                "bare rewrite)"
+            )
+        cols = list(schema_fn(table))
+        agg_cols: dict[str, str] = m.get("agg_cols") or {}
+        order = m.get("order")
+        sel = list(m["keys"])
+        plain = [c for c in cols
+                 if c not in m["keys"] and c not in agg_cols and c != order]
+        for c in cols:
+            if c in agg_cols:
+                sel.append(f"{_merge_sql(agg_cols[c], c, order)} AS {c}")
+        if plain:
+            if not order:
+                raise ChSqlError(
+                    f"aggregating FINAL on {table!r}: plain columns {plain} "
+                    "need the insertion-sequence order (DDL-created tables "
+                    "carry it; register_table_engine needs order=)"
+                )
+            first_struct = ", ".join(plain)
+            sel.append(f"min_by(struct({first_struct}), {order}) AS _first")
+        inner = (
+            f"SELECT {', '.join(sel)} FROM {src} GROUP BY {keys}"
+            if keys else f"SELECT {', '.join(sel)} FROM {src}"
+        )
+        outer_cols = ", ".join(
+            [c for c in cols if c in m["keys"] or c in agg_cols]
+            + (["_first.*"] if plain else [])
+        )
+        return f"(SELECT {outer_cols} FROM ({inner}))"
     raise ChSqlError(f"engine kind {kind!r} has no FINAL semantics")
 
 
@@ -1696,6 +1817,77 @@ def _special_numbers(args: list[str]) -> str:
     raise ChSqlError("numbers(N) or numbers(offset, count)")
 
 
+_HLL_PORTABLE_HASH = (
+    "CAST(conv(substr(md5(CAST(CAST({x} AS STRING) AS BINARY)), 1, 12), 16, 10) "
+    "AS BIGINT)"
+)
+
+
+def _special_uniq_state(args: list[str]) -> str:
+    """uniqState(x) → 256 HLL registers over the portable md5-48 hash, as
+    one fold expression (operators/agg_state.py uniq_state_agg; the df-level
+    uniq_state is the 100 TB path — this form buffers the group's hashes)."""
+    if len(args) != 1:
+        raise ChSqlError(f"uniqState takes one argument, got {len(args)}")
+    h = _HLL_PORTABLE_HASH.replace("{x}", args[0])
+    rho = (
+        "(CASE WHEN CAST(floor(hv / 256) AS BIGINT) > 0 "
+        "THEN 41 - length(bin(CAST(floor(hv / 256) AS BIGINT))) "
+        "ELSE 41 END)"
+    )
+    return (
+        f"aggregate(collect_list({h}), array_repeat(0, 256), "
+        f"(acc, hv) -> transform(acc, (v, i) -> "
+        f"IF(i = CAST(pmod(hv, 256) AS INT), greatest(v, {rho}), v)))"
+    )
+
+
+def _hll_merged_registers(state: str) -> str:
+    return (
+        f"aggregate(collect_list({state}), array_repeat(0, 256), "
+        f"(acc, x) -> zip_with(acc, x, (a, b) -> greatest(a, b)))"
+    )
+
+
+def _hll_estimate(regs: str) -> str:
+    """alpha·m²/Σ2^-r with linear-counting small-range correction — the
+    identical arithmetic as operators/agg_state.uniq_finalize (each 2^-r is
+    an exact double; the sum needs < 53 mantissa bits, so association order
+    cannot change the result)."""
+    inv = (
+        f"aggregate({regs}, cast(0.0 as double), "
+        f"(a, r) -> a + power(2.0, -CAST(r AS DOUBLE)))"
+    )
+    zeros = f"size(filter({regs}, r -> r = 0))"
+    raw = f"(0.7182725932495458e0 * 65536.0 / {inv})"
+    return (
+        f"(CASE WHEN {raw} <= 640.0 AND {zeros} > 0 "
+        f"THEN 256.0 * ln(256.0 / CAST({zeros} AS DOUBLE)) ELSE {raw} END)"
+    )
+
+
+def _special_uniq_merge(args: list[str]) -> str:
+    if len(args) != 1:
+        raise ChSqlError(f"uniqMerge takes one argument, got {len(args)}")
+    return _hll_estimate(_hll_merged_registers(args[0]))
+
+
+def _special_uniq_merge_state(args: list[str]) -> str:
+    if len(args) != 1:
+        raise ChSqlError(f"uniqMergeState takes one argument, got {len(args)}")
+    return _hll_merged_registers(args[0])
+
+
+def _special_finalize_aggregation(args: list[str]) -> str:
+    raise ChSqlError(
+        "finalizeAggregation is type-directed (the reference reads the "
+        "AggregateFunction data type, DataTypeAggregateFunction.h) — SQL "
+        "text alone cannot know the function; use the explicit -Merge "
+        "function (avgMerge, uniqMerge, ...) or "
+        "myscaledb_spark.operators.agg_state.finalize_state(kind, col)"
+    )
+
+
 SPECIAL = {
     "dateDiff": _special_date_diff,
     "date_diff": _special_date_diff,
@@ -1708,6 +1900,11 @@ SPECIAL = {
     "extract": _special_extract,
     "position": _special_position,
     "count": lambda args: f"count({', '.join(args)})" if args else "count(*)",
+    "countState": lambda args: f"count({', '.join(args)})" if args else "count(*)",
+    "uniqState": _special_uniq_state,
+    "uniqMerge": _special_uniq_merge,
+    "uniqMergeState": _special_uniq_merge_state,
+    "finalizeAggregation": _special_finalize_aggregation,
     "range": _special_range,
     "multiIf": _special_multi_if,
     "formatDateTime": _special_format_datetime,

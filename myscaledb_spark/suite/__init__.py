@@ -68,6 +68,7 @@ def load_all() -> None:
         dialect3,
         search3,
         quality_gate,
+        agg_state_gate,
     )
 
 
@@ -134,6 +135,10 @@ PRIORITY: list[str] = [
     "ch_sql_array_join_clause",
     "ch_sql_url_funcs",
     "ch_sql_create_function",
+    "agg_state_merge_orders",
+    "uniq_hll_state_events",
+    "ch_sql_agg_state",
+    "ch_sql_aggregating_mt",
     # --- sentinels from the driver-green novel core (backfill) ---
     "vec_l2_topk",
     "vec_cosine_topk",

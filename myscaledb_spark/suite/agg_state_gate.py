@@ -1,0 +1,246 @@
+"""Gate entries for AggregateFunction partial-state storage: -State /
+-Merge combinators, the uniq HLL state, AggregatingMergeTree FINAL, and
+the verbatim SQL forms (see operators/agg_state.py).
+
+Every oracle replays the state → merge → finalize pipeline longhand in
+DuckDB (or collapses it to the direct aggregate, which associativity makes
+equivalent): states are built per (key, sub-part), merged per key, and the
+merged result must equal aggregating the raw rows once.
+
+Float discipline: money states in DECIMAL (exact under any partitioning);
+avg finalizes in Float64 like the reference (AggregateFunctionAvg.h); the
+HLL estimate is bit-deterministic (each 2^-rho is an exact double, the
+register sum needs < 53 mantissa bits) and rounds to 4 decimals only to
+absorb ln() libm differences.
+
+Reference: src/AggregateFunctions/AggregateFunctionState.h,
+AggregateFunctionMerge.h, src/DataTypes/DataTypeAggregateFunction.h,
+src/Processors/Merges/Algorithms/AggregatingSortedAlgorithm.cpp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from myscaledb_spark.catalog import load_table
+from myscaledb_spark.operators.agg_state import (
+    arg_max_state,
+    avg_state,
+    count_state,
+    finalize_state,
+    merge_finalize,
+    merge_state,
+    min_state,
+    sum_state,
+    uniq_exact_state,
+    uniq_finalize,
+    uniq_merge_states,
+    uniq_state,
+)
+from myscaledb_spark.suite import register
+
+#: DuckDB longhand for the portable-HLL register → estimate math (the exact
+#: twin of operators/agg_state.uniq_finalize; alpha is 0.7213/(1+1.079/256))
+_HLL_ORACLE = """
+    SELECT {key}, ROUND(CASE WHEN (0.7182725932495458e0 * 65536.0 / s) <= 640.0
+                             AND zeros > 0
+                        THEN 256.0 * ln(256.0 / zeros)
+                        ELSE 0.7182725932495458e0 * 65536.0 / s END, 4) AS {out}
+    FROM (
+      SELECT {key}, SUM(power(2.0, -rho)) + (256 - COUNT(*)) AS s,
+             CAST(256 - COUNT(*) AS DOUBLE) AS zeros
+      FROM (
+        SELECT {key}, h % 256 AS bucket,
+               MAX(CASE WHEN h // 256 > 0
+                        THEN 41 - length(bin(h // 256)) ELSE 41 END) AS rho
+        FROM (SELECT {key}, CAST(('0x' || substr(md5(CAST({val} AS VARCHAR)), 1, 12))
+                                 AS BIGINT) AS h FROM {src})
+        GROUP BY 1, 2)
+      GROUP BY 1)
+"""
+
+
+@register(
+    "agg_state_merge_orders",
+    """
+    WITH o AS (SELECT *, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+               FROM orders)
+    SELECT o_orderstatus,
+           COUNT(*) AS cnt,
+           CAST(SUM(price) AS DOUBLE) AS sum_price,
+           ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+           CAST(MIN(price) AS DOUBLE) AS min_price,
+           ARG_MAX(o_custkey, o_totalprice) AS best_cust,
+           COUNT(DISTINCT o_custkey) AS ndv
+    FROM o GROUP BY 1
+    """,
+)
+def agg_state_merge_orders(spark, sf_dir):
+    """-State built per (status, month) part, stored as plain struct/array
+    columns, then -Merge'd per status: the merged result must equal the
+    one-shot aggregate (state associativity end-to-end).  best_cust is
+    deterministic because the max price is untied in this data at every SF.
+    """
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "price", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    parts = o.groupBy("o_orderstatus", F.month("o_orderdate").alias("m")).agg(
+        count_state().alias("cnt"),
+        sum_state("price").alias("s"),
+        avg_state("price").alias("a"),
+        min_state("price").alias("mn"),
+        arg_max_state("o_custkey", "o_totalprice").alias("am"),
+        uniq_exact_state("o_custkey").alias("ue"),
+    )
+    return parts.groupBy("o_orderstatus").agg(
+        merge_state("count", "cnt").alias("cnt"),
+        merge_finalize("sum", "s").cast("double").alias("sum_price"),
+        F.round(merge_finalize("avg", "a"), 4).alias("avg_price"),
+        merge_finalize("min", "mn").cast("double").alias("min_price"),
+        finalize_state("argMax", merge_state("argMax", "am")).alias("best_cust"),
+        merge_finalize("uniqExact", "ue").alias("ndv"),
+    )
+
+
+@register(
+    "uniq_hll_state_events",
+    f"""
+    WITH u AS ({_HLL_ORACLE.format(key="event_type", val="user_id",
+                                   out="uniq_users", src="events")}),
+         e AS ({_HLL_ORACLE.format(key="event_type", val="event_id",
+                                   out="uniq_events", src="events")}),
+         x AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+               FROM events GROUP BY 1)
+    SELECT u.event_type, u.uniq_users, e.uniq_events, x.exact_users
+    FROM u JOIN e ON u.event_type = e.event_type
+           JOIN x ON u.event_type = x.event_type
+    """,
+)
+def uniq_hll_state_events(spark, sf_dir):
+    """uniq (HyperLogLog) as a STORED, re-mergeable state: registers built
+    per (event_type, day), merged per event_type, finalized — vs a DuckDB
+    oracle that reproduces the register math longhand from the raw rows
+    (merging per-day register maxima == global maxima, so both sides see
+    identical registers).  user_id exercises the linear-counting branch,
+    event_id the raw-estimate branch at sf ≥ 0.01."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    su = uniq_state(ev, ["event_type", "day"], "user_id", alias="su")
+    se = uniq_state(ev, ["event_type", "day"], "event_id", alias="se")
+    mu = uniq_merge_states(su, ["event_type"], "su", alias="su")
+    me = uniq_merge_states(se, ["event_type"], "se", alias="se")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        mu.join(me, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round(uniq_finalize("su"), 4).alias("uniq_users"),
+            F.round(uniq_finalize("se"), 4).alias("uniq_events"),
+            "exact_users",
+        )
+    )
+
+
+@register(
+    "ch_sql_agg_state",
+    """
+    WITH o AS (SELECT *, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+               FROM orders)
+    SELECT o_orderstatus,
+           CAST(SUM(price) AS DOUBLE) AS s,
+           ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+           COUNT(DISTINCT o_custkey) AS ndv,
+           COUNT(*) AS cnt
+    FROM o GROUP BY 1
+    """,
+)
+def ch_sql_agg_state(spark, sf_dir):
+    """The -State / -Merge combinators as verbatim ClickHouse SQL: the inner
+    query materializes per-month states, the outer resumes them — the
+    canonical materialized-view rollup shape
+    (AggregateFunctionState.h / AggregateFunctionMerge.h)."""
+    from myscaledb_spark.sql_dialect import ch_sql
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_ags_orders")
+    return ch_sql(
+        spark,
+        """
+        SELECT o_orderstatus, toFloat64(sumMerge(s)) AS s,
+               round(avgMerge(a), 4) AS avg_price,
+               uniqExactMerge(ue) AS ndv, countMerge(c) AS cnt
+        FROM (
+          SELECT o_orderstatus, toMonth(o_orderdate) AS m,
+                 sumState(CAST(o_totalprice AS DECIMAL(18, 2))) AS s,
+                 avgState(CAST(o_totalprice AS DECIMAL(18, 2))) AS a,
+                 uniqExactState(o_custkey) AS ue,
+                 countState() AS c
+          FROM _ags_orders GROUP BY o_orderstatus, m
+        )
+        GROUP BY o_orderstatus
+        """,
+    )
+
+
+@register(
+    "ch_sql_aggregating_mt",
+    f"""
+    WITH o AS (SELECT *, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+               FROM orders),
+         u AS ({_HLL_ORACLE.format(key="o_orderstatus", val="o_custkey",
+                                   out="uniq_cust", src="o")}),
+         d AS (SELECT o_orderstatus, CAST(SUM(price) AS DOUBLE) AS s,
+                      ROUND(CAST(SUM(price) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+                      COUNT(DISTINCT o_custkey) AS ndv
+               FROM o GROUP BY 1)
+    SELECT d.o_orderstatus, d.s, d.avg_price, d.ndv, u.uniq_cust
+    FROM d JOIN u ON d.o_orderstatus = u.o_orderstatus
+    """,
+)
+def ch_sql_aggregating_mt(spark, sf_dir):
+    """The full AggregatingMergeTree lifecycle from verbatim SQL: CREATE
+    TABLE with AggregateFunction column types (DataTypeAggregateFunction.h),
+    two INSERT ... SELECT ...State batches ("parts"), then the canonical
+    GROUP BY + -Merge query resuming the stored states.  Splitting the
+    corpus across two inserts proves the stored states re-merge exactly."""
+    from myscaledb_spark.plans.table_ddl import ch_ddl
+    from myscaledb_spark.sql_dialect import ch_sql
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_amt_orders")
+    ch_ddl(spark, "DROP TABLE IF EXISTS _amt_gate")
+    ch_ddl(
+        spark,
+        """
+        CREATE TABLE _amt_gate (
+            status String,
+            s AggregateFunction(sum, Decimal(18, 2)),
+            a AggregateFunction(avg, Decimal(18, 2)),
+            ue AggregateFunction(uniqExact, Int64),
+            c AggregateFunction(count),
+            u AggregateFunction(uniq, Int64)
+        ) ENGINE = AggregatingMergeTree ORDER BY status
+        """,
+    )
+    ins = (
+        "INSERT INTO _amt_gate SELECT o_orderstatus, "
+        "sumState(CAST(o_totalprice AS DECIMAL(18, 2))), "
+        "avgState(CAST(o_totalprice AS DECIMAL(18, 2))), "
+        "uniqExactState(o_custkey), countState(), uniqState(o_custkey) "
+        "FROM _amt_orders WHERE modulo(o_orderkey, 2) = {r} "
+        "GROUP BY o_orderstatus"
+    )
+    ch_ddl(spark, ins.format(r=0))
+    ch_ddl(spark, ins.format(r=1))
+    return ch_sql(
+        spark,
+        """
+        SELECT status AS o_orderstatus, toFloat64(sumMerge(s)) AS s,
+               round(avgMerge(a), 4) AS avg_price,
+               uniqExactMerge(ue) AS ndv,
+               round(uniqMerge(u), 4) AS uniq_cust
+        FROM _amt_gate GROUP BY status
+        """,
+    )

@@ -17,8 +17,14 @@ def test_type_mapping():
     assert ch_type_to_spark("Array(Float32)") == "array<float>"
     assert ch_type_to_spark("Decimal(18, 4)") == "decimal(18,4)"
     assert ch_type_to_spark("DateTime64(3)") == "timestamp"
+    # AggregateFunction column types map to their plain-column state types
+    # (operators/agg_state.py; r5 — previously an unsupported-type raise)
+    assert ch_type_to_spark("AggregateFunction(sum, Int64)") == "bigint"
+    assert ch_type_to_spark("AggregateFunction(avg, Decimal(10, 2))") == (
+        "struct<sum:decimal(38,2),count:bigint>"
+    )
     with pytest.raises(ChSqlError, match="unsupported"):
-        ch_type_to_spark("AggregateFunction(sum, Int64)")
+        ch_type_to_spark("SomeUnknownType(3)")
 
 
 def test_create_insert_final_replacing(spark):
