@@ -359,7 +359,7 @@ def merge_finalize(kind: str, col: Column | str,
         ).cast("bigint")
     merged = merge_state(k, col, order)
     if k in ("avg", "argMin", "argMax", "uniq"):
-        return finalize_state(k, merged) if k != "uniq" else uniq_finalize(merged)
+        return finalize_state(k, merged)
     return merged
 
 
@@ -375,7 +375,9 @@ def initialize_aggregation(kind: str, value: Column | str) -> Column:
         one = F.when(v.isNotNull(), F.lit(1)).otherwise(F.lit(0)).cast("bigint")
         return F.struct(v.alias("sum"), one.alias("count"))
     if kind in ("uniqExact", "groupArray", "quantileExact"):
-        return F.when(v.isNotNull(), F.array(v)).otherwise(F.array().cast("array<string>"))
+        # filter keeps the element type whatever v is (an empty typed array
+        # for NULL inputs — array().cast would pin a wrong element type)
+        return F.filter(F.array(v), lambda x: x.isNotNull())
     if kind == "uniq":
         bucket, rho = _hll_pieces(v)
         return F.transform(

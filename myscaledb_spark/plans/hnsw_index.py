@@ -175,10 +175,23 @@ def build_hnsw_index(
         name, "InProgress", column=vec_col, index_type="HNSWFLAT",
         params={"m": m, "ef_c": ef_construction, "n_parts": n_parts},
     )
-    if df.limit(2).count() < 2:
+    n_rows = df.count()
+    if n_rows < 2:
         # index declared before data exists: exact FLAT stand-in
         reg.set_status(name, "Built", column=vec_col, index_type="FLAT", metric="L2")
         return reg.get(name)
+
+    # Cap rows per graph part: each part is ONE Arrow group buffered by one
+    # executor (applyInPandas), so an unbounded part OOMs the JVM on big
+    # builds (a 500k x 768-dim reference stress script kills a 16 GB heap at
+    # n_parts=4).  Small per-part graphs are also the 100 TB shape — build
+    # parallelism scales with parts, and search probes parts concurrently.
+    max_part_rows = 8192
+    n_parts = max(n_parts, -(-n_rows // max_part_rows))
+    reg.set_status(
+        name, "InProgress", column=vec_col, index_type="HNSWFLAT",
+        params={"m": m, "ef_c": ef_construction, "n_parts": n_parts},
+    )
 
     keyed = df.select(
         (F.col(id_col) % n_parts).cast("int").alias("part_id"),

@@ -112,7 +112,12 @@ def build_mstg_index(
         reg.set_status(name, "Built", column=vec_col, index_type="FLAT", metric="L2")
         return reg.get(name)
     # tiny tables (reference tests insert a handful of rows): KMeans needs
-    # k <= n distinct points — clamp rather than fail the DDL
+    # k <= n distinct points — clamp rather than fail the DDL.
+    # Big tables: each leaf is ONE buffered Arrow group in the graph build,
+    # so cap leaf size (~8k rows) or a 500k-row build OOMs the executor —
+    # also the 100 TB shape (per-leaf graphs build in parallel; search
+    # prunes to num_top leaves whatever the leaf count).
+    num_leaves = max(num_leaves, -(-n_total // 8192))
     num_leaves = max(2, min(num_leaves, n_total))
     num_top = max(1, min(num_top, num_leaves))
     train_cap = max(num_leaves * 200, 20_000)

@@ -969,9 +969,10 @@ def _final_subquery(table: str, schema_fn) -> str:
             f"SELECT {', '.join(sel)} FROM {src} GROUP BY {keys}"
             if keys else f"SELECT {', '.join(sel)} FROM {src}"
         )
+        # outer select preserves the table's declared column order
         outer_cols = ", ".join(
-            [c for c in cols if c in m["keys"] or c in agg_cols]
-            + (["_first.*"] if plain else [])
+            c if (c in m["keys"] or c in agg_cols) else f"_first.{c} AS {c}"
+            for c in cols if c != order
         )
         return f"(SELECT {outer_cols} FROM ({inner}))"
     raise ChSqlError(f"engine kind {kind!r} has no FINAL semantics")

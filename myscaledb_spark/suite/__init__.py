@@ -139,6 +139,7 @@ PRIORITY: list[str] = [
     "uniq_hll_state_events",
     "ch_sql_agg_state",
     "ch_sql_aggregating_mt",
+    "mv_agg_state_hourly",
     # --- sentinels from the driver-green novel core (backfill) ---
     "vec_l2_topk",
     "vec_cosine_topk",

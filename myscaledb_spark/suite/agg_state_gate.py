@@ -186,6 +186,67 @@ def ch_sql_agg_state(spark, sf_dir):
 
 
 @register(
+    "mv_agg_state_hourly",
+    f"""
+    WITH e AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                      event_type, CAST(value AS DECIMAL(18,4)) AS v, user_id
+               FROM events),
+         u AS ({_HLL_ORACLE.format(key="event_type", val="user_id",
+                                   out="uniq_users", src="e")}),
+         d AS (SELECT event_type, COUNT(*) AS n,
+                      ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS avg_value,
+                      COUNT(DISTINCT window_start) AS n_hours
+               FROM e GROUP BY 1)
+    SELECT d.event_type, d.n, d.avg_value, d.n_hours, u.uniq_users
+    FROM d JOIN u ON d.event_type = u.event_type
+    """,
+)
+def mv_agg_state_hourly(spark, sf_dir):
+    """Materialized view TO an AggregatingMergeTree — the reference's
+    canonical continuous-rollup pattern (buildPushingToViewsChain.cpp +
+    AggregatingSortedAlgorithm.cpp): every ingested micro-batch appends one
+    "part" of hourly -State rows (count, avgState, uniq HLL registers);
+    reading re-merges states across parts.  The streamed, state-merged
+    answer must equal the one-shot batch aggregate — whatever the batch
+    split was.  At 100 TB the raw rows are aggregated exactly once, on
+    ingest; every later query touches only per-(hour, type) state rows."""
+    import tempfile
+
+    from myscaledb_spark.streaming.materialized_views import MaterializedViewChain
+    from myscaledb_spark.streaming.windows import events_stream, tumble
+
+    base = tempfile.mkdtemp(prefix="gate_mv_state_")
+    target = f"{base}/hourly_states"
+
+    def hourly_states(batch):
+        b = batch.withColumn("v", F.col("value").cast("decimal(18,4)"))
+        scalar = b.groupBy(
+            tumble("ts", "1 hour").alias("w"), F.col("event_type")
+        ).agg(count_state().alias("cnt"), avg_state("v").alias("a"))
+        hll = uniq_state(
+            b.withColumn("w", tumble("ts", "1 hour")),
+            ["w", "event_type"], "user_id", alias="u",
+        )
+        return scalar.join(hll, ["w", "event_type"])
+
+    chain = MaterializedViewChain().add_view("hourly", hourly_states, target)
+    chain.run(events_stream(spark, sf_dir), f"{base}/ckpt")
+    mv = MaterializedViewChain.read_view(spark, target)
+    merged = uniq_merge_states(
+        mv.select("event_type", "u"), ["event_type"], "u", alias="u"
+    )
+    scalars = mv.groupBy("event_type").agg(
+        merge_state("count", "cnt").alias("n"),
+        F.round(merge_finalize("avg", "a"), 4).alias("avg_value"),
+        F.count_distinct("w").alias("n_hours"),
+    )
+    return scalars.join(merged, "event_type").select(
+        "event_type", "n", "avg_value", "n_hours",
+        F.round(uniq_finalize("u"), 4).alias("uniq_users"),
+    )
+
+
+@register(
     "ch_sql_aggregating_mt",
     f"""
     WITH o AS (SELECT *, CAST(o_totalprice AS DECIMAL(18,2)) AS price

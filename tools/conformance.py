@@ -236,6 +236,9 @@ def main(argv):
         .appName("conformance")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
+        # reference stress scripts materialize multi-GB tables (00020:
+        # 500k rows x 768-dim vectors) — the 1g default heap dies
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .getOrCreate()
     )
     files = []
@@ -248,13 +251,47 @@ def main(argv):
     counts = {"PASS": 0, "RAN": 0, "FAIL": 0}
     import time
 
+    def _alive() -> bool:
+        try:
+            spark.sql("SELECT 1").collect()
+            return True
+        except Exception:
+            return False
+
     for path in files:
         t0 = time.time()
         status, detail = run_file(spark, path)
         detail += f"  [{time.time() - t0:.0f}s]"
         counts[status] += 1
         if not errors_only or status == "FAIL":
-            print(f"{status:4} {os.path.basename(path):55} {detail}")
+            print(f"{status:4} {os.path.basename(path):55} {detail}", flush=True)
+        if status == "FAIL" and not _alive():
+            # a stress file killed the JVM — restart so ONE crash cannot
+            # poison every later file's verdict
+            print(".... session died; restarting JVM", flush=True)
+            try:
+                spark.stop()
+            except Exception:
+                pass
+            # the gateway is gone: clear pyspark's module-level JVM handles
+            # or getOrCreate would reuse the dead gateway
+            from pyspark import SparkContext
+
+            SparkContext._active_spark_context = None
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+            SparkSession._instantiatedSession = None
+            SparkSession._activeSession = None
+            spark = (
+                SparkSession.builder.master(
+                    f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+                .appName("conformance")
+                .config("spark.sql.shuffle.partitions", "8")
+                .config("spark.ui.enabled", "false")
+                .config("spark.driver.memory",
+                        os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+                .getOrCreate()
+            )
     print(f"\ntotal {len(files)}: {counts}")
 
 
