@@ -171,6 +171,23 @@ def system_vector_indices_ddl(
         for r in (IndexRegistry(artifact_dir).list() if artifact_dir else [])
         if r.get("status") != "Dropped"
     ]
+    # replicas surface the primary's indexes under their own table name
+    # (ReplicatedMergeTree metadata replication; 00034)
+    try:
+        from myscaledb_spark.plans.table_ddl import TABLES
+
+        replicas = {
+            t: meta["replica_of"] for t, meta in TABLES.items()
+            if meta.get("replica_of")
+        }
+        rows += [
+            (row[0], rep) + row[2:]
+            for rep, primary in replicas.items()
+            for row in rows
+            if row[1] == primary
+        ]
+    except ImportError:  # pragma: no cover
+        pass
     return spark.createDataFrame(
         rows,
         "database string, table string, name string, type string, expr string, "
@@ -204,14 +221,15 @@ def system_vector_index_segments(
     Artifacts here are whole-table, so each Built index reports one segment
     named like the reference's single compact part ('all_1_1_0'); BUILT is
     the terminal state (we have no LRU cache, so no LOADED/CACHE states)."""
+    from myscaledb_spark.plans.ddl import compact_part_name
     from myscaledb_spark.plans.vector_index import IndexRegistry
 
     rows = [
         (
             "default",
             r.get("table", ""),
-            "all_1_1_0",
-            "all_1_1_0",
+            compact_part_name(r.get("table", "")),
+            compact_part_name(r.get("table", "")),
             0,
             r.get("name"),
             (r.get("declared_type") or r.get("index_type") or "FLAT"),
@@ -241,12 +259,16 @@ def system_parts(spark: SparkSession) -> DataFrame:
     logically on write here; StorageSystemParts.cpp surface, reduced)."""
     from myscaledb_spark.plans.table_ddl import TABLES
 
+    from myscaledb_spark.plans.ddl import compact_part_name
+
     rows = [
-        ("default", t, "all_1_1_0", 1, int(meta.get("n_parts", 0) > 0))
+        ("default", t, compact_part_name(t), True, int(meta.get("n_parts", 0) > 0))
         for t, meta in TABLES.items()
     ]
+    # ``active`` is UInt8-as-boolean in the reference and appears as a bare
+    # predicate (`... AND active`) in its test scripts — BOOLEAN here
     return spark.createDataFrame(
-        rows, "database string, table string, name string, active int, has_rows int"
+        rows, "database string, table string, name string, active boolean, has_rows int"
     )
 
 
@@ -274,6 +296,42 @@ def system_zookeeper(spark: SparkSession) -> DataFrame:
     """≈ system.zookeeper — replication coordination state; this engine has
     no ZooKeeper (replication is a no-op), so the listing is empty."""
     return spark.createDataFrame([], "name string, value string, path string")
+
+
+def system_data_type_families(spark: SparkSession) -> DataFrame:
+    """≈ SELECT name FROM system.data_type_families — every ClickHouse type
+    name ch_type_to_spark maps, plus the parametric families and the
+    multimodal ObjectToFetch type (StorageSystemDataTypeFamilies.cpp)."""
+    from myscaledb_spark.plans.table_ddl import _SIMPLE_TYPES
+
+    canon = {
+        "Int8", "Int16", "Int32", "Int64", "UInt8", "UInt16", "UInt32",
+        "UInt64", "Float32", "Float64", "String", "FixedString", "Date",
+        "Date32", "DateTime", "DateTime64", "Bool", "UUID", "Decimal",
+        "Enum8", "Enum16", "Array", "Map", "Tuple", "Nullable",
+        "LowCardinality", "AggregateFunction", "SimpleAggregateFunction",
+        "Object", "ObjectToFetch",
+    }
+    canon.update(t.capitalize() for t in _SIMPLE_TYPES)
+    return spark.createDataFrame(
+        [(n,) for n in sorted(canon)], "name string"
+    )
+
+
+def system_connections(spark: SparkSession) -> DataFrame:
+    """≈ system.connections — CREATE CONNECTION records
+    (InterpreterCreateConnectionQuery.cpp; columns per its storage:
+    name, provider, arn, external_id)."""
+    from myscaledb_spark.plans.table_ddl import CONNECTIONS
+
+    rows = [
+        (n, p.get("provider", ""), p.get("aws_role_arn", ""),
+         p.get("aws_role_external_id", ""))
+        for n, p in CONNECTIONS.items()
+    ]
+    return spark.createDataFrame(
+        rows, "name string, provider string, arn string, external_id string"
+    )
 
 
 def system_functions(spark: SparkSession) -> DataFrame:

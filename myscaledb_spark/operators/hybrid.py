@@ -46,14 +46,33 @@ DEFAULT_FUSION_WEIGHT = 0.5  # src/Core/Settings.h:919
 DEFAULT_CANDIDATE_MULTIPLE = 1
 
 
-def _ranked(df: DataFrame, score_col: str, ascending: bool, id_col: str) -> DataFrame:
+def _ranked(df: DataFrame, score_col: str, ascending: bool, id_col: str,
+            part_col: str | None = None) -> DataFrame:
     order = [F.col(score_col).asc() if ascending else F.col(score_col).desc(), F.col(id_col).asc()]
-    w = Window.orderBy(*order)
-    return df.select(id_col, score_col).withColumn("_rank", F.row_number().over(w))
+    w = (Window.partitionBy(part_col) if part_col else Window).orderBy(*order)
+    sel = [id_col, score_col] + ([part_col] if part_col else [])
+    return df.select(*sel).withColumn("_rank", F.row_number().over(w))
 
 
-def _minmax_norm(df: DataFrame, score_col: str, out_col: str) -> DataFrame:
-    """Min-max normalize; all-equal list → 1.0 (HybridSearchUtils.cpp:296-302)."""
+def _minmax_norm(df: DataFrame, score_col: str, out_col: str,
+                 part_col: str | None = None) -> DataFrame:
+    """Min-max normalize; all-equal list → 1.0 (HybridSearchUtils.cpp:296-302).
+    With ``part_col``, normalization is PER PART — the reference fuses each
+    data part's candidate list independently (MergeTreeHybridSearchManager;
+    00041_mqvs_text_search_multiple_parts pins the per-part numbers)."""
+    if part_col:
+        w = Window.partitionBy(part_col)
+        return (
+            df.withColumn("_mn", F.min(score_col).over(w))
+            .withColumn("_mx", F.max(score_col).over(w))
+            .withColumn(
+                out_col,
+                F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0)).otherwise(
+                    (F.col(score_col) - F.col("_mn"))
+                    / (F.col("_mx") - F.col("_mn"))
+                ),
+            )
+        )
     stats = df.agg(
         F.min(score_col).alias("_mn"), F.max(score_col).alias("_mx")
     )
@@ -195,12 +214,15 @@ def fuse_candidates(
     fusion_weight: float = DEFAULT_FUSION_WEIGHT,
     fusion_k: int = DEFAULT_FUSION_K,
     score_name: str = "fusion_score",
+    part_col: str | None = None,
 ) -> DataFrame:
     """Fuse pre-computed candidate lists: vec_cand(id, _vdist),
     txt_cand(id, _bm25) → top-k by RSF/RRF. Candidate lists are tiny (k′
     rows), so the windows/joins here touch only candidates — this is the
     piece that stays constant whether candidates come from brute force, an
-    IVF/HNSW/MSTG artifact, or an external retriever."""
+    IVF/HNSW/MSTG artifact, or an external retriever.  ``part_col`` scopes
+    ranking/normalization to each data part (candidates must carry it in
+    BOTH frames; every id lives in exactly one part)."""
     ft = fusion_type.lower()
     asc = METRIC_ASCENDING.get(metric, True)
     if metric.upper() == "L2":
@@ -211,10 +233,10 @@ def fuse_candidates(
         vec_cand = vec_cand.withColumn("_vdist", F.col("_vdist") * F.col("_vdist"))
 
     if ft == "rrf":
-        v = _ranked(vec_cand, "_vdist", asc, id_col).select(
+        v = _ranked(vec_cand, "_vdist", asc, id_col, part_col).select(
             F.col(id_col), (F.lit(1.0) / (F.lit(float(fusion_k)) + F.col("_rank"))).alias("_vs")
         )
-        t = _ranked(txt_cand, "_bm25", False, id_col).select(
+        t = _ranked(txt_cand, "_bm25", False, id_col, part_col).select(
             F.col(id_col), (F.lit(1.0) / (F.lit(float(fusion_k)) + F.col("_rank"))).alias("_ts")
         )
         fused = v.join(t, id_col, "full_outer").select(
@@ -222,14 +244,14 @@ def fuse_candidates(
             (F.coalesce("_vs", F.lit(0.0)) + F.coalesce("_ts", F.lit(0.0))).alias(score_name),
         )
     else:
-        v = _minmax_norm(vec_cand, "_vdist", "_vnorm").select(
+        v = _minmax_norm(vec_cand, "_vdist", "_vnorm", part_col).select(
             F.col(id_col),
             (
                 (F.col("_vnorm") if not asc else (F.lit(1.0) - F.col("_vnorm")))
                 * F.lit(1.0 - fusion_weight)
             ).alias("_vs"),
         )
-        t = _minmax_norm(txt_cand, "_bm25", "_tnorm").select(
+        t = _minmax_norm(txt_cand, "_bm25", "_tnorm", part_col).select(
             F.col(id_col), (F.col("_tnorm") * F.lit(float(fusion_weight))).alias("_ts"),
         )
         fused = v.join(t, id_col, "full_outer").select(

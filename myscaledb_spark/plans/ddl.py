@@ -56,8 +56,11 @@ _CREATE_VEC = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _ADD_FTS = re.compile(
+    # the column takes both forms: `name col TYPE fts` and `name(col) TYPE
+    # fts` (ParserCreateIndexQuery accepts a bare expression)
     r"^\s*ALTER\s+TABLE\s+(?P<table>[\w.]+)\s+ADD\s+INDEX\s+"
-    r"(?P<if_not_exists>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+(?P<col>\w+)\s+"
+    r"(?P<if_not_exists>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"(?:\(\s*(?P<colp>\w+)\s*\)|\s(?P<col>\w+))\s+"
     r"TYPE\s+fts\s*(?:\((?P<params>.*)\))?\s*(?:GRANULARITY\s+\d+)?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -93,15 +96,40 @@ def _parse_params(raw: str | None) -> tuple[dict[str, str], list[str]]:
     return out, unknown
 
 
+def compact_part_name(table: str) -> str:
+    """The reference's single-compact-part name as the system views print
+    it: replicated merges number blocks from 0 ('all_0_0_0'), plain
+    MergeTree from 1 ('all_1_1_0') — 00019*.reference twin files differ in
+    exactly this field."""
+    try:
+        from myscaledb_spark.plans.table_ddl import TABLES
+
+        if (TABLES.get(table) or {}).get("replicated"):
+            return "all_0_0_0"
+    except ImportError:  # pragma: no cover
+        pass
+    return "all_1_1_0"
+
+
 def alter_index_ddl(
     spark: SparkSession,
     sql: str,
     df: DataFrame | None,
     id_col: str,
     artifact_dir: str,
+    defer_build: bool = False,
 ) -> dict:
     """Execute one index DDL statement against `df` (the 'table'), building
-    the artifact under `artifact_dir`. Returns the registry record."""
+    the artifact under `artifact_dir`. Returns the registry record.
+
+    ``defer_build=True`` emulates the reference's ASYNCHRONOUS build
+    timeline (vector index builds run in a background pool;
+    VectorIndicesMgr): every DDL-time check still runs (unknown-parameter
+    raise, duplicate-name raise), but the record is left ``InProgress`` and
+    the build itself — including build-time failures like a bad
+    metric_type value — happens when the caller re-invokes without defer.
+    ch_script uses this so reference scripts observe the same
+    InProgress→Built/Error sequence at their own sync points."""
     from myscaledb_spark.plans.vector_index import IndexRegistry
 
     m = _DROP_VEC.match(sql)
@@ -127,7 +155,7 @@ def alter_index_ddl(
 
         if df is None:
             raise InvalidSearchQuery("ADD INDEX needs the table DataFrame")
-        name, col = m.group("name"), m.group("col")
+        name, col = m.group("name"), m.group("col") or m.group("colp")
         existing = IndexRegistry(artifact_dir).get(name)
         if existing is not None and existing.get("status") == "Built":
             if m.group("if_not_exists"):
@@ -170,6 +198,7 @@ def alter_index_ddl(
         raise InvalidSearchQuery("ADD VECTOR INDEX needs the table DataFrame")
     name = m.group("name")
     col = m.groupdict().get("col") or m.groupdict().get("col2")
+    table = (m.groupdict().get("table") or "").split(".")[-1]
     raw_type = m.group("type")
     params, unknown = _parse_params(m.group("params"))
     if unknown:
@@ -186,11 +215,18 @@ def alter_index_ddl(
         # (00033_mqvs_incorrect_index_status.sql)
         reg = IndexRegistry(artifact_dir)
         expr_txt = f"{name} {col} TYPE {m.group('type')}({m.group('params')})"
+        if defer_build:
+            reg.set_status(
+                name, "InProgress", column=col,
+                index_type=(m.group("type") or "MSTG").upper(),
+                declared_type=m.group("type"), expr=expr_txt,
+            )
+            return reg.get(name)
         reg.set_status(
             name, "Error", column=col,
             index_type=(m.group("type") or "MSTG").upper(),
             declared_type=m.group("type"), expr=expr_txt,
-            latest_failed_part="all_1_1_0",
+            latest_failed_part=compact_part_name(table),
             latest_fail_reason=(
                 "VectorIndex: Error in Build Index, "
                 f"Error(UNSUPPORTED_PARAMETER): Unknown parameter: {unknown[0]}"
@@ -212,11 +248,63 @@ def alter_index_ddl(
         itype = "BINARYMSTG" if is_binary else "MSTG"
     metric = params.get("metric_type", "Hamming" if is_binary else "L2")
 
+    allowed_metrics = {"HAMMING", "JACCARD"} if is_binary else {"L2", "IP", "COSINE"}
+    if metric.upper() not in allowed_metrics and not defer_build:
+        # the DDL passes; the BUILD fails with BAD_ARGUMENTS — the exact
+        # fail fields of 00019_mqvs_add_fail_status (including the
+        # reference's 'metirc' typo, VectorIndexCommon.h getMetricType)
+        kindname = "Binary" if is_binary else "Float32"
+        reg = IndexRegistry(artifact_dir)
+        reg.set_status(
+            name, "Error", column=col, index_type=itype,
+            declared_type=raw_type, expr=f"{name} {col} TYPE {expr_type}",
+            latest_failed_part=compact_part_name(table),
+            latest_fail_reason=(
+                "VectorIndex: Error in Build Index, Error(BAD_ARGUMENTS): "
+                f"Unknown metirc type for {kindname} Vector: {metric.upper()}"
+            ),
+        )
+        return reg.get(name)
+
     existing = IndexRegistry(artifact_dir).get(name)
-    if existing is not None and existing.get("status") == "Built":
+    # duplicate names are per-TABLE (the reference keys indexes in each
+    # table's metadata): a same-named index on ANOTHER table overwrites the
+    # shared artifact slot instead of raising
+    if (existing is not None and existing.get("status") == "Built"
+            and existing.get("table") in (None, "", table)):
         if m.group("if_not_exists"):
             return existing  # idempotent: no rebuild
         raise InvalidSearchQuery(f"vector index {name!r} already exists")
+
+    if defer_build:
+        reg = IndexRegistry(artifact_dir)
+        reg.set_status(
+            name, "InProgress", column=col, index_type=itype,
+            declared_type=raw_type, expr=f"{name} {col} TYPE {expr_type}",
+        )
+        return reg.get(name)
+
+    try:
+        from myscaledb_spark.plans.table_ddl import TABLES as _TABLES
+
+        unmat = _TABLES.get(table, {}).get("unmaterialized_cols") or set()
+    except ImportError:  # pragma: no cover
+        unmat = set()
+    if col in unmat:
+        # the column was ADDed after parts existed and is not materialized:
+        # the build cannot read it from old parts — status Error until
+        # MATERIALIZE COLUMN backfills (00037_mqvs_multiple_fix_non_exist)
+        reg = IndexRegistry(artifact_dir)
+        reg.set_status(
+            name, "Error", column=col, index_type=itype,
+            declared_type=raw_type, expr=f"{name} {col} TYPE {expr_type}",
+            latest_failed_part=compact_part_name(table),
+            latest_fail_reason=(
+                "VectorIndex: Error in Build Index, Error(LOGICAL_ERROR): "
+                f"column {col} is missing in part"
+            ),
+        )
+        return reg.get(name)
 
     # only FLAT (searched via vector_topk) and IVFFLAT take a metric; the
     # PQ/SQ/HNSW/MSTG analogs are L2-only — a non-L2 declaration falls back

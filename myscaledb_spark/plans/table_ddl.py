@@ -45,7 +45,39 @@ from myscaledb_spark.sql_dialect import (
 )
 
 ISEQ = "_ch_iseq"
+#: lightweight-delete mask — the reference's `_row_exists` column
+#: (MutationsInterpreter.cpp): DELETE flips it to false, reads filter on it,
+#: and OPTIMIZE physically drops masked rows.  Keeping masked rows in the
+#: store lets index-backed searches score with PRE-delete corpus statistics
+#: (the tantivy/vector index is unchanged by an LWD) while results exclude
+#: the deleted rows — 00040_mqvs_hybrid_search_with_lwd pins this.
+EXISTS = "_ch_exists"
 _CHECKPOINT_EVERY = 16  # parts before the store lineage is squashed
+
+
+def _refresh_view(spark: SparkSession, table: str) -> None:
+    """(Re)build the logical table view over its store: hidden columns
+    excluded, masked rows filtered."""
+    store = f"{table}__store"
+    cols = spark.table(store).columns
+    hid = [c for c in (ISEQ, EXISTS) if c in cols]
+    q = f"SELECT * EXCEPT ({', '.join(hid)}) FROM {store}"
+    if EXISTS in cols:
+        q += f" WHERE {EXISTS}"
+    spark.sql(q).createOrReplaceTempView(table)
+
+#: deferred vector-index builds per registry dir (the reference's async
+#: build pool) — module-level so the timeline spans statement-at-a-time
+#: ch_script invocations sharing one artifact_dir; see ch_script
+PENDING_BUILDS: dict[str, list[tuple[str, str, str, str]]] = {}
+
+#: CREATE CONNECTION records (object-storage credentials for getObject —
+#: InterpreterCreateConnectionQuery.cpp); served via system.connections
+CONNECTIONS: dict[str, dict] = {}
+
+#: ZooKeeper path → primary table of a Replicated* group (later CREATEs on
+#: the same path become replica views over the primary's store)
+REPLICA_GROUPS: dict[str, str] = {}
 
 #: ClickHouse type → Spark SQL type (ParserDataType; the unsigned widths
 #: widen one step since Spark has no unsigned integers)
@@ -311,6 +343,7 @@ def create_table(spark: SparkSession, sql: str) -> dict:
     pending_vector: list[str] = []
     agg_cols: dict[str, str] = {}
     ch_types: dict[str, str] = {}
+    inline_fts: dict | None = None
     for item in _split_args(cols_raw):
         it = item.strip()
         vm = re.match(
@@ -351,6 +384,17 @@ def create_table(spark: SparkSession, sql: str) -> dict:
                 "expr": sm.group("expr").strip(),
                 "granularity": int(sm.group("gran") or 1),
             })
+            continue
+        fm = re.match(
+            r"INDEX\s+(?P<name>\w+)\s*(?:\(\s*(?P<colp>[\w()]+)\s*\)|\s(?P<col>\w+))"
+            r"\s+TYPE\s+fts\b", it, re.IGNORECASE,
+        )
+        if fm:
+            # inline fts INDEX: the tantivy index covers every part from
+            # birth (MergeTreeIndexTantivy builds on part write) — record
+            # the declaration so textsearch/hybridsearch SQL knows this
+            # table's text column is index-served (00040 family)
+            inline_fts = {"name": fm.group("name"), "covered_from_part": 0}
             continue
         if not it or re.match(r"(CONSTRAINT|INDEX|PRIMARY\s+KEY)\b", it, re.IGNORECASE):
             continue  # constraints/indexes parse but route through their own ops
@@ -433,15 +477,42 @@ def create_table(spark: SparkSession, sql: str) -> dict:
         )
         return {"table": table, "engine": engine, "keys": meta.get("keys", []),
                 "schema": TABLES[target]["schema"]}
-    if eng.startswith("replicated"):
+    replicated = eng.startswith("replicated")
+    if replicated:
         # ReplicatedXMergeTree('/zk/path', 'replica'[, engine args...]) —
         # replication is a storage-availability concern with no query
         # semantics; strip the prefix and the two ZooKeeper-coordinates args
         # (registerStorageMergeTree.cpp: the replicated variants share the
         # merge algorithm with their plain twins)
         eng = eng[len("replicated"):]
+        zk_path = None
         if len(eargs) >= 2 and all(a.startswith("'") for a in eargs[:2]):
+            zk_path = eargs[0].strip().strip("'\"")
             eargs = eargs[2:]
+        if zk_path:
+            # a SECOND table on the same ZooKeeper path is another REPLICA:
+            # it reads the same data and surfaces the same indexes
+            # (ReplicatedMergeTree replication; 00034_mqvs_replicated_
+            # single_replica_build_index) — map it as a view over the
+            # primary's store, like the Distributed shell
+            primary = REPLICA_GROUPS.get(zk_path)
+            if primary and primary in TABLES and primary != table:
+                spark.table(primary).createOrReplaceTempView(table)
+                TABLES[table] = {
+                    "schema": TABLES[primary]["schema"], "n_parts": 0,
+                    "replica_of": primary, "replicated": True,
+                }
+                _SEQ[table] = 0
+                meta = dict(TABLE_ENGINES.get(primary) or {})
+                register_table_engine(
+                    table, meta.get("kind", "none"), meta.get("keys", []),
+                    **{k: v for k, v in meta.items()
+                       if k not in ("kind", "keys")},
+                )
+                return {"table": table, "engine": engine,
+                        "keys": meta.get("keys", []),
+                        "schema": TABLES[primary]["schema"]}
+            REPLICA_GROUPS[zk_path] = table
     kind, version, sign, sum_cols = "none", None, None, ()
     keys: list[str] = _parse_key_list(order_raw) if order_raw else []
     if eng in ("mergetree", "memory", "tinylog", "log"):
@@ -492,9 +563,9 @@ def create_table(spark: SparkSession, sql: str) -> dict:
 
     store = f"{table}__store"
     fields = ", ".join(f"{c} {t}" for c, t in schema)
-    empty_store = spark.createDataFrame([], f"{fields}, {ISEQ} bigint")
+    empty_store = spark.createDataFrame([], f"{fields}, {ISEQ} bigint, {EXISTS} boolean")
     empty_store.createOrReplaceTempView(store)
-    spark.sql(f"SELECT * EXCEPT ({ISEQ}) FROM {store}").createOrReplaceTempView(table)
+    _refresh_view(spark, table)
 
     register_table_engine(
         table, kind, keys,
@@ -505,8 +576,23 @@ def create_table(spark: SparkSession, sql: str) -> dict:
         agg_cols=agg_cols if kind == "aggregating" else None,
     )
     TABLES[table] = {"schema": schema, "n_parts": 0}
+    mr = re.search(r"\bmin_rows_to_build_vector_index\s*=\s*(\d+)", tail,
+                   re.IGNORECASE)
+    if mr:
+        # the brute-force gate reads this: parts below the build threshold
+        # are "small parts", exempt from enable_brute_force_vector_search=0
+        # (MergeTreeVSManager; 00038_mqvs_brute_force_setting)
+        TABLES[table].setdefault("settings", {})[
+            "min_rows_to_build_vector_index"] = mr.group(1)
     if ch_types:
         TABLES[table]["ch_types"] = ch_types
+    if inline_fts is not None:
+        TABLES[table]["fts_decl"] = inline_fts
+    if replicated:
+        # replication itself is a no-op here, but part NAMING differs:
+        # replicated merges number blocks from 0 (all_0_0_0), plain
+        # MergeTree from 1 (all_1_1_0) — the system views print it
+        TABLES[table]["replicated"] = True
     if pending_vector:
         TABLES[table]["pending_vector_indices"] = pending_vector
     _SEQ[table] = 0
@@ -583,7 +669,7 @@ def insert_into(spark: SparkSession, sql: str) -> int:
         ISEQ,
         (F.lit(part_no).cast("bigint") * F.lit(1 << 50))
         + F.monotonically_increasing_id(),
-    )
+    ).withColumn(EXISTS, F.lit(True))
 
     store = f"{table}__store"
     merged = spark.table(store).unionByName(w_part)
@@ -591,7 +677,7 @@ def insert_into(spark: SparkSession, sql: str) -> int:
     if TABLES[table]["n_parts"] % _CHECKPOINT_EVERY == 0:
         merged = merged.localCheckpoint(eager=True)  # squash union lineage
     merged.createOrReplaceTempView(store)
-    spark.sql(f"SELECT * EXCEPT ({ISEQ}) FROM {store}").createOrReplaceTempView(table)
+    _refresh_view(spark, table)
     return n
 
 
@@ -606,6 +692,8 @@ def drop_table(spark: SparkSession, table: str) -> None:
 
     TABLE_VS_METRIC.pop(table, None)
     PARAM_CHECK_DISABLED.discard(table)
+    for zk in [z for z, t in REPLICA_GROUPS.items() if t == table]:
+        REPLICA_GROUPS.pop(zk, None)
 
 
 def _strip_backquotes(sql: str) -> str:
@@ -630,6 +718,7 @@ def _strip_backquotes(sql: str) -> str:
 #: setting raises so a semantic setting is never silently dropped.
 _NOOP_SETTINGS = re.compile(
     r"^(enable_brute_force_vector_search|min_rows_to_build_vector_index|"
+    r"optimize_move_to_prewhere_for_vector_search|optimize_move_to_prewhere|"
     r"min_bytes_to_build_vector_index|index_granularity|mutations_sync|"
     r"float_vector_search_metric_type|binary_vector_search_metric_type|"
     r"max_threads|allow_experimental_[a-z_]+|vector_search_[a-z_]+|"
@@ -680,13 +769,18 @@ def delete_where(spark: SparkSession, sql: str) -> None:
     from myscaledb_spark.sql_dialect import ch_sql
 
     store = f"{table}__store"
-    # NULL-condition rows survive (DELETE removes only cond=true rows);
-    # the condition goes through the full dialect rewrite
-    kept = ch_sql(
-        spark, f"SELECT * FROM {store} WHERE NOT coalesce(({cond}), false)"
+    # the reference's lightweight delete flips `_row_exists` to 0 — rows
+    # stay in the part (and its indexes) but reads filter them out; NULL
+    # conditions survive (DELETE removes only cond=true rows); the
+    # condition goes through the full dialect rewrite
+    masked = ch_sql(
+        spark,
+        f"SELECT * EXCEPT ({EXISTS}), "
+        f"({EXISTS} AND NOT coalesce(({cond}), false)) AS {EXISTS} "
+        f"FROM {store}",
     ).localCheckpoint(eager=True)
-    kept.createOrReplaceTempView(store)
-    spark.sql(f"SELECT * EXCEPT ({ISEQ}) FROM {store}").createOrReplaceTempView(table)
+    masked.createOrReplaceTempView(store)
+    _refresh_view(spark, table)
 
 
 def truncate_table(spark: SparkSession, table: str) -> None:
@@ -696,8 +790,10 @@ def truncate_table(spark: SparkSession, table: str) -> None:
     schema = TABLES[table]["schema"]
     fields = ", ".join(f"{c} {t}" for c, t in schema)
     store = f"{table}__store"
-    spark.createDataFrame([], f"{fields}, {ISEQ} bigint").createOrReplaceTempView(store)
-    spark.sql(f"SELECT * EXCEPT ({ISEQ}) FROM {store}").createOrReplaceTempView(table)
+    spark.createDataFrame(
+        [], f"{fields}, {ISEQ} bigint, {EXISTS} boolean"
+    ).createOrReplaceTempView(store)
+    _refresh_view(spark, table)
     TABLES[table]["n_parts"] = 0
 
 
@@ -728,13 +824,15 @@ def optimize_final(spark: SparkSession, sql: str) -> None:
     store = f"{table}__store"
     part_no = _SEQ[table]
     _SEQ[table] = part_no + 1
+    # masked (lightweight-deleted) rows vacate on merge — the reference's
+    # OPTIMIZE materializes the _row_exists filter physically
     new_store = merged.withColumn(
         ISEQ,
         (F.lit(part_no).cast("bigint") * F.lit(1 << 50))
         + F.monotonically_increasing_id(),
-    ).localCheckpoint(eager=True)
+    ).withColumn(EXISTS, F.lit(True)).localCheckpoint(eager=True)
     new_store.createOrReplaceTempView(store)
-    spark.sql(f"SELECT * EXCEPT ({ISEQ}) FROM {store}").createOrReplaceTempView(table)
+    _refresh_view(spark, table)
     TABLES[table]["n_parts"] = 1
 
 
@@ -780,9 +878,13 @@ def alter_table_columns(spark: SparkSession, sql: str):
             # order only matters for readability)
             new.createOrReplaceTempView(store)
             TABLES[table]["schema"].append((name, stype))
-            spark.sql(
-                f"SELECT * EXCEPT ({ISEQ}) FROM {store}"
-            ).createOrReplaceTempView(table)
+            if TABLES[table].get("n_parts", 0) > 0:
+                # pre-existing parts don't physically carry the new column
+                # until MATERIALIZE COLUMN — vector search on it throws in
+                # the reference (00037_mqvs_multiple_fix_non_exist_vector_
+                # column: LOGICAL_ERROR); plain reads use the DEFAULT fill
+                TABLES[table].setdefault("unmaterialized_cols", set()).add(name)
+            _refresh_view(spark, table)
             continue
         dm = re.match(
             r"DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)$", a, re.IGNORECASE
@@ -795,9 +897,7 @@ def alter_table_columns(spark: SparkSession, sql: str):
             TABLES[table]["schema"] = [
                 (c, t) for c, t in TABLES[table]["schema"] if c != name
             ]
-            spark.sql(
-                f"SELECT * EXCEPT ({ISEQ}) FROM {store}"
-            ).createOrReplaceTempView(table)
+            _refresh_view(spark, table)
             continue
         if re.match(r"(ADD|DROP)\s+CONSTRAINT\b", a, re.IGNORECASE):
             # CHECK constraints verify on insert in the reference; our
@@ -842,6 +942,74 @@ def ch_ddl(spark: SparkSession, sql: str):
         return skip_index_ddl(s)
     if _ALTER_COLS_RE.match(s):
         return alter_table_columns(spark, s)
+    cm = re.match(
+        r"^\s*CREATE\s+CONNECTION\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+(.+)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if cm:
+        # object-storage credential object for getObject/ObjectToFetch
+        # (InterpreterCreateConnectionQuery.cpp) — metadata only: the
+        # multimodal fetch layer takes credentials from the Spark/Hadoop
+        # conf, so the record just needs to round-trip system.connections
+        props = {
+            k.lower(): v
+            for k, v in re.findall(r"(\w+)\s*=\s*'([^']*)'", cm.group(2))
+        }
+        CONNECTIONS[cm.group(1)] = props
+        return None
+    cdm = re.match(
+        r"^\s*DROP\s+CONNECTION\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", s, re.IGNORECASE
+    )
+    if cdm:
+        if cdm.group(1) not in CONNECTIONS and "IF EXISTS" not in s.upper():
+            raise ChSqlError(f"connection {cdm.group(1)!r} does not exist")
+        CONNECTIONS.pop(cdm.group(1), None)
+        return None
+    mcm = re.match(
+        r"^\s*ALTER\s+TABLE\s+(\w+)\s+MATERIALIZE\s+COLUMN\s+(\w+)"
+        r"(?:\s+IN\s+PARTITION\s+\S+)?\s*$",
+        s, re.IGNORECASE,
+    )
+    if mcm:
+        # MATERIALIZE COLUMN writes the default into old parts
+        # (AlterCommands::MATERIALIZE_COLUMN) — our ADD COLUMN already
+        # filled the values, so this just clears the unmaterialized flag
+        if mcm.group(1) not in TABLES:
+            raise ChSqlError(f"table {mcm.group(1)!r} was not created via ch_ddl")
+        TABLES[mcm.group(1)].get("unmaterialized_cols", set()).discard(
+            mcm.group(2))
+        return None
+    mtm = re.match(
+        r"^\s*ALTER\s+TABLE\s+(\w+)\s+MATERIALIZE\s+INDEX\s+(\w+)"
+        r"(?:\s+IN\s+PARTITION\s+\S+)?\s*$",
+        s, re.IGNORECASE,
+    )
+    if mtm:
+        # MATERIALIZE INDEX builds the index over EXISTING parts
+        # (AlterCommands::MATERIALIZE_INDEX) — for an fts declaration this
+        # extends coverage back to part 0 (ADD INDEX alone covers only
+        # parts written after it; 00040_mqvs_hybrid_search_with_lwd)
+        if mtm.group(1) not in TABLES:
+            raise ChSqlError(f"table {mtm.group(1)!r} was not created via ch_ddl")
+        decl = TABLES[mtm.group(1)].get("fts_decl")
+        if decl is not None and decl.get("name") in (None, mtm.group(2)):
+            decl["covered_from_part"] = 0
+        return None
+    mm = re.match(
+        r"^\s*ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+SETTING\s+(\w+)\s*=\s*(.+)$",
+        s, re.IGNORECASE,
+    )
+    if mm:
+        # MergeTree-settings knobs (build thresholds, merge tuning) have no
+        # query semantics here — record them like CREATE ... SETTINGS does
+        # (AlterCommands::MODIFY_SETTING), unknown names raise like SET
+        if mm.group(1) not in TABLES:
+            raise ChSqlError(f"table {mm.group(1)!r} was not created via ch_ddl")
+        set_statement(f"SET {mm.group(2)} = {mm.group(3)}")
+        TABLES[mm.group(1)].setdefault("settings", {})[mm.group(2)] = (
+            mm.group(3).strip()
+        )
+        return None
     am = re.match(
         r"^\s*(?:DETACH|ATTACH)\s+TABLE\s+(\w+)\s*(?:SYNC)?\s*$", s, re.IGNORECASE
     )
@@ -883,11 +1051,75 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
             last = i + 1
     stmts.append(script[last:])
     result = None
+    n_content = sum(
+        1 for x in stmts if x.strip() and not x.strip().startswith("--")
+    )
+
+    # Deferred vector-index builds — the reference builds asynchronously
+    # (VectorIndicesMgr background pool), so scripts observe InProgress
+    # right after ADD VECTOR INDEX and Built only after their own wait
+    # idiom (a sleep() poll) or a real query.  We reproduce that timeline:
+    # ADD records InProgress and queues here; the build itself runs at the
+    # script's next synchronization point.  Pure status observations
+    # (SELECTs over system.* with no sleep) do NOT flush; index DDL and
+    # INSERTs don't either (the reference lets both proceed mid-build).
+    # Deferred-build queue for this registry dir — module-level because
+    # callers (the conformance harness, interactive use) feed statements
+    # through SEPARATE ch_script calls sharing one artifact_dir; the async
+    # timeline must span them.
+    def _pending() -> list[tuple[str, str, str, str]]:
+        if artifact_dir is None:
+            return []
+        return PENDING_BUILDS.setdefault(artifact_dir, [])
+
+    def _flush_pending(kinds: tuple[str, ...] = ("build", "rebuild")) -> None:
+        from myscaledb_spark.plans.ddl import alter_index_ddl
+        from myscaledb_spark.plans.vector_index import IndexRegistry
+
+        keep = []
+        for ps, pt, _pn, klass in _pending():
+            if klass not in kinds:
+                keep.append((ps, pt, _pn, klass))
+                continue
+            meta = TABLE_ENGINES.get(pt) or {}
+            idc = (meta.get("keys") or [None])[0]
+            pdf = spark.table(pt)
+            if idc is None:
+                idc = next(
+                    (c for c in ("id", "doc_id", "vec_id") if c in pdf.columns),
+                    pdf.columns[0],
+                )
+            rec = alter_index_ddl(spark, ps, pdf, idc, artifact_dir)
+            if isinstance(rec, dict) and rec.get("name"):
+                IndexRegistry(artifact_dir).annotate(rec["name"], table=pt)
+        _pending()[:] = keep
+
     for stmt in stmts:
         s = stmt.strip()
         if not s or s.startswith("--"):
             continue
         s = _strip_backquotes(s)
+        if _pending():
+            low = _string_mask(s).lower()
+            dm = re.match(r"^\s*drop\s+table\s+(?:if\s+exists\s+)?(\w+)", low)
+            if dm:
+                # DROP TABLE interrupts in-flight builds for that table
+                # (00020: drop not blocked by a concurrently building index)
+                _pending()[:] = [
+                    p for p in _pending() if p[1] != dm.group(1)
+                ]
+            has_sleep = "sleep(" in low
+            is_observation = (
+                low.lstrip().startswith("select")
+                and "system." in low
+                and not has_sleep
+            )
+            is_index_ddl = bool(re.search(
+                r"\b(add|drop)\s+(vector\s+)?index\b|\bcreate\s+vector\s+index\b",
+                low))
+            is_insert = bool(_INSERT_RE.match(s))
+            if not (is_observation or is_index_ddl or is_insert):
+                _flush_pending(("build",) if has_sleep else ("build", "rebuild"))
         if artifact_dir is not None:
             # distance() metric resolution reads the script's index registry
             import myscaledb_spark.sql_dialect as _dialect
@@ -953,7 +1185,37 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
                         break
                 else:
                     id_col = df.columns[0]
-            result = alter_index_ddl(spark, s, df, id_col, artifact_dir)
+            is_vec_add = bool(re.search(
+                r"\badd\s+vector\s+index\b|\bcreate\s+vector\s+index\b",
+                s, re.IGNORECASE))
+            if not is_vec_add:
+                # dropping a never-built pending index cancels its build
+                # (the reference's drop-not-blocked-by-build)
+                nm = re.search(r"INDEX\s+(?:IF\s+EXISTS\s+)?(\w+)", s,
+                               re.IGNORECASE)
+                if nm:
+                    _pending()[:] = [
+                        p for p in _pending() if p[2] != nm.group(1)
+                    ]
+            result = alter_index_ddl(
+                spark, s, df, id_col, artifact_dir, defer_build=is_vec_add
+            )
+            fts_add = re.match(
+                r"^\s*ALTER\s+TABLE\s+\w+\s+ADD\s+INDEX\s+"
+                r"(?:IF\s+NOT\s+EXISTS\s+)?(\w+)[\s(].*\bTYPE\s+fts\b",
+                s, re.IGNORECASE | re.DOTALL,
+            )
+            if fts_add and table in TABLES:
+                # ADD INDEX ... TYPE fts covers only parts written FROM NOW
+                # — pre-existing parts stay index-less until MATERIALIZE
+                # INDEX (the reference's skip-index backfill rule)
+                TABLES[table]["fts_decl"] = {
+                    "name": fts_add.group(1),
+                    "covered_from_part": TABLES[table].get("n_parts", 0),
+                }
+            if (is_vec_add and isinstance(result, dict)
+                    and result.get("status") == "InProgress"):
+                _pending().append((s, table, result["name"], "build"))
             if isinstance(result, dict) and result.get("name"):
                 # record the owning table so system.vector_indices can
                 # filter by it (the reference keys the registry per table)
@@ -983,12 +1245,69 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
             or re.match(
                 r"^\s*(DROP\s+TABLE|CREATE\s+FUNCTION|DROP\s+FUNCTION|SET\s+\w+\s*=|"
                 r"DELETE\s+FROM|TRUNCATE\s+TABLE|OPTIMIZE\s+TABLE|DETACH\s+TABLE|"
-                r"ATTACH\s+TABLE)\b",
+                r"ATTACH\s+TABLE|ALTER\s+TABLE\s+\w+\s+MODIFY\s+SETTING|"
+                r"ALTER\s+TABLE\s+\w+\s+MATERIALIZE\s+(INDEX|COLUMN)|"
+                r"CREATE\s+CONNECTION|DROP\s+CONNECTION)\b",
                 s, re.IGNORECASE,
             )
             or _ALTER_COLS_RE.match(s)
         ):
             result = ch_ddl(spark, s)
+            dtm = re.match(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)",
+                           s, re.IGNORECASE)
+            if dtm and artifact_dir is not None:
+                # dropping a table drops its indexes with it (the reference
+                # removes index metadata with the table) — so a later
+                # CREATE + ADD of the same names starts clean (00032)
+                from myscaledb_spark.plans.vector_index import IndexRegistry
+
+                reg = IndexRegistry(artifact_dir)
+                for r in reg.list():
+                    if (r.get("table") == dtm.group(1)
+                            and r.get("status") not in (None, "Dropped")):
+                        reg.set_status(r["name"], "Dropped")
+            mcm2 = re.match(
+                r"^\s*ALTER\s+TABLE\s+(\w+)\s+MATERIALIZE\s+COLUMN\s+(\w+)",
+                s, re.IGNORECASE,
+            )
+            if mcm2 and artifact_dir is not None:
+                # the backfilled column unblocks failed index builds on it:
+                # re-queue them (the reference rebuilds once the mutation
+                # lands — 00037_mqvs_multiple_fix_non_exist)
+                from myscaledb_spark.plans.vector_index import IndexRegistry
+
+                t, c = mcm2.group(1), mcm2.group(2)
+                reg = IndexRegistry(artifact_dir)
+                for r in reg.list():
+                    if (r.get("table") == t and r.get("column") == c
+                            and r.get("status") == "Error" and r.get("expr")
+                            and not any(p[2] == r["name"] for p in _pending())):
+                        reg.set_status(r["name"], "InProgress")
+                        _pending().append((
+                            f"ALTER TABLE {t} ADD VECTOR INDEX {r['expr']}",
+                            t, r["name"], "build",
+                        ))
+            delm = re.match(r"^\s*DELETE\s+FROM\s+(\w+)", s, re.IGNORECASE)
+            if delm and artifact_dir is not None:
+                # lightweight DELETE on an indexed table: affected Built
+                # indexes rebuild asynchronously — status drops back to
+                # InProgress until a query needs the artifact
+                # (00016/00017: LWD triggers a part re-index)
+                from myscaledb_spark.plans.vector_index import IndexRegistry
+
+                t = delm.group(1)
+                reg = IndexRegistry(artifact_dir)
+                for r in reg.list():
+                    if (r.get("table") == t and r.get("status") == "Built"
+                            and r.get("expr")
+                            and "fts" not in str(r.get("index_type", "")).lower()
+                            and "type fts" not in str(r.get("expr", "")).lower()
+                            and not any(p[2] == r["name"] for p in _pending())):
+                        reg.set_status(r["name"], "InProgress")
+                        _pending().append((
+                            f"ALTER TABLE {t} ADD VECTOR INDEX {r['expr']}",
+                            t, r["name"], "rebuild",
+                        ))
             insm = _INSERT_RE.match(s)
             if insm and TABLES.get(insm.group("table"), {}).get("pending_vector_indices"):
                 # inline VECTOR INDEX declarations build once data exists
@@ -1008,6 +1327,12 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
             if re.search(r"\bsystem\.\w+", s, re.IGNORECASE):
                 s = _bind_system_tables(spark, s, artifact_dir)
             result = ch_sql(spark, s)
+    # A multi-statement script flushes at its end (builds nothing observed
+    # are still materialized for API callers reusing artifact_dir).  A
+    # single-statement call — the statement-at-a-time harness — keeps the
+    # queue pending so the async timeline spans calls.
+    if n_content > 1:
+        _flush_pending()
     return result
 
 
@@ -1015,7 +1340,7 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
 _SYSTEM_TABLES = ("vector_indices", "data_skipping_indices", "functions",
                   "vector_index_event_log", "query_log", "tables",
                   "merge_tree_settings", "zookeeper", "vector_index_segments",
-                  "parts")
+                  "parts", "data_type_families", "connections")
 
 
 def _bind_system_tables(spark: SparkSession, s: str, artifact_dir: str | None) -> str:
@@ -1051,6 +1376,10 @@ def _bind_system_tables(spark: SparkSession, s: str, artifact_dir: str | None) -
             intro.system_vector_index_segments(spark, artifact_dir).createOrReplaceTempView(view)
         elif name == "parts":
             intro.system_parts(spark).createOrReplaceTempView(view)
+        elif name == "data_type_families":
+            intro.system_data_type_families(spark).createOrReplaceTempView(view)
+        elif name == "connections":
+            intro.system_connections(spark).createOrReplaceTempView(view)
     return re.sub(r"\bsystem\.(\w+)", r"system_\1", s, flags=re.IGNORECASE)
 
 

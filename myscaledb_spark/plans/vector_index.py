@@ -69,8 +69,11 @@ class IndexRegistry:
             ]
             rec["seq"] = (max(existing) if existing else 0) + 1
         # status-transition history ≈ system.vector_index_event_log
-        # (src/VectorIndex/Interpreters/VIEventLog.cpp)
-        rec["events"].append({"status": status, "event_time": time.time()})
+        # (src/VectorIndex/Interpreters/VIEventLog.cpp); a repeated
+        # transition (e.g. deferred InProgress followed by the build's own
+        # InProgress) is ONE build start, not two
+        if not rec["events"] or rec["events"][-1].get("status") != status:
+            rec["events"].append({"status": status, "event_time": time.time()})
         json.dump(rec, open(self._path(name), "w"), indent=1)
 
     def annotate(self, name: str, **extra) -> None:

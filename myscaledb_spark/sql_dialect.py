@@ -44,7 +44,7 @@ TEMPLATES: dict[str, str] = {
     "toHour": "hour({0})",
     "toMinute": "minute({0})",
     "toSecond": "second({0})",
-    "toDate": "to_date({0})",
+    # toDate with a timezone argument is a SPECIAL (below)
     "toYYYYMM": "(year({0}) * 100 + month({0}))",
     "toYYYYMMDD": "(year({0}) * 10000 + month({0}) * 100 + day({0}))",
     "toUnixTimestamp": "unix_timestamp({0})",
@@ -357,6 +357,21 @@ TEMPLATES: dict[str, str] = {
     "groupArrayMerge": "flatten(collect_list({0}))",
     "argMinMerge": "min_by({0}, {0}.val).arg",
     "argMaxMerge": "max_by({0}, {0}.val).arg",
+    # combinator compositions: -IfState filters before the state build
+    # (AggregateFunctionIf.h wraps the nested combinator), -SimpleState is
+    # the identity wrapper (state == value, AggregateFunctionSimpleState.h)
+    "sumIfState": "sum(case when {1} then {0} end)",
+    "countIfState": "count_if({0})",
+    "minIfState": "min(case when {1} then {0} end)",
+    "maxIfState": "max(case when {1} then {0} end)",
+    "avgIfState": (
+        "named_struct('sum', sum(case when {1} then {0} end), "
+        "'count', count(case when {1} then {0} end))"
+    ),
+    "uniqExactIfState": "array_sort(collect_set(case when {1} then {0} end))",
+    "sumSimpleState": "sum({0})",
+    "minSimpleState": "min({0})",
+    "maxSimpleState": "max({0})",
     # sumMap aggregates values on EQUAL keys (AggregateFunctionSumMap.h) —
     # a plain map_from_entries(collect_list) throws DUPLICATE_MAP_KEY the
     # moment a key repeats across rows
@@ -878,8 +893,11 @@ def _final_subquery(table: str, schema_fn) -> str:
     kind = m["kind"]
     # DDL-created tables (plans/table_ddl.py) keep their rows in a backing
     # view that carries a hidden insertion-sequence column — the engine's
-    # true insertion order; FINAL reads the store and strips the column
+    # true insertion order; FINAL reads the store, drops lightweight-deleted
+    # (_ch_exists=false) rows, and strips the hidden columns
     src = m.get("store") or table
+    if m.get("store"):
+        src = (f"(SELECT * EXCEPT (_ch_exists) FROM {src} WHERE _ch_exists)")
     hide = [m["order"]] if m.get("store") and m.get("order") else []
 
     def _exc(*cols: str) -> str:
@@ -1879,6 +1897,21 @@ def _special_uniq_merge_state(args: list[str]) -> str:
     return _hll_merged_registers(args[0])
 
 
+def _special_to_date(args: list[str]) -> str:
+    """toDate(x[, tz]) — the 2-arg form converts to the DATE in ``tz``
+    (DateTimeTransforms.h ToDateImpl with time_zone): shift the instant to
+    the zone's wall clock, then truncate.  Sessions run UTC, so
+    convert_timezone('UTC', tz, ...) is exact."""
+    if len(args) == 1:
+        return f"to_date({args[0]})"
+    if len(args) == 2:
+        return (
+            f"to_date(convert_timezone('UTC', {args[1]}, "
+            f"cast({args[0]} as timestamp)))"
+        )
+    raise ChSqlError(f"toDate takes 1 or 2 arguments, got {len(args)}")
+
+
 def _special_finalize_aggregation(args: list[str]) -> str:
     raise ChSqlError(
         "finalizeAggregation is type-directed (the reference reads the "
@@ -1902,6 +1935,7 @@ SPECIAL = {
     "position": _special_position,
     "count": lambda args: f"count({', '.join(args)})" if args else "count(*)",
     "countState": lambda args: f"count({', '.join(args)})" if args else "count(*)",
+    "toDate": _special_to_date,
     "uniqState": _special_uniq_state,
     "uniqMerge": _special_uniq_merge,
     "uniqMergeState": _special_uniq_merge_state,
@@ -2241,6 +2275,120 @@ def _rewrite_calls(sql: str, depth: int = 0) -> str:
     return "".join(out)
 
 
+def _inline_select_aliases(sql: str, schema_fn) -> str:
+    """ClickHouse lets a SELECT alias appear in WHERE (`SELECT d(x) AS dist
+    ... WHERE dist < 10` — TreeRewriter alias resolution); Spark resolves
+    WHERE before the projection.  Inline top-level `expr AS alias` into the
+    WHERE clause for aliases that are NOT real columns of the FROM table
+    (a same-named column keeps column semantics)."""
+    mask = _top_level_mask(sql)
+    msel = re.search(r"\bSELECT\b(.*?)\bFROM\b", mask, re.IGNORECASE | re.DOTALL)
+    mwh = re.search(
+        r"\bWHERE\b(.*?)(?=\bGROUP\b|\bHAVING\b|\bORDER\b|\bLIMIT\b|"
+        r"\bSETTINGS\b|\bFORMAT\b|$)",
+        mask, re.IGNORECASE | re.DOTALL,
+    )
+    if not msel or not mwh:
+        return sql
+    cols: set[str] = set()
+    ft = re.search(r"\bFROM\s+([A-Za-z_]\w*)", mask, re.IGNORECASE)
+    if ft and schema_fn is not None:
+        try:
+            cols = set(schema_fn(ft.group(1)))
+        except Exception:
+            cols = set()
+    # split the SELECT list on top-level commas (positions from the mask)
+    s0, s1 = msel.start(1), msel.end(1)
+    bounds, last = [], s0
+    for i in range(s0, s1):
+        if mask[i] == ",":
+            bounds.append((last, i))
+            last = i + 1
+    bounds.append((last, s1))
+    aliases: dict[str, str] = {}
+    for a, b in bounds:
+        item = sql[a:b]
+        am = re.search(r"\s+AS\s+(\w+)\s*$", item, re.IGNORECASE)
+        if am and am.group(1) not in cols:
+            aliases[am.group(1)] = item[: am.start()].strip()
+    if not aliases:
+        return sql
+    w0, w1 = mwh.start(1), mwh.end(1)
+    wmask, wtext = mask[w0:w1], sql[w0:w1]
+    out, idx = [], 0
+    for m in re.finditer(r"[A-Za-z_]\w*", wmask):
+        name = wtext[m.start() : m.end()]
+        if name in aliases:
+            out.append(wtext[idx : m.start()])
+            out.append(f"({aliases[name]})")
+            idx = m.end()
+    out.append(wtext[idx:])
+    return sql[:w0] + "".join(out) + sql[w1:]
+
+
+def _check_unmaterialized_vector(sql: str) -> None:
+    """Vector search on a column ADDed after parts existed throws until
+    MATERIALIZE COLUMN backfills it (the reference's LOGICAL_ERROR,
+    00037_mqvs_multiple_fix_non_exist_vector_column) — old parts have no
+    physical column for the index/scan to read."""
+    mask = _string_mask(sql)
+    dm = re.search(r"\bdistance\s*\(\s*([\w.]+)", mask, re.IGNORECASE)
+    fm = re.search(r"\bFROM\s+([A-Za-z_]\w*)", mask, re.IGNORECASE)
+    if dm is None or fm is None:
+        return
+    col = sql[dm.start(1):dm.end(1)].split(".")[-1]
+    try:
+        from myscaledb_spark.plans.table_ddl import TABLES
+    except ImportError:  # pragma: no cover
+        return
+    unmat = TABLES.get(fm.group(1), {}).get("unmaterialized_cols") or set()
+    if col in unmat:
+        raise ChSqlError(
+            f"vector search on column {col!r}: pre-existing parts do not "
+            "contain it yet — run ALTER TABLE ... MATERIALIZE COLUMN "
+            f"{col} first (reference LOGICAL_ERROR)"
+        )
+
+
+def _brute_force_blocked(spark: SparkSession, sql: str) -> bool:
+    """True iff the query carries ``SETTINGS ... enable_brute_force_vector_
+    search = 0``, computes distance() over a table with NO Built vector
+    index, and the table is not a "small part" (rows below its
+    min_rows_to_build_vector_index — such parts never get an index, so the
+    reference always scans them)."""
+    mask = _string_mask(sql)
+    if not re.search(
+        r"\bSETTINGS\b[^;]*\benable_brute_force_vector_search\s*=\s*0\b",
+        mask, re.IGNORECASE,
+    ):
+        return False
+    if not re.search(r"\bdistance\s*\(", mask, re.IGNORECASE):
+        return False
+    fm = re.search(r"\bFROM\s+([A-Za-z_]\w*)", mask, re.IGNORECASE)
+    if not fm:
+        return False
+    table = fm.group(1)
+    if CURRENT_REGISTRY_DIR is not None:
+        from myscaledb_spark.plans.vector_index import IndexRegistry
+
+        for r in IndexRegistry(CURRENT_REGISTRY_DIR).list():
+            if r.get("table") == table and r.get("status") == "Built":
+                return False
+    try:
+        from myscaledb_spark.plans.table_ddl import TABLES
+
+        thresh = int(
+            (TABLES.get(table, {}).get("settings") or {}).get(
+                "min_rows_to_build_vector_index", 0
+            )
+        )
+    except (ImportError, ValueError):  # pragma: no cover
+        thresh = 0
+    if thresh and spark.table(table).count() < thresh:
+        return False  # small part: brute force stays allowed
+    return True
+
+
 def ch_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataFrame:
     """Run a ClickHouse-flavored SQL query on Spark."""
     import time as _time
@@ -2249,6 +2397,10 @@ def ch_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataFrame
     from myscaledb_spark.sql_search import maybe_search_query
 
     t0 = _time.perf_counter()
+    # scalar WITH (`WITH (subquery|expr) AS ident SELECT ...`) inlines
+    # BEFORE search-shape detection so `textsearch(doc, target_keywords)`
+    # sees its argument (00040_with_subquery's WITH form)
+    sql = _rewrite_scalar_with(sql)
     handled = maybe_search_query(spark, sql)
     if handled is not None:
         log_query(sql, "<search-operator plan>", (_time.perf_counter() - t0) * 1e3, "search")
@@ -2268,11 +2420,12 @@ def ch_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataFrame
             [(line,) for line in (translated.splitlines() or [translated])],
             "explain string",
         )
-    sql = _rewrite_scalar_with(sql)
     sql = _rewrite_tuple_order_by(sql)
     if _DIST_CALL_RE.search(sql):
         sql = _preeval_vector_subqueries(spark, sql)
     sql = _distance_metric_and_direction(sql)
+    _check_unmaterialized_vector(sql)
+    sql = _inline_select_aliases(sql, lambda t: spark.table(t).columns)
     translated = rewrite(
         sql,
         schema_fn=lambda t: spark.table(t).columns,
@@ -2281,5 +2434,12 @@ def ch_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataFrame
         },
     )
     out = spark.sql(translated, args=args) if args else spark.sql(translated)
+    if _brute_force_blocked(spark, sql):
+        # SETTINGS enable_brute_force_vector_search = 0 on an index-less
+        # table whose parts exceed the build threshold: the reference's
+        # vector-scan planner contributes NO rows from such parts
+        # (MergeTreeVSManager; small parts below
+        # min_rows_to_build_vector_index stay exempt — 00038)
+        out = out.limit(0)
     log_query(sql, translated, (_time.perf_counter() - t0) * 1e3)
     return out

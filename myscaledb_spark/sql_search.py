@@ -109,6 +109,9 @@ def maybe_search_query(spark: SparkSession, sql: str) -> DataFrame | None:
                 spark,
                 sql[: fm.start()] + " FROM __search_inner__" + alias + rest,
             )
+    joined = _maybe_joined_search(spark, sql, tmask, hits[0], kind)
+    if joined is not None:
+        return joined
     try:
         return _run(spark, sql, kind)
     except (ChSqlError, InvalidSearchQuery):
@@ -119,6 +122,111 @@ def maybe_search_query(spark: SparkSession, sql: str) -> DataFrame | None:
             f"SELECT cols, {kind}(...) AS alias FROM t [WHERE p] "
             "ORDER BY alias ... LIMIT k — or use the API operator directly"
         ) from e
+
+
+def _maybe_joined_search(spark, sql, tmask, hit, kind):
+    """Search over a two-table equi-join with the search columns on one
+    side (00040 'on right joined table'): the reference pushes the search
+    into the INDEXED table — top-k candidates first, then the join drops
+    unmatched ones and duplicates multi-matched ones, and the outer ORDER
+    BY/LIMIT re-rank the joined rows.  Returns None when the query is not
+    this shape."""
+    jm = re.search(
+        r"\bFROM\s+(?P<lt>\w+)(?:\s+AS\s+(?P<la>\w+)|\s+(?!JOIN\b|INNER\b|LEFT\b|"
+        r"RIGHT\b)(?P<la2>\w+))?\s+(?:INNER\s+)?JOIN\s+(?P<rt>\w+)"
+        r"(?:\s+AS\s+(?P<ra>\w+)|\s+(?!ON\b)(?P<ra2>\w+))?\s+ON\b",
+        tmask, re.IGNORECASE,
+    )
+    if jm is None:
+        return None
+    lt, rt = jm.group("lt"), jm.group("rt")
+    la = jm.group("la") or jm.group("la2") or lt
+    ra = jm.group("ra") or jm.group("ra2") or rt
+    tail_m = re.search(
+        r"\bWHERE\b|\bORDER\s+BY\b|\bLIMIT\b", tmask[jm.end():], re.IGNORECASE
+    )
+    on_txt = (sql[jm.end(): jm.end() + tail_m.start()] if tail_m
+              else sql[jm.end():]).strip()
+    om = re.fullmatch(r"(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)", on_txt)
+    if om is None:
+        raise ChSqlError(
+            f"search over a join supports a single equi-ON condition, got "
+            f"{on_txt!r}"
+        )
+    if re.search(r"\bWHERE\b", tmask[jm.end():], re.IGNORECASE):
+        raise ChSqlError(
+            "search over a join does not take a WHERE clause — filter in a "
+            "temp view first"
+        )
+    # the full search-call text (parametric form has two paren groups:
+    # name(params)(args) — the ARGS group is the last one)
+    open1 = sql.index("(", hit.end() - 1)
+    end = _find_call_end(sql, open1)
+    open_args = open1
+    probe = re.match(r"\s*\(", sql[end:])
+    if probe:
+        open_args = end + probe.end() - 1
+        end = _find_call_end(sql, open_args)
+    call_txt = sql[hit.start(): end]
+    am = re.match(r"\s+as\s+(\w+)", sql[end:], re.IGNORECASE)
+    alias = am.group(1) if am else "score"
+    # which side owns the search columns? probe the first argument column
+    arg0 = re.match(r"[\w.]+", sql[open_args + 1:].strip())
+    col0 = (arg0.group(0).split(".")[-1]) if arg0 else ""
+    qual = {la: lt, lt: lt, ra: rt, rt: rt}
+    s_table = rt if col0 in spark.table(rt).columns else lt
+    o_table = lt if s_table == rt else rt
+    s_names = {k for k, v in qual.items() if v == s_table}
+    keys = {om.group(1): om.group(2), om.group(3): om.group(4)}
+    s_key = next((c for q, c in keys.items() if q in s_names), None)
+    o_key = next((c for q, c in keys.items() if q not in s_names), None)
+    if s_key is None or o_key is None:
+        raise ChSqlError("join ON must relate the two joined tables")
+    lim = re.search(r"\bLIMIT\s+(\d+)\s*$", tmask, re.IGNORECASE)
+    if lim is None:
+        raise ChSqlError(f"{kind} over a join needs a trailing LIMIT k")
+    k = int(lim.group(1))
+    inner_sql = (
+        f"SELECT {s_key}, {call_txt} AS {alias} FROM {s_table} "
+        f"ORDER BY {alias} DESC LIMIT {k}"
+    )
+    inner = _run(spark, inner_sql, kind).withColumnRenamed(s_key, "_skey")
+    other = spark.table(o_table)
+    out = other.join(inner, other[o_key] == inner["_skey"]).drop("_skey")
+    # outer projection: qualified plain columns + the search alias
+    smask = _string_mask(sql)
+    sel_m = re.search(r"\bSELECT\b(.*?)\bFROM\b", tmask, re.IGNORECASE | re.DOTALL)
+    cols = []
+    s0 = sel_m.start(1)
+    bounds, last = [], s0
+    for i in range(s0, sel_m.end(1)):
+        if tmask[i] == "," and smask[i] == ",":
+            bounds.append((last, i))
+            last = i + 1
+    bounds.append((last, sel_m.end(1)))
+    for a, b in bounds:
+        item = sql[a:b].strip()
+        if hit.start() >= a and hit.start() < b:
+            cols.append(F.col(alias))
+            continue
+        cm = re.fullmatch(r"(?:(\w+)\.)?(\w+)", item)
+        if cm is None:
+            raise ChSqlError(f"unsupported select item over a join: {item!r}")
+        cols.append(F.col(cm.group(2)))
+    ord_m = re.search(r"\bORDER\s+BY\b(.*?)\bLIMIT\b", tmask,
+                      re.IGNORECASE | re.DOTALL)
+    order = []
+    if ord_m:
+        for piece in sql[ord_m.start(1): ord_m.end(1)].split(","):
+            pm = re.fullmatch(
+                r"\s*(?:(\w+)\.)?(\w+)\s*(ASC|DESC)?\s*", piece, re.IGNORECASE
+            )
+            if pm is None:
+                raise ChSqlError(f"unsupported join ORDER BY item {piece!r}")
+            c = F.col(pm.group(2))
+            order.append(c.desc() if (pm.group(3) or "").upper() == "DESC"
+                         else c.asc())
+    return out.select(*cols).orderBy(*order).limit(k)
 
 
 def _clause_spans(sql: str) -> dict:
@@ -265,6 +373,114 @@ def _apply_order(df: DataFrame, alias: str, order_text: str | None, id_col: str)
     return df.orderBy(*cols)
 
 
+def _fts_text_frame(spark: SparkSession, table: str, df: DataFrame):
+    """(text_corpus_df, is_empty): the rows the reference's text leg can
+    serve.  textsearch/hybridsearch read the TANTIVY INDEX, never the raw
+    column (MergeTreeIndexTantivy) — so on a ch_ddl table the text corpus
+    is the fts-covered parts only: everything for an inline fts INDEX,
+    nothing without a declaration, and parts written after ADD INDEX until
+    MATERIALIZE INDEX backfills (00040_mqvs_hybrid_search_with_lwd).
+    Non-ch_ddl tables (plain views) keep the engine's index-less direct
+    BM25 — a documented capability beyond the reference."""
+    try:
+        from myscaledb_spark.plans.table_ddl import ISEQ, TABLES
+    except ImportError:  # pragma: no cover
+        return df, False
+    if table not in TABLES:
+        return df, False
+    decl = TABLES[table].get("fts_decl")
+    if decl is None:
+        return df.limit(0), True
+    from myscaledb_spark.plans.table_ddl import EXISTS
+
+    part0 = int(decl.get("covered_from_part", 0))
+    store = spark.table(f"{table}__store")
+    if part0 > 0:
+        store = store.filter(F.col(ISEQ) >= part0 * (1 << 50))
+    elif EXISTS not in store.columns:
+        return df, False
+    # masked (lightweight-deleted) rows STAY in the corpus — the index
+    # still contains them, so BM25 statistics are pre-delete; the caller
+    # filters results on the mask (the reference's _row_exists read filter)
+    return store.drop(ISEQ), False
+
+
+def _text_arg(spark: SparkSession, raw: str, fnname: str) -> str:
+    """The query-text argument: a string literal, or a scalar subquery
+    `(SELECT ... LIMIT 1)` evaluated eagerly (ExecuteScalarSubqueriesVisitor
+    — 00040_mqvs_hybrid_search_with_subquery)."""
+    t = raw.strip()
+    # peel redundant wrapping parens (a WITH-inlined subquery arrives as
+    # ((select ...)))
+    while re.match(r"^\(\s*\(", t) and _find_call_end(t, 0) == len(t):
+        t = t[1:-1].strip()
+    if t.startswith("(") and re.match(r"^\(\s*select\b", t, re.IGNORECASE | re.DOTALL):
+        from myscaledb_spark.sql_dialect import ch_sql
+
+        rows = ch_sql(spark, t[1:-1]).limit(2).collect()
+        if not rows:
+            raise ChSqlError(f"{fnname}: scalar subquery returned no rows")
+        if len(rows) > 1 or len(rows[0]) != 1:
+            raise ChSqlError(
+                f"{fnname}: scalar subquery must return exactly one value"
+            )
+        return str(rows[0][0])
+    return _unquote(raw, fnname)
+
+
+def _sql_text_candidates(text_df, col, query, k, id_col, score_name, where):
+    """Query-shape-aware text scoring for the SQL search functions: tantivy's
+    QueryParser turns a bare term that tokenizes to several tokens
+    ("history's", "foo-bar") into a PHRASE query, and honors quoted phrases
+    and +/- operators — so such queries route through nlq_scores (the
+    phrase/must machinery); plain-word queries keep the OR text_search path
+    (bit-identical to the gate oracles)."""
+    from myscaledb_spark.functions.text import nlq_scores, parse_nlq, text_search
+
+    clauses = parse_nlq(query, "simple")
+    if any(c["phrase"] or c["must"] or c["must_not"] for c in clauses):
+        scored = nlq_scores(text_df, col, query, "simple", score_name)
+        if where is not None:
+            scored = scored.filter(where)
+        return scored.orderBy(
+            F.col(score_name).desc(), F.col(id_col).asc()
+        ).limit(k)
+    return text_search(
+        text_df, col, query, k, id_col=id_col, score_name=score_name,
+        where=where,
+    )
+
+
+def _multi_part_table(table: str) -> bool:
+    try:
+        from myscaledb_spark.plans.table_ddl import TABLES
+    except ImportError:  # pragma: no cover
+        return False
+    return table in TABLES and TABLES[table].get("n_parts", 0) > 1
+
+
+def _text_scores_frame(df, col, query, score_name):
+    """All matching rows scored with table-global BM25 stats (no top-k):
+    the per-part fusion ranks/normalizes these per part.  Phrase-bearing
+    queries route through the NLQ scorer like _sql_text_candidates."""
+    from myscaledb_spark.functions.text import bm25_scores, nlq_scores, parse_nlq
+
+    clauses = parse_nlq(query, "simple")
+    if any(c["phrase"] or c["must"] or c["must_not"] for c in clauses):
+        return nlq_scores(df, col, query, "simple", score_name)
+    return bm25_scores(df, col, query, "simple", "OR", score_name)
+
+
+def _exists_mask(df: DataFrame):
+    """The lightweight-delete read filter, when the frame carries the
+    store's _row_exists column (None otherwise)."""
+    try:
+        from myscaledb_spark.plans.table_ddl import EXISTS
+    except ImportError:  # pragma: no cover
+        return None
+    return F.col(EXISTS) if EXISTS in df.columns else None
+
+
 def _run(spark: SparkSession, sql: str, kind: str) -> DataFrame:
     from myscaledb_spark.sql_dialect import _strip_settings
 
@@ -294,26 +510,36 @@ def _run(spark: SparkSession, sql: str, kind: str) -> DataFrame:
             raise ChSqlError("textsearch parameters are not supported in SQL")
         if len(args) != 2:
             raise ChSqlError("textsearch(text_column, 'query') needs 2 args")
+        text_df, no_index = _fts_text_frame(spark, table, df)
         if re.fullmatch(_IDENT, args[0].strip()):
             col = args[0].strip()
         else:
             # expression argument (e.g. textsearch(mapKeys(doc_map), ...),
             # 00040 'text search with map column') — derive a text column
             col = "_ts_text"
-            df = df.withColumn(col, F.expr(_rewrite_calls(args[0])))
-        query = _unquote(args[1], "textsearch")
-        dtypes = dict(df.dtypes)
+            text_df = text_df.withColumn(col, F.expr(_rewrite_calls(args[0])))
+        query = _text_arg(spark, args[1], "textsearch")
+        dtypes = dict(text_df.dtypes)
         if dtypes.get(col, "").startswith("array<"):
             # Array(String) text columns: the reference's Tantivy index
             # treats the array as one multi-value text field
             # (00040 'text search with array column') — concatenate
-            df = df.withColumn(col, F.array_join(F.col(col), " "))
+            text_df = text_df.withColumn(col, F.array_join(F.col(col), " "))
         # the predicate prunes AFTER scoring: BM25 stats stay corpus-global,
         # like the reference's index-backed filtered search (00040 'text
-        # search with WHERE clause' keeps the unfiltered score)
-        out = text_search(
-            df, col, query, k, id_col=id_col, score_name=alias, where=where_col
+        # search with WHERE clause' keeps the unfiltered score); the
+        # lightweight-delete mask prunes the same way (index stats keep
+        # deleted rows, results drop them)
+        mask = _exists_mask(text_df)
+        if mask is not None:
+            where_col = mask if where_col is None else (where_col & mask)
+        out = _sql_text_candidates(
+            text_df, col, query, k, id_col, alias, where_col
         )
+        if no_index:
+            # no fts index on this ch_ddl table: the reference's textsearch
+            # serves from the index and returns nothing
+            out = out.limit(0)
         sel = plain + [alias] if plain else [id_col, alias]
         return _apply_order(out.select(*sel), alias, order_text, id_col)
 
@@ -345,7 +571,7 @@ def _run(spark: SparkSession, sql: str, kind: str) -> DataFrame:
             )
         vec_col = _ident_arg(args[0], "hybridsearch vector column")
         text_col = _ident_arg(args[1], "hybridsearch text column")
-        qtext = _unquote(args[3], "hybridsearch")
+        qtext = _text_arg(spark, args[3], "hybridsearch")
         if not args[2].strip().startswith("["):
             # binary-vector hybrid (00040 'on binary vector'): the query
             # vector is a FixedString expression (char(1,1,1)); the dense
@@ -380,6 +606,106 @@ def _run(spark: SparkSession, sql: str, kind: str) -> DataFrame:
         # dense_nprobe tunes the reference's index probe; the SQL shim runs
         # the exact path, so it is accepted and ignored (parseVSParameters.cpp
         # accepts the same strings on the exact fallback)
+        text_df, no_index = _fts_text_frame(spark, table, df)
+        per_part = _multi_part_table(table) and not no_index
+        if per_part:
+            # >1 data part: the reference fuses EACH part's candidate list
+            # independently (per-part top-k, per-part RSF normalization)
+            # and merges by fused score — MergeTreeHybridSearchManager;
+            # 00041_mqvs_text_search_multiple_parts pins the numbers
+            from myscaledb_spark.operators.hybrid import fuse_candidates
+            from myscaledb_spark.functions.vector import distance
+            from myscaledb_spark.plans.table_ddl import EXISTS, ISEQ, TABLES
+
+            qvec = _parse_vec_literal(args[2])
+            vec_col = _ident_arg(args[0], "hybridsearch vector column")
+            text_col = _ident_arg(args[1], "hybridsearch text column")
+            qtext = _text_arg(spark, args[3], "hybridsearch")
+            from pyspark.sql import Window
+
+            store_df = spark.table(f"{table}__store").withColumn(
+                "_part", F.floor(F.col(ISEQ) / F.lit(1 << 50)).cast("int")
+            )
+            alive = (F.col(EXISTS) if EXISTS in store_df.columns
+                     else F.lit(True))
+            keep = alive if where_col is None else (alive & where_col)
+            dense = (
+                store_df.filter(keep)
+                .select(id_col, "_part",
+                        distance(vec_col, qvec, "L2").alias("_vdist"))
+                .filter(F.col("_vdist").isNotNull())
+            )
+            wv = Window.partitionBy("_part").orderBy(
+                F.col("_vdist").asc(), F.col(id_col).asc())
+            vec_cand = (
+                dense.withColumn("_rn", F.row_number().over(wv))
+                .filter(F.col("_rn") <= k).select(id_col, "_vdist", "_part")
+            )
+            decl = TABLES[table].get("fts_decl") or {}
+            part0 = int(decl.get("covered_from_part", 0))
+            tbase = (store_df if part0 <= 0
+                     else store_df.filter(F.col(ISEQ) >= part0 * (1 << 50)))
+            scored = _text_scores_frame(tbase, text_col, qtext, "_bm25")
+            scored = scored.filter(keep)
+            wt = Window.partitionBy("_part").orderBy(
+                F.col("_bm25").desc(), F.col(id_col).asc())
+            txt_cand = (
+                scored.withColumn("_rn", F.row_number().over(wt))
+                .filter(F.col("_rn") <= k).select(id_col, "_bm25", "_part")
+            )
+            out = fuse_candidates(
+                vec_cand, txt_cand, k, id_col,
+                fusion_type=opts["fusion_type"], metric="L2",
+                fusion_weight=float(opts.get("fusion_weight", DEFAULT_FUSION_WEIGHT)),
+                fusion_k=int(opts.get("fusion_k", DEFAULT_FUSION_K)),
+                score_name=alias, part_col="_part",
+            )
+            extra = [c for c in plain if c != id_col]
+            if extra:
+                out = out.join(df.select(id_col, *extra), id_col)
+            sel = (plain if plain else [id_col]) + [alias]
+            return _apply_order(out.select(*sel), alias, order_text, id_col)
+        if no_index or text_df is not df:
+            # fts coverage differs from the dense corpus (missing index or
+            # un-backfilled parts): build the legs separately — the dense
+            # leg scans everything, the text leg ONLY the indexed parts
+            # (empty text leg → pure dense fusion, as the reference's
+            # 'w/o tantivy index' blocks print)
+            from myscaledb_spark.functions.text import text_search
+            from myscaledb_spark.functions.vector import distance
+            from myscaledb_spark.operators.hybrid import fuse_candidates
+            from myscaledb_spark.operators.topk import _order
+
+            vec_cand = (
+                df.select(id_col, distance(vec_col, qvec, "L2").alias("_vdist"))
+                .filter(F.col("_vdist").isNotNull())
+                .orderBy(*_order(F.col("_vdist"), F.col(id_col), "L2"))
+                .limit(k)
+            )
+            if no_index:
+                txt_cand = (
+                    df.select(id_col).limit(0).withColumn("_bm25", F.lit(0.0))
+                )
+            else:
+                mask = _exists_mask(text_df)
+                tw = where_col
+                if mask is not None:
+                    tw = mask if tw is None else (tw & mask)
+                txt_cand = _sql_text_candidates(
+                    text_df, text_col, qtext, k, id_col, "_bm25", tw
+                ).select(id_col, "_bm25")
+            out = fuse_candidates(
+                vec_cand, txt_cand, k, id_col,
+                fusion_type=opts["fusion_type"], metric="L2",
+                fusion_weight=float(opts.get("fusion_weight", DEFAULT_FUSION_WEIGHT)),
+                fusion_k=int(opts.get("fusion_k", DEFAULT_FUSION_K)),
+                score_name=alias,
+            )
+            extra = [c for c in plain if c != id_col]
+            if extra:
+                out = out.join(df.select(id_col, *extra), id_col)
+            sel = (plain if plain else [id_col]) + [alias]
+            return _apply_order(out.select(*sel), alias, order_text, id_col)
         out = hybrid_search(
             df, vec_col, text_col, qvec, qtext, k, id_col,
             fusion_type=opts["fusion_type"],

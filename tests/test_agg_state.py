@@ -281,3 +281,31 @@ def test_dialect_states_parse_and_run(spark, orders):
     assert out["best"] == direct["best"] and out["mn"] == direct["mn"]
     assert out["mx"] == direct["mx"] and out["s"] == direct["s"]
     assert out["c"] == direct["c"] and int(out["ndv"]) == direct["ndv"]
+
+
+def test_dialect_if_state_composition(spark, orders):
+    """-IfState filters before the state build; merging filtered states
+    equals the filtered one-shot aggregate."""
+    out = ch_sql(
+        spark,
+        """
+        SELECT sumMerge(s) AS s, round(avgMerge(a), 4) AS a,
+               uniqExactMerge(ue) AS ndv
+        FROM (
+          SELECT toMonth(o_orderdate) AS m,
+                 sumIfState(o_orderkey, o_orderstatus = 'F') AS s,
+                 avgIfState(o_orderkey, o_orderstatus = 'F') AS a,
+                 uniqExactIfState(o_custkey, o_orderstatus = 'F') AS ue
+          FROM _tas_orders GROUP BY m
+        )
+        """,
+    ).collect()[0]
+    direct = spark.sql(
+        """
+        SELECT sum(o_orderkey) s, round(avg(o_orderkey), 4) a,
+               count(distinct o_custkey) ndv
+        FROM _tas_orders WHERE o_orderstatus = 'F'
+        """
+    ).collect()[0]
+    assert out["s"] == direct["s"] and float(out["a"]) == float(direct["a"])
+    assert out["ndv"] == direct["ndv"]

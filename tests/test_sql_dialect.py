@@ -669,6 +669,7 @@ def test_every_template_rewrites_to_parseable_sql(spark):
         "cluster": "cluster('c', d.t)",
         "clusterAllReplicas": "clusterAllReplicas('c', d.t)",
         "countState": "countState()",
+        "toDate": "toDate(a, 'UTC')",
         "uniqState": "uniqState(a)",
         "uniqMerge": "uniqMerge(a)",
         "uniqMergeState": "uniqMergeState(a)",

@@ -49,6 +49,7 @@ REF_DIRS = [
 #: silently dropped.
 _NOOP_SET = re.compile(
     r"^(enable_brute_force_vector_search|min_rows_to_build_vector_index|"
+    r"optimize_move_to_prewhere_for_vector_search|optimize_move_to_prewhere|"
     r"index_granularity|float_vector_search_metric_type|binary_vector_search_metric_type|"
     r"max_threads|mutations_sync|allow_experimental_[a-z_]+|"
     r"vector_search_.*|max_build_index_train_size|slow_mode_build_vector_index_in_merge|"
@@ -95,7 +96,11 @@ def _strip_comment_lines(stmt: str) -> str:
 
 
 def _parse_cell(tok: str):
-    if re.fullmatch(r"[+-]?\d+", tok):
+    # leading-zero tokens ('0000') are strings: ClickHouse prints integers
+    # canonically, so a zero-padded cell can only be textual data
+    if re.fullmatch(r"[+-]?\d+", tok) and not (
+        len(tok.lstrip("+-")) > 1 and tok.lstrip("+-").startswith("0")
+    ):
         return int(tok)
     try:
         return float(tok)
