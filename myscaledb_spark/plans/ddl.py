@@ -311,7 +311,7 @@ def alter_index_ddl(
     # to the exact FLAT path carrying the declared metric (never silently
     # rank a Cosine/IP-declared index by L2; the reference builds the graph
     # with the metric, we serve the same results from the exact scan)
-    if itype not in ("FLAT", "IVFFLAT", "BINARYMSTG") and metric.upper() not in ("L2",):
+    if itype not in ("FLAT", "IVFFLAT", "BINARYMSTG", "BINARYFLAT") and metric.upper() not in ("L2",):
         reg = IndexRegistry(artifact_dir)
         reg.set_status(
             name, "Built", column=col, index_type="FLAT", metric=metric,
@@ -324,7 +324,7 @@ def alter_index_ddl(
         # system.vector_indices shows the type as WRITTEN in the DDL
         # ('IVFFlat' stays IVFFlat, 00018), except TYPE default which
         # resolves to the default kind (00041)
-        display = {"BINARYMSTG": "BinaryMSTG"}.get(itype, itype)
+        display = {"BINARYMSTG": "BinaryMSTG", "BINARYFLAT": "BinaryFLAT"}.get(itype, itype)
         if raw_type and raw_type.upper() not in ("DEFAULT",):
             display = raw_type
         reg.annotate(
@@ -334,8 +334,8 @@ def alter_index_ddl(
         )
         return reg.get(name)
 
-    if itype in ("FLAT", "BINARYMSTG"):
-        # FLAT is definitionally exact; BinaryMSTG's analog serves binary
+    if itype in ("FLAT", "BINARYMSTG", "BINARYFLAT"):
+        # FLAT is definitionally exact; the Binary* analogs serve binary
         # vectors (FixedString) from the exact Hamming/Jaccard scan
         reg = IndexRegistry(artifact_dir)
         reg.set_status(

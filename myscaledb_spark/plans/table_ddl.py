@@ -207,7 +207,11 @@ def ch_type_to_spark(t: str) -> str:
         return f"decimal({m.group(1)},{m.group(2)})"
     m = re.fullmatch(r"fixedstring\s*\(\d+\)", low)
     if m:
-        return "string"
+        # BINARY, not string: FixedString carries raw bytes in the reference
+        # (binary bit-vectors, char(200..255) cells) — a string column would
+        # round-trip them through UTF-8 and corrupt any byte > 0x7F
+        # (00038_mqvs_binary_vector_feature)
+        return "binary"
     m = re.fullmatch(r"datetime64\s*\(.*\)", low)
     if m:
         return "timestamp"
@@ -1009,6 +1013,10 @@ def ch_ddl(spark: SparkSession, sql: str):
         TABLES[mm.group(1)].setdefault("settings", {})[mm.group(2)] = (
             mm.group(3).strip()
         )
+        if mm.group(2).lower().endswith("_vector_search_metric_type"):
+            from myscaledb_spark.sql_dialect import TABLE_VS_METRIC
+
+            TABLE_VS_METRIC[mm.group(1)] = mm.group(3).strip().strip("'\"")
         return None
     am = re.match(
         r"^\s*(?:DETACH|ATTACH)\s+TABLE\s+(\w+)\s*(?:SYNC)?\s*$", s, re.IGNORECASE

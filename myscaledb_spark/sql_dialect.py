@@ -96,6 +96,11 @@ TEMPLATES: dict[str, str] = {
     "toInt16": "cast({0} as smallint)",
     "toInt32": "cast({0} as int)",
     "toInt64": "cast({0} as bigint)",
+    # unbin('0101...') → bytes (src/Functions/FunctionsCoding.h); conv
+    # drops leading zero nibbles, so pad back to length/4 hex digits.
+    # conv() works to 64 bits — longer bit strings than the reference's
+    # binary-vector tests use would need chunking.
+    "unbin": "unhex(lpad(conv({0}, 2, 16), CAST(length({0}) / 4 AS INT), '0'))",
     "toUInt8": "cast({0} as int)",
     "toUInt16": "cast({0} as int)",
     "toUInt32": "cast({0} as bigint)",
@@ -1945,10 +1950,14 @@ SPECIAL = {
     "formatDateTime": _special_format_datetime,
     "arrayResize": _special_array_resize,
     "toStartOfInterval": _special_to_start_of_interval,
-    # char(n1, n2, ...) — one byte per argument, mod 256
-    # (src/Functions/char.cpp); Spark's char takes exactly one code point
+    # char(n1, n2, ...) — one RAW BYTE per argument, mod 256
+    # (src/Functions/char.cpp returns a byte string, not code points; a
+    # chr()-based rewrite would UTF-8-expand values > 0x7F and corrupt
+    # binary vectors — 00038_mqvs_binary_vector_feature)
     "char": lambda args: (
-        "concat(" + ", ".join(f"chr(pmod(cast({a} as int), 256))" for a in args) + ")"
+        "unhex(concat("
+        + ", ".join(f"lpad(hex(pmod(cast({a} as int), 256)), 2, '0')" for a in args)
+        + "))"
         if args
         else (_ for _ in ()).throw(ChSqlError("char() needs at least one argument"))
     ),
@@ -2402,6 +2411,10 @@ def ch_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataFrame
     # sees its argument (00040_with_subquery's WITH form)
     sql = _rewrite_scalar_with(sql)
     handled = maybe_search_query(spark, sql)
+    if handled is None:
+        from myscaledb_spark.sql_search import maybe_binary_distance
+
+        handled = maybe_binary_distance(spark, sql)
     if handled is not None:
         log_query(sql, "<search-operator plan>", (_time.perf_counter() - t0) * 1e3, "search")
         return handled

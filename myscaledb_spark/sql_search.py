@@ -451,6 +451,125 @@ def _sql_text_candidates(text_df, col, query, k, id_col, score_name, where):
     )
 
 
+def maybe_binary_distance(spark: SparkSession, sql: str) -> DataFrame | None:
+    """Execute `SELECT ..., distance(bincol, <bytes-expr>) AS d FROM t
+    [WHERE p] ORDER BY ... LIMIT k` when the vector column is a BINARY
+    FixedString — the reference's binary-vector search (Hamming by default,
+    Jaccard via binary_vector_search_metric_type;
+    00038_mqvs_binary_vector_feature).  Returns None for float vectors (the
+    dialect's arithmetic rewrite handles those)."""
+    mask = _string_mask(sql)
+    calls = [m for m in re.finditer(r"\bdistance\s*\(", mask, re.IGNORECASE)]
+    if len(calls) != 1 or not re.match(r"^\s*SELECT\b", sql, re.IGNORECASE):
+        return None
+    fm = re.search(r"\bFROM\s+([A-Za-z_]\w*)", _top_level_mask(sql), re.IGNORECASE)
+    if fm is None:
+        return None
+    table = fm.group(1)
+    try:
+        dtypes = dict(spark.table(table).dtypes)
+    except Exception:
+        return None
+    m = calls[0]
+    close = _find_call_end(sql, sql.index("(", m.start()))
+    args = _split_args(sql[sql.index("(", m.start()) + 1: close - 1])
+    if len(args) != 2:
+        return None
+    col = args[0].strip().split(".")[-1]
+    if dtypes.get(col) not in ("binary", "string"):
+        return None
+    from myscaledb_spark.functions.vector import hamming_distance, jaccard_distance
+    from myscaledb_spark.sql_dialect import effective_vs_metric, _rewrite_calls as _rw
+
+    qv = spark.sql(f"SELECT {_rw(args[1])}").first()[0]
+    # latin-1: char(0..255) codepoints ARE the raw bytes (utf-8 would
+    # expand >127 into two bytes and corrupt the bit vector)
+    qbytes = bytes(qv) if isinstance(qv, (bytes, bytearray)) else str(qv).encode("latin-1")
+    # metric resolution order = built index → table SETTINGS → Hamming
+    # (the binary default; MergeTreeVSManager::getVSDescription)
+    metric = effective_vs_metric(table).lower()
+    if metric not in ("hamming", "jaccard"):
+        metric = "hamming"
+    spans = _clause_spans(sql)
+    am = re.match(r"\s+as\s+(\w+)", sql[close:], re.IGNORECASE)
+    alias = am.group(1) if am else "dist"
+    df = spark.table(table)
+    if spans["where"]:
+        df = df.filter(F.expr(_rw(sql[spans["where"][0]: spans["where"][1]])))
+    dcol = (hamming_distance(col, qbytes) if metric == "hamming"
+            else jaccard_distance(col, qbytes))
+    # projection: plain identifiers + the distance item under its alias
+    sel_txt = sql[spans["select"][0]: spans["select"][1]]
+    cols = []
+    for item in _split_args(sel_txt):
+        it = item.strip()
+        if re.match(r"distance\s*\(", it, re.IGNORECASE):
+            cols.append(dcol.alias(alias))
+        elif re.fullmatch(_IDENT, it):
+            cols.append(F.col(it))
+        else:
+            raise ChSqlError(f"unsupported select item with binary distance: {it!r}")
+    out = df.select(*cols)
+    order = []
+    if spans["order"]:
+        for piece in sql[spans["order"][0]: spans["order"][1]].split(","):
+            pm = re.fullmatch(r"\s*(\w+)\s*(ASC|DESC)?\s*", piece, re.IGNORECASE)
+            if pm is None:
+                raise ChSqlError(f"unsupported ORDER BY item {piece!r}")
+            c = F.col(pm.group(1))
+            order.append(c.desc() if (pm.group(2) or "").upper() == "DESC" else c.asc())
+    return out.orderBy(*order).limit(spans["limit_n"])
+
+
+def _binary_batch_distance(spark, df, sql, spans, table, vec_col, qarg,
+                           alias, plain, id_col, k, order_text):
+    """batch_distance over a BINARY FixedString vector column: each query
+    element is an arbitrary bytes expression (char/unbin/unhex —
+    00038_mqvs_binary_vector_feature); rank per query by the table's binary
+    metric (Hamming default, Jaccard via binary_vector_search_metric_type)."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from myscaledb_spark.functions.vector import hamming_distance, jaccard_distance
+    from myscaledb_spark.sql_dialect import effective_vs_metric, _rewrite_calls as _rw
+
+    t = qarg.strip()
+    if not (t.startswith("[") and t.endswith("]")):
+        raise ChSqlError(
+            f"batch_distance needs a bracket list of query vectors, got {t!r}"
+        )
+    qbytes = []
+    for e in _split_args(t[1:-1]):
+        v = spark.sql(f"SELECT {_rw(e)}").first()[0]
+        qbytes.append(bytes(v) if isinstance(v, (bytes, bytearray))
+                      else str(v).encode("latin-1"))
+    metric = effective_vs_metric(table).lower()
+    dist_fn = jaccard_distance if metric == "jaccard" else hamming_distance
+    base_cols = plain if plain else [id_col]
+    frames = [
+        df.select(
+            *[F.col(c) for c in base_cols],
+            F.lit(qi).alias("_bq"),
+            dist_fn(vec_col, qb).cast("double").alias("_bd"),
+        )
+        for qi, qb in enumerate(qbytes)
+    ]
+    allq = reduce(lambda a, b: a.unionByName(b), frames)
+    w = Window.partitionBy("_bq").orderBy(
+        F.col("_bd").asc(), F.col(base_cols[0]).asc()
+    )
+    topk = allq.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    tup = F.struct(F.col("_bq").alias("q"), F.col("_bd").alias("d")).alias(alias)
+    sel = [F.col(c) for c in base_cols] + [tup]
+    return topk.select(*sel).orderBy(
+        F.col(f"{alias}.q").asc(), F.col(f"{alias}.d").asc(),
+        F.col(base_cols[0]).asc(),
+    )
+
+
 def _multi_part_table(table: str) -> bool:
     try:
         from myscaledb_spark.plans.table_ddl import TABLES
@@ -582,7 +701,7 @@ def _run(spark: SparkSession, sql: str, kind: str) -> DataFrame:
             from myscaledb_spark.operators.hybrid import fuse_candidates
 
             qval = spark.sql(f"SELECT {_rewrite_calls(args[2])}").first()[0]
-            qbytes = qval if isinstance(qval, (bytes, bytearray)) else str(qval).encode("utf-8")
+            qbytes = qval if isinstance(qval, (bytes, bytearray)) else str(qval).encode("latin-1")
             vec_cand = (
                 df.select(id_col, hamming_distance(vec_col, bytes(qbytes)).alias("_vdist"))
                 .filter(F.col("_vdist").isNotNull())
@@ -736,6 +855,11 @@ def _run(spark: SparkSession, sql: str, kind: str) -> DataFrame:
     if len(args) != 2:
         raise ChSqlError("batch_distance(vec_col, [[q1...], [q2...]]) needs 2 args")
     vec_col = _ident_arg(args[0], "batch_distance vector column")
+    if dict(df.dtypes).get(vec_col) in ("binary", "string"):
+        return _binary_batch_distance(
+            spark, df, sql, spans, table, vec_col, args[1], alias, plain,
+            id_col, k, order_text,
+        )
     qv_text = args[1].strip()
     while re.match(r"^\(\s*\(", qv_text, re.DOTALL) and _find_call_end(qv_text, 0) == len(qv_text):
         qv_text = qv_text[1:-1].strip()

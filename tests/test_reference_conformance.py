@@ -33,6 +33,18 @@ PINNED = [
     "00032_mqvs_lightweight_delete_small_ranges.sql",
     "00036_mqvs_with_clause_process_function.sql",
     "00040_mqvs_hybrid_search.sql",
+    # r5 conformance-parity batch: LWD _row_exists mask + fts part coverage,
+    # scalar-subquery args, join-pushdown search, per-part fusion, build
+    # failure statuses, the small-part brute-force gate
+    "00017_mqvs_lightweight_delete_with_decouple.sql",
+    "00019_mqvs_replicated_add_fail_status_in_vector_indices.sql",
+    "00037_mqvs_multiple_fix_non_exist_vector_column.sql",
+    "00038_mqvs_brute_force_setting.sql",
+    "00040_mqvs_hybrid_search_with_lwd.sql",
+    "00040_mqvs_hybrid_search_with_subquery.sql",
+    "00040_mqvs_hybrid_search_on_right_joined_table.sql",
+    "00041_mqvs_text_search_multiple_parts.sql",
+    "00034_mqvs_replicated_single_replica_build_index.sql",
 ]
 
 

@@ -96,11 +96,12 @@ def _strip_comment_lines(stmt: str) -> str:
 
 
 def _parse_cell(tok: str):
-    # leading-zero tokens ('0000') are strings: ClickHouse prints integers
-    # canonically, so a zero-padded cell can only be textual data
-    if re.fullmatch(r"[+-]?\d+", tok) and not (
-        len(tok.lstrip("+-")) > 1 and tok.lstrip("+-").startswith("0")
-    ):
+    # leading-zero integer tokens ('0000') are strings: ClickHouse prints
+    # numbers canonically, so a zero-padded cell can only be textual data
+    bare = tok.lstrip("+-")
+    if re.fullmatch(r"\d+", bare) and len(bare) > 1 and bare.startswith("0"):
+        return tok
+    if re.fullmatch(r"[+-]?\d+", tok):
         return int(tok)
     try:
         return float(tok)
