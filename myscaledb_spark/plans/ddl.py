@@ -214,12 +214,24 @@ def alter_index_ddl(
         # fails — status Error with the reference's fail fields
         # (00033_mqvs_incorrect_index_status.sql)
         reg = IndexRegistry(artifact_dir)
+        prior = reg.get(name)
+        if prior is not None and prior.get("table") not in (None, "", table):
+            reg.reset(name)  # same name on another table: fresh lifecycle
         expr_txt = f"{name} {col} TYPE {m.group('type')}({m.group('params')})"
         if defer_build:
+            # param_check=0 defers the FAILURE to the background build.
+            # For the MSTG family the reference validates params deep in
+            # the (slow) build pipeline — a replicated table's poll can
+            # still observe InProgress after a sleep (00033's replicated
+            # block); IVF/HNSW reject params at build start, so their
+            # Error lands by the first sync point (00019).  lazy_error
+            # marks the slow-path case for ch_script's tick scheduling.
+            itype0 = (m.group("type") or "MSTG").upper()
             reg.set_status(
                 name, "InProgress", column=col,
-                index_type=(m.group("type") or "MSTG").upper(),
+                index_type=itype0,
                 declared_type=m.group("type"), expr=expr_txt,
+                lazy_error=itype0 in ("MSTG", "SCANN"),
             )
             return reg.get(name)
         reg.set_status(
@@ -275,6 +287,10 @@ def alter_index_ddl(
         if m.group("if_not_exists"):
             return existing  # idempotent: no rebuild
         raise InvalidSearchQuery(f"vector index {name!r} already exists")
+    if existing is not None and existing.get("table") not in (None, "", table):
+        # fresh lifecycle: new declaration order, no stale fail fields
+        IndexRegistry(artifact_dir).reset(name)
+        existing = None
 
     if defer_build:
         reg = IndexRegistry(artifact_dir)

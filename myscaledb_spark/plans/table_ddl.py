@@ -1084,9 +1084,21 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
         from myscaledb_spark.plans.ddl import alter_index_ddl
         from myscaledb_spark.plans.vector_index import IndexRegistry
 
+        sleep_tick = "rebuild" not in kinds
         keep = []
         for ps, pt, _pn, klass in _pending():
-            if klass not in kinds:
+            if klass.startswith("lazy:"):
+                # a replicated table's param-deferred build failure: the
+                # random-single-replica pool may schedule it on the OTHER
+                # replica, so each sleep quantum only advances it one tick
+                # (00033's replicated block still observes InProgress after
+                # one sleep; 00019's sees the Error after several)
+                n = int(klass.split(":")[1])
+                if sleep_tick and n > 1:
+                    keep.append((ps, pt, _pn, f"lazy:{n - 1}"))
+                    continue
+                # fall through: flush now
+            elif klass not in kinds:
                 keep.append((ps, pt, _pn, klass))
                 continue
             meta = TABLE_ENGINES.get(pt) or {}
@@ -1223,7 +1235,11 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
                 }
             if (is_vec_add and isinstance(result, dict)
                     and result.get("status") == "InProgress"):
-                _pending().append((s, table, result["name"], "build"))
+                klass = "build"
+                if (result.get("lazy_error")
+                        and TABLES.get(table, {}).get("replicated")):
+                    klass = "lazy:2"
+                _pending().append((s, table, result["name"], klass))
             if isinstance(result, dict) and result.get("name"):
                 # record the owning table so system.vector_indices can
                 # filter by it (the reference keys the registry per table)

@@ -76,6 +76,14 @@ class IndexRegistry:
             rec["events"].append({"status": status, "event_time": time.time()})
         json.dump(rec, open(self._path(name), "w"), indent=1)
 
+    def reset(self, name: str) -> None:
+        """Discard a record entirely — a same-named index declared on a
+        DIFFERENT table starts a fresh lifecycle (new seq, no stale fail
+        fields); set_status would merge the old record's fields."""
+        p = self._path(name)
+        if os.path.exists(p):
+            os.remove(p)
+
     def annotate(self, name: str, **extra) -> None:
         """Merge metadata fields into a record WITHOUT a status transition
         (no event row — e.g. recording the owning table name)."""
