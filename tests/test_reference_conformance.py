@@ -45,6 +45,7 @@ PINNED = [
     "00040_mqvs_hybrid_search_on_right_joined_table.sql",
     "00041_mqvs_text_search_multiple_parts.sql",
     "00034_mqvs_replicated_single_replica_build_index.sql",
+    "00033_mqvs_incorrect_index_status.sql",
 ]
 
 
