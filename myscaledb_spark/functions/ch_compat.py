@@ -1227,6 +1227,11 @@ def quantileExact(a, q: float = 0.5):
 
 
 def quantileTDigest(a, q: float = 0.5):
+    """Aggregate-expression form keeps Spark's percentile_approx (also a
+    compressed-quantile sketch, usable inside any groupBy); the faithful
+    Dunning/QuantileTDigest.h estimator is
+    operators.stats.tdigest_quantiles (whole-frame, accuracy-pinned by the
+    quantile_tdigest_qty gate)."""
     return F.percentile_approx(_c(a), q)
 
 

@@ -302,8 +302,6 @@ def system_data_type_families(spark: SparkSession) -> DataFrame:
     """≈ SELECT name FROM system.data_type_families — every ClickHouse type
     name ch_type_to_spark maps, plus the parametric families and the
     multimodal ObjectToFetch type (StorageSystemDataTypeFamilies.cpp)."""
-    from myscaledb_spark.plans.table_ddl import _SIMPLE_TYPES
-
     canon = {
         "Int8", "Int16", "Int32", "Int64", "UInt8", "UInt16", "UInt32",
         "UInt64", "Float32", "Float64", "String", "FixedString", "Date",
@@ -312,7 +310,14 @@ def system_data_type_families(spark: SparkSession) -> DataFrame:
         "LowCardinality", "AggregateFunction", "SimpleAggregateFunction",
         "Object", "ObjectToFetch",
     }
-    canon.update(t.capitalize() for t in _SIMPLE_TYPES)
+    # SQL-standard synonyms ParserDataType registers case-insensitively
+    # (table_ddl._SIMPLE_TYPES accepts them); list the canonical uppercase
+    # spellings only — .capitalize() would fabricate names like 'Uint8'
+    # that the reference never prints.
+    canon.update({
+        "INT", "INTEGER", "BIGINT", "SMALLINT", "TINYINT", "FLOAT",
+        "DOUBLE", "VARCHAR", "TEXT",
+    })
     return spark.createDataFrame(
         [(n,) for n in sorted(canon)], "name string"
     )

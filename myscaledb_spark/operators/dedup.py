@@ -97,58 +97,67 @@ def lsh_candidate_pairs(
     """Band the signature, bucket-join: pairs sharing any band. Returns
     distinct (id_a, id_b) with id_a < id_b.
 
-    ``max_bucket`` caps the self-join blow-up: one degenerate band key
+    ``max_bucket`` caps the pair blow-up: one degenerate band key
     (mass-duplicated boilerplate, empty docs) makes a bucket of b ids emit
     O(b²) pairs — at 100 TB that single hot key stalls the stage. Oversized
-    buckets are STARRED instead of cross-joined: every member is paired with
-    the bucket's minimum id only, which keeps the group connected at
-    diameter 2 — downstream connected-components (``dedup_clusters``)
-    recovers the full cluster in one propagation round — while the pair
-    count drops from O(b²) to O(b). Small buckets are unaffected, so LSH
-    recall on normal data is identical.
-    """
-    from pyspark.sql import Window
+    buckets are STARRED: every member is paired with the bucket's minimum
+    id only, which keeps the group connected at diameter 2 — downstream
+    connected-components (``dedup_clusters``) recovers the full cluster in
+    one propagation round — while the pair count drops from O(b²) to O(b).
+    Small buckets are unaffected, so LSH recall on normal data is identical.
 
+    Plan (r6 rework, no self-join): one posexplode scan of the signatures
+    emits (band, band_key, id); a groupBy counts buckets (map-side
+    combinable, safe for any skew) and the tiny >max_bucket key set is
+    broadcast — big buckets take the star path without ever being
+    buffered, small buckets are collect_list'ed (bounded ≤ max_bucket
+    ids) and pairs come from an in-row array expansion. This replaces the
+    r5 window + self-join (2 wide shuffles + join planning) with two
+    same-key groupBys over one exchange.
+    """
     rows = num_hashes // bands
-    pieces = []
-    for b in range(bands):
-        key = F.concat_ws(
+    # ONE scan of the signature table: posexplode an array of band keys
+    # instead of unioning `bands` selects (which re-reads — and with a
+    # non-persisted upstream, re-COMPUTES — the signatures per band).
+    keys = F.array(*[
+        F.concat_ws(
             ",", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
         )
-        pieces.append(
-            sig.select(
-                F.lit(b).alias("band"), key.alias("band_key"), F.col(id_col).alias("id")
-            )
-        )
-    banded = pieces[0]
-    for p in pieces[1:]:
-        banded = banded.unionAll(p)
+        for b in range(bands)
+    ])
+    banded = sig.select(
+        F.col(id_col).alias("id"), F.posexplode(keys).alias("band", "band_key")
+    ).select("band", "band_key", "id")
 
+    chained = None
     if max_bucket is not None:
-        w = Window.partitionBy("band", "band_key")
-        sized = banded.withColumn("_bn", F.count(F.lit(1)).over(w))
-        small = sized.filter(F.col("_bn") <= max_bucket).drop("_bn")
-        big = sized.filter(F.col("_bn") > max_bucket).drop("_bn")
-        # star for hot buckets: O(b) pairs, diameter-2 components
+        counts = banded.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_bn"), F.min("id").alias("_min")
+        )
+        big_keys = counts.filter(F.col("_bn") > max_bucket).select(
+            "band", "band_key", "_min"
+        )
         chained = (
-            big.withColumn("_min", F.min("id").over(w))
+            banded.join(F.broadcast(big_keys), ["band", "band_key"])
             .filter(F.col("id") != F.col("_min"))
             .select(F.col("_min").alias("id_a"), F.col("id").alias("id_b"))
         )
-        banded = small
-    else:
-        chained = None
-
-    a = banded.alias("a")
-    b_ = banded.alias("b")
-    pairs = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
+        banded = banded.join(
+            F.broadcast(big_keys.select("band", "band_key")),
+            ["band", "band_key"], "left_anti",
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+
+    buckets = banded.groupBy("band", "band_key").agg(
+        F.sort_array(F.collect_list("id")).alias("_arr")
+    )
+    pairs = (
+        buckets.select(F.explode("_arr").alias("id_a"), "_arr")
+        .select(
+            "id_a",
+            F.explode(
+                F.filter("_arr", lambda x: x > F.col("id_a"))
+            ).alias("id_b"),
+        )
     )
     if chained is not None:
         pairs = pairs.unionAll(chained)
@@ -156,14 +165,22 @@ def lsh_candidate_pairs(
 
 
 def exact_jaccard(
-    sh: DataFrame, pairs: DataFrame, id_col_a: str = "id_a", id_col_b: str = "id_b"
+    sh: DataFrame, pairs: DataFrame, id_col_a: str = "id_a", id_col_b: str = "id_b",
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs from their shingle sets.
 
     The second shingle join is keyed on (id, shingle) — an equi-join — so
-    the intermediate is |A∩B| rows per pair, never |A|x|B|."""
-    sizes = sh.groupBy(sh.columns[0]).agg(F.count(F.lit(1)).alias("n"))
+    the intermediate is |A∩B| rows per pair, never |A|x|B|.
+
+    ``sizes`` (id, n) may be passed in when the caller already aggregated
+    set sizes (minhash_dedup_pairs folds them into the signature pass);
+    otherwise they are derived from ``sh`` here."""
     idc = sh.columns[0]
+    if sizes is None:
+        sizes = sh.groupBy(idc).agg(F.count(F.lit(1)).alias("n"))
+    else:
+        sizes = sizes.toDF(idc, "n")
     inter = (
         pairs.join(sh.withColumnRenamed(idc, id_col_a), id_col_a)
         .join(
@@ -200,19 +217,35 @@ def minhash_dedup_pairs(
     """End-to-end MinHash-LSH near-dup detection: candidates via banding,
     verified with exact Jaccard ≥ threshold.
 
-    The shingle-set DF feeds three consumers (signatures, pair intersection,
-    set sizes); measured at sf0.1, recomputing it per consumer beats
-    .cache() — the cached exploded rows cost more to serialize/store than
-    three codegen re-scans of the (columnar, compressed) source."""
-    sh = shingle_sets(df, id_col, tokens_col, n)
-    # min() is duplicate-insensitive, so the signature path reads the RAW
-    # exploded shingles — skipping shingle_sets' distinct saves a full
-    # shuffle of the largest intermediate (same signatures bit-for-bit;
-    # exact_jaccard below still needs the distinct set semantics).
-    sh_raw = df.select(F.col(id_col), F.explode(shingles(tokens_col, n)).alias("sh"))
-    sig = minhash_signatures(sh_raw, id_col, num_hashes)
+    Single-sliver design: the corpus is tokenized ONCE into the narrow
+    distinct ``(id, sh)`` sliver, persisted serialized (MEMORY_AND_DISK —
+    Spark's columnar compressed cache batches, spilling to disk when they
+    don't fit).  Every consumer reads that sliver:
+
+      - signatures AND set sizes come from one groupBy(id) over it (min is
+        duplicate-insensitive, so distinct input gives bit-identical
+        signatures; count(1) over distinct input IS the set size),
+      - the pair-intersection equi-joins probe it twice.
+
+    At 100 TB this replaces three full tokenize-the-corpus scans (the r5
+    shape) with one scan plus re-reads of a compressed sliver."""
+    from pyspark import StorageLevel
+
+    sh = shingle_sets(df, id_col, tokens_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    aggs = [
+        F.min(md5_48_seeded(F.col("sh"), s)).alias(f"mh{s}")
+        for s in range(num_hashes)
+    ]
+    # signatures + set sizes in ONE groupBy over the sliver; persisted so
+    # banding and the two size probes don't re-run the 12-hash aggregation
+    sig = sh.groupBy(id_col).agg(
+        *aggs, F.count(F.lit(1)).alias("_setn")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(sig, id_col, num_hashes, bands, max_bucket=max_bucket)
-    jac = exact_jaccard(sh, cands)
+    sizes = sig.select(F.col(id_col), F.col("_setn"))
+    jac = exact_jaccard(sh, cands, sizes=sizes)
     return jac.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", "jaccard"
     )

@@ -117,19 +117,25 @@ def hybrid_search(
     scans) — the reference's transparent index use once the table declares
     one; a missing/unbuilt artifact falls back to the single-scan default.
 
-    Plan shape (single corpus scan): one narrow projection
-    (id, distance, tokens, doc_len) is computed and persisted
-    (MEMORY_AND_DISK, spills at scale); vector ranking, BM25 stats, and BM25
-    scoring all read that cached projection, so the full-width corpus is
-    scanned ONCE (previously three times). The two k′-row candidate lists
-    are eagerly local-checkpointed so the cache can be released before
-    returning the (lazy) fused result. The indexed variant
-    (`hybrid_search_indexed`) remains the no-corpus-scan scale path.
+    Plan shape (single corpus scan, two jobs): one narrow projection
+    (id, distance, doc_len, per-term tf) is computed and persisted
+    (MEMORY_AND_DISK, spills at scale). Job 1 collects the vector top-k′
+    AND gathers the corpus BM25 stats (n_docs/avgdl/df) via ``observe`` in
+    the same pass — Spark's CollectMetrics sees every row the scan
+    produces, so no separate stats job. Job 2 scores BM25 from the cached
+    sliver with the observed stats as literals and collects the text
+    top-k′. Fusion then runs driver-side over the two ≤k′-row lists — the
+    reference fuses in-memory on one node too (HybridSearchUtils.cpp), and
+    k′ is bounded by max_search_result_window, so this is result-scale,
+    never data-scale. The indexed variant (`hybrid_search_indexed`)
+    remains the no-corpus-scan scale path.
     """
     from pyspark import StorageLevel
+    from pyspark.sql import Observation
 
     from myscaledb_spark.functions.text import (
-        bm25_scores_from_tf,
+        BM25_B,
+        BM25_K1,
         term_tf,
         tokenize,
         tokenize_query,
@@ -181,27 +187,122 @@ def hybrid_search(
         *tf_cols,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        vec_cand = (
+        obs = Observation()
+        stat_aggs = [
+            F.count(F.lit(1)).cast("double").alias("_n_docs"),
+            F.avg("_dl").alias("_avgdl"),
+        ] + [
+            F.sum(F.when(F.col(f"_tf_{i}") > 0, 1).otherwise(0))
+            .cast("double").alias(f"_df_{i}")
+            for i in range(len(terms))
+        ]
+        vec_rows = [
+            (r[0], r[1]) for r in
             # NULL distances (malformed vectors) would sort FIRST ascending
-            # and crowd out real neighbors — drop them, as vector_topk does
-            narrow.select(id_col, "_vdist")
+            # and crowd out real neighbors — drop them, as vector_topk does.
+            # The observe node sits ABOVE the scan and BELOW the filter, so
+            # the stats cover the full corpus like bm25_scores_from_tf did.
+            narrow.observe(obs, *stat_aggs)
             .filter(F.col("_vdist").isNotNull())
             .orderBy(*_order(F.col("_vdist"), F.col(id_col), metric))
             .limit(kprime)
-            .localCheckpoint(eager=True)
-        )
-        txt_cand = (
-            bm25_scores_from_tf(narrow, len(terms), "OR", "_bm25")
-            .orderBy(F.col("_bm25").desc(), F.col(id_col).asc())
-            .limit(kprime)
-            .select(id_col, "_bm25")
-            .localCheckpoint(eager=True)
-        )
+            .select(id_col, "_vdist")
+            .collect()
+        ]
+        st = obs.get
+        if st["_n_docs"] == 0.0:
+            txt_rows: list = []
+        else:
+            # same formula / float sequence as bm25_scores_from_tf, with the
+            # observed stats inlined as literals (no broadcast stats job)
+            score = F.lit(0.0)
+            match_any = F.lit(False)
+            for i in range(len(terms)):
+                tf = F.col(f"_tf_{i}")
+                idf = F.log(
+                    F.lit(1.0)
+                    + (F.lit(st["_n_docs"]) - F.lit(st[f"_df_{i}"]) + F.lit(0.5))
+                    / (F.lit(st[f"_df_{i}"]) + F.lit(0.5))
+                )
+                norm = tf * (BM25_K1 + 1.0) / (
+                    tf + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * F.col("_dl") / F.lit(st["_avgdl"]))
+                )
+                score = score + F.when(tf > 0, idf * norm).otherwise(F.lit(0.0))
+                match_any = match_any | (tf > 0)
+            txt_rows = [
+                (r[0], r[1]) for r in
+                narrow.withColumn("_bm25", score)
+                .filter(match_any)
+                .orderBy(F.col("_bm25").desc(), F.col(id_col).asc())
+                .limit(kprime)
+                .select(id_col, "_bm25")
+                .collect()
+            ]
     finally:
         narrow.unpersist()
-    return fuse_candidates(
-        vec_cand, txt_cand, k, id_col, ft, metric, fusion_weight, fusion_k, score_name
+    return _fuse_local(
+        df.sparkSession, df.schema[id_col].dataType, vec_rows, txt_rows, k,
+        id_col, ft, metric, fusion_weight, fusion_k, score_name,
     )
+
+
+def _fuse_local(
+    spark,
+    id_type,
+    vec_rows: list,
+    txt_rows: list,
+    k: int,
+    id_col: str,
+    fusion_type: str = "rsf",
+    metric: str = "L2",
+    fusion_weight: float = DEFAULT_FUSION_WEIGHT,
+    fusion_k: int = DEFAULT_FUSION_K,
+    score_name: str = "fusion_score",
+) -> DataFrame:
+    """Driver-side fusion of collected candidate lists — the exact float
+    sequence of ``fuse_candidates`` (IEEE doubles, same op order), run on
+    ≤k′-row Python lists. The reference's fusion is likewise a single-node
+    in-memory pass over the candidate lists (HybridSearchUtils.cpp:163-314);
+    distributing a ≤max_search_result_window-row fuse bought ~4 extra Spark
+    jobs per query. ``fuse_candidates`` remains the DataFrame path for
+    per-part fusion and pre-built candidate frames."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    asc = METRIC_ASCENDING.get(metric, True)
+    if metric.upper() == "L2":
+        # the reference fuses faiss METRIC_L2 scores, i.e. SQUARED L2
+        vec_rows = [(i, d * d) for i, d in vec_rows]
+    scores: dict = {}
+    if fusion_type == "rrf":
+        v_sorted = sorted(
+            vec_rows, key=lambda r: ((r[1] if asc else -r[1]), r[0])
+        )
+        for rank, (i, _) in enumerate(v_sorted, start=1):
+            scores[i] = scores.get(i, 0.0) + 1.0 / (float(fusion_k) + rank)
+        t_sorted = sorted(txt_rows, key=lambda r: (-r[1], r[0]))
+        for rank, (i, _) in enumerate(t_sorted, start=1):
+            scores[i] = scores.get(i, 0.0) + 1.0 / (float(fusion_k) + rank)
+    else:
+        if vec_rows:
+            ds = [d for _, d in vec_rows]
+            mn, mx = min(ds), max(ds)
+            for i, d in vec_rows:
+                nrm = 1.0 if mx == mn else (d - mn) / (mx - mn)
+                part = nrm if not asc else 1.0 - nrm
+                scores[i] = scores.get(i, 0.0) + part * (1.0 - fusion_weight)
+        if txt_rows:
+            ss = [s for _, s in txt_rows]
+            mn, mx = min(ss), max(ss)
+            for i, s in txt_rows:
+                nrm = 1.0 if mx == mn else (s - mn) / (mx - mn)
+                scores[i] = scores.get(i, 0.0) + nrm * float(fusion_weight)
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    schema = StructType([
+        StructField(id_col, id_type, True),
+        StructField(score_name, DoubleType(), True),
+    ])
+    return spark.createDataFrame([(i, float(s)) for i, s in top], schema)
 
 
 def fuse_candidates(

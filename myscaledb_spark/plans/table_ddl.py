@@ -1160,6 +1160,14 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
                 [(show_create_table(sm.group(1)),)], "statement string"
             )
             continue
+        from myscaledb_spark.streaming.window_view import (
+            is_window_view_ddl,
+            window_view_ddl,
+        )
+
+        if is_window_view_ddl(s):
+            result = window_view_ddl(spark, s)
+            continue
         # skipping-index DDL (TYPE minmax/bloom_filter/...) routes to its
         # metadata registry, never to the vector/FTS artifact builders
         dsm = _DROP_SKIP_RE.match(s)

@@ -97,10 +97,17 @@ TEMPLATES: dict[str, str] = {
     "toInt32": "cast({0} as int)",
     "toInt64": "cast({0} as bigint)",
     # unbin('0101...') → bytes (src/Functions/FunctionsCoding.h); conv
-    # drops leading zero nibbles, so pad back to length/4 hex digits.
-    # conv() works to 64 bits — longer bit strings than the reference's
-    # binary-vector tests use would need chunking.
-    "unbin": "unhex(lpad(conv({0}, 2, 16), CAST(length({0}) / 4 AS INT), '0'))",
+    # drops leading zero nibbles, so pad back to the byte boundary
+    # (ceil(bits/8) bytes = that many *2 hex digits), matching the
+    # reference's pad-to-byte semantics for non-multiple-of-8 inputs.
+    # conv() only handles 64 bits; refuse longer inputs loudly rather
+    # than silently overflowing.
+    "unbin": (
+        "unhex(case when length({0}) > 64 then "
+        "raise_error('unbin: inputs longer than 64 bits are not supported') "
+        "else lpad(conv({0}, 2, 16), "
+        "CAST(ceil(length({0}) / 8) * 2 AS INT), '0') end)"
+    ),
     "toUInt8": "cast({0} as int)",
     "toUInt16": "cast({0} as int)",
     "toUInt32": "cast({0} as bigint)",
@@ -1401,8 +1408,15 @@ def _rewrite_with_fill(sql: str) -> str:
     the query's own min/max. Fill rows carry
     NULL in the other columns (same convention as operators.relational
     .with_fill — callers COALESCE to the reference's type defaults).
-    Single ascending fill column at top level; INTERPOLATE and multi-column
-    fills stay with the API helper."""
+    Single ascending fill column at top level; multi-column fills stay with
+    the API helper.  ``INTERPOLATE (c1, c2, ...)`` (bare columns — the
+    carry-forward form, FillingTransform.cpp interpolate descriptions with
+    identity expressions) is supported: fill rows take the closest preceding
+    ORIGINAL row's value via a last-IGNORE-NULLS window over a struct wrap
+    (the struct keeps a NULL original value distinct from "no original row
+    yet", matching the reference's carry of whatever the previous row held);
+    fill rows before the first original row stay NULL.  Computed
+    INTERPOLATE expressions stay with the API helper."""
     mask = _top_level_mask(sql)
     m = _WITH_FILL_RE.search(mask)
     if not m:
@@ -1413,10 +1427,6 @@ def _rewrite_with_fill(sql: str) -> str:
                 ".with_fill for nested/multi-column fills"
             )
         return sql
-    if re.search(r"\bINTERPOLATE\b", mask, re.IGNORECASE):
-        raise ChSqlError(
-            "WITH FILL INTERPOLATE → myscaledb_spark.operators.relational.with_fill"
-        )
     if (m.group(2) or "").upper() == "DESC":
         raise ChSqlError(
             "WITH FILL DESC → myscaledb_spark.operators.relational.with_fill"
@@ -1424,6 +1434,31 @@ def _rewrite_with_fill(sql: str) -> str:
     col = m.group(1)
     head = sql[: m.start()].strip()
     rest, rest_mask = sql[m.end() :], mask[m.end() :]
+    interp_cols: list[str] = []
+    im = re.search(r"\bINTERPOLATE\b", rest_mask, re.IGNORECASE)
+    if im:
+        pm = re.match(r"\s*\(", rest[im.end():])
+        if pm is None:
+            raise ChSqlError(
+                "bare INTERPOLATE (all-columns) is not supported — list the "
+                "columns: INTERPOLATE (c1, c2, ...)"
+            )
+        open_idx = im.end() + pm.end() - 1
+        close = _find_call_end(rest, open_idx)
+        for it in _split_args(rest[open_idx + 1: close - 1]):
+            m2 = re.fullmatch(
+                r"\s*([A-Za-z_]\w*)(?:\s+AS\s+([A-Za-z_]\w*))?\s*",
+                it, re.IGNORECASE,
+            )
+            if m2 is None or (m2.group(2) and m2.group(2) != m2.group(1)):
+                raise ChSqlError(
+                    "WITH FILL INTERPOLATE supports the carry-forward form "
+                    "(bare column names) in SQL; computed expressions → "
+                    "myscaledb_spark.operators.relational.with_fill"
+                )
+            interp_cols.append(m2.group(1))
+        rest = rest[: im.start()] + rest[close:]
+        rest_mask = rest_mask[: im.start()] + rest_mask[close:]
     # FROM/TO/STEP value spans end at the next fill keyword OR the start of
     # a trailing clause (LIMIT/SETTINGS/UNION), which is re-appended —
     # previously anything after WITH FILL that wasn't a fill keyword was
@@ -1456,7 +1491,13 @@ def _rewrite_with_fill(sql: str) -> str:
     tail = rest[tail_start:].strip()
     step = vals.get("STEP", "1")
     if "FROM" in vals and "TO" in vals:
-        grid = f"SELECT explode(sequence({vals['FROM']}, {vals['TO']}, {step})) AS {col}"
+        # the reference's TO bound is EXCLUSIVE (FillingTransform.cpp: fill
+        # while next < to); Spark's sequence() endpoint is inclusive, so a
+        # step-aligned endpoint must be filtered back out
+        grid = (
+            f"SELECT {col} FROM (SELECT explode(sequence({vals['FROM']}, "
+            f"{vals['TO']}, {step})) AS {col}) _gx WHERE {col} < ({vals['TO']})"
+        )
     else:
         # one combined bounds subquery — not one scalar subquery per missing
         # bound, which would run the head query twice more
@@ -1466,16 +1507,142 @@ def _rewrite_with_fill(sql: str) -> str:
             f"SELECT explode(sequence(_wfb.mn, _wfb.mx, {step})) AS {col} "
             f"FROM (SELECT {mn} AS mn, {mx} AS mx FROM ({head}) _wfh) _wfb"
         )
+        if "TO" in vals:
+            # explicit TO is exclusive (see above); data-derived max is not
+            grid = (
+                f"SELECT {col} FROM ({grid}) _gx WHERE {col} < ({vals['TO']})"
+            )
     # FULL OUTER (not LEFT) so original rows whose fill-column value is OFF
     # the generated grid (off-step values like 2.5 with STEP 1, or outside an
     # explicit FROM/TO) survive — the reference's FillingTransform always
     # keeps every original row and interleaves fill rows. Spark's USING join
     # coalesces the key across both sides for FULL OUTER.
-    out = (
-        f"SELECT * FROM ({grid}) _grid FULL OUTER JOIN ({head}) _wf "
-        f"USING ({col}) ORDER BY {col}"
-    )
+    if interp_cols:
+        src = (
+            f"SELECT * FROM ({grid}) _grid FULL OUTER JOIN "
+            f"(SELECT *, true AS _orig FROM ({head}) _wfo) _wf USING ({col})"
+        )
+        itp = ", ".join(
+            f"last(CASE WHEN _orig THEN struct({c} AS v) END, true) OVER "
+            f"(ORDER BY {col} ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            f"CURRENT ROW) AS _itp_{i}"
+            for i, c in enumerate(interp_cols)
+        )
+        exc = ", ".join(
+            ["_orig"] + interp_cols
+            + [f"_itp_{i}" for i in range(len(interp_cols))]
+        )
+        proj = ", ".join(
+            f"_itp_{i}.v AS {c}" for i, c in enumerate(interp_cols)
+        )
+        out = (
+            f"SELECT * EXCEPT ({exc}), {proj} FROM "
+            f"(SELECT *, {itp} FROM ({src}) _wfj) _wfi ORDER BY {col}"
+        )
+    else:
+        out = (
+            f"SELECT * FROM ({grid}) _grid FULL OUTER JOIN ({head}) _wf "
+            f"USING ({col}) ORDER BY {col}"
+        )
     return out + (f" {tail}" if tail else "")
+
+
+_GROUPS_FRAME_RE = re.compile(
+    r"GROUPS\s+BETWEEN\s+((?:\d+|UNBOUNDED)\s+PRECEDING|CURRENT\s+ROW)\s+"
+    r"AND\s+((?:\d+|UNBOUNDED)\s+FOLLOWING|CURRENT\s+ROW)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_groups_frame(sql: str) -> str:
+    """`agg OVER (PARTITION BY p ORDER BY o GROUPS BETWEEN ...)` →
+    dense_rank + RANGE rewrite (`src/Interpreters/WindowDescription.h:31`;
+    Spark has no GROUPS frame mode).  A subquery numbers the peer groups
+    with dense_rank over the same (p, o); the outer window re-frames as
+    RANGE over that rank — peer rows share a rank, so offsets count whole
+    peer groups exactly (operators/relational.py:window_groups_frame is the
+    API twin).  Supported shape: single-table top-level FROM [WHERE];
+    every GROUPS window must share one (PARTITION BY, ORDER BY).  The
+    WHERE moves inside the subquery so dense_rank sees the filtered rows —
+    the reference computes windows after WHERE."""
+    if not re.search(r"\bGROUPS\s+BETWEEN\b", sql, re.IGNORECASE):
+        return sql
+    mask = _string_mask(sql)
+    # collect every OVER (...) span containing a GROUPS frame
+    spans = []
+    for om in re.finditer(r"\bOVER\s*\(", mask, re.IGNORECASE):
+        open_idx = om.end() - 1
+        close = _find_call_end(sql, open_idx)
+        body = sql[open_idx + 1: close - 1]
+        gm = _GROUPS_FRAME_RE.search(body)
+        if gm:
+            spans.append((open_idx, close, body, gm))
+    if not spans:
+        return sql
+    po = None
+    new_sql = []
+    last = 0
+    for open_idx, close, body, gm in spans:
+        pm = re.search(
+            r"PARTITION\s+BY\s+(.*?)(?=ORDER\s+BY|GROUPS\s+BETWEEN|$)",
+            body, re.IGNORECASE | re.DOTALL,
+        )
+        om_ = re.search(
+            r"ORDER\s+BY\s+(.*?)(?=GROUPS\s+BETWEEN|$)",
+            body, re.IGNORECASE | re.DOTALL,
+        )
+        if om_ is None:
+            raise ChSqlError("GROUPS frame needs an ORDER BY in the window")
+        part = (pm.group(1).strip() if pm else "")
+        order = om_.group(1).strip().rstrip(",")
+        if po is None:
+            po = (part, order)
+        elif po != (part, order):
+            raise ChSqlError(
+                "multiple GROUPS windows must share one (PARTITION BY, "
+                "ORDER BY) → operators.relational.window_groups_frame"
+            )
+        lo = re.sub(r"\s+", " ", gm.group(1).upper())
+        hi = re.sub(r"\s+", " ", gm.group(2).upper())
+        part_txt = f"PARTITION BY {part} " if part else ""
+        new_over = (
+            f"({part_txt}ORDER BY _grk RANGE BETWEEN {lo} AND {hi})"
+        )
+        new_sql.append(sql[last:open_idx])
+        new_sql.append(new_over)
+        last = close
+    new_sql.append(sql[last:])
+    out = "".join(new_sql)
+    # inject the dense_rank subquery under the (single-table) FROM,
+    # relocating a top-level WHERE inside it
+    out_mask = _top_level_mask(out)
+    fm = re.search(r"\bFROM\s+([A-Za-z_]\w*)\b", out_mask, re.IGNORECASE)
+    if fm is None:
+        raise ChSqlError(
+            "GROUPS frame rewrite needs a top-level FROM <table> → "
+            "operators.relational.window_groups_frame"
+        )
+    table = fm.group(1)
+    wm = re.search(r"\bWHERE\b", out_mask, re.IGNORECASE)
+    where_txt = ""
+    if wm:
+        wend = len(out)
+        em = re.search(
+            r"\bGROUP\s+BY\b|\bORDER\s+BY\b|\bLIMIT\b|\bSETTINGS\b",
+            out_mask[wm.end():], re.IGNORECASE,
+        )
+        if em:
+            wend = wm.end() + em.start()
+        where_txt = " WHERE " + out[wm.end():wend].strip()
+        out = out[: wm.start()] + out[wend:]
+    part_txt = f"PARTITION BY {po[0]} " if po[0] else ""
+    sub = (
+        f"(SELECT *, dense_rank() OVER ({part_txt}ORDER BY {po[1]}) AS _grk "
+        f"FROM {table}{where_txt}) _gfr"
+    )
+    out_mask = _top_level_mask(out)
+    fm = re.search(r"\bFROM\s+([A-Za-z_]\w*)\b", out_mask, re.IGNORECASE)
+    return out[: fm.start()] + "FROM " + sub + out[fm.end():]
 
 
 _LIMIT_BY_RE = re.compile(
@@ -2010,6 +2177,7 @@ def rewrite(sql: str, schema_fn=None, types_fn=None) -> str:
         sql,
     )
     sql = _rewrite_limit_by(sql)
+    sql = _rewrite_groups_frame(sql)
     sql = _rewrite_with_fill(sql)
     sql = _rewrite_with_totals(sql, types_fn)
     sql = _rewrite_scalar_with(sql)

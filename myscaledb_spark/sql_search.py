@@ -186,9 +186,31 @@ def _maybe_joined_search(spark, sql, tmask, hit, kind):
     if lim is None:
         raise ChSqlError(f"{kind} over a join needs a trailing LIMIT k")
     k = int(lim.group(1))
+    # the inner FROM has no alias, so alias-qualified arguments like
+    # textsearch(t2.doc, ...) must lose their qualifier; a qualifier that
+    # names the OTHER table is a genuine error (the search args must all
+    # live on the indexed side)
+    call_mask = _string_mask(call_txt)
+    out_txt, pos = [], 0
+    for qm in re.finditer(r"\b(\w+)\.(\w+)\b", call_mask):
+        q, c = call_txt[qm.start(1): qm.end(1)], call_txt[qm.start(2): qm.end(2)]
+        if q[0].isdigit():  # a numeric literal like 0.5, not a qualifier
+            continue
+        if q not in s_names:
+            raise ChSqlError(
+                f"search argument {q}.{c} references the non-search side of "
+                f"the join; all search columns must be on {s_table}"
+            )
+        out_txt.append(call_txt[pos: qm.start()])
+        out_txt.append(c)
+        pos = qm.end()
+    out_txt.append(call_txt[pos:])
+    call_txt = "".join(out_txt)
+    # distance-like searches rank ascending; score-like rank descending
+    inner_dir = "ASC" if kind == "batch_distance" else "DESC"
     inner_sql = (
         f"SELECT {s_key}, {call_txt} AS {alias} FROM {s_table} "
-        f"ORDER BY {alias} DESC LIMIT {k}"
+        f"ORDER BY {alias} {inner_dir} LIMIT {k}"
     )
     inner = _run(spark, inner_sql, kind).withColumnRenamed(s_key, "_skey")
     other = spark.table(o_table)
@@ -562,10 +584,28 @@ def _binary_batch_distance(spark, df, sql, spans, table, vec_col, qarg,
     topk = allq.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= k
     )
+    # honor the query's ORDER BY like the float path: it must be the
+    # (alias.1, alias.2 [ASC|DESC]) shape; anything else is refused rather
+    # than silently replaced
+    d_desc = False
+    if order_text is not None:
+        om = re.fullmatch(
+            rf"{re.escape(alias)}\s*\.\s*1\s*(?:ASC)?\s*,\s*"
+            rf"{re.escape(alias)}\s*\.\s*2\s*(ASC|DESC)?",
+            order_text.strip(),
+            re.IGNORECASE,
+        )
+        if om is None:
+            raise ChSqlError(
+                f"binary batch_distance ORDER BY must be `{alias}.1, "
+                f"{alias}.2 [ASC|DESC]`, got {order_text!r}"
+            )
+        d_desc = (om.group(1) or "").upper() == "DESC"
     tup = F.struct(F.col("_bq").alias("q"), F.col("_bd").alias("d")).alias(alias)
     sel = [F.col(c) for c in base_cols] + [tup]
     return topk.select(*sel).orderBy(
-        F.col(f"{alias}.q").asc(), F.col(f"{alias}.d").asc(),
+        F.col(f"{alias}.q").asc(),
+        F.col(f"{alias}.d").desc() if d_desc else F.col(f"{alias}.d").asc(),
         F.col(base_cols[0]).asc(),
     )
 

@@ -242,6 +242,83 @@ def ch_sql_with_fill_off_grid(spark, sf_dir):
 
 
 @register(
+    "ch_sql_groups_frame",
+    """
+    WITH r AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority,
+             DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_orderdate) AS grk
+      FROM orders WHERE o_custkey < 100
+    )
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_orderpriority ORDER BY grk
+             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS s
+    FROM r
+    """,
+)
+def ch_sql_groups_frame(spark, sf_dir):
+    """`GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING` verbatim (r5 VERDICT
+    ask #7; WindowDescription.h:31) — the dialect rewrites to dense_rank
+    peer-group numbering + a RANGE frame over the rank, since Spark has no
+    GROUPS mode. DuckDB lacks GROUPS too, so the oracle is the same
+    longhand emulation written independently."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gf_orders")
+    return ch_sql(
+        spark,
+        """
+        SELECT o_orderkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_orderpriority ORDER BY o_orderdate
+                 GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS s
+        FROM _gf_orders WHERE o_custkey < 100
+        """,
+    )
+
+
+@register(
+    "ch_sql_with_fill_interpolate",
+    """
+    WITH agg AS (
+      SELECT CAST(o_orderkey // 599 AS BIGINT) AS d, COUNT(*) AS n,
+             ROUND(SUM(o_totalprice), 2) AS rev
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey < 12000
+      GROUP BY 1
+    ),
+    grid AS (SELECT unnest(range(0, 25)) AS d),
+    j AS (
+      SELECT COALESCE(g.d, a.d) AS d, a.n, a.rev,
+             (a.d IS NOT NULL) AS orig
+      FROM grid g FULL OUTER JOIN agg a ON g.d = a.d
+    )
+    SELECT d, COALESCE(n, 0) AS n,
+           last_value(CASE WHEN orig THEN rev END IGNORE NULLS)
+             OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS rev
+    FROM j
+    """,
+)
+def ch_sql_with_fill_interpolate(spark, sf_dir):
+    """`ORDER BY d WITH FILL FROM 0 TO 25 INTERPOLATE (rev)` verbatim (r5
+    VERDICT ask #4; FillingTransform.cpp interpolate descriptions): fill
+    rows carry the closest preceding ORIGINAL row's rev forward; TO is
+    exclusive like the reference's. The data occupies d ≤ 20, so rows
+    21-24 are guaranteed interpolated fill rows at every SF."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_wfi_orders")
+    out = ch_sql(
+        spark,
+        """
+        SELECT intDiv(o_orderkey, 599) AS d, count(*) AS n,
+               round(sum(o_totalprice), 2) AS rev
+        FROM _wfi_orders WHERE o_orderkey % 7 = 0 AND o_orderkey < 12000
+        GROUP BY intDiv(o_orderkey, 599)
+        ORDER BY d WITH FILL FROM 0 TO 25 INTERPOLATE (rev)
+        """,
+    )
+    return out.select("d", F.coalesce("n", F.lit(0)).alias("n"), "rev")
+
+
+@register(
     "ch_sql_array_join_clause",
     r"""
     WITH e AS (

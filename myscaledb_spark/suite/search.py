@@ -342,8 +342,17 @@ _ZH_TOKED_SQL = f"""
 def bm25_cjk_topk(spark, sf_dir):
     """textsearch with the `chinese` tokenizer (MergeTreeIndexTantivy.cpp:
     710-751): FMM dictionary segmentation of unsegmented CJK text; the query
-    string '数据查询快速' is itself FMM-segmented into three terms."""
+    string '数据查询快速' is itself FMM-segmented into three terms.
+
+    Routed through the FTS postings artifact (r5 VERDICT ask #2): the
+    reference consults the tantivy index transparently once built, and the
+    FMM analyzer is exactly the case where re-tokenizing the corpus per
+    query (two full scans) is 3x the postings read. `text_search` does the
+    registry consult; scores stay bit-identical to the direct path, so the
+    oracle is unchanged."""
     from myscaledb_spark.functions.text import text_search, tokenize
+    from myscaledb_spark.plans.fts_index import build_fts_index
+    from myscaledb_spark.suite.artifact_cache import cached_artifact
 
     docs = load_table(spark, sf_dir, "documents")
     m = F.create_map(*[F.lit(x) for kv in ZH_MAP.items() for x in kv])
@@ -355,8 +364,16 @@ def bm25_cjk_topk(spark, sf_dir):
         "",
     )
     docs_zh = docs.select("doc_id", zh_text.alias("zh_text"))
+
+    def _build(art: str) -> None:
+        build_fts_index(
+            docs_zh, "zh_text", "doc_id", art, name="fts_zh", tokenizer="chinese"
+        )
+
+    art = cached_artifact(sf_dir, "fts_cjk_route", _build)
     out = text_search(
-        docs_zh, "zh_text", "数据查询快速", 12, id_col="doc_id", tokenizer="chinese"
+        docs_zh, "zh_text", "数据查询快速", 12, id_col="doc_id",
+        tokenizer="chinese", artifact_dir=art, index_name="fts_zh",
     )
     return out.select("doc_id", F.round("bm25_score", 4).alias("bm25_score"))
 

@@ -63,8 +63,19 @@ def sq_rerank_topk(spark, sf_dir):
     return out.select("vec_id", F.round("dist", 4).alias("dist"))
 
 
-@register("ivf_search_topk")  # rows-only: nprobe<k-means lists is approximate
+@register(
+    "ivf_search_topk",
+    "SELECT 10 AS k, CAST(10 AS BIGINT) AS n_results, 1 AS recall_ok",
+)
 def ivf_search_topk(spark, sf_dir):
+    """Approximate IVF search, recall-pinned (r5 VERDICT ask #6): the query
+    runs the genuinely approximate nprobe<ncentroids path AND the exact
+    brute-force top-k, and emits (k, n_results, recall_ok = recall@10 ≥
+    0.3).  The build is deterministic, so the indicator is a stable
+    hash-checkable value (measured recall@10: 0.5 at sf0.001, 0.7 at
+    sf0.01 — 0.3 leaves margin without letting a broken index pass);
+    `ivf_search_exhaustive` keeps the bit-exact oracle for the machinery."""
+    from myscaledb_spark.operators.topk import vector_topk
     from myscaledb_spark.plans.vector_index import build_ivf_index, ivf_search
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -72,7 +83,16 @@ def ivf_search_topk(spark, sf_dir):
         sf_dir, "ivf_c8",
         lambda d: build_ivf_index(emb, "embedding", "vec_id", d, num_centroids=8),
     )
-    return ivf_search(spark, art, QV, 10, nprobe=4).select("vec_id", "dist")
+    got = ivf_search(spark, art, QV, 10, nprobe=4).select("vec_id")
+    exact = vector_topk(
+        emb, "embedding", QV, 10, metric="L2", id_col="vec_id"
+    ).select("vec_id")
+    hits = got.intersect(exact).count()
+    n = got.count()
+    return spark.createDataFrame(
+        [(10, n, 1 if hits / 10.0 >= 0.3 else 0)],
+        "k int, n_results bigint, recall_ok int",
+    )
 
 
 @register(
@@ -104,10 +124,19 @@ def ivf_search_exhaustive(spark, sf_dir):
     return out.select("vec_id", F.round("dist", 4).alias("dist"))
 
 
-@register("mstg_search_topk")  # rows-only: tree+graph search is approximate
+@register(
+    "mstg_search_topk",
+    "SELECT 10 AS k, CAST(10 AS BIGINT) AS n_results, 1 AS recall_ok",
+)
 def mstg_search_topk(spark, sf_dir):
     """MSTG analog (MyScale flagship; closed contrib/search-index): 2-level
-    tree routing over per-leaf NSW graphs (plans/mstg_index.py)."""
+    tree routing over per-leaf NSW graphs (plans/mstg_index.py).
+
+    Recall-pinned like `ivf_search_topk` (r5 VERDICT ask #6): emits
+    (k, n_results, recall_ok = recall@10 ≥ 0.3) against the exact
+    brute-force top-k — deterministic build ⇒ stable hash (measured
+    recall@10: 0.5 at sf0.001, 0.4 at sf0.01)."""
+    from myscaledb_spark.operators.topk import vector_topk
     from myscaledb_spark.plans.mstg_index import build_mstg_index, mstg_search
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -115,8 +144,15 @@ def mstg_search_topk(spark, sf_dir):
         sf_dir, "mstg_l8_t3",
         lambda d: build_mstg_index(emb, "embedding", "vec_id", d, num_leaves=8, num_top=3),
     )
-    return mstg_search(spark, art, QV, 10, probe_top=2, nprobe=4).select(
-        "vec_id", "dist"
+    got = mstg_search(spark, art, QV, 10, probe_top=2, nprobe=4).select("vec_id")
+    exact = vector_topk(
+        emb, "embedding", QV, 10, metric="L2", id_col="vec_id"
+    ).select("vec_id")
+    hits = got.intersect(exact).count()
+    n = got.count()
+    return spark.createDataFrame(
+        [(10, n, 1 if hits / 10.0 >= 0.3 else 0)],
+        "k int, n_results bigint, recall_ok int",
     )
 
 
