@@ -69,15 +69,18 @@ def lsh_neardup_pairs(
     n_planes: int = 4,
     n_tables: int = 4,
     seed: int = 13,
+    dim: int | None = None,
 ) -> DataFrame:
     """OR-amplified hyperplane LSH near-dup pairs: union the blocked pairs of
     n_tables independent plane sets (recall ≈ 1-(1-p^1)^L per pair, p =
     (1-θ/π)^n_planes), dedup, similarities verified exactly per candidate.
     This is the linear-shuffle scale path; the exact O(n²) self-join is the
     small-data oracle."""
+    if dim is None:
+        dim = _dim_of(df, vec_col)
     out = None
     for t in range(n_tables):
-        planes = random_hyperplanes(_dim_of(df, vec_col), n_planes, seed + 101 * t)
+        planes = random_hyperplanes(dim, n_planes, seed + 101 * t)
         pairs = cosine_neardup_pairs(
             df, vec_col, id_col, threshold, block_col=lsh_bucket(F.col(vec_col), planes)
         )
@@ -86,6 +89,13 @@ def lsh_neardup_pairs(
 
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:
+    """Vector dimension: from the schema's element-count metadata when a
+    caller stamped it, else ONE tiny probe job (r5 ADVICE: previously this
+    probe ran once per LSH table — now once per call at most; callers on a
+    hot path pass ``dim=`` explicitly)."""
+    md = df.schema[vec_col].metadata or {}
+    if "dim" in md:
+        return int(md["dim"])
     row = df.select(F.size(vec_col).alias("d")).first()
     return int(row["d"])
 

@@ -487,15 +487,28 @@ def tdigest_quantiles(
     def build(it):
         import pandas as pd
 
-        vs: list = []
+        # incremental build (QuantileTDigest.h add(): buffer unmerged
+        # points, compress with the count-so-far whenever the buffer
+        # grows) — memory stays O(buffer), never O(partition rows); the
+        # input is sorted, so the greedy merge is deterministic
+        cents: list = []
+        n_so_far = 0.0
+        lo = None
         for pdf in it:
-            vs.extend(pdf[name].tolist())
-        if not vs:
+            vs = pdf[name].tolist()
+            if not vs:
+                continue
+            if lo is None:
+                lo = float(vs[0])
+            cents.extend((float(v), 1.0) for v in vs)
+            n_so_far += len(vs)
+            if len(cents) > 8192:
+                cents = _tdigest_compress(cents, n_so_far, epsilon)
+        if lo is None:
             return
-        n = float(len(vs))
-        cents = _tdigest_compress([(v, 1.0) for v in vs], n, epsilon)
+        cents = _tdigest_compress(cents, n_so_far, epsilon)
         yield pd.DataFrame(
-            {"lo": [vs[0]] * len(cents),
+            {"lo": [lo] * len(cents),
              "mean": [m for m, _ in cents],
              "cnt": [c for _, c in cents]}
         )

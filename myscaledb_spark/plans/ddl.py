@@ -132,6 +132,33 @@ def alter_index_ddl(
     InProgress→Built/Error sequence at their own sync points."""
     from myscaledb_spark.plans.vector_index import IndexRegistry
 
+    # compound ALTER: `ALTER TABLE t DROP VECTOR INDEX a, ADD VECTOR INDEX
+    # a col TYPE ...` (00037_mqvs_multiple_drop_vector_index) — the
+    # reference applies the comma-separated actions in order; split and
+    # recurse, returning the LAST action's record
+    cm = re.match(
+        r"^(?P<head>\s*ALTER\s+TABLE\s+\w+\s+)(?P<body>.*)$",
+        sql.strip().rstrip(";"), re.IGNORECASE | re.DOTALL,
+    )
+    if cm:
+        parts = [p.strip() for p in cm.group("body").split(",")]
+        # re-glue pieces that are NOT new actions (commas inside index
+        # params like TYPE IVFFLAT('ncentroids=8','x=1') stay attached)
+        actions: list[str] = []
+        for p in parts:
+            if re.match(r"^(ADD|DROP)\s+(VECTOR\s+)?INDEX\b", p, re.IGNORECASE):
+                actions.append(p)
+            elif actions:
+                actions[-1] += ", " + p
+        if len(actions) > 1:
+            rec: dict = {}
+            for a in actions:
+                rec = alter_index_ddl(
+                    spark, cm.group("head") + a, df, id_col, artifact_dir,
+                    defer_build=defer_build,
+                )
+            return rec
+
     m = _DROP_VEC.match(sql)
     if m:
         reg = IndexRegistry(artifact_dir)

@@ -733,9 +733,16 @@ _NOOP_SETTINGS = re.compile(
     r"batch_distance_queue_size|two_stage_search_option|"
     r"build_vector_index_on_random_single_replica|optimize_trivial_count_query|"
     r"enable_optimizer|joined_subquery_requires_alias|"
-    r"output_format_pretty_[a-z_]+|max_block_size|min_insert_block_size_rows)$",
+    r"output_format_pretty_[a-z_]+|max_block_size|min_insert_block_size_rows|"
+    r"dfs_[a-z_]+|storage_policy)$",
     re.IGNORECASE,
 )
+
+
+#: recorded values of accepted SET statements — most are no-ops for
+#: execution, but introspection surfaces (EXPLAIN SYNTAX's PREWHERE
+#: annotation) consult them like the reference's InterpreterSetQuery does
+SESSION_SETTINGS: dict[str, str] = {}
 
 
 def set_statement(sql: str) -> None:
@@ -752,6 +759,7 @@ def set_statement(sql: str) -> None:
                 f"SET {am.group(1)} has a query-semantic effect this engine "
                 "does not emulate — set the Spark conf equivalent instead"
             )
+        SESSION_SETTINGS[am.group(1).lower()] = am.group(2)
 
 
 def delete_where(spark: SparkSession, sql: str) -> None:
@@ -1133,6 +1141,14 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
                 low.lstrip().startswith("select")
                 and "system." in low
                 and not has_sleep
+            ) or (
+                # narration echo (`SELECT '-- ...'`) — no FROM, no sleep:
+                # the reference's test scripts print these between async
+                # steps without waiting on builds (00037: the status line
+                # after DROP+ADD must still observe InProgress)
+                low.lstrip().startswith("select")
+                and not re.search(r"\bfrom\b", low)
+                and not has_sleep
             )
             is_index_ddl = bool(re.search(
                 r"\b(add|drop)\s+(vector\s+)?index\b|\bcreate\s+vector\s+index\b",
@@ -1274,8 +1290,13 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
         if (
             _CREATE_RE.match(s)
             or _INSERT_RE.match(s)
+            # SET needs its own test: the grouped regex below ends in \b,
+            # which can never match after '=' (both neighbors non-word), so
+            # SET statements silently fell through to Spark's own SET-conf
+            # handler and were never recorded in SESSION_SETTINGS
+            or re.match(r"^\s*SET\s+\w+\s*=", s, re.IGNORECASE)
             or re.match(
-                r"^\s*(DROP\s+TABLE|CREATE\s+FUNCTION|DROP\s+FUNCTION|SET\s+\w+\s*=|"
+                r"^\s*(DROP\s+TABLE|CREATE\s+FUNCTION|DROP\s+FUNCTION|"
                 r"DELETE\s+FROM|TRUNCATE\s+TABLE|OPTIMIZE\s+TABLE|DETACH\s+TABLE|"
                 r"ATTACH\s+TABLE|ALTER\s+TABLE\s+\w+\s+MODIFY\s+SETTING|"
                 r"ALTER\s+TABLE\s+\w+\s+MATERIALIZE\s+(INDEX|COLUMN)|"

@@ -584,29 +584,46 @@ def _binary_batch_distance(spark, df, sql, spans, table, vec_col, qarg,
     topk = allq.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= k
     )
-    # honor the query's ORDER BY like the float path: it must be the
-    # (alias.1, alias.2 [ASC|DESC]) shape; anything else is refused rather
-    # than silently replaced
+    # honor the query's ORDER BY like the float path: it must start with
+    # (alias.1 [ASC], alias.2 [ASC|DESC]) and may append plain tie-break
+    # columns (00038 orders by `dist.1 ASC, dist.2 ASC, id ASC`); anything
+    # else is refused rather than silently replaced
     d_desc = False
+    extra_order = []
     if order_text is not None:
-        om = re.fullmatch(
-            rf"{re.escape(alias)}\s*\.\s*1\s*(?:ASC)?\s*,\s*"
-            rf"{re.escape(alias)}\s*\.\s*2\s*(ASC|DESC)?",
-            order_text.strip(),
+        om = re.match(
+            rf"\s*{re.escape(alias)}\s*\.\s*1\s*(?:ASC)?\s*,\s*"
+            rf"{re.escape(alias)}\s*\.\s*2\s*(ASC|DESC)?\s*",
+            order_text,
             re.IGNORECASE,
         )
         if om is None:
             raise ChSqlError(
                 f"binary batch_distance ORDER BY must be `{alias}.1, "
-                f"{alias}.2 [ASC|DESC]`, got {order_text!r}"
+                f"{alias}.2 [ASC|DESC][, col ...]`, got {order_text!r}"
             )
         d_desc = (om.group(1) or "").upper() == "DESC"
+        for piece in order_text[om.end():].split(","):
+            piece = piece.strip()
+            if not piece:
+                continue
+            pm = re.fullmatch(r"(\w+)\s*(ASC|DESC)?", piece, re.IGNORECASE)
+            if pm is None or pm.group(1) not in base_cols:
+                raise ChSqlError(
+                    f"unsupported binary batch_distance ORDER BY key {piece!r}"
+                )
+            c = F.col(pm.group(1))
+            extra_order.append(
+                c.desc() if (pm.group(2) or "").upper() == "DESC" else c.asc()
+            )
+    if not extra_order:
+        extra_order = [F.col(base_cols[0]).asc()]
     tup = F.struct(F.col("_bq").alias("q"), F.col("_bd").alias("d")).alias(alias)
     sel = [F.col(c) for c in base_cols] + [tup]
     return topk.select(*sel).orderBy(
         F.col(f"{alias}.q").asc(),
         F.col(f"{alias}.d").desc() if d_desc else F.col(f"{alias}.d").asc(),
-        F.col(base_cols[0]).asc(),
+        *extra_order,
     )
 
 

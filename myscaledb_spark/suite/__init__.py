@@ -86,95 +86,81 @@ def load_all() -> None:
 # from the registry are skipped; registry entries absent from this list
 # follow in registration order.
 PRIORITY: list[str] = [
-    # --- r4 chunk-5: never driver-checked, judge strict-green 26/26 ---
-    "collapsing_final_state",
-    "versioned_collapsing_state",
-    "summing_final_lineitem",
-    "ttl_delete_column_events",
-    "ttl_group_by_events",
-    "optimize_dedup_events",
-    "bucketed_join_priority",
-    "any_join_first_order",
-    "ch_sql_final_replacing",
-    "ch_sql_final_summing",
-    "ch_sql_sample_orders",
-    "ch_sql_limit_by_orders",
-    "ch_sql_with_fill_daily",
-    "ch_sql_asof_join",
-    "unigram_lm_ppl",
-    "unigram_lm_cross_ppl",
-    "window_funnel_strict_order",
-    "window_funnel_strict_dedup",
-    "window_funnel_strict_increase",
-    "sequence_count_view_purchase",
-    "sequence_match_gaps",
-    "ch_sql_datetime_funcs",
-    "quantile_interpolated_weighted_qty",
-    "ch_sql_array_funcs",
-    "ch_sql_time_buckets",
-    "ch_sql_with_totals",
-    # --- stale r01 driver records (strict-green since r2, judge-confirmed) ---
-    "group_array_orders",
-    "q18_large_orders",
-    # --- new this round (r5): SQL search forms, GEMM batch path, IVF
-    #     append, routed FTS, sequenceNextNode ---
-    "ch_sql_textsearch",
-    "ch_sql_hybridsearch",
-    "ch_sql_batch_distance",
-    "batch_distance_gemm",
-    "ivf_append_search",
-    "text_search_routed",
-    "sequence_next_node_chain",
-    # --- r5 additions, part 2: table DDL lifecycle + dialect-fix pins +
-    #     curation-quality signals (Gopher repetition, DSIR weighting) ---
-    "ch_sql_ddl_insert_final",
-    "ch_sql_json_bool_missing",
-    "ch_sql_with_fill_off_grid",
-    "gopher_repetition_docs",
-    "dsir_importance_docs",
-    "ch_sql_array_join_clause",
-    "ch_sql_url_funcs",
-    "ch_sql_create_function",
-    "agg_state_merge_orders",
-    "uniq_hll_state_events",
-    "ch_sql_agg_state",
-    "ch_sql_aggregating_mt",
-    "mv_agg_state_hourly",
-    # --- sentinels from the driver-green novel core (backfill) ---
-    "vec_l2_topk",
-    "vec_cosine_topk",
-    "vec_l2_filtered",
-    "two_stage_l2",
-    "bm25_topk",
-    "bm25_phrase_topk",
+    # =========== r6 window ===========
+    # r5 came back 50/50, so per the r5 rotation note this window leads
+    # with (a) entries ADDED in r6, (b) entries whose SEMANTICS or plan
+    # changed in r6 (the driver must re-certify them), then (c) the oldest
+    # driver records still standing on r02/r03 evidence (relational3-6
+    # TPC-H analogs, functions_gate, search2 families).
+    # --- (a) new in r6 ---
+    "ch_sql_groups_frame",
+    "ch_sql_with_fill_interpolate",
+    "quantile_tdigest_qty",
+    # --- (b) changed in r6: single-sliver MinHash + array banding,
+    #     routed CJK BM25, driver-side hybrid fusion, recall-pinned
+    #     IVF/MSTG outputs, uniq_state all-NULL groups, exclusive TO ---
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "bm25_cjk_topk",
     "hybrid_search_rsf",
     "hybrid_search_rrf",
     "hybrid_search_indexed",
-    "minhash_lsh_pairs",
-    "exact_dedup_groups",
-    "curation_pipeline",
-    "window_funnel_levels",
-    "stream_tumble_hourly",
-    "mv_push_hourly",
+    "ivf_search_topk",
+    "mstg_search_topk",
+    "uniq_hll_state_events",
+    "text_search_routed",
+    "ch_sql_with_fill_off_grid",
+    "ch_sql_batch_distance",
+    # --- (c) oldest evidence: TPC-H analog sweep (r02/r03 records) ---
+    "q2_min_acctbal_supplier",
+    "q3_shipping_priority",
+    "q4_priority_late_ship",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q10_returned_items",
+    "q11_important_part_value",
+    "q12_linestatus_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q19_or_predicate_revenue",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
+    "q22_acctbal_opportunity",
+    "correlated_subquery_above_cust_avg",
+    "full_outer_customers_suppliers",
+    "cross_join_region_status",
+    "multi_column_in",
+    "session_windows_30m",
+    # --- (c) oldest evidence: functions_gate + search2 ---
+    "math_bit_funcs",
+    "encoding_funcs",
+    "ip_funcs",
+    "tuple_funcs",
+    "dict_get_nation",
+    "hash_sip_int",
+    "ngram_similarity_topk",
+    "vec_search_join",
+    "ivf_search_exhaustive",
+    "hnsw_search_exhaustive",
+    # ======= past the window (position 51+): driver-green families from
+    # r4/r5 windows rotate back in later rounds; registry entries absent
+    # from this list follow in registration order =======
     "pricing_summary",
     "revenue_by_nation",
-    "pack_sequences_docs",
-    "bm25_cjk_indexed",
+    "vec_l2_topk",
+    "bm25_topk",
+    "exact_dedup_groups",
+    "curation_pipeline",
+    "stream_tumble_hourly",
+    "mv_push_hourly",
     "multimodal_roundtrip",
-    # --- past the window: driver-green families rotate back in later rounds.
-    #     r6 rotation plan: if r5 comes back 50/50, the r6 window should lead
-    #     with the oldest driver records still on r02/r03 evidence (search2 /
-    #     relational3-6 / functions_gate families), then r6 additions ---
-    "minhash_signatures",
-    "simhash_fingerprints",
-    "dedup_clusters",
-    "uniq_family",
-    "quantiles_quantity",
-    "bm25_cjk_topk",
-    "sq_rerank_topk",
-    "pq_rerank_topk",
-    "format_roundtrip_csv_json",
-    "rounding_funcs",
+    "bm25_cjk_indexed",
 ]
 
 

@@ -567,10 +567,10 @@ def quantile_interpolated_weighted_qty(spark, sf_dir):
 @register(
     "quantile_tdigest_qty",
     """
-    SELECT 0.25 AS level, 1 AS ok UNION ALL
-    SELECT 0.50 AS level, 1 AS ok UNION ALL
-    SELECT 0.75 AS level, 1 AS ok UNION ALL
-    SELECT 0.90 AS level, 1 AS ok
+    SELECT CAST(0.25 AS DOUBLE) AS level, 1 AS ok UNION ALL
+    SELECT CAST(0.50 AS DOUBLE) AS level, 1 AS ok UNION ALL
+    SELECT CAST(0.75 AS DOUBLE) AS level, 1 AS ok UNION ALL
+    SELECT CAST(0.90 AS DOUBLE) AS level, 1 AS ok
     """,
 )
 def quantile_tdigest_qty(spark, sf_dir):

@@ -1,0 +1,102 @@
+"""EXPLAIN SYNTAX / PLAN / PIPELINE text forms (InterpreterExplainQuery).
+
+00024_mqvs_no_threshold_move_to_prewhere pins the SYNTAX form's PREWHERE
+annotation in the conformance sweep; these tests pin the same behavior at
+unit grain plus the PLAN / PIPELINE step trees the reference prints.
+"""
+from __future__ import annotations
+
+import pytest
+
+from myscaledb_spark.plans.table_ddl import ch_script
+
+
+@pytest.fixture(scope="module")
+def vec_table(spark):
+    ch_script(spark, """
+        DROP TABLE IF EXISTS exp_vec;
+        CREATE TABLE exp_vec (id UInt32, data Array(Float32), label String)
+          ENGINE = MergeTree ORDER BY id;
+        INSERT INTO exp_vec SELECT number, [number, number, number],
+          'animal' FROM numbers(100)
+    """)
+    yield "exp_vec"
+    ch_script(spark, "DROP TABLE exp_vec")
+
+
+def _lines(df):
+    return [r[0] for r in df.collect()]
+
+
+def test_explain_syntax_vector_prewhere(spark, vec_table):
+    out = _lines(ch_script(
+        spark,
+        "EXPLAIN SYNTAX SELECT id, label, distance(data, [0,1.0,2.0]) AS d "
+        "FROM exp_vec WHERE id > 10 AND label = 'animal' ORDER BY d LIMIT 5",
+    ))
+    assert out == [
+        "SELECT",
+        "    id,",
+        "    label,",
+        "    distance(data, [0, 1., 2.]) AS d",
+        "FROM exp_vec",
+        "PREWHERE (id > 10) AND (label = 'animal')",
+        "ORDER BY d ASC",
+        "LIMIT 5",
+    ]
+
+
+def test_explain_syntax_non_vector_duplicates_where(spark, vec_table):
+    out = _lines(ch_script(
+        spark,
+        "EXPLAIN SYNTAX SELECT id FROM exp_vec "
+        "WHERE id > 10 AND label = 'animal'",
+    ))
+    assert out == [
+        "SELECT id",
+        "FROM exp_vec",
+        "PREWHERE id > 10",
+        "WHERE (id > 10) AND (label = 'animal')",
+    ]
+
+
+def test_explain_syntax_setting_disables_vector_move(spark, vec_table):
+    ch_script(spark, "SET optimize_move_to_prewhere_for_vector_search = 0")
+    try:
+        out = _lines(ch_script(
+            spark,
+            "EXPLAIN SYNTAX SELECT id, distance(data, [0,1.0,2.0]) AS d "
+            "FROM exp_vec WHERE id > 10 AND label = 'animal' "
+            "ORDER BY d LIMIT 5",
+        ))
+        assert "PREWHERE id > 10" in out
+        assert "WHERE (id > 10) AND (label = 'animal')" in out
+    finally:
+        ch_script(spark, "SET optimize_move_to_prewhere_for_vector_search = 1")
+
+
+def test_explain_plan_steps(spark, vec_table):
+    out = _lines(ch_script(
+        spark,
+        "EXPLAIN SELECT label, count() FROM exp_vec WHERE id > 10 "
+        "GROUP BY label ORDER BY label LIMIT 5",
+    ))
+    assert out[0].startswith("Expression")
+    joined = "\n".join(out)
+    for step in ("Limit", "Sorting", "Aggregating", "Filter",
+                 "ReadFromMergeTree (default.exp_vec)"):
+        assert step in joined
+    # indentation increases monotonically down the step tree
+    assert out[-1].startswith("          ")
+
+
+def test_explain_pipeline_processors(spark, vec_table):
+    out = _lines(ch_script(
+        spark,
+        "EXPLAIN PIPELINE SELECT id FROM exp_vec WHERE id > 10 "
+        "ORDER BY id LIMIT 5",
+    ))
+    joined = "\n".join(out)
+    for proc in ("ExpressionTransform", "Limit", "MergingSortedTransform",
+                 "FilterTransform", "MergeTreeSelect (exp_vec)"):
+        assert proc in joined

@@ -209,3 +209,24 @@ def test_search_index_uses_declared_metric(spark, emb):
         for r in vector_topk(emb, "embedding", QV, 5, "Cosine", None, "vec_id").collect()
     ]
     assert got == want
+
+
+def test_compound_drop_add_same_name(spark, emb, tmp_path):
+    """`ALTER TABLE t DROP VECTOR INDEX v, ADD VECTOR INDEX v col TYPE FLAT`
+    — the reference applies comma-separated actions in order
+    (00037_mqvs_multiple_drop_vector_index); previously this raised
+    'unrecognized index DDL'."""
+    art = str(tmp_path / "compound")
+    alter_index_ddl(
+        spark, "ALTER TABLE e ADD VECTOR INDEX vc embedding TYPE IVFFLAT",
+        emb, "vec_id", art,
+    )
+    rec = alter_index_ddl(
+        spark,
+        "ALTER TABLE e DROP VECTOR INDEX vc, ADD VECTOR INDEX vc embedding TYPE FLAT",
+        emb, "vec_id", art,
+    )
+    assert rec["name"] == "vc" and rec["status"] == "Built"
+    from myscaledb_spark.plans.vector_index import IndexRegistry
+
+    assert IndexRegistry(art).get("vc")["index_type"].upper() == "FLAT"

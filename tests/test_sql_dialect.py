@@ -257,8 +257,14 @@ def test_with_fill_rewrite_and_guards():
     # FROM/TO default to the query's own min/max as scalar subqueries
     out = rewrite("SELECT d, n FROM t ORDER BY d WITH FILL")
     assert "min(d)" in out and "max(d)" in out
+    # INTERPOLATE (bare columns) is supported since r6: carry-forward via
+    # a last-IGNORE-NULLS window over a struct wrap
+    out = rewrite("SELECT d, n FROM t ORDER BY d WITH FILL INTERPOLATE (n)")
+    assert "last(CASE WHEN _orig THEN struct(n AS v) END, true)" in out
+    assert "_itp_0.v AS n" in out
+    # computed INTERPOLATE expressions still point to the API helper
     with pytest.raises(ChSqlError, match="with_fill"):
-        rewrite("SELECT d FROM t ORDER BY d WITH FILL INTERPOLATE (n)")
+        rewrite("SELECT d, n FROM t ORDER BY d WITH FILL INTERPOLATE (n AS n + 1)")
     with pytest.raises(ChSqlError, match="with_fill"):
         rewrite("SELECT d FROM t ORDER BY d DESC WITH FILL")
     with pytest.raises(ChSqlError, match="with_fill"):

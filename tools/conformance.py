@@ -193,7 +193,7 @@ def run_file(spark, path: str):
             res = ch_script(spark, s, artifact_dir=art)
         except Exception as e:  # first failing statement is the verdict
             return "FAIL", f"stmt {i + 1}: {s.splitlines()[0][:90]!r} -> {type(e).__name__}: {str(e)[:160]}"
-        if re.match(r"^\s*(SELECT|WITH|SHOW)\b", s, re.IGNORECASE) and res is not None:
+        if re.match(r"^\s*(SELECT|WITH|SHOW|EXPLAIN)\b", s, re.IGNORECASE) and res is not None:
             if re.search(r"FORMAT\s+Vertical", s, re.IGNORECASE):
                 compared = False  # Vertical rendering not replayed
                 continue
