@@ -173,33 +173,24 @@ def uniq_state(df: DataFrame, keys: list[str], col: Column | str,
     """
     c = _c(col)
     bucket, rho = _hll_pieces(c)
-    # keep NULL rows through the first groupBy (bucket/rho NULL there) so a
-    # key group whose values are ALL NULL still surfaces — with an all-zero
-    # register state, matching reference uniq() = 0 — instead of vanishing
-    # and being dropped by downstream inner joins.
+    # NULL values keep their KEY alive through the first groupBy as a
+    # null-bucket row (so a key group whose values are ALL NULL still
+    # surfaces, with an all-zero state — reference uniq() = 0; r5 ADVICE)
+    # without costing a reconciliation join: collect_list skips NULL
+    # inputs, and _bucket/_rho are null on exactly the same rows, so the
+    # two arrays stay aligned and the null-bucket row contributes nothing.
     per_bucket = (
-        df.groupBy(
-            *keys,
-            F.when(c.isNotNull(), bucket).alias("_bucket"),
-        )
+        df.groupBy(*keys, F.when(c.isNotNull(), bucket).alias("_bucket"))
         .agg(F.max(F.when(c.isNotNull(), rho)).alias("_rho"))
     )
     registers = F.transform(
         F.sequence(F.lit(0), F.lit(HLL_M - 1)),
         lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)),
     )
-    pairs = F.filter(
-        F.col("_pairs"), lambda s: s["_bucket"].isNotNull()
-    )
     return (
         per_bucket.groupBy(*keys)
-        .agg(F.collect_list(F.struct("_bucket", "_rho")).alias("_pairs"))
-        .select(
-            *keys,
-            F.map_from_arrays(
-                pairs.getField("_bucket"), pairs.getField("_rho")
-            ).alias("_m"),
-        )
+        .agg(F.map_from_arrays(
+            F.collect_list("_bucket"), F.collect_list("_rho")).alias("_m"))
         .select(*keys, registers.alias(alias))
     )
 
