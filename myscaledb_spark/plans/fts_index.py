@@ -30,6 +30,35 @@ from myscaledb_spark.functions.text import BM25_B, BM25_K1, tokenize, tokenize_q
 from myscaledb_spark.plans.vector_index import IndexRegistry
 
 
+#: in-memory postings cache — the reference keeps opened tantivy indexes in
+#: an LRU store (TantivyIndexStoreFactory); here the postings/doclens
+#: frames persist as Spark cached relations (MEMORY_AND_DISK: columnar
+#: compressed, spills at scale) so repeated queries skip the parquet read.
+#: Keyed by (base, stats.json mtime) — append/rebuild rewrites stats.json,
+#: which invalidates the stale entry.
+_FRAMES_CACHE: dict[tuple, tuple] = {}
+
+
+def _cached_index_frames(spark: SparkSession, base: str):
+    from pyspark import StorageLevel
+
+    key = (base, os.path.getmtime(os.path.join(base, "stats.json")))
+    hit = _FRAMES_CACHE.get(key)
+    if hit is None:
+        for stale in [k for k in _FRAMES_CACHE if k[0] == base]:
+            for df_ in _FRAMES_CACHE.pop(stale):
+                df_.unpersist()
+        postings = spark.read.parquet(os.path.join(base, "postings")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        doclens = spark.read.parquet(os.path.join(base, "doclens")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        hit = (postings, doclens)
+        _FRAMES_CACHE[key] = hit
+    return hit
+
+
 def _spec_to_json(spec) -> dict | None:
     if spec is None:
         return None
@@ -125,10 +154,10 @@ def fts_search(
         raise InvalidSearchQuery("empty text-search query after tokenization")
     n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
 
-    postings = spark.read.parquet(os.path.join(base, "postings")).filter(
-        F.col("term").isin(terms)  # pushed to the parquet scan
-    )
-    doclens = spark.read.parquet(os.path.join(base, "doclens"))
+    all_postings, doclens = _cached_index_frames(spark, base)
+    # term filter prunes the cached columnar batches (min/max per batch;
+    # on a cold cache the same predicate pushes into the parquet scan)
+    postings = all_postings.filter(F.col("term").isin(terms))
 
     # per-term document frequency over the pruned postings (tiny)
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
