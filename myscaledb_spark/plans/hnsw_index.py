@@ -249,7 +249,9 @@ def hnsw_search(
     rec = reg.get(name)
     if rec is None or rec.get("status") != "Built":
         raise RuntimeError(f"hnsw index {name!r} not built")
-    graph = spark.read.parquet(os.path.join(rec["base"], "graph"))
+    from myscaledb_spark.plans.frame_cache import cached_parquet
+
+    graph = cached_parquet(spark, os.path.join(rec["base"], "graph"))
     q = np.asarray(qvec, dtype=np.float64)
     ef = max(ef_search, k)
     if exhaustive:

@@ -226,7 +226,9 @@ def mstg_search(
     q = np.asarray(qvec, dtype=np.float64)
     leaves = _route(tree, q, probe_top, nprobe)
 
-    graph = spark.read.parquet(os.path.join(rec["base"], "graph")).filter(
+    from myscaledb_spark.plans.frame_cache import cached_parquet
+
+    graph = cached_parquet(spark, os.path.join(rec["base"], "graph")).filter(
         F.col("leaf_id").isin(leaves)  # partition pruning
     )
     if exhaustive:

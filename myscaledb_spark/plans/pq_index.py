@@ -176,7 +176,9 @@ def pq_search(
         [((CB[j] - q[j * sub : (j + 1) * sub]) ** 2).sum(axis=1) for j in range(m)]
     )  # (m, ks)
 
-    codes_df = spark.read.parquet(os.path.join(rec["base"], "codes"))
+    from myscaledb_spark.plans.frame_cache import cached_parquet
+
+    codes_df = cached_parquet(spark, os.path.join(rec["base"], "codes"))
     ncand = max(k * candidate_multiple, k)
 
     # ADC as a PURE JVM expression: the (m × ks) lookup table is a tiny

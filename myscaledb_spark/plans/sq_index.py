@@ -136,7 +136,9 @@ def sq_search(
     span = np.where(hi > lo, hi - lo, 1.0)
     q = np.asarray(qvec, dtype=np.float64)
 
-    codes_df = spark.read.parquet(os.path.join(rec["base"], "codes"))
+    from myscaledb_spark.plans.frame_cache import cached_parquet
+
+    codes_df = cached_parquet(spark, os.path.join(rec["base"], "codes"))
     ncand = max(k * candidate_multiple, k)
 
     # Dequantized distance as a PURE JVM expression (whole-stage codegen, no

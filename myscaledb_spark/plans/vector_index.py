@@ -267,7 +267,9 @@ def ivf_search(
         raise RuntimeError(f"index {name!r} not built (status={rec and rec.get('status')})")
     centroids = json.load(open(rec["centroids"]))
     probe = _nearest_lists(centroids, qvec, nprobe, metric)
-    inv = spark.read.parquet(rec["inverted"])
+    from myscaledb_spark.plans.frame_cache import cached_parquet
+
+    inv = cached_parquet(spark, rec["inverted"])
     cands = inv.filter(F.col("list_id").isin(probe))  # partition pruning
     if exclude_ids is not None:
         mask = exclude_ids.select(F.col(exclude_ids.columns[0]).alias(id_col))
