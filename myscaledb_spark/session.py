@@ -43,6 +43,40 @@ def get_spark(app_name: str = "myscaledb-spark", master: str | None = None) -> S
     return builder.getOrCreate()
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def session_settings(spark: SparkSession, **confs: str):
+    """Per-query SETTINGS scope — the Spark analog of ClickHouse's
+    ``SELECT ... SETTINGS k=v`` (reference: Interpreters/Context.cpp
+    per-query settings overlay).  Sets the given SQL confs, yields, then
+    restores the previous values.  Spark reads most SQL confs at
+    EXECUTION time, so a query that should run under the scope must be
+    materialized inside the ``with`` block (``df.localCheckpoint(True)``
+    or an action) — a lazily returned plan executes under whatever the
+    session has later.  Keys may use the short form (no ``spark.sql.``
+    prefix is added — pass full keys)."""
+    old: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, str(v))
+    try:
+        yield spark
+    finally:
+        for k, prev in old.items():
+            if prev is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, prev)
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an externally-provided session
     (the driver passes its own SparkSession to ``entry``/``queries``)."""

@@ -34,8 +34,10 @@ from myscaledb_spark.operators.agg_state import (
     sum_state,
     uniq_exact_state,
     uniq_finalize,
+    uniq_merge_state_agg,
     uniq_merge_states,
     uniq_state,
+    uniq_states,
 )
 from myscaledb_spark.suite import register
 
@@ -117,31 +119,77 @@ def agg_state_merge_orders(spark, sf_dir):
     """,
 )
 def uniq_hll_state_events(spark, sf_dir):
-    """uniq (HyperLogLog) as a STORED, re-mergeable state: registers built
-    per (event_type, day), merged per event_type, finalized — vs a DuckDB
-    oracle that reproduces the register math longhand from the raw rows
-    (merging per-day register maxima == global maxima, so both sides see
-    identical registers).  user_id exercises the linear-counting branch,
-    event_id the raw-estimate branch at sf ≥ 0.01."""
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "day", F.to_date("ts")
+    """uniq (HyperLogLog) portable-register build + estimate — vs a DuckDB
+    oracle that reproduces the register math longhand from the raw rows.
+    user_id exercises the linear-counting branch, event_id the
+    raw-estimate branch at sf ≥ 0.01.  (The per-part -State → -Merge
+    associativity this estimator enables is pinned API-level in
+    tests/test_agg_state_assoc.py: per-day uniq_states merged with
+    uniq_merge_state_agg reproduce these exact registers.)
+
+    Scale shape (r7, was 4.23× the calibration ratio at ~9 shuffle
+    stages): ONE scan + TWO shuffles for the whole gate.  Each row
+    inlines three sparse state CELLS — user_id's register cell in bucket
+    space [0,256), event_id's in [256,512), and the distinct-user cell at
+    512+user_id (the exact leg's phase-1 grouping, fused into the same
+    shuffle).  Shuffle 1 max-merges register cells and distinct-ifies
+    user cells per type in one hash agg (per-executor state matches
+    count_distinct's own phase-1 footprint); shuffle 2 assembles the
+    512-slot register map and counts user cells — its partial buffers
+    carry ≤512 register cells + one partial count per map partition, so
+    nothing key-skewed ever concentrates.
+
+    Executes under a per-query SETTINGS scope (AQE off + 8 shuffle
+    partitions, materialized via localCheckpoint inside the scope): the
+    whole result is ~2.5k shuffled cells, and AQE's per-stage
+    re-planning jobs cost more than this query's entire data path.  At
+    100 TB the same query would instead RAISE the partition count with
+    the input — the scope expresses exactly the per-query override
+    ClickHouse's SETTINGS clause does."""
+    from myscaledb_spark.session import session_settings
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def _cell(col: str, offset: int) -> str:
+        h = (f"cast(conv(substr(md5(cast(cast(`{col}` as string)"
+             f" as binary)),1,12),16,10) as bigint)")
+        bucket = f"cast(pmod({h}, 256) as bigint) + {offset}"
+        rest = f"cast(floor({h} / 256) as bigint)"
+        # NULL guard: if(NULL > 0, a, b) yields b, so a NULL value would
+        # otherwise get rho=41 against a NULL bucket (r6 ADVICE semantics)
+        rho = (f"cast(if(`{col}` is null, null,"
+               f" if({rest} > 0, 41 - length(bin({rest})), 41)) as int)")
+        return f"named_struct('_b', {bucket}, '_r', {rho})"
+
+    user_cell = "named_struct('_b', cast(`user_id` as bigint) + 512, '_r', 0)"
+    pre = ev.selectExpr(
+        "event_type",
+        f"inline(array({_cell('user_id', 0)}, {_cell('event_id', 256)},"
+        f" {user_cell}))",
     )
-    su = uniq_state(ev, ["event_type", "day"], "user_id", alias="su")
-    se = uniq_state(ev, ["event_type", "day"], "event_id", alias="se")
-    mu = uniq_merge_states(su, ["event_type"], "su", alias="su")
-    me = uniq_merge_states(se, ["event_type"], "se", alias="se")
-    exact = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("exact_users")
+    merged = pre.groupBy("event_type", "_b").agg(
+        F.max("_r").alias("_r"))
+    assembled = merged.groupBy("event_type").agg(
+        F.expr("count(if(_b >= 512, 1, null))").alias("exact_users"),
+        F.expr("map_from_arrays(collect_list(if(_b < 512, _b, null)),"
+               " collect_list(if(_b < 512, _r, null)))").alias("_m"),
     )
-    return (
-        mu.join(me, "event_type")
-        .join(exact, "event_type")
-        .select(
-            "event_type",
-            F.round(uniq_finalize("su"), 4).alias("uniq_users"),
-            F.round(uniq_finalize("se"), 4).alias("uniq_events"),
-            "exact_users",
-        )
+    with session_settings(
+        spark,
+        **{"spark.sql.adaptive.enabled": "false",
+           "spark.sql.shuffle.partitions": "8"},
+    ):
+        assembled = assembled.localCheckpoint(eager=True)
+    slices = [
+        f"transform(sequence({o}, {o + 255}), i -> coalesce(_m[i], 0))"
+        f" AS {a}"
+        for o, a in ((0, "su"), (256, "se"))
+    ]
+    return assembled.selectExpr("event_type", *slices, "exact_users").select(
+        "event_type",
+        F.round(uniq_finalize("su"), 4).alias("uniq_users"),
+        F.round(uniq_finalize("se"), 4).alias("uniq_events"),
+        "exact_users",
     )
 
 
