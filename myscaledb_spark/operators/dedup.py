@@ -93,6 +93,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     max_bucket: int | None = 10_000,
+    keys_col: str | None = None,
 ) -> DataFrame:
     """Band the signature, bucket-join: pairs sharing any band. Returns
     distinct (id_a, id_b) with id_a < id_b.
@@ -119,12 +120,18 @@ def lsh_candidate_pairs(
     # ONE scan of the signature table: posexplode an array of band keys
     # instead of unioning `bands` selects (which re-reads — and with a
     # non-persisted upstream, re-COMPUTES — the signatures per band).
-    keys = F.array(*[
-        F.concat_ws(
-            ",", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
-        )
-        for b in range(bands)
-    ])
+    # ``keys_col`` lets the caller fold the band-key projection into the
+    # signature aggregation itself (minhash_dedup_pairs does), so this
+    # pass reads a precomputed array instead of re-concatenating mh cols.
+    if keys_col is not None:
+        keys: Column = F.col(keys_col)
+    else:
+        keys = F.array(*[
+            F.concat_ws(
+                ",", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+            )
+            for b in range(bands)
+        ])
     banded = sig.select(
         F.col(id_col).alias("id"), F.posexplode(keys).alias("band", "band_key")
     ).select("band", "band_key", "id")
@@ -231,19 +238,36 @@ def minhash_dedup_pairs(
     shape) with one scan plus re-reads of a compressed sliver."""
     from pyspark import StorageLevel
 
-    sh = shingle_sets(df, id_col, tokens_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    from myscaledb_spark.catalog import fan_out
+
+    sh = shingle_sets(
+        fan_out(df, df.sparkSession), id_col, tokens_col, n
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     aggs = [
         F.min(md5_48_seeded(F.col("sh"), s)).alias(f"mh{s}")
         for s in range(num_hashes)
     ]
-    # signatures + set sizes in ONE groupBy over the sliver; persisted so
-    # banding and the two size probes don't re-run the 12-hash aggregation
-    sig = sh.groupBy(id_col).agg(
-        *aggs, F.count(F.lit(1)).alias("_setn")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    cands = lsh_candidate_pairs(sig, id_col, num_hashes, bands, max_bucket=max_bucket)
+    rows = num_hashes // bands
+    band_keys = F.array(*[
+        F.concat_ws(
+            ",", *[F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+        )
+        for b in range(bands)
+    ])
+    # signatures, set sizes AND band keys in ONE groupBy over the sliver
+    # (the band-key concat rides the aggregation's output projection —
+    # same stage, no extra pass over sig); persisted so banding and the
+    # two size probes don't re-run the 12-hash aggregation
+    sig = (
+        sh.groupBy(id_col)
+        .agg(*aggs, F.count(F.lit(1)).alias("_setn"))
+        .select(F.col(id_col), F.col("_setn"), band_keys.alias("_band_keys"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cands = lsh_candidate_pairs(
+        sig, id_col, num_hashes, bands, max_bucket=max_bucket,
+        keys_col="_band_keys",
+    )
     sizes = sig.select(F.col(id_col), F.col("_setn"))
     jac = exact_jaccard(sh, cands, sizes=sizes)
     return jac.filter(F.col("jaccard") >= threshold).select(
