@@ -439,7 +439,16 @@ def hybrid_search_indexed(
         txt_cand = text_search(
             df, text_col, qtext, kprime, id_col, tokenizer, score_name="_bm25"
         ).select(id_col, "_bm25")
-    return fuse_candidates(
-        vec_cand, txt_cand, k, id_col, fusion_type, metric, fusion_weight,
-        fusion_k, score_name,
+    # one collect per candidate leg, then driver-side fusion (_fuse_local:
+    # identical float sequence to fuse_candidates) — distributing a
+    # ≤max_search_result_window-row fuse costs ~4 extra Spark jobs per
+    # query, exactly as the r6 default-path rework measured
+    ft = fusion_type.lower()
+    if ft not in ("rsf", "rrf"):
+        raise InvalidSearchQuery(f"fusion_type must be rsf|rrf, got {fusion_type!r}")
+    vec_rows = [(r[0], r[1]) for r in vec_cand.collect()]
+    txt_rows = [(r[0], r[1]) for r in txt_cand.collect()]
+    return _fuse_local(
+        spark, vec_cand.schema[id_col].dataType, vec_rows, txt_rows, k,
+        id_col, ft, metric, fusion_weight, fusion_k, score_name,
     )

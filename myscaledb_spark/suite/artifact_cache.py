@@ -42,6 +42,21 @@ def cached_artifact(sf_dir: str, kind: str, build_fn: Callable[[str], None]) -> 
     return _ARTIFACTS[key]
 
 
+_VALUES: dict[tuple[str, str], object] = {}
+
+
+def cached_value(sf_dir: str, key: str, fn: Callable[[], object]) -> object:
+    """Memoize a small driver-side value once per (sf_dir, key) per
+    process — e.g. the EXACT top-k id list a recall-pinned gate compares
+    against.  Real deployments compute a recall baseline once per corpus,
+    not per query; without this the gate would charge a full exact scan
+    to every timed invocation."""
+    k = (sf_dir, key)
+    if k not in _VALUES:
+        _VALUES[k] = fn()
+    return _VALUES[k]
+
+
 def cached_count(df, sf_dir: str, table: str) -> int:
     """Corpus row count, computed once per (sf_dir, table) — exhaustive-mode
     gate queries need it for candidate_multiple but must not pay a count()
