@@ -7,8 +7,8 @@ is no imperative execution here.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
-from typing import Any
+from collections.abc import Mapping, Sequence
+from typing import Any, Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -223,11 +223,21 @@ def with_fill(
     step: Any,
     from_value: Any | None = None,
     to_value: Any | None = None,
-    interpolate: Sequence[str] = (),
+    interpolate: Sequence[str] | Mapping[str, Callable] = (),
 ) -> DataFrame:
     """ORDER BY ... WITH FILL [FROM a] [TO b] [STEP s] [INTERPOLATE cols] —
     densify a numeric/date axis, inserting missing grid points
     (reference: `src/Processors/Transforms/FillingTransform.cpp`).
+
+    ``interpolate`` is either a sequence of column names (carry-forward:
+    fill rows take the closest preceding original value) or a mapping
+    column → fn(Column) → Column for the computed ``INTERPOLATE (c AS
+    expr)`` form (r7): ClickHouse applies the expression to the PREVIOUS
+    output row per inserted fill row, so k consecutive fill rows compound
+    it k times — reproduced as an aggregate() fold of fn over the gap
+    length.  fn sees only the carried column value (the reference's other-
+    column references read the previous output row, which this formulation
+    does not model) and must preserve the column's type.
 
     Spark plan: one-row min/max agg → `sequence()` literal grid → explode →
     left join original → optional last-value interpolation window. The grid
@@ -245,9 +255,43 @@ def with_fill(
     grid = spark.range(1).select(
         F.explode(F.sequence(F.lit(lo), F.lit(hi), F.lit(step))).alias(fill_col)
     )
-    joined = grid.join(df, on=fill_col, how="left")
-    if interpolate:
+    items = (
+        list(interpolate.items())
+        if isinstance(interpolate, Mapping)
+        else [(c, None) for c in interpolate]
+    )
+    computed = any(fn is not None for _, fn in items)
+    src = df.withColumn("_wf_orig", F.lit(True)) if computed else df
+    joined = grid.join(src, on=fill_col, how="left")
+    if items:
         w = Window.orderBy(fill_col).rowsBetween(Window.unboundedPreceding, 0)
-        for c in interpolate:
-            joined = joined.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return joined.orderBy(fill_col)
+        if computed:
+            joined = joined.withColumn(
+                "_wf_seq", F.row_number().over(Window.orderBy(fill_col))
+            ).withColumn(
+                "_wf_oseq",
+                F.last(
+                    F.when(F.col("_wf_orig"), F.col("_wf_seq")), ignorenulls=True
+                ).over(w),
+            )
+        for c, fn in items:
+            if fn is None:
+                joined = joined.withColumn(c, F.last(c, ignorenulls=True).over(w))
+                continue
+            # struct wrap keeps a NULL original value distinct from "no
+            # original row yet" while the fold compounds fn per fill step
+            carried = F.last(
+                F.when(F.col("_wf_orig"), F.struct(F.col(c).alias("v"))),
+                ignorenulls=True,
+            ).over(w)["v"]
+            k = F.col("_wf_seq") - F.col("_wf_oseq")
+            folded = F.aggregate(
+                F.sequence(F.lit(1), k), carried, lambda acc, _i: fn(acc)
+            )
+            joined = joined.withColumn(
+                c,
+                F.when(F.col("_wf_oseq").isNull(), F.lit(None))
+                .when(k == 0, carried)
+                .otherwise(folded),
+            )
+    return joined.drop("_wf_orig", "_wf_seq", "_wf_oseq").orderBy(fill_col)

@@ -145,11 +145,22 @@ def alter_index_ddl(
         # re-glue pieces that are NOT new actions (commas inside index
         # params like TYPE IVFFLAT('ncentroids=8','x=1') stay attached)
         actions: list[str] = []
+        leading: list[str] = []
         for p in parts:
             if re.match(r"^(ADD|DROP)\s+(VECTOR\s+)?INDEX\b", p, re.IGNORECASE):
                 actions.append(p)
             elif actions:
                 actions[-1] += ", " + p
+            else:
+                leading.append(p)
+        if actions and leading:
+            # a piece BEFORE the first index action (e.g. MODIFY SETTING)
+            # has no continuation to glue onto — executing only the index
+            # actions would silently drop it (r7 ADVICE)
+            raise InvalidSearchQuery(
+                f"compound ALTER mixes index actions with {leading[0]!r}; "
+                "run non-index actions as their own ALTER statement"
+            )
         if len(actions) > 1:
             rec: dict = {}
             for a in actions:

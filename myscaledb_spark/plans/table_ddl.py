@@ -745,6 +745,17 @@ _NOOP_SETTINGS = re.compile(
 SESSION_SETTINGS: dict[str, str] = {}
 
 
+def reset_session_settings() -> None:
+    """Start a fresh SET scope — ClickHouse settings are session-scoped per
+    CLIENT, so a conformance file (= one client session) must not see the
+    previous file's SET statements (r7 ADVICE: a leaked
+    optimize_move_to_prewhere_for_vector_search=0 changed later files'
+    EXPLAIN SYNTAX output).  Callers that represent a session boundary
+    (tools/conformance.run_file) call this; ch_script itself must NOT,
+    because one file legitimately spans several ch_script calls."""
+    SESSION_SETTINGS.clear()
+
+
 def set_statement(sql: str) -> None:
     """`SET name = value[, ...]` — session settings. Settings with no Spark
     semantic land in the no-op list; anything else raises (same discipline as

@@ -878,6 +878,21 @@ def _explain_syntax_ch(spark, sql: str) -> list[str] | None:
                         [grouped] + [f"({esc(c)})" for c in dist_conj])
                 )
         else:
+            # MergeTreeWhereOptimizer applies a column-size heuristic; the
+            # print is synthesized ONLY for the conservatively-modelable
+            # shape 00024 pins (two single-column conjuncts → first moves,
+            # full WHERE kept) — other shapes fall back to the Spark-SQL
+            # rendering instead of fabricating a PREWHERE (r7 ADVICE)
+            def cols_of(c: str) -> set[str]:
+                cmask = _string_mask(c)
+                out = set()
+                for mm in re.finditer(r"[A-Za-z_]\w*", cmask):
+                    if cmask[mm.end():].lstrip()[:1] != "(":
+                        out.add(mm.group(0))
+                return out
+
+            if len(conj) != 2 or any(len(cols_of(c)) != 1 for c in conj):
+                return None
             lines.append(f"PREWHERE {esc(conj[0])}")
             lines.append(
                 "WHERE " + " AND ".join(f"({esc(c)})" for c in conj)
@@ -1597,6 +1612,70 @@ def _rewrite_with_totals(sql: str, types_fn=None) -> str:
     return new_select
 
 
+def _head_select_names(head: str) -> list[str] | None:
+    """Output column names of a SELECT head, in select-list order — None
+    when any item's name cannot be derived (an unaliased expression)."""
+    hm = _top_level_mask(head)
+    sm = re.search(r"\bSELECT\b(\s+DISTINCT\b)?", hm, re.IGNORECASE)
+    fm = re.search(r"\bFROM\b", hm, re.IGNORECASE)
+    if sm is None or fm is None or sm.end() >= fm.start():
+        return None
+    names = []
+    for it in _split_args(head[sm.end(): fm.start()]):
+        am = re.search(r"\bAS\s+`?([A-Za-z_]\w*)`?\s*$", it, re.IGNORECASE)
+        if am:
+            names.append(am.group(1))
+            continue
+        bm = re.fullmatch(r"\s*(?:[A-Za-z_]\w*\.)?`?([A-Za-z_]\w*)`?\s*", it)
+        if bm:
+            names.append(bm.group(1))
+            continue
+        return None
+    return names
+
+
+#: tokens an INTERPOLATE expression may contain besides the column itself
+#: and function calls: SQL keywords and the type names CAST can mention
+_ITP_ALLOWED = {
+    "as", "and", "or", "not", "case", "when", "then", "else", "end",
+    "null", "true", "false", "interval", "in", "is", "between", "div",
+    "double", "float", "int", "bigint", "smallint", "tinyint", "decimal",
+    "string", "date", "timestamp", "boolean",
+}
+
+
+def _interp_fold_expr(expr: str, col: str) -> str:
+    """Rewrite a self-referencing `INTERPOLATE (col AS expr)` expression for
+    the per-step fold: occurrences of the column become the fold accumulator
+    ``_ipv``.  Any OTHER bare identifier is rejected: ClickHouse evaluates
+    interpolate expressions over the PREVIOUS OUTPUT row
+    (FillingTransform.cpp interpolate actions), and on a fill row the
+    non-interpolated columns are NULL here — evaluating them against the
+    current row would silently diverge from the reference."""
+    mask = _string_mask(expr)
+    out: list[str] = []
+    last = 0
+    for mm in re.finditer(r"[A-Za-z_]\w*", mask):
+        tok = mm.group(0)
+        if mask[mm.end():].lstrip()[:1] == "(":
+            continue  # function name
+        if tok == col:
+            out.append(expr[last:mm.start()])
+            out.append("_ipv")
+            last = mm.end()
+            continue
+        if tok.lower() in _ITP_ALLOWED:
+            continue
+        raise ChSqlError(
+            f"INTERPOLATE ({col} AS ...) may reference only {col!r}, "
+            f"constants and functions; {tok!r} would read the previous "
+            "output row in ClickHouse, which this rewrite cannot reproduce "
+            "→ myscaledb_spark.operators.relational.with_fill"
+        )
+    out.append(expr[last:])
+    return "".join(out)
+
+
 def _rewrite_with_fill(sql: str) -> str:
     """`ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]` → grid-join subquery
     (FillingTransform.cpp): explode(sequence(from, to, step)) full-outer-
@@ -1612,7 +1691,18 @@ def _rewrite_with_fill(sql: str) -> str:
     (the struct keeps a NULL original value distinct from "no original row
     yet", matching the reference's carry of whatever the previous row held);
     fill rows before the first original row stay NULL.  Computed
-    INTERPOLATE expressions stay with the API helper."""
+    ``INTERPOLATE (c AS expr)`` (r7): ClickHouse applies the expression to
+    the PREVIOUS output row per inserted fill row, so k consecutive fill
+    rows compound it k times — reproduced as an ``aggregate(sequence(1, k),
+    carried, fold)`` over the gap length (k = rows since the last original
+    row, from a row_number/last window pair).  The expression may reference
+    only the interpolated column itself (other columns would read the
+    previous output row in the reference — rejected, see
+    ``_interp_fold_expr``), and Spark requires the expression to keep the
+    column's type (an aggregate() lambda must return the accumulator type).
+    The final projection re-emits the head query's select items in their
+    ORIGINAL order (r7 ADVICE: `* EXCEPT` moved interpolated columns to the
+    end, breaking positional consumers)."""
     mask = _top_level_mask(sql)
     m = _WITH_FILL_RE.search(mask)
     if not m:
@@ -1631,28 +1721,31 @@ def _rewrite_with_fill(sql: str) -> str:
     head = sql[: m.start()].strip()
     rest, rest_mask = sql[m.end() :], mask[m.end() :]
     interp_cols: list[str] = []
+    interp_exprs: dict[str, str] = {}  # col → fold expression (col → _ipv)
     im = re.search(r"\bINTERPOLATE\b", rest_mask, re.IGNORECASE)
     if im:
         pm = re.match(r"\s*\(", rest[im.end():])
         if pm is None:
             raise ChSqlError(
                 "bare INTERPOLATE (all-columns) is not supported — list the "
-                "columns: INTERPOLATE (c1, c2, ...)"
+                "columns: INTERPOLATE (c1, c2 AS expr, ...)"
             )
         open_idx = im.end() + pm.end() - 1
         close = _find_call_end(rest, open_idx)
         for it in _split_args(rest[open_idx + 1: close - 1]):
-            m2 = re.fullmatch(
-                r"\s*([A-Za-z_]\w*)(?:\s+AS\s+([A-Za-z_]\w*))?\s*",
-                it, re.IGNORECASE,
+            m2 = re.match(
+                r"\s*([A-Za-z_]\w*)(?:\s+AS\s+(.+))?\s*$",
+                it, re.IGNORECASE | re.DOTALL,
             )
-            if m2 is None or (m2.group(2) and m2.group(2) != m2.group(1)):
+            if m2 is None:
                 raise ChSqlError(
-                    "WITH FILL INTERPOLATE supports the carry-forward form "
-                    "(bare column names) in SQL; computed expressions → "
-                    "myscaledb_spark.operators.relational.with_fill"
+                    f"INTERPOLATE item {it.strip()!r} is neither `col` nor "
+                    "`col AS expr`"
                 )
-            interp_cols.append(m2.group(1))
+            c, expr = m2.group(1), (m2.group(2) or "").strip()
+            interp_cols.append(c)
+            if expr and expr != c:
+                interp_exprs[c] = _interp_fold_expr(expr, c)
         rest = rest[: im.start()] + rest[close:]
         rest_mask = rest_mask[: im.start()] + rest_mask[close:]
     # FROM/TO/STEP value spans end at the next fill keyword OR the start of
@@ -1714,25 +1807,60 @@ def _rewrite_with_fill(sql: str) -> str:
     # keeps every original row and interleaves fill rows. Spark's USING join
     # coalesces the key across both sides for FULL OUTER.
     if interp_cols:
+        names = _head_select_names(head)
+        if names is None:
+            raise ChSqlError(
+                "WITH FILL INTERPOLATE needs every head select item's output "
+                "name to preserve the original column order — alias "
+                "expressions with AS (or use operators.relational.with_fill)"
+            )
+        missing = [c for c in interp_cols if c not in names]
+        if missing:
+            raise ChSqlError(
+                f"INTERPOLATE column(s) {missing} are not in the select list"
+            )
         src = (
             f"SELECT * FROM ({grid}) _grid FULL OUTER JOIN "
             f"(SELECT *, true AS _orig FROM ({head}) _wfo) _wf USING ({col})"
         )
+        wspec = (
+            f"OVER (ORDER BY {col} ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW)"
+        )
         itp = ", ".join(
-            f"last(CASE WHEN _orig THEN struct({c} AS v) END, true) OVER "
-            f"(ORDER BY {col} ROWS BETWEEN UNBOUNDED PRECEDING AND "
-            f"CURRENT ROW) AS _itp_{i}"
+            f"last(CASE WHEN _orig THEN struct({c} AS v) END, true) "
+            f"{wspec} AS _itp_{i}"
             for i, c in enumerate(interp_cols)
         )
-        exc = ", ".join(
-            ["_orig"] + interp_cols
-            + [f"_itp_{i}" for i in range(len(interp_cols))]
-        )
-        proj = ", ".join(
-            f"_itp_{i}.v AS {c}" for i, c in enumerate(interp_cols)
-        )
+        if interp_exprs:
+            # gap length k = rows since the last ORIGINAL row: a row_number
+            # tag on the joined rows plus a carried last-original-row tag
+            src = (
+                f"SELECT *, row_number() OVER (ORDER BY {col}) AS _wfseq "
+                f"FROM ({src}) _wfn"
+            )
+            itp += (
+                f", last(CASE WHEN _orig THEN _wfseq END, true) {wspec} "
+                "AS _wfoseq"
+            )
+        sel = []
+        for n in names:
+            if n not in interp_cols:
+                sel.append(n)
+                continue
+            i = interp_cols.index(n)
+            if n in interp_exprs:
+                sel.append(
+                    "CASE WHEN _wfoseq IS NULL THEN NULL "
+                    f"WHEN _wfseq = _wfoseq THEN _itp_{i}.v "
+                    f"ELSE aggregate(sequence(1, _wfseq - _wfoseq), "
+                    f"_itp_{i}.v, (_ipv, _ik) -> ({interp_exprs[n]})) "
+                    f"END AS {n}"
+                )
+            else:
+                sel.append(f"_itp_{i}.v AS {n}")
         out = (
-            f"SELECT * EXCEPT ({exc}), {proj} FROM "
+            f"SELECT {', '.join(sel)} FROM "
             f"(SELECT *, {itp} FROM ({src}) _wfj) _wfi ORDER BY {col}"
         )
     else:
@@ -1816,6 +1944,18 @@ def _rewrite_groups_frame(sql: str) -> str:
     if fm is None:
         raise ChSqlError(
             "GROUPS frame rewrite needs a top-level FROM <table> → "
+            "operators.relational.window_groups_frame"
+        )
+    # the rewrite wraps exactly ONE table — a JOIN / comma list / GROUP BY
+    # shape would rank the first table alone, before the join, silently
+    # changing frame boundaries (r7 ADVICE)
+    bad = re.search(
+        r"\bJOIN\b|\bGROUP\s+BY\b", out_mask, re.IGNORECASE
+    )
+    if bad or re.match(r"\s*,", out_mask[fm.end():]):
+        raise ChSqlError(
+            "GROUPS frame rewrite supports a single-table FROM without "
+            "JOIN/GROUP BY — dense_rank must see the joined rows → "
             "operators.relational.window_groups_frame"
         )
     table = fm.group(1)

@@ -319,6 +319,65 @@ def ch_sql_with_fill_interpolate(spark, sf_dir):
 
 
 @register(
+    "ch_sql_with_fill_interpolate_expr",
+    """
+    WITH agg AS (
+      SELECT CAST(o_orderkey // 599 AS BIGINT) AS d, COUNT(*) AS n,
+             ROUND(SUM(o_totalprice), 2) AS rev
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey < 12000
+      GROUP BY 1
+    ),
+    grid AS (SELECT unnest(range(0, 25)) AS d),
+    j AS (
+      SELECT COALESCE(g.d, a.d) AS d, a.n, a.rev,
+             (a.d IS NOT NULL) AS orig
+      FROM grid g FULL OUTER JOIN agg a ON g.d = a.d
+    ),
+    w1 AS (SELECT *, ROW_NUMBER() OVER (ORDER BY d) AS seq FROM j),
+    w2 AS (
+      SELECT d, n, seq,
+             last_value(CASE WHEN orig THEN rev END IGNORE NULLS)
+               OVER win AS carried,
+             last_value(CASE WHEN orig THEN seq END IGNORE NULLS)
+               OVER win AS oseq
+      FROM w1
+      WINDOW win AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT d,
+           CASE WHEN oseq IS NULL THEN NULL
+                WHEN seq = oseq THEN carried
+                ELSE carried * power(2.0, seq - oseq) END AS rev,
+           COALESCE(n, 0) AS n
+    FROM w2
+    """,
+)
+def ch_sql_with_fill_interpolate_expr(spark, sf_dir):
+    """Computed `INTERPOLATE (rev AS rev * 2)` verbatim (r7 VERDICT ask #5;
+    FillingTransform.cpp interpolate actions): ClickHouse applies the
+    expression to the previous OUTPUT row per inserted fill row, so the k
+    consecutive fill rows at d = 21..24 compound it k times — the dialect's
+    aggregate(sequence(1, k), carried, fold) must equal the oracle's
+    closed form carried · 2^k bit-exactly (each ·2 is exact binary
+    scaling).  Also pins the r7 ADVICE column-order fix: rev sits MID
+    select list and must stay there (checked in tests/test_advice_r7.py;
+    the driver hash is order-insensitive)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_wfx_orders")
+    out = ch_sql(
+        spark,
+        """
+        SELECT intDiv(o_orderkey, 599) AS d,
+               round(sum(o_totalprice), 2) AS rev,
+               count(*) AS n
+        FROM _wfx_orders WHERE o_orderkey % 7 = 0 AND o_orderkey < 12000
+        GROUP BY intDiv(o_orderkey, 599)
+        ORDER BY d WITH FILL FROM 0 TO 25 INTERPOLATE (rev AS rev * 2)
+        """,
+    )
+    return out.select("d", "rev", F.coalesce("n", F.lit(0)).alias("n"))
+
+
+@register(
     "ch_sql_array_join_clause",
     r"""
     WITH e AS (

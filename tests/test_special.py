@@ -143,3 +143,53 @@ def test_bfloat16_round_bitexact(spark):
         "i", bfloat16_round(F.col("v")).alias("b")).collect()}
     for i, v in enumerate(vals):
         assert got[i] == bf(v), v
+
+
+def test_distributed_rank_matches_window_form(spark):
+    """r7 ask #4: mann_whitney_u / rank_corr must (a) reproduce the exact
+    values of the single-window rank formulation they replaced and (b) plan
+    every Window partitioned (no Exchange-SinglePartition rank over raw
+    rows — the 100 TB scale-killer)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from myscaledb_spark.operators.stats import mann_whitney_u, rank_corr
+
+    ev = spark.table("events").filter(F.col("event_type").isin("click", "error"))
+    got = mann_whitney_u(ev, "value", F.col("event_type") == "click").first()
+
+    tagged = ev.select(F.col("value").alias("v"),
+                       (F.col("event_type") == "click").alias("a"))
+    ranked = tagged.withColumn(
+        "r",
+        F.rank().over(Window.orderBy("v"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("v")) - 1) / 2.0,
+    )
+    old = ranked.agg(
+        F.sum(F.when(F.col("a"), F.col("r"))).alias("r1"),
+        F.count(F.when(F.col("a"), 1)).cast("double").alias("n1"),
+        F.count(F.when(~F.col("a"), 1)).cast("double").alias("n2"),
+    ).first()
+    assert got.u_stat == old.r1 - old.n1 * (old.n1 + 1) / 2  # bit-exact
+    assert (got.n1, got.n2) == (old.n1, old.n2)
+
+    li = spark.table("lineitem")
+    rc = rank_corr(li, "l_quantity", "l_extendedprice").first()
+    rx = F.rank().over(Window.orderBy("x")) + (
+        F.count(F.lit(1)).over(Window.partitionBy("x")) - 1) / 2.0
+    ry = F.rank().over(Window.orderBy("y")) + (
+        F.count(F.lit(1)).over(Window.partitionBy("y")) - 1) / 2.0
+    base = li.select(F.col("l_quantity").alias("x"),
+                     F.col("l_extendedprice").alias("y"))
+    old_rc = (base.withColumn("rx", rx).withColumn("ry", ry)
+              .agg(F.corr("rx", "ry").alias("c")).first().c)
+    assert rc.rank_corr == pytest.approx(old_rc, rel=1e-12)
+
+    for df in (
+        mann_whitney_u(ev, "value", F.col("event_type") == "click"),
+        rank_corr(li, "l_quantity", "l_extendedprice"),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Window " in line:
+                assert "_pid" in line, f"unpartitioned Window in plan: {line}"

@@ -262,9 +262,10 @@ def test_with_fill_rewrite_and_guards():
     out = rewrite("SELECT d, n FROM t ORDER BY d WITH FILL INTERPOLATE (n)")
     assert "last(CASE WHEN _orig THEN struct(n AS v) END, true)" in out
     assert "_itp_0.v AS n" in out
-    # computed INTERPOLATE expressions still point to the API helper
-    with pytest.raises(ChSqlError, match="with_fill"):
-        rewrite("SELECT d, n FROM t ORDER BY d WITH FILL INTERPOLATE (n AS n + 1)")
+    # computed INTERPOLATE (r7): k-step aggregate fold over the gap length
+    out = rewrite("SELECT d, n FROM t ORDER BY d WITH FILL INTERPOLATE (n AS n + 1)")
+    assert "aggregate(sequence(1, _wfseq - _wfoseq), _itp_0.v" in out
+    assert "(_ipv, _ik) -> (_ipv + 1)" in out
     with pytest.raises(ChSqlError, match="with_fill"):
         rewrite("SELECT d FROM t ORDER BY d DESC WITH FILL")
     with pytest.raises(ChSqlError, match="with_fill"):

@@ -165,8 +165,11 @@ def run_file(spark, path: str):
 
     Returns (status, detail): status in {"PASS", "RAN", "FAIL"}.
     """
-    from myscaledb_spark.plans.table_ddl import ch_script
+    from myscaledb_spark.plans.table_ddl import ch_script, reset_session_settings
 
+    # one .sql file = one client session: SET statements must not leak in
+    # from the previous file (r7 ADVICE)
+    reset_session_settings()
     script = open(path).read()
     stmts = _split(script)
     art = tempfile.mkdtemp(prefix="conf_")
