@@ -1230,8 +1230,10 @@ def quantileTDigest(a, q: float = 0.5):
     """Aggregate-expression form keeps Spark's percentile_approx (also a
     compressed-quantile sketch, usable inside any groupBy); the faithful
     Dunning/QuantileTDigest.h estimator is
-    operators.stats.tdigest_quantiles (whole-frame, accuracy-pinned by the
-    quantile_tdigest_qty gate)."""
+    operators.stats.tdigest_quantiles (whole-frame) /
+    tdigest_quantiles_by (grouped — the canonical `quantileTDigest(p)(x)
+    ... GROUP BY k` SQL shape routes there since r7), both
+    accuracy-pinned by the quantile_tdigest gates."""
     return F.percentile_approx(_c(a), q)
 
 

@@ -585,22 +585,90 @@ def tdigest_quantiles(
     cents = [(r.mean, r.cnt) for r in rows]
     n = sum(c for _, c in cents)
     cents = _tdigest_compress(cents, n, epsilon)
+    return [_tdigest_get_quantile(cents, n, lv) for lv in levels]
 
-    # getQuantile (QuantileTDigest.h): target mass x = level·n; linear
-    # interpolation between adjacent centroid midpoints
-    def get_quantile(level: float) -> float:
-        x = level * n
-        prev_mean, prev_x = cents[0][0], 0.0
-        acc = 0.0
-        for m, c in cents:
-            mid = acc + c / 2.0
-            if x <= mid:
-                if mid == prev_x:
-                    return m
-                t = (x - prev_x) / (mid - prev_x)
-                return prev_mean + t * (m - prev_mean)
-            prev_mean, prev_x = m, mid
-            acc += c
-        return cents[-1][0]
 
-    return [get_quantile(lv) for lv in levels]
+def _tdigest_get_quantile(cents: list, n: float, level: float) -> float:
+    """getQuantile (QuantileTDigest.h): target mass x = level·n; linear
+    interpolation between adjacent centroid midpoints."""
+    x = level * n
+    prev_mean, prev_x = cents[0][0], 0.0
+    acc = 0.0
+    for m, c in cents:
+        mid = acc + c / 2.0
+        if x <= mid:
+            if mid == prev_x:
+                return m
+            t = (x - prev_x) / (mid - prev_x)
+            return prev_mean + t * (m - prev_mean)
+        prev_mean, prev_x = m, mid
+        acc += c
+    return cents[-1][0]
+
+
+def _tdigest_from_sorted(vs: list, epsilon: float) -> tuple[list, float]:
+    """Digest of an ascending value list — incremental compress with a
+    bounded unmerged buffer (QuantileTDigest.h add()), so memory stays
+    O(buffer + centroids) however long the stream."""
+    cents: list = []
+    n_so_far = 0.0
+    for i in range(0, len(vs), 8192):
+        chunk = vs[i: i + 8192]
+        cents.extend((float(v), 1.0) for v in chunk)
+        n_so_far += len(chunk)
+        cents = _tdigest_compress(cents, n_so_far, epsilon)
+    return cents, n_so_far
+
+
+def tdigest_quantiles_by(
+    df: DataFrame,
+    keys: list[str],
+    col: Column | str,
+    levels: list[float],
+    epsilon: float = TDIGEST_EPSILON,
+    out_names: list[str] | None = None,
+) -> DataFrame:
+    """quantileTDigest(level)(x) ... GROUP BY keys — the real per-group
+    Dunning digest (`src/AggregateFunctions/QuantileTDigest.h` keeps one
+    digest per aggregation state), not percentile_approx.
+
+    Plan: ONE shuffle on the keys (applyInPandas grouped pass).  Each
+    group's values sort inside the Arrow batch and build the same
+    deterministic sorted-order digest the whole-table helper builds, so
+    results are reproducible under any partitioning (ClickHouse itself is
+    insertion-order-dependent here; sorted order is the canonical order).
+    Groups must individually fit an executor's Arrow batch — the normal
+    applyInPandas contract; the digest build itself is O(buffer).
+    """
+    import pandas as pd  # noqa: F401  (worker-side import check)
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    name = "_td_v"
+    cols = [F.col(k) for k in keys]
+    src = df.select(
+        *cols,
+        (F.col(col) if isinstance(col, str) else col).cast("double").alias(name),
+    ).where(F.col(name).isNotNull())
+    out_names = out_names or [f"q{str(lv).replace('.', '_')}" for lv in levels]
+    key_fields = [src.schema[k] for k in keys]
+    out_schema = StructType(
+        list(key_fields) + [StructField(o, DoubleType()) for o in out_names]
+    )
+    lvls = list(levels)
+    eps = float(epsilon)
+
+    def per_group(pdf):
+        import pandas as pd
+
+        vs = sorted(pdf[name].tolist())
+        row = {k: pdf[k].iloc[0] for k in keys}
+        if not vs:
+            for o in out_names:
+                row[o] = float("nan")
+        else:
+            cents, n = _tdigest_from_sorted(vs, eps)
+            for o, lv in zip(out_names, lvls):
+                row[o] = _tdigest_get_quantile(cents, n, lv)
+        return pd.DataFrame([row])
+
+    return src.groupBy(*keys).applyInPandas(per_group, out_schema)

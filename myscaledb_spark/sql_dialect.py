@@ -2902,6 +2902,77 @@ def _brute_force_blocked(spark: SparkSession, sql: str) -> bool:
     return True
 
 
+def _maybe_grouped_tdigest(spark: SparkSession, sql: str):
+    """`SELECT keys..., quantileTDigest(p)(x) AS a... FROM t [WHERE] GROUP
+    BY keys` → the REAL per-group Dunning digest
+    (operators.stats.tdigest_quantiles_by; QuantileTDigest.h keeps one
+    digest per aggregation state).  r7 VERDICT ask #6 — the expression
+    template maps quantileTDigest to percentile_approx (a different
+    sketch); this intercept routes the canonical grouped shape to the
+    faithful estimator.  Conservative: bare-identifier keys, one digested
+    column, no JOIN/HAVING/ORDER BY/LIMIT — anything else keeps the
+    documented percentile_approx mapping."""
+    low = sql.lower()
+    if "quantiletdigest" not in low:
+        return None
+    mask = _top_level_mask(sql)
+    gm = re.search(r"\bGROUP\s+BY\b", mask, re.IGNORECASE)
+    sm = re.match(r"^\s*SELECT\s+", mask, re.IGNORECASE)
+    fm = re.search(r"\bFROM\s+(\w+)\b", mask, re.IGNORECASE)
+    if not (gm and sm and fm):
+        return None
+    if re.search(
+        r"\bJOIN\b|\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|\bUNION\b|\bSETTINGS\b",
+        mask, re.IGNORECASE,
+    ):
+        return None
+    keys: list[str] = []
+    tds: list[tuple[float, str, str]] = []  # (level, value col, alias)
+    order: list[str] = []
+    for it in _split_args(sql[sm.end(): fm.start()]):
+        bm = re.fullmatch(r"\s*([A-Za-z_]\w*)\s*", it)
+        if bm:
+            keys.append(bm.group(1))
+            order.append(bm.group(1))
+            continue
+        tm = re.fullmatch(
+            r"\s*quantileTDigest\s*\(\s*([0-9.]+)\s*\)\s*"
+            r"\(\s*([A-Za-z_]\w*)\s*\)\s+AS\s+([A-Za-z_]\w*)\s*",
+            it, re.IGNORECASE,
+        )
+        if tm:
+            tds.append((float(tm.group(1)), tm.group(2), tm.group(3)))
+            order.append(tm.group(3))
+            continue
+        return None
+    if not keys or not tds or len({v for _, v, _ in tds}) != 1:
+        return None
+    gb = [x.strip() for x in _split_args(sql[gm.end():].strip().rstrip(";"))]
+    gb = [keys[int(x) - 1] if x.isdigit() and 0 < int(x) <= len(keys) else x
+          for x in gb]
+    if sorted(gb) != sorted(keys):
+        return None
+    wm = re.search(r"\bWHERE\b", mask, re.IGNORECASE)
+    where_txt = (
+        f" WHERE {sql[wm.end(): gm.start()].strip()}"
+        if wm and fm.end() < wm.start() < gm.start()
+        else ""
+    )
+    vcol = tds[0][1]
+    inner = (
+        f"SELECT {', '.join([*keys, vcol])} FROM {fm.group(1)}{where_txt}"
+    )
+    from myscaledb_spark.operators.stats import tdigest_quantiles_by
+
+    src = ch_sql(spark, inner)  # inner has no GROUP BY: no recursion
+    out = tdigest_quantiles_by(
+        src, keys, vcol,
+        [lv for lv, _, _ in tds],
+        out_names=[al for _, _, al in tds],
+    )
+    return out.select(*order)
+
+
 def ch_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataFrame:
     """Run a ClickHouse-flavored SQL query on Spark."""
     import time as _time
@@ -2922,6 +2993,12 @@ def ch_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataFrame
     if handled is not None:
         log_query(sql, "<search-operator plan>", (_time.perf_counter() - t0) * 1e3, "search")
         return handled
+    td = _maybe_grouped_tdigest(spark, sql)
+    if td is not None:
+        log_query(
+            sql, "<grouped t-digest plan>", (_time.perf_counter() - t0) * 1e3
+        )
+        return td
     pm_ = re.match(
         r"^\s*EXPLAIN\s+(PLAN\s+|PIPELINE\s+)?(?=SELECT\b|WITH\b)",
         sql, re.IGNORECASE,

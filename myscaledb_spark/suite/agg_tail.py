@@ -565,6 +565,61 @@ def quantile_interpolated_weighted_qty(spark, sf_dir):
 
 
 @register(
+    "quantile_tdigest_grouped",
+    """
+    SELECT l_returnflag, 1 AS ok50, 1 AS ok90
+    FROM lineitem GROUP BY 1
+    """,
+)
+def quantile_tdigest_grouped(spark, sf_dir):
+    """`quantileTDigest(p)(x) ... GROUP BY k` through the SQL dialect (r7
+    VERDICT ask #6) — routed to the per-group Dunning digest
+    (operators/stats.tdigest_quantiles_by; QuantileTDigest.h keeps one
+    digest per aggregation state), not percentile_approx.  Like
+    quantile_tdigest_qty, the estimate has no bit-exact SQL twin, so the
+    gate pins the per-group empirical-CDF error: for each group and level
+    q the estimate v must satisfy F(v⁻) − 0.01 ≤ q ≤ F(v) + 0.01; the
+    sorted build makes ok = 1 a stable hash-checkable value."""
+    from myscaledb_spark.sql_dialect import ch_sql
+
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_tdg_lineitem")
+    est = ch_sql(
+        spark,
+        """
+        SELECT l_returnflag,
+               quantileTDigest(0.5)(l_extendedprice) AS q50,
+               quantileTDigest(0.9)(l_extendedprice) AS q90
+        FROM _tdg_lineitem GROUP BY l_returnflag
+        """,
+    )
+    j = li.join(F.broadcast(est), "l_returnflag")
+    chk = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        *[
+            a
+            for lvl in ("q50", "q90")
+            for a in (
+                F.sum(
+                    F.when(F.col("l_extendedprice") < F.col(lvl), 1).otherwise(0)
+                ).cast("double").alias(f"lo_{lvl}"),
+                F.sum(
+                    F.when(F.col("l_extendedprice") <= F.col(lvl), 1).otherwise(0)
+                ).cast("double").alias(f"hi_{lvl}"),
+            )
+        ],
+    )
+    tol = 0.01
+    ok = lambda lvl, q: (  # noqa: E731
+        ((F.col(f"lo_{lvl}") / F.col("n") - tol) <= q)
+        & (q <= F.col(f"hi_{lvl}") / F.col("n") + tol)
+    ).cast("int")
+    return chk.select(
+        "l_returnflag", ok("q50", 0.5).alias("ok50"), ok("q90", 0.9).alias("ok90")
+    )
+
+
+@register(
     "quantile_tdigest_qty",
     """
     SELECT CAST(0.25 AS DOUBLE) AS level, 1 AS ok UNION ALL

@@ -193,3 +193,44 @@ def test_distributed_rank_matches_window_form(spark):
         for line in plan.splitlines():
             if "Window " in line:
                 assert "_pid" in line, f"unpartitioned Window in plan: {line}"
+
+
+def test_grouped_tdigest_sql_routes_to_real_estimator(spark):
+    """r7 ask #6: the canonical grouped quantileTDigest SQL shape must use
+    the per-group Dunning digest — a single-group query therefore equals
+    the whole-table helper exactly; non-canonical shapes keep the
+    percentile_approx mapping (no error)."""
+    from pyspark.sql import functions as F
+
+    from myscaledb_spark.operators.stats import tdigest_quantiles
+    from myscaledb_spark.sql_dialect import ch_sql
+
+    out = {
+        r.l_returnflag: (r.q50, r.q90)
+        for r in ch_sql(
+            spark,
+            "SELECT l_returnflag, quantileTDigest(0.5)(l_extendedprice) AS q50, "
+            "quantileTDigest(0.9)(l_extendedprice) AS q90 "
+            "FROM lineitem GROUP BY l_returnflag",
+        ).collect()
+    }
+    li_a = spark.table("lineitem").filter(F.col("l_returnflag") == "A")
+    whole = tdigest_quantiles(li_a, "l_extendedprice", [0.5, 0.9])
+    assert out["A"] == (whole[0], whole[1])
+
+    # WHERE routes through too
+    got = ch_sql(
+        spark,
+        "SELECT l_returnflag, quantileTDigest(0.5)(l_extendedprice) AS q50 "
+        "FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_returnflag",
+    ).collect()
+    assert len(got) == 1 and got[0].q50 == whole[0]
+
+    # non-canonical shape (expression key) falls back to percentile_approx
+    fb = ch_sql(
+        spark,
+        "SELECT upper(l_returnflag) AS k, "
+        "quantileTDigest(0.5)(l_extendedprice) AS q50 "
+        "FROM lineitem GROUP BY upper(l_returnflag)",
+    )
+    assert fb.count() == 3
