@@ -58,6 +58,8 @@ HEADLINE = [
     "dsir_importance_docs",        # 2 linear model aggs + codegen scoring fold (r5)
     "agg_state_merge_orders",      # -State build + -Merge: 2-level partial agg (r5)
     "uniq_hll_state_events",       # portable-HLL registers: build/merge/estimate (r5)
+    "rank_corr_qty_price",         # distributed tie-avg rank: distinct-value prefix sum (r7)
+    "quantile_tdigest_grouped",    # per-group Dunning digest via applyInPandas (r7)
 ]
 
 
@@ -341,6 +343,38 @@ def main() -> None:
         sweep["error"] = str(e)[:200]
         print(f"# vector sweep error: {e}", file=sys.stderr)
 
+    # Engine-vs-engine side-by-side (r7 VERDICT ask #7): pricing_summary /
+    # revenue_by_nation sat at 2.2-2.5x the CALIBRATION ratio for three
+    # rounds with plan-asserted-correct shapes (broadcast dims, partial/
+    # final agg). The calibration query is a 2-agg double scan, so
+    # decimal-heavy aggregates read unfairly against it. Running the SAME
+    # oracle SQL in DuckDB (a real columnar engine, same parquet, same SF)
+    # gives the honest denominator; the driver reads engine_ratios to judge
+    # these two queries instead of the calibration proxy.
+    duck_secs: dict[str, float] = {}
+    engine_ratios: dict[str, float] = {}
+    try:
+        import duckdb
+
+        oracles = entrymod.oracle_sql()
+        con = duckdb.connect()
+        for t in ("lineitem", "orders", "customer", "nation", "region"):
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{os.path.join(SF_DIR, t)}.parquet'"
+            )
+        for name in ("pricing_summary", "revenue_by_nation"):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                con.sql(oracles[name]).fetchall()
+                best = min(best, time.time() - t0)
+            duck_secs[name] = round(best, 4)
+            if timings.get(name, -1) > 0:
+                engine_ratios[name] = round(timings[name] / best, 2)
+    except Exception as e:
+        print(f"# duckdb side-by-side error: {e}", file=sys.stderr)
+
     # Gate index artifacts are built once per session (suite.artifact_cache);
     # the first (cold) invocation of each indexed query pays the build, the
     # steady-state timings above are search-only. Report builds separately.
@@ -365,6 +399,8 @@ def main() -> None:
                     if t >= 0 and calibration > 0
                 },
                 "normalized_total": round(total / calibration, 2) if calibration > 0 else None,
+                "duckdb_secs": duck_secs,
+                "engine_ratios": engine_ratios,
                 "gate_build_secs": dict(BUILD_SECONDS),
                 "vector_sweep": sweep,
             }

@@ -86,31 +86,40 @@ def load_all() -> None:
 # from the registry are skipped; registry entries absent from this list
 # follow in registration order.
 PRIORITY: list[str] = [
-    # =========== r6 window ===========
-    # r5 came back 50/50, so per the r5 rotation note this window leads
-    # with (a) entries ADDED in r6, (b) entries whose SEMANTICS or plan
-    # changed in r6 (the driver must re-certify them), then (c) the oldest
-    # driver records still standing on r02/r03 evidence (relational3-6
-    # TPC-H analogs, functions_gate, search2 families).
-    # --- (a) new in r6 ---
-    "ch_sql_groups_frame",
-    "ch_sql_with_fill_interpolate",
-    "quantile_tdigest_qty",
-    # --- (b) changed in r6: single-sliver MinHash + array banding,
-    #     routed CJK BM25, driver-side hybrid fusion, recall-pinned
-    #     IVF/MSTG outputs, uniq_state all-NULL groups, exclusive TO ---
+    # =========== r7 window ===========
+    # r6 came back 50/50.  This window leads with (a) entries ADDED in r7,
+    # (b) entries whose SEMANTICS or plan changed in r7 — including the
+    # post-r6-verdict reworks (2-shuffle uniq-HLL gate, folded MinHash
+    # banding, recall-pinned indexed hybrid) that landed after the r6
+    # driver window closed — then (c) the oldest standing driver records.
+    # --- (a) new in r7 ---
+    "ch_sql_with_fill_interpolate_expr",
+    "quantile_tdigest_grouped",
+    "hybrid_search_indexed_exhaustive",
+    # --- (b) changed in r7: recall-pinned indexed hybrid gate, fused
+    #     2-shuffle uniq-HLL, single-pass MinHash banding, distributed
+    #     tie-avg rank, INTERPOLATE column order + computed form ---
+    "hybrid_search_indexed",
+    "uniq_hll_state_events",
     "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "mann_whitney_click_error",
+    "rank_corr_qty_price",
+    "ch_sql_with_fill_interpolate",
+    "ch_sql_with_fill_off_grid",
+    "ch_sql_groups_frame",
+    "mv_agg_state_hourly",
+    "ch_sql_aggregating_mt",
+    "quantile_tdigest_qty",
+    # --- (b continued) r6-window entries kept for one more round of
+    #     certification on the reworked shared paths ---
     "bm25_cjk_topk",
     "hybrid_search_rsf",
     "hybrid_search_rrf",
-    "hybrid_search_indexed",
     "ivf_search_topk",
     "mstg_search_topk",
-    "uniq_hll_state_events",
     "text_search_routed",
-    "ch_sql_with_fill_off_grid",
     "ch_sql_batch_distance",
     # --- (c) oldest evidence: TPC-H analog sweep (r02/r03 records) ---
     "q2_min_acctbal_supplier",
