@@ -682,6 +682,9 @@ def insert_into(spark: SparkSession, sql: str) -> int:
         merged = merged.localCheckpoint(eager=True)  # squash union lineage
     merged.createOrReplaceTempView(store)
     _refresh_view(spark, table)
+    from myscaledb_spark.streaming.live_view import note_write
+
+    note_write(table)
     return n
 
 
@@ -804,6 +807,9 @@ def delete_where(spark: SparkSession, sql: str) -> None:
     ).localCheckpoint(eager=True)
     masked.createOrReplaceTempView(store)
     _refresh_view(spark, table)
+    from myscaledb_spark.streaming.live_view import note_write
+
+    note_write(table)
 
 
 def truncate_table(spark: SparkSession, table: str) -> None:
@@ -818,6 +824,9 @@ def truncate_table(spark: SparkSession, table: str) -> None:
     ).createOrReplaceTempView(store)
     _refresh_view(spark, table)
     TABLES[table]["n_parts"] = 0
+    from myscaledb_spark.streaming.live_view import note_write
+
+    note_write(table)
 
 
 def optimize_final(spark: SparkSession, sql: str) -> None:
@@ -941,11 +950,34 @@ def ch_ddl(spark: SparkSession, sql: str):
         return create_table(spark, s)
     if _INSERT_RE.match(s):
         return insert_into(spark, s)
+    if re.match(r"^\s*CREATE\s+LIVE\s+VIEW\b", s, re.IGNORECASE):
+        from myscaledb_spark.streaming.live_view import create_live_view
+
+        return create_live_view(s)
+    if re.match(r"^\s*WATCH\b", s, re.IGNORECASE):
+        from myscaledb_spark.streaming.live_view import watch_live_view
+
+        return watch_live_view(spark, s)
+    vm = re.match(
+        r"^\s*DROP\s+VIEW\s+(?P<ie>IF\s+EXISTS\s+)?(\w+)\s*(?:SYNC)?\s*$",
+        s, re.IGNORECASE,
+    )
+    if vm:
+        from myscaledb_spark.streaming.live_view import drop_live_view
+
+        drop_live_view(vm.group(2), if_exists=bool(vm.group("ie")))
+        return None
     dm = re.match(
         r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*(?:SYNC)?\s*$",
         s, re.IGNORECASE,
     )
     if dm:
+        from myscaledb_spark.streaming.live_view import LIVE_VIEWS, drop_live_view
+
+        if dm.group(1) in LIVE_VIEWS:
+            # the reference accepts DROP TABLE on a live view too
+            drop_live_view(dm.group(1))
+            return None
         return drop_table(spark, dm.group(1))
     if re.match(r"^\s*SET\s+\w+\s*=", s, re.IGNORECASE):
         return set_statement(s)
@@ -1311,7 +1343,8 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
                 r"DELETE\s+FROM|TRUNCATE\s+TABLE|OPTIMIZE\s+TABLE|DETACH\s+TABLE|"
                 r"ATTACH\s+TABLE|ALTER\s+TABLE\s+\w+\s+MODIFY\s+SETTING|"
                 r"ALTER\s+TABLE\s+\w+\s+MATERIALIZE\s+(INDEX|COLUMN)|"
-                r"CREATE\s+CONNECTION|DROP\s+CONNECTION)\b",
+                r"CREATE\s+CONNECTION|DROP\s+CONNECTION|"
+                r"CREATE\s+LIVE\s+VIEW|WATCH|DROP\s+VIEW)\b",
                 s, re.IGNORECASE,
             )
             or _ALTER_COLS_RE.match(s)

@@ -2981,6 +2981,14 @@ def ch_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataFrame
     from myscaledb_spark.sql_search import maybe_search_query
 
     t0 = _time.perf_counter()
+    # live-view references resolve FIRST (textual subquery substitution, so
+    # the view re-evaluates against current data — StorageLiveView refresh)
+    from myscaledb_spark.streaming.live_view import LIVE_VIEWS
+
+    if LIVE_VIEWS:
+        from myscaledb_spark.streaming.live_view import substitute_live_views
+
+        sql = substitute_live_views(sql)
     # scalar WITH (`WITH (subquery|expr) AS ident SELECT ...`) inlines
     # BEFORE search-shape detection so `textsearch(doc, target_keywords)`
     # sees its argument (00040_with_subquery's WITH form)
