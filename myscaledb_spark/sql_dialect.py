@@ -1885,8 +1885,10 @@ def _rewrite_groups_frame(sql: str) -> str:
     with dense_rank over the same (p, o); the outer window re-frames as
     RANGE over that rank — peer rows share a rank, so offsets count whole
     peer groups exactly (operators/relational.py:window_groups_frame is the
-    API twin).  Supported shape: single-table top-level FROM [WHERE];
-    every GROUPS window must share one (PARTITION BY, ORDER BY).  The
+    API twin).  Supported shape: single-table top-level FROM [WHERE].
+    GROUPS windows with DIFFERENT (PARTITION BY, ORDER BY) specs each get
+    their own dense_rank column in the subquery (r7; the reference's
+    WindowDescription has no sharing restriction).  The
     WHERE moves inside the subquery so dense_rank sees the filtered rows —
     the reference computes windows after WHERE."""
     if not re.search(r"\bGROUPS\s+BETWEEN\b", sql, re.IGNORECASE):
@@ -1903,7 +1905,7 @@ def _rewrite_groups_frame(sql: str) -> str:
             spans.append((open_idx, close, body, gm))
     if not spans:
         return sql
-    po = None
+    pos: list[tuple[str, str]] = []  # distinct (partition, order) specs
     new_sql = []
     last = 0
     for open_idx, close, body, gm in spans:
@@ -1919,18 +1921,15 @@ def _rewrite_groups_frame(sql: str) -> str:
             raise ChSqlError("GROUPS frame needs an ORDER BY in the window")
         part = (pm.group(1).strip() if pm else "")
         order = om_.group(1).strip().rstrip(",")
-        if po is None:
-            po = (part, order)
-        elif po != (part, order):
-            raise ChSqlError(
-                "multiple GROUPS windows must share one (PARTITION BY, "
-                "ORDER BY) → operators.relational.window_groups_frame"
-            )
+        po = (part, order)
+        if po not in pos:
+            pos.append(po)
+        rk = f"_grk{pos.index(po)}"
         lo = re.sub(r"\s+", " ", gm.group(1).upper())
         hi = re.sub(r"\s+", " ", gm.group(2).upper())
         part_txt = f"PARTITION BY {part} " if part else ""
         new_over = (
-            f"({part_txt}ORDER BY _grk RANGE BETWEEN {lo} AND {hi})"
+            f"({part_txt}ORDER BY {rk} RANGE BETWEEN {lo} AND {hi})"
         )
         new_sql.append(sql[last:open_idx])
         new_sql.append(new_over)
@@ -1971,9 +1970,14 @@ def _rewrite_groups_frame(sql: str) -> str:
             wend = wm.end() + em.start()
         where_txt = " WHERE " + out[wm.end():wend].strip()
         out = out[: wm.start()] + out[wend:]
-    part_txt = f"PARTITION BY {po[0]} " if po[0] else ""
+    ranks = ", ".join(
+        f"dense_rank() OVER ("
+        + (f"PARTITION BY {p} " if p else "")
+        + f"ORDER BY {o}) AS _grk{i}"
+        for i, (p, o) in enumerate(pos)
+    )
     sub = (
-        f"(SELECT *, dense_rank() OVER ({part_txt}ORDER BY {po[1]}) AS _grk "
+        f"(SELECT *, {ranks} "
         f"FROM {table}{where_txt}) _gfr"
     )
     out_mask = _top_level_mask(out)

@@ -169,3 +169,43 @@ def test_explain_syntax_falls_back_beyond_pinned_shape(spark):
         assert "PREWHERE id > 1" in out2
     finally:
         ch_script(spark, "DROP TABLE adv7_vec")
+
+
+def test_groups_frame_multiple_window_specs(spark, duck):
+    """r7: GROUPS windows with DIFFERENT (PARTITION BY, ORDER BY) specs in
+    one query each get their own dense_rank — checked against DuckDB's
+    longhand emulation of both frames."""
+    got = ch_sql(
+        spark,
+        """
+        SELECT o_orderkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_orderpriority ORDER BY o_orderdate
+                 GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS s1,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_orderstatus ORDER BY o_custkey
+                 GROUPS BETWEEN CURRENT ROW AND 2 FOLLOWING), 2) AS s2
+        FROM orders WHERE o_custkey < 60
+        """,
+    ).collect()
+    want = duck.sql(
+        """
+        WITH r AS (
+          SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus,
+                 DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_orderdate) AS g1,
+                 DENSE_RANK() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_custkey) AS g2
+          FROM orders WHERE o_custkey < 60
+        )
+        SELECT o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (
+                 PARTITION BY o_orderpriority ORDER BY g1
+                 RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS s1,
+               ROUND(SUM(o_totalprice) OVER (
+                 PARTITION BY o_orderstatus ORDER BY g2
+                 RANGE BETWEEN CURRENT ROW AND 2 FOLLOWING), 2) AS s2
+        FROM r
+        """
+    ).fetchall()
+    assert sorted(tuple(r) for r in got) == sorted(tuple(r) for r in want)
