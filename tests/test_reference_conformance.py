@@ -46,6 +46,9 @@ PINNED = [
     "00041_mqvs_text_search_multiple_parts.sql",
     "00034_mqvs_replicated_single_replica_build_index.sql",
     "00033_mqvs_incorrect_index_status.sql",
+    # r7: EXPLAIN AST (0_stateless pin — echoOn protocol + both optimize
+    # modes; the harness path prefix routes it to its own directory)
+    "../0_stateless/02353_explain_ast_optimize.sql",
 ]
 
 

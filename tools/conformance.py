@@ -177,10 +177,27 @@ def run_file(spark, path: str):
     want = _parse_ref(ref_path) if os.path.exists(ref_path) else []
     got_rows: list[list] = []
     compared = True
+    echo = False
     for i, (stmt, expect_err) in enumerate(stmts):
+        # clickhouse-test echo protocol: after a `-- { echoOn }` marker the
+        # client prints each statement (the marker line included) before its
+        # results, and the .reference embeds those echoed lines as rows
+        for line in stmt.splitlines():
+            ls = line.strip()
+            if re.fullmatch(r"--\s*\{\s*echoOn\s*\}", ls):
+                echo = True
+                got_rows.append([ls])
+            elif re.fullmatch(r"--\s*\{\s*echoOff\s*\}", ls):
+                echo = False
         s = _strip_comment_lines(stmt)
         if not s:
             continue
+        if echo:
+            lines = s.splitlines()
+            for j, line in enumerate(lines):
+                got_rows.append(
+                    [line + (";" if j == len(lines) - 1 else "")]
+                )
         if expect_err:
             try:
                 res = ch_script(spark, s, artifact_dir=art)
