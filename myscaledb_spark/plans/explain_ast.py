@@ -190,6 +190,12 @@ class _Parser:
         if t.startswith("'") or re.fullmatch(r"\d[\w.eE+-]*|\.\d+", t):
             return self._literal(t)
         if re.fullmatch(r"[A-Za-z_]\w*", t) and tl not in _KEYWORDS:
+            # qualified name: `t.col` (and deeper) is a single compound
+            # Identifier in the reference's AST
+            while self.peek() == "." and self.i + 1 < len(self.toks) and \
+                    re.fullmatch(r"[A-Za-z_]\w*", self.toks[self.i + 1]):
+                self.next()
+                t += "." + self.next()
             if self.peek() == "(":
                 self.next()
                 args: list[Node] = []
