@@ -298,6 +298,12 @@ def system_zookeeper(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], "name string, value string, path string")
 
 
+def system_one(spark: SparkSession) -> DataFrame:
+    """≈ system.one — exactly one row with `dummy UInt8 = 0`; the implicit
+    FROM of a table-less SELECT (StorageSystemOne.cpp)."""
+    return spark.createDataFrame([(0,)], "dummy smallint")
+
+
 def system_data_type_families(spark: SparkSession) -> DataFrame:
     """≈ SELECT name FROM system.data_type_families — every ClickHouse type
     name ch_type_to_spark maps, plus the parametric families and the

@@ -225,7 +225,10 @@ def ch_type_to_spark(t: str) -> str:
 
 
 _CREATE_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<table>\w+)\s*\(",
+    # TEMPORARY tables live session-scoped like everything in this registry,
+    # so the keyword is accepted and otherwise ignored (ParserCreateQuery)
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<table>\w+)\s*\(",
     re.IGNORECASE,
 )
 _INSERT_RE = re.compile(
@@ -416,14 +419,21 @@ def create_table(spark: SparkSession, sql: str) -> dict:
     # the `=` is optional in ClickHouse (`engine MergeTree primary key id`)
     em = re.search(r"\bENGINE\s*=?\s*", tail, re.IGNORECASE)
     if not em:
-        raise ChSqlError("CREATE TABLE needs ENGINE = <MergeTree family>")
-    ekind_end = re.search(
-        r"\b(PRIMARY\s+KEY|ORDER\s+BY|PARTITION\s+BY|SAMPLE\s+BY|TTL|SETTINGS)\b|$",
-        tail[em.end() :],
-        re.IGNORECASE,
-    )
-    engine, eargs = _parse_engine(tail[em.end() : em.end() + ekind_end.start()])
-    rest = tail[em.end() + ekind_end.start() :]
+        if re.match(r"^\s*CREATE\s+TEMPORARY\b", sql, re.IGNORECASE):
+            # TEMPORARY tables default to ENGINE = Memory
+            # (ParserCreateQuery: engine clause optional for temporaries)
+            engine, eargs = "Memory", []
+            rest = tail
+        else:
+            raise ChSqlError("CREATE TABLE needs ENGINE = <MergeTree family>")
+    else:
+        ekind_end = re.search(
+            r"\b(PRIMARY\s+KEY|ORDER\s+BY|PARTITION\s+BY|SAMPLE\s+BY|TTL|SETTINGS)\b|$",
+            tail[em.end() :],
+            re.IGNORECASE,
+        )
+        engine, eargs = _parse_engine(tail[em.end() : em.end() + ekind_end.start()])
+        rest = tail[em.end() + ekind_end.start() :]
 
     def clause(kw: str) -> str | None:
         cm = re.search(
@@ -604,6 +614,36 @@ def create_table(spark: SparkSession, sql: str) -> dict:
     return {"table": table, "engine": engine, "keys": keys, "schema": schema}
 
 
+def _comma_join_tuples(s: str) -> str:
+    """ClickHouse VALUES accepts juxtaposed tuples `(...)(...)`
+    (ParserInsertQuery allows the comma to be omitted —
+    00995_order_by_with_fill inserts 15 rows that way); Spark's VALUES
+    needs the commas, so insert one between consecutive top-level groups."""
+    from myscaledb_spark.sql_dialect import _string_mask
+
+    mask = _string_mask(s)
+    out: list[str] = []
+    depth, i = 0, 0
+    while i < len(s):
+        c = mask[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                j = i + 1
+                while j < len(s) and s[j].isspace():
+                    j += 1
+                if j < len(s) and mask[j] == "(":
+                    out.append(s[i])
+                    out.append(", ")
+                    i = j
+                    continue
+        out.append(s[i])
+        i += 1
+    return "".join(out)
+
+
 def insert_into(spark: SparkSession, sql: str) -> int:
     """INSERT INTO t [(cols)] VALUES (...), ... | SELECT ... — appends one
     "part"; returns the number of rows inserted."""
@@ -636,7 +676,9 @@ def insert_into(spark: SparkSession, sql: str) -> int:
         # function names (char(...), toDate(...)) — rewrite like the SELECT
         # path does (string literals are respected)
         rows_sql = _rewrite_calls(
-            _rewrite_array_literals(_rewrite_map_literals(body[6:].strip()))
+            _rewrite_array_literals(
+                _rewrite_map_literals(_comma_join_tuples(body[6:].strip()))
+            )
         )
         src = spark.sql(
             f"SELECT * FROM VALUES {rows_sql} AS _ins({', '.join(ins_cols)})"
@@ -1437,7 +1479,7 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
 _SYSTEM_TABLES = ("vector_indices", "data_skipping_indices", "functions",
                   "vector_index_event_log", "query_log", "tables",
                   "merge_tree_settings", "zookeeper", "vector_index_segments",
-                  "parts", "data_type_families", "connections")
+                  "parts", "data_type_families", "connections", "one")
 
 
 def _bind_system_tables(spark: SparkSession, s: str, artifact_dir: str | None) -> str:
@@ -1477,6 +1519,8 @@ def _bind_system_tables(spark: SparkSession, s: str, artifact_dir: str | None) -
             intro.system_data_type_families(spark).createOrReplaceTempView(view)
         elif name == "connections":
             intro.system_connections(spark).createOrReplaceTempView(view)
+        elif name == "one":
+            intro.system_one(spark).createOrReplaceTempView(view)
     return re.sub(r"\bsystem\.(\w+)", r"system_\1", s, flags=re.IGNORECASE)
 
 

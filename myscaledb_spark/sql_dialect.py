@@ -165,6 +165,12 @@ TEMPLATES: dict[str, str] = {
     "match": "({0} rlike {1})",
     "replaceAll": "replace({0}, {1}, {2})",
     "replaceRegexpAll": "regexp_replace({0}, {1}, {2})",
+    # first-occurrence-only literal replace (ReplaceStringImpl, replace one)
+    "replaceOne": (
+        "CASE WHEN locate({1}, {0}) > 0 THEN concat("
+        "substr({0}, 1, locate({1}, {0}) - 1), {2}, "
+        "substr({0}, locate({1}, {0}) + length({1}))) ELSE {0} END"
+    ),
     # \Q...\E regex-quotes the separator (CH passes a literal char, Spark
     # split() takes a REGEX — '.' or '|' would otherwise split everywhere)
     "splitByChar": "split({1}, concat('\\\\Q', {0}, '\\\\E'))",
@@ -1871,6 +1877,60 @@ def _rewrite_with_fill(sql: str) -> str:
     return out + (f" {tail}" if tail else "")
 
 
+def _rewrite_limit_by_nested(sql: str) -> str:
+    """Apply the LIMIT BY rewrite inside parenthesized subqueries too
+    (00743_limit_by_not_found_column: `SELECT count(*) FROM (... LIMIT 5 BY
+    message)`), innermost-first so arbitrarily nested clauses resolve."""
+    if not _LIMIT_BY_RE.search(sql):
+        return sql
+    mask = _string_mask(sql)
+    out: list[str] = []
+    i = 0
+    while i < len(sql):
+        if mask[i] == "(":
+            close = _find_call_end(sql, i)
+            inner = _rewrite_limit_by_nested(sql[i + 1 : close - 1])
+            if re.match(r"\s*(SELECT|WITH)\b", inner, re.IGNORECASE):
+                inner = _rewrite_limit_by(inner)
+            out.append("(" + inner + ")")
+            i = close
+        else:
+            out.append(sql[i])
+            i += 1
+    return "".join(out)
+
+
+_LIMIT_TIES_RE = re.compile(r"\bLIMIT\s+(\d+)\s+WITH\s+TIES\b", re.IGNORECASE)
+
+
+def _rewrite_limit_ties(sql: str) -> str:
+    """`ORDER BY o LIMIT n WITH TIES` → RANK()-window subquery: keep every
+    row whose rank ≤ n, i.e. rows tied (on the ORDER BY key) with the n-th
+    row survive (LimitTransform.cpp with_ties).  Spark has no WITH TIES.
+    Runs AFTER the WITH FILL rewrite so a fill query's re-appended tail
+    LIMIT is handled too (01614_with_fill_with_limit)."""
+    mask = _top_level_mask(sql)
+    m = _LIMIT_TIES_RE.search(mask)
+    if m is None:
+        return sql
+    om = None
+    for om_ in re.finditer(r"\bORDER\s+BY\b", mask, re.IGNORECASE):
+        if om_.start() < m.start():
+            om = om_
+    if om is None:
+        raise ChSqlError("LIMIT n WITH TIES requires a top-level ORDER BY")
+    n = int(m.group(1))
+    order_expr = sql[om.end() : m.start()].strip()
+    head = sql[: om.start()].strip()
+    tail = sql[m.end() :].strip()
+    return (
+        f"SELECT * EXCEPT (_rkt) FROM (SELECT *, RANK() OVER "
+        f"(ORDER BY {order_expr}) AS _rkt FROM ({head}) _wt) "
+        f"WHERE _rkt <= {n} ORDER BY {order_expr}"
+        + (f" {tail}" if tail else "")
+    )
+
+
 _GROUPS_FRAME_RE = re.compile(
     r"GROUPS\s+BETWEEN\s+((?:\d+|UNBOUNDED)\s+PRECEDING|CURRENT\s+ROW)\s+"
     r"AND\s+((?:\d+|UNBOUNDED)\s+FOLLOWING|CURRENT\s+ROW)",
@@ -1986,17 +2046,25 @@ def _rewrite_groups_frame(sql: str) -> str:
 
 
 _LIMIT_BY_RE = re.compile(
-    r"\bLIMIT\s+(\d+)(?:\s+OFFSET\s+(\d+))?\s+BY\s+", re.IGNORECASE
+    r"\bLIMIT\s+(\d+)\s*(?:,\s*(\d+)|\s+OFFSET\s+(\d+))?\s+BY\s+",
+    re.IGNORECASE,
 )
 
 
 def _rewrite_limit_by(sql: str) -> str:
-    """`ORDER BY o LIMIT n [OFFSET k] BY cols [LIMIT m]` → ranked-window
-    subquery (LimitByTransform.cpp). Top-level clause only; the per-group
-    order is the query's ORDER BY, which the rewrite therefore requires.
-    Because the window ranks the query's OUTPUT rows, the ORDER BY must
-    reference output column names (select-list aliases), not unaliased
-    aggregate expressions — the normal CH idiom."""
+    """`[ORDER BY o] LIMIT n [OFFSET k] BY items [LIMIT m]` → ranked-window
+    subquery (LimitByTransform.cpp). Also the MySQL-ish `LIMIT k, n BY`
+    spelling (offset first — 00939_limit_by_offset).  Top-level clause only.
+    With an ORDER BY, the per-group order is the query's ORDER BY (which must
+    reference output column names — the normal CH idiom).  Without one,
+    ClickHouse keeps the first n rows per group in INPUT order
+    (LimitByTransform is a streaming pass), reproduced by ranking over
+    ``monotonically_increasing_id()`` — increasing along each source
+    partition and across partition ids, so source order is preserved for
+    ordered-by-construction inputs (numbers(), Memory-engine inserts).
+    BY items are computed as subquery columns first, so constants
+    (`LIMIT 1 BY 1`), aliased items (`BY 1 AS one`) and non-deterministic
+    expressions (`BY rand()`) partition correctly (00583)."""
     mask = _top_level_mask(sql)
     m = _LIMIT_BY_RE.search(mask)
     if not m:
@@ -2005,22 +2073,40 @@ def _rewrite_limit_by(sql: str) -> str:
     for om_ in re.finditer(r"\bORDER\s+BY\b", mask, re.IGNORECASE):
         if om_.start() < m.start():
             om = om_
-    if om is None:
-        raise ChSqlError(
-            "LIMIT n BY needs a top-level ORDER BY to define which rows are "
-            "kept per group (or use operators.relational.limit_by)"
-        )
-    n, off = int(m.group(1)), int(m.group(2) or 0)
-    order_expr = sql[om.end() : m.start()].strip()
-    head = sql[: om.start()].strip()
+    if m.group(2) is not None:
+        off, n = int(m.group(1)), int(m.group(2))
+    else:
+        n, off = int(m.group(1)), int(m.group(3) or 0)
     tail_m = re.compile(r"\bLIMIT\b", re.IGNORECASE).search(mask, m.end())
     cols_end = tail_m.start() if tail_m else len(sql)
-    cols = sql[m.end() : cols_end].strip().rstrip(",")
+    # `BY 1 AS one` — ClickHouse allows aliasing a BY item; the alias plays
+    # no role in the partitioning
+    items = [
+        re.sub(r"\s+AS\s+\w+\s*$", "", c.strip(), flags=re.IGNORECASE)
+        for c in _split_args(sql[m.end() : cols_end].strip().rstrip(","))
+        if c.strip()
+    ]
+    keys = ", ".join(f"({it}) AS _lbk{i}" for i, it in enumerate(items))
+    part = ", ".join(f"_lbk{i}" for i in range(len(items)))
+    drop = ", ".join(f"_lbk{i}" for i in range(len(items)))
     tail = sql[cols_end:].strip()
+    if om is not None:
+        order_expr = sql[om.end() : m.start()].strip()
+        head = sql[: om.start()].strip()
+        inner = f"SELECT *, {keys} FROM ({head}) _lb"
+        final_order, drop_all = order_expr, f"_rn, {drop}"
+    else:
+        head = sql[: m.start()].strip()
+        inner = (
+            f"SELECT *, {keys}, monotonically_increasing_id() AS _lbseq "
+            f"FROM ({head}) _lb"
+        )
+        order_expr, final_order = "_lbseq", "_lbseq"
+        drop_all = f"_rn, _lbseq, {drop}"
     return (
-        f"SELECT * EXCEPT (_rn) FROM (SELECT *, ROW_NUMBER() OVER "
-        f"(PARTITION BY {cols} ORDER BY {order_expr}) AS _rn FROM ({head}) _lb) "
-        f"WHERE _rn > {off} AND _rn <= {off + n} ORDER BY {order_expr}"
+        f"SELECT * EXCEPT ({drop_all}) FROM (SELECT *, ROW_NUMBER() OVER "
+        f"(PARTITION BY {part} ORDER BY {order_expr}) AS _rn FROM ({inner}) _lbr) "
+        f"WHERE _rn > {off} AND _rn <= {off + n} ORDER BY {final_order}"
         + (f" {tail}" if tail else "")
     )
 
@@ -2139,6 +2225,31 @@ def _special_multi_if(args: list[str]) -> str:
         f" WHEN {args[i]} THEN {args[i + 1]}" for i in range(0, len(args) - 1, 2)
     )
     return f"(CASE{whens} ELSE {args[-1]} END)"
+
+
+def _special_replace_regexp_one(args: list[str]) -> str:
+    """replaceRegexpOne(s, pat, rep) — replace the FIRST match only
+    (src/Functions/ReplaceRegexpImpl.h, replace one). Spark's
+    regexp_replace replaces every match, so the pattern is wrapped with an
+    anchored non-greedy prefix group — `^(?s)(.*?)(?:pat)` can match at
+    most once, at the first occurrence. The replacement must be a string
+    literal so its CH `\\N` backrefs can be renumbered (+1 for the injected
+    prefix group) and translated to Spark's `$N`; literal `$` is escaped."""
+    if len(args) != 3:
+        raise ChSqlError("replaceRegexpOne(haystack, pattern, replacement)")
+    s, pat, rep = args
+    rm = re.fullmatch(r"\s*'(.*)'\s*", rep, re.DOTALL)
+    if rm is None:
+        raise ChSqlError(
+            "replaceRegexpOne needs a literal replacement string "
+            "(backrefs are translated at rewrite time)"
+        )
+    body = rm.group(1).replace("$", "\\$")
+    body = re.sub(r"\\\\([0-9])", lambda m: f"${int(m.group(1)) + 1}", body)
+    return (
+        f"regexp_replace({s}, concat('^(?s)(.*?)(?:', {pat}, ')'), "
+        f"concat('$1', '{body}'))"
+    )
 
 
 #: ClickHouse formatDateTime % codes → Java SimpleDateFormat patterns.
@@ -2454,6 +2565,7 @@ SPECIAL = {
     "finalizeAggregation": _special_finalize_aggregation,
     "range": _special_range,
     "multiIf": _special_multi_if,
+    "replaceRegexpOne": _special_replace_regexp_one,
     "formatDateTime": _special_format_datetime,
     "arrayResize": _special_array_resize,
     "toStartOfInterval": _special_to_start_of_interval,
@@ -2516,9 +2628,10 @@ def rewrite(sql: str, schema_fn=None, types_fn=None) -> str:
         lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}",
         sql,
     )
-    sql = _rewrite_limit_by(sql)
+    sql = _rewrite_limit_by(_rewrite_limit_by_nested(sql))
     sql = _rewrite_groups_frame(sql)
     sql = _rewrite_with_fill(sql)
+    sql = _rewrite_limit_ties(sql)
     sql = _rewrite_with_totals(sql, types_fn)
     sql = _rewrite_scalar_with(sql)
     sql = _rewrite_array_join(sql)

@@ -49,6 +49,13 @@ PINNED = [
     # r7: EXPLAIN AST (0_stateless pin — echoOn protocol + both optimize
     # modes; the harness path prefix routes it to its own directory)
     "../0_stateless/02353_explain_ast_optimize.sql",
+    # r7 SELECT-surface batch: LIMIT [off,] n BY forms incl. no-ORDER-BY
+    # input-order semantics, constant/aliased/nondeterministic BY items,
+    # nested-subquery LIMIT BY, system.one, CREATE TEMPORARY TABLE,
+    # replaceRegexpOne first-match-only
+    "../0_stateless/00939_limit_by_offset.sql",
+    "../0_stateless/00583_limit_by_expressions.sql",
+    "../0_stateless/00743_limit_by_not_found_column.sql",
 ]
 
 

@@ -60,10 +60,10 @@ def test_split_by_char_escapes_regex(spark):
 
 
 def test_unsupported_constructs_raise_with_hint():
-    # LIMIT BY without a top-level ORDER BY has no defined kept-row — the
-    # rewriter demands the ordering (or the API helper)
-    with pytest.raises(ChSqlError, match="ORDER BY"):
-        rewrite("SELECT * FROM t LIMIT 3 BY k")
+    # LIMIT BY without a top-level ORDER BY keeps first-per-group in INPUT
+    # order (LimitByTransform streaming semantics) — rewritten via a
+    # monotonically_increasing_id rank, not an error (00583/00939 parity)
+    assert "monotonically_increasing_id" in rewrite("SELECT * FROM t LIMIT 3 BY k")
     with pytest.raises(ChSqlError, match="asof_join"):
         rewrite("SELECT * FROM a ASOF JOIN b ON ...")
     with pytest.raises(ChSqlError, match="text_search"):
@@ -221,9 +221,16 @@ def test_clause_rewrites_final_sample_limit_by():
     out = rewrite(
         "SELECT a, b FROM t ORDER BY b DESC, a ASC LIMIT 3 OFFSET 1 BY a LIMIT 10"
     )
-    assert "PARTITION BY a ORDER BY b DESC, a ASC" in out
+    # BY items are computed as subquery key columns (constants / rand() /
+    # aliased items partition correctly — 00583 parity)
+    assert "PARTITION BY _lbk0 ORDER BY b DESC, a ASC" in out
+    assert "(a) AS _lbk0" in out
     assert "_rn > 1 AND _rn <= 4" in out
     assert out.rstrip().endswith("LIMIT 10")
+
+    # the MySQL-ish offset-first spelling: LIMIT 2, 2 BY == offset 2 take 2
+    out = rewrite("SELECT a FROM t ORDER BY a LIMIT 2, 2 BY a")
+    assert "_rn > 2 AND _rn <= 4" in out
 
 
 def test_clause_rewrite_errors():
@@ -236,9 +243,10 @@ def test_clause_rewrite_errors():
         rewrite("SELECT * FROM ns_ SAMPLE 0.1")
     with pytest.raises(ChSqlError, match="version"):
         register_table_engine("bad_", "replacing", ["k"])
-    # LIMIT BY inside a subquery (not top level) passes through untouched
+    # LIMIT BY inside a subquery is rewritten in place (00743 parity)
     s = "SELECT * FROM t WHERE x IN (SELECT y FROM u ORDER BY y LIMIT 1 BY y)"
-    assert "ROW_NUMBER" not in rewrite(s)
+    out = rewrite(s)
+    assert "ROW_NUMBER" in out and out.startswith("SELECT * FROM t WHERE x IN(")
 
 
 def test_limit_by_subquery_mask_protects_parens():
@@ -248,7 +256,7 @@ def test_limit_by_subquery_mask_protects_parens():
         "SELECT k, sum(v) AS s FROM t GROUP BY k ORDER BY s DESC LIMIT 1 BY k"
     )
     assert "FROM(SELECT k, sum(v) AS s FROM t GROUP BY k) _lb" in out
-    assert "PARTITION BY k ORDER BY s DESC" in out
+    assert "PARTITION BY _lbk0 ORDER BY s DESC" in out
 
 
 def test_with_fill_rewrite_and_guards():
@@ -680,6 +688,7 @@ def test_every_template_rewrites_to_parseable_sql(spark):
         "uniqState": "uniqState(a)",
         "uniqMerge": "uniqMerge(a)",
         "uniqMergeState": "uniqMergeState(a)",
+        "replaceRegexpOne": "replaceRegexpOne(a, 'x+', 'y')",
         # finalizeAggregation is type-directed and ALWAYS raises (checked
         # in test_agg_state.py::test_dialect_error_discipline)
         "finalizeAggregation": None,
