@@ -1495,7 +1495,7 @@ def _rewrite_scalar_with(sql: str) -> str:
         repl = f"({expr})"
         pat = re.compile(rf"\b{re.escape(ident)}\b")
         cte_items = [_masked_sub(pat, lambda _m: repl, c) for c in cte_items]
-        rest = _masked_sub(pat, lambda _m: repl, rest)
+        rest = _subst_scalar_in_body(rest, pat, expr, ident)
         for j in range(i + 1, len(scalars)):
             scalars[j] = (
                 _masked_sub(pat, lambda _m: repl, scalars[j][0]),
@@ -1504,6 +1504,45 @@ def _rewrite_scalar_with(sql: str) -> str:
         i += 1
     prefix = f"WITH {', '.join(cte_items)} " if cte_items else ""
     return sql[: head.start()] + prefix + rest
+
+
+def _subst_scalar_in_body(rest: str, pat, expr: str, ident: str) -> str:
+    """Substitute one scalar-WITH alias into the query body.  A BARE
+    select item `ident` becomes `(expr) AS ident` so the OUTPUT column
+    keeps its name (ClickHouse's WITH alias names the column —
+    01145_with_fill_const selects the alias directly), and when that
+    aliasing happened, occurrences in the top-level ORDER BY clause stay
+    as the identifier — Spark resolves them against the select alias, so
+    `ORDER BY ident WITH FILL` keeps an identifier fill column instead of
+    an unjoinable expression."""
+    mask = _top_level_mask(rest)
+    sm2 = re.search(r"\bSELECT\b(\s+DISTINCT\b)?", mask, re.IGNORECASE)
+    aliased = False
+    if sm2 is not None:
+        end_m = re.search(
+            r"\bFROM\b|\bWHERE\b|\bGROUP\s+BY\b|\bHAVING\b|\bORDER\s+BY\b|"
+            r"\bLIMIT\b|\bSETTINGS\b|\bUNION\b|\bWINDOW\b",
+            mask[sm2.end() :], re.IGNORECASE,
+        )
+        sl_start = sm2.end()
+        sl_end = sm2.end() + end_m.start() if end_m else len(rest)
+        items = _split_args(rest[sl_start:sl_end])
+        if any(it.strip() == ident for it in items):
+            aliased = True
+            new_items = [
+                " __SCW_ITEM__ " if it.strip() == ident else it
+                for it in items
+            ]
+            rest = rest[:sl_start] + ",".join(new_items) + rest[sl_end:]
+    if aliased:
+        mask = _top_level_mask(rest)
+        om = re.search(r"\bORDER\s+BY\b", mask, re.IGNORECASE)
+        cut = om.start() if om else len(rest)
+        rest = (
+            _masked_sub(pat, lambda _m: f"({expr})", rest[:cut]) + rest[cut:]
+        )
+        return rest.replace("__SCW_ITEM__", f"({expr}) AS {ident}")
+    return _masked_sub(pat, lambda _m: f"({expr})", rest)
 
 
 _ARRAY_JOIN_RE = re.compile(
@@ -1682,7 +1721,104 @@ def _interp_fold_expr(expr: str, col: str) -> str:
     return "".join(out)
 
 
-def _rewrite_with_fill(sql: str) -> str:
+_NUMERIC_SIMPLE = {
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+}
+
+
+def _ch_default_sql(dtype: str) -> str:
+    """ClickHouse type-default literal for a Spark simpleString dtype —
+    what FillingTransform writes into non-interpolated columns of inserted
+    fill rows (column defaults, NOT NULLs: 01614 pins `source = ''`)."""
+    if dtype == "string":
+        return "''"
+    if dtype == "boolean":
+        return "false"
+    if dtype == "date":
+        return "DATE '1970-01-01'"
+    if dtype == "timestamp":
+        return "TIMESTAMP '1970-01-01 00:00:00'"
+    if dtype in _NUMERIC_SIMPLE or dtype.startswith("decimal"):
+        return f"CAST(0 AS {dtype})"
+    if dtype.startswith("array") or dtype.startswith("map"):
+        return f"CAST({dtype.split('<')[0]}() AS {dtype})"
+    return "NULL"
+
+
+def _fill_grid_sql(
+    col: str, ftype: str | None, step: str,
+    from_txt: str | None, to_txt: str | None, head: str,
+) -> str:
+    """Typed fill-grid subquery for the WITH FILL rewrite.  Integer columns
+    (and INTERVAL steps on date/timestamp) use Spark's native sequence();
+    float/double/decimal columns build `from + i*step` over an index
+    sequence (Spark's sequence() rejects fractional types — 01614's
+    Float32 fill); date columns step in days via date_add; timestamp
+    columns with a NUMERIC step interpret it as seconds
+    (FillingTransform's DateTime grain — 01145's STEP 1800).  An explicit
+    TO bound is EXCLUSIVE (fill while next < to); data-derived maxima are
+    inclusive like the reference's."""
+    interval_step = re.match(r"\s*INTERVAL\b", step, re.IGNORECASE) is not None
+    typed = (
+        ftype is not None
+        and not interval_step
+        and (
+            ftype in ("float", "double", "date", "timestamp")
+            or ftype.startswith("decimal")
+        )
+    )
+    if from_txt is not None and to_txt is not None:
+        if not typed:
+            return (
+                f"SELECT {col} FROM (SELECT explode(sequence({from_txt}, "
+                f"{to_txt}, {step})) AS {col}) _gx WHERE {col} < ({to_txt})"
+            )
+        bounds = f"(SELECT ({from_txt}) AS mn, ({to_txt}) AS mx) _wfb"
+        exclusive_to = True
+    else:
+        mn = from_txt if from_txt is not None else f"min({col})"
+        mx = to_txt if to_txt is not None else f"max({col})"
+        bounds = (
+            f"(SELECT {mn} AS mn, {mx} AS mx FROM ({head}) _wfh) _wfb"
+        )
+        if not typed:
+            grid = (
+                f"SELECT explode(sequence(_wfb.mn, _wfb.mx, {step})) "
+                f"AS {col} FROM {bounds}"
+            )
+            if to_txt is not None:
+                grid = (
+                    f"SELECT {col} FROM ({grid}) _gx "
+                    f"WHERE {col} < ({to_txt})"
+                )
+            return grid
+        exclusive_to = to_txt is not None
+    if ftype == "date":
+        n_steps = f"floor(datediff(_wfb.mx, _wfb.mn) / ({step}))"
+        value = f"date_add(_wfb.mn, CAST(_i * ({step}) AS INT))"
+    elif ftype == "timestamp":
+        n_steps = (
+            f"floor((unix_timestamp(_wfb.mx) - unix_timestamp(_wfb.mn)) "
+            f"/ ({step}))"
+        )
+        value = (
+            f"timestamp_seconds(unix_timestamp(_wfb.mn) "
+            f"+ _i * CAST({step} AS BIGINT))"
+        )
+    else:
+        n_steps = f"floor((_wfb.mx - _wfb.mn) / ({step}))"
+        value = f"CAST(_wfb.mn + _i * ({step}) AS {ftype})"
+    grid = (
+        f"SELECT {value} AS {col} FROM {bounds} "
+        f"LATERAL VIEW explode(sequence(0, CAST({n_steps} AS BIGINT))) "
+        f"_gseq AS _i"
+    )
+    if exclusive_to:
+        grid = f"SELECT {col} FROM ({grid}) _gx WHERE {col} < ({to_txt})"
+    return grid
+
+
+def _rewrite_with_fill(sql: str, analyze_fn=None) -> str:
     """`ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]` → grid-join subquery
     (FillingTransform.cpp): explode(sequence(from, to, step)) full-outer-
     joined to the query (original off-grid rows survive). FROM/TO default to
@@ -1785,35 +1921,30 @@ def _rewrite_with_fill(sql: str) -> str:
         )
     tail = rest[tail_start:].strip()
     step = vals.get("STEP", "1")
-    if "FROM" in vals and "TO" in vals:
-        # the reference's TO bound is EXCLUSIVE (FillingTransform.cpp: fill
-        # while next < to); Spark's sequence() endpoint is inclusive, so a
-        # step-aligned endpoint must be filtered back out
-        grid = (
-            f"SELECT {col} FROM (SELECT explode(sequence({vals['FROM']}, "
-            f"{vals['TO']}, {step})) AS {col}) _gx WHERE {col} < ({vals['TO']})"
-        )
-    else:
-        # one combined bounds subquery — not one scalar subquery per missing
-        # bound, which would run the head query twice more
-        mn = vals.get("FROM", f"min({col})")
-        mx = vals.get("TO", f"max({col})")
-        grid = (
-            f"SELECT explode(sequence(_wfb.mn, _wfb.mx, {step})) AS {col} "
-            f"FROM (SELECT {mn} AS mn, {mx} AS mx FROM ({head}) _wfh) _wfb"
-        )
-        if "TO" in vals:
-            # explicit TO is exclusive (see above); data-derived max is not
-            grid = (
-                f"SELECT {col} FROM ({grid}) _gx WHERE {col} < ({vals['TO']})"
-            )
+    # schema-aware grid + fill defaults: analyze the head query once (plan
+    # analysis only — nothing executes) for the fill column's type and the
+    # other output columns' types
+    types: dict[str, str] = {}
+    schema_names: list[str] | None = None
+    if analyze_fn is not None:
+        schema = analyze_fn(head)
+        if schema is not None:
+            types = {f.name: f.dataType.simpleString() for f in schema.fields}
+            fnames = [f.name for f in schema.fields]
+            if len(set(fnames)) == len(fnames):
+                # output order straight from the analyzed plan — covers
+                # SELECT * heads the text parse can't
+                schema_names = fnames
+    grid = _fill_grid_sql(
+        col, types.get(col), step, vals.get("FROM"), vals.get("TO"), head
+    )
     # FULL OUTER (not LEFT) so original rows whose fill-column value is OFF
     # the generated grid (off-step values like 2.5 with STEP 1, or outside an
     # explicit FROM/TO) survive — the reference's FillingTransform always
     # keeps every original row and interleaves fill rows. Spark's USING join
     # coalesces the key across both sides for FULL OUTER.
     if interp_cols:
-        names = _head_select_names(head)
+        names = _head_select_names(head) or schema_names
         if names is None:
             raise ChSqlError(
                 "WITH FILL INTERPOLATE needs every head select item's output "
@@ -1852,7 +1983,7 @@ def _rewrite_with_fill(sql: str) -> str:
         sel = []
         for n in names:
             if n not in interp_cols:
-                sel.append(n)
+                sel.append(_fill_defaulted(n, col, types))
                 continue
             i = interp_cols.index(n)
             if n in interp_exprs:
@@ -1870,11 +2001,35 @@ def _rewrite_with_fill(sql: str) -> str:
             f"(SELECT *, {itp} FROM ({src}) _wfj) _wfi ORDER BY {col}"
         )
     else:
-        out = (
-            f"SELECT * FROM ({grid}) _grid FULL OUTER JOIN ({head}) _wf "
-            f"USING ({col}) ORDER BY {col}"
-        )
+        names = (_head_select_names(head) or schema_names) if types else None
+        if names is not None and col in names:
+            # inserted fill rows take COLUMN DEFAULTS in the other columns
+            # (FillingTransform interpolate-less columns; 01614 pins
+            # source = '' on fill rows) — original rows pass through
+            sel = ", ".join(_fill_defaulted(n, col, types) for n in names)
+            out = (
+                f"SELECT {sel} FROM (SELECT * FROM ({grid}) _grid "
+                f"FULL OUTER JOIN (SELECT *, true AS _orig FROM ({head}) "
+                f"_wfo) _wf USING ({col})) _wfj ORDER BY {col}"
+            )
+        else:
+            out = (
+                f"SELECT * FROM ({grid}) _grid FULL OUTER JOIN ({head}) _wf "
+                f"USING ({col}) ORDER BY {col}"
+            )
     return out + (f" {tail}" if tail else "")
+
+
+def _fill_defaulted(n: str, fill_col: str, types: dict[str, str]) -> str:
+    """Projection item for a non-interpolated column: fill rows (no _orig
+    tag) take the column's ClickHouse type default; unknown types / the
+    fill column itself pass through."""
+    if n == fill_col or n not in types:
+        return n
+    dflt = _ch_default_sql(types[n])
+    if dflt == "NULL":
+        return n
+    return f"CASE WHEN _orig THEN {n} ELSE {dflt} END AS {n}"
 
 
 def _rewrite_limit_by_nested(sql: str) -> str:
@@ -2594,11 +2749,15 @@ for _name, _secs in (
     )
 
 
-def rewrite(sql: str, schema_fn=None, types_fn=None) -> str:
+def rewrite(sql: str, schema_fn=None, types_fn=None, analyze_fn=None) -> str:
     """Rewrite CH-flavored SQL (function names + FINAL / SAMPLE / LIMIT BY
     clauses) to Spark SQL. ``schema_fn(table) -> [col, ...]`` is needed only
     for summing-engine FINAL; ``types_fn(table) -> {col: dtype}`` only for
-    WITH TOTALS key defaults (ch_sql passes the live catalog for both)."""
+    WITH TOTALS key defaults (ch_sql passes the live catalog for both).
+    ``analyze_fn(select_sql) -> StructType | None`` (optional) lets the
+    WITH FILL rewrite type its fill grid and column defaults by analyzing
+    the head query's plan — without it, integer grids and NULL fill values
+    (the legacy convention) are emitted."""
     for pat, hint in UNSUPPORTED_SYNTAX.items():
         if re.search(pat, sql, flags=re.IGNORECASE):
             raise ChSqlError(f"construct not supported in SQL dialect shim: {hint}")
@@ -2630,7 +2789,7 @@ def rewrite(sql: str, schema_fn=None, types_fn=None) -> str:
     )
     sql = _rewrite_limit_by(_rewrite_limit_by_nested(sql))
     sql = _rewrite_groups_frame(sql)
-    sql = _rewrite_with_fill(sql)
+    sql = _rewrite_with_fill(sql, analyze_fn)
     sql = _rewrite_limit_ties(sql)
     sql = _rewrite_with_totals(sql, types_fn)
     sql = _rewrite_scalar_with(sql)
@@ -3177,12 +3336,31 @@ def ch_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataFrame
     sql = _distance_metric_and_direction(sql)
     _check_unmaterialized_vector(sql)
     sql = _inline_select_aliases(sql, lambda t: spark.table(t).columns)
+
+    def _analyze_select(sub: str):
+        # plan-analysis only (no execution): resolve a rewritten head
+        # query's schema so WITH FILL can type its grid + fill defaults
+        try:
+            return spark.sql(
+                rewrite(
+                    sub,
+                    schema_fn=lambda t: spark.table(t).columns,
+                    types_fn=lambda t: {
+                        f.name: f.dataType.simpleString()
+                        for f in spark.table(t).schema.fields
+                    },
+                )
+            ).schema
+        except Exception:
+            return None
+
     translated = rewrite(
         sql,
         schema_fn=lambda t: spark.table(t).columns,
         types_fn=lambda t: {
             f.name: f.dataType.simpleString() for f in spark.table(t).schema.fields
         },
+        analyze_fn=_analyze_select,
     )
     out = spark.sql(translated, args=args) if args else spark.sql(translated)
     if _brute_force_blocked(spark, sql):

@@ -56,6 +56,11 @@ PINNED = [
     "../0_stateless/00939_limit_by_offset.sql",
     "../0_stateless/00583_limit_by_expressions.sql",
     "../0_stateless/00743_limit_by_not_found_column.sql",
+    # r7 WITH FILL typed grids + CH column-default fill values: Float32
+    # fill with LIMIT/WITH TIES; DateTime fill with numeric (seconds) STEP
+    # off a scalar-WITH alias
+    "../0_stateless/01614_with_fill_with_limit.sql",
+    "../0_stateless/01145_with_fill_const.sql",
 ]
 
 

@@ -119,3 +119,67 @@ def test_replace_one_and_regexp_one(spark):
         "replaceRegexpOne('none', 'zz', 'y') AS d",
     ).collect()[0]
     assert (r.a, r.b, r.c, r.d) == ("ab t5_cd", "a-bXc", "he<ll>o", "none")
+
+
+def test_with_fill_float_grid_and_defaults(spark):
+    # Spark's sequence() rejects fractional types — the schema-aware grid
+    # builds from + i*step instead (01614's Float32 fill), and fill rows
+    # take CH column defaults ('' for String), not NULLs
+    spark.sql(
+        "SELECT * FROM VALUES (CAST(1.0 AS FLOAT),'o'),"
+        "(CAST(4.0 AS FLOAT),'o') AS t(n, source)"
+    ).createOrReplaceTempView("_wff")
+    got = [
+        tuple(r)
+        for r in ch_sql(
+            spark, "SELECT n, source FROM _wff ORDER BY n WITH FILL STEP 1"
+        ).collect()
+    ]
+    assert got == [(1.0, "o"), (2.0, ""), (3.0, ""), (4.0, "o")]
+
+
+def test_with_fill_timestamp_numeric_step(spark):
+    # DateTime fill with STEP in seconds (01145: STEP 1800); explicit TO
+    # is exclusive
+    got = [
+        r[0].isoformat()
+        for r in ch_sql(
+            spark,
+            "WITH toDateTime('2020-06-16 03:00:00') AS dt "
+            "SELECT dt ORDER BY dt ASC WITH FILL "
+            "FROM toDateTime('2020-06-16 02:00:00') "
+            "TO toDateTime('2020-06-16 04:00:00') STEP 1800",
+        ).collect()
+    ]
+    assert got == [
+        "2020-06-16T02:00:00",
+        "2020-06-16T02:30:00",
+        "2020-06-16T03:00:00",
+        "2020-06-16T03:30:00",
+    ]
+
+
+def test_scalar_with_alias_names_output_column(spark):
+    out = ch_sql(spark, "WITH 40 + 2 AS answer SELECT answer")
+    assert out.columns == ["answer"]
+    assert out.collect() == [(42,)]
+
+
+def test_with_fill_date_grid(spark):
+    spark.sql(
+        "SELECT * FROM VALUES (DATE'2019-05-01', 1), (DATE'2019-05-04', 2) "
+        "AS t(d, v)"
+    ).createOrReplaceTempView("_wfd")
+    got = [
+        (r.d.isoformat(), r.v)
+        for r in ch_sql(
+            spark, "SELECT d, v FROM _wfd ORDER BY d WITH FILL"
+        ).collect()
+    ]
+    # Int default 0 on fill rows, 1-day step on a Date column
+    assert got == [
+        ("2019-05-01", 1),
+        ("2019-05-02", 0),
+        ("2019-05-03", 0),
+        ("2019-05-04", 2),
+    ]

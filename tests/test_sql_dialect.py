@@ -585,8 +585,10 @@ def test_with_fill_keeps_off_grid_rows(spark):
     )
     rows = [(r["x"], r["v"]) for r in out.collect()]
     assert (2.5, "b") in rows          # off-grid original row kept
-    assert (3.0, None) in rows         # grid fill row present
-    assert rows == [(1.0, "a"), (2.0, None), (2.5, "b"), (3.0, None), (4.0, "c")]
+    # fill rows carry CH column type defaults ('' for String) like
+    # FillingTransform (r7 — was NULL before the schema-aware rewrite)
+    assert (3.0, "") in rows           # grid fill row present
+    assert rows == [(1.0, "a"), (2.0, ""), (2.5, "b"), (3.0, ""), (4.0, "c")]
 
 
 def test_with_totals_key_defaults(spark):
