@@ -116,6 +116,10 @@ def system_vector_index_event_log(
         "Built": "BuildSucceed",
         "Dropped": "DefinitionDroped",  # [sic] — reference spelling
     }
+    reg = IndexRegistry(artifact_dir) if artifact_dir else None
+    # live records + archived histories of reset definitions (VIEventLog
+    # rows outlive the index definition — 00030_mqvs_vector_event_log)
+    sources = (reg.list() + reg.archived_events()) if reg else []
     rows = [
         (
             "default",
@@ -126,7 +130,7 @@ def system_vector_index_event_log(
             float(e.get("event_time", 0.0)),
             float(e.get("event_time", 0.0)) * 1e6,
         )
-        for r in (IndexRegistry(artifact_dir).list() if artifact_dir else [])
+        for r in sources
         for e in r.get("events", [])
     ]
     return spark.createDataFrame(

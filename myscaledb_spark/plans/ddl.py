@@ -253,8 +253,14 @@ def alter_index_ddl(
         # (00033_mqvs_incorrect_index_status.sql)
         reg = IndexRegistry(artifact_dir)
         prior = reg.get(name)
-        if prior is not None and prior.get("table") not in (None, "", table):
-            reg.reset(name)  # same name on another table: fresh lifecycle
+        if prior is not None and (
+            prior.get("table") not in (None, "", table)
+            or prior.get("status") == "Dropped"
+        ):
+            # same name on another table OR re-added after DROP: fresh
+            # lifecycle — new seq (lists after surviving indexes) and no
+            # stale fail fields (00037_replicated_multiple_build_status)
+            reg.reset(name)
         expr_txt = f"{name} {col} TYPE {m.group('type')}({m.group('params')})"
         if defer_build:
             # param_check=0 defers the FAILURE to the background build.
@@ -325,8 +331,12 @@ def alter_index_ddl(
         if m.group("if_not_exists"):
             return existing  # idempotent: no rebuild
         raise InvalidSearchQuery(f"vector index {name!r} already exists")
-    if existing is not None and existing.get("table") not in (None, "", table):
-        # fresh lifecycle: new declaration order, no stale fail fields
+    if existing is not None and (
+        existing.get("table") not in (None, "", table)
+        or existing.get("status") == "Dropped"
+    ):
+        # fresh lifecycle (other-table redeclare or re-add after DROP):
+        # new declaration order, no stale fail fields
         IndexRegistry(artifact_dir).reset(name)
         existing = None
 

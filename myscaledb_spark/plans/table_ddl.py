@@ -411,7 +411,10 @@ def create_table(spark: SparkSession, sql: str) -> dict:
         agg = parse_agg_type(cm.group(2))
         if agg is not None:
             agg_cols[cm.group(1)] = agg[0]
-            ch_types[cm.group(1)] = re.sub(r"\s+", " ", cm.group(2).strip())
+        # the declared CH type, verbatim, for every column — SHOW CREATE
+        # echoes it, and WITH FILL validates FROM bounds against unsigned
+        # types (00995: FROM -10 on a UInt32 column is serverError 475)
+        ch_types[cm.group(1)] = re.sub(r"\s+", " ", cm.group(2).strip())
         schema.append((cm.group(1), ch_type_to_spark(cm.group(2))))
     if not schema:
         raise ChSqlError("CREATE TABLE needs at least one plain column")

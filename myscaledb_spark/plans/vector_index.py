@@ -78,11 +78,30 @@ class IndexRegistry:
 
     def reset(self, name: str) -> None:
         """Discard a record entirely — a same-named index declared on a
-        DIFFERENT table starts a fresh lifecycle (new seq, no stale fail
-        fields); set_status would merge the old record's fields."""
+        DIFFERENT table (or re-added after DROP) starts a fresh lifecycle
+        (new seq, no stale fail fields); set_status would merge the old
+        record's fields.  The record's event history is archived first:
+        VIEventLog rows OUTLIVE the index definition (the reference's log
+        table keeps DefinitionDroped history — 00030_mqvs_vector_event_log)."""
         p = self._path(name)
         if os.path.exists(p):
+            rec = json.load(open(p))
+            events = rec.get("events", [])
+            if events:
+                with open(os.path.join(self.dir, "_dropped_events.jsonl"), "a") as f:
+                    f.write(json.dumps({
+                        "name": name, "table": rec.get("table", ""),
+                        "events": events,
+                    }) + "\n")
             os.remove(p)
+
+    def archived_events(self) -> list[dict]:
+        """Event histories of records discarded by reset() — each entry
+        {name, table, events}; VIEventLog parity for dropped definitions."""
+        p = os.path.join(self.dir, "_dropped_events.jsonl")
+        if not os.path.exists(p):
+            return []
+        return [json.loads(line) for line in open(p) if line.strip()]
 
     def annotate(self, name: str, **extra) -> None:
         """Merge metadata fields into a record WITHOUT a status transition
@@ -103,6 +122,9 @@ class IndexRegistry:
                 rec = json.load(open(p))
                 rec["events"] = []
                 json.dump(rec, open(p, "w"), indent=1)
+        arch = os.path.join(self.dir, "_dropped_events.jsonl")
+        if os.path.exists(arch):
+            os.remove(arch)
 
     def get(self, name: str) -> dict | None:
         p = self._path(name)

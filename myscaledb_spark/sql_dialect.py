@@ -89,8 +89,10 @@ TEMPLATES: dict[str, str] = {
     "yesterday": "date_sub(current_date(), 1)",
     # sleep(n) returns 0 after waiting — reference test scripts call it while
     # async index builds finish; builds here are synchronous, so no wait
-    "sleep": "({0} * 0)",
-    "sleepEachRow": "({0} * 0)",
+    # CH sleep() returns UInt8 0, so sums/if-chains over it stay integer
+    # (00037: `if(cond, sleep(0), sleep(1.99)+...)` prints 0, not 0.00)
+    "sleep": "CAST({0} * 0 AS INT)",
+    "sleepEachRow": "CAST({0} * 0 AS INT)",
     # conversions
     "toInt8": "cast({0} as tinyint)",
     "toInt16": "cast({0} as smallint)",
@@ -1848,7 +1850,8 @@ def _rewrite_with_fill(sql: str, analyze_fn=None) -> str:
     mask = _top_level_mask(sql)
     m = _WITH_FILL_RE.search(mask)
     if not m:
-        if re.search(r"\bWITH\s+FILL\b", sql, re.IGNORECASE):
+        # string-masked: a literal containing 'WITH FILL' is not a clause
+        if re.search(r"\bWITH\s+FILL\b", _string_mask(sql), re.IGNORECASE):
             raise ChSqlError(
                 "WITH FILL is rewritten only as the top-level ORDER BY "
                 "col WITH FILL form → myscaledb_spark.operators.relational"
@@ -3178,6 +3181,133 @@ def _brute_force_blocked(spark: SparkSession, sql: str) -> bool:
     return True
 
 
+def _maybe_multi_fill(spark: SparkSession, sql: str):
+    """Route `ORDER BY ... WITH FILL` shapes the grid-join rewrite can't
+    express — several fill columns, DESC fills, or fill columns followed by
+    plain sort columns — through operators.fill_multi.with_fill_multi (the
+    exact FillingTransform odometer; 00995_order_by_with_fill).  Validates
+    every fill spec first (serverError 475 analogs), so invalid single-column
+    fills raise here too.  Returns None for shapes the rewrite handles."""
+    from myscaledb_spark.operators.fill_multi import (
+        FillSpec,
+        validate_spec,
+        with_fill_multi,
+    )
+
+    mask = _top_level_mask(sql)
+    if not re.search(r"\bWITH\s+FILL\b", mask, re.IGNORECASE):
+        return None
+    om = None
+    for om_ in re.finditer(r"\bORDER\s+BY\b", mask, re.IGNORECASE):
+        om = om_
+    if om is None:
+        return None
+    rest, rest_mask = sql[om.end() :], mask[om.end() :]
+    tm = re.search(
+        r"\b(LIMIT|OFFSET|SETTINGS|UNION|INTERPOLATE)\b",
+        rest_mask, re.IGNORECASE,
+    )
+    items_txt = rest[: tm.start() if tm else len(rest)]
+    tail = rest[tm.start() :].strip() if tm else ""
+    specs: list[tuple[str, bool, dict]] = []
+    extra: list[tuple[str, bool]] = []
+    for it in _split_args(items_txt):
+        m = re.match(
+            r"^\s*(?P<col>[A-Za-z_]\w*)\s*(?P<dir>ASC|DESC)?\s*"
+            r"(?P<fill>WITH\s+FILL\b(?P<f>.*))?\s*$",
+            it, re.IGNORECASE | re.DOTALL,
+        )
+        if m is None:
+            return None  # expression item — the rewrite path reports it
+        desc_ = (m.group("dir") or "").upper() == "DESC"
+        if m.group("fill") is None:
+            extra.append((m.group("col"), desc_))
+            continue
+        if extra:
+            raise ChSqlError(
+                "WITH FILL columns must precede plain ORDER BY columns"
+            )
+        ftxt = m.group("f") or ""
+        kws = {
+            k: re.search(rf"\b{k}\b", ftxt, re.IGNORECASE)
+            for k in ("FROM", "TO", "STEP")
+        }
+        bounds = sorted(
+            (mm.start(), mm.end(), k) for k, mm in kws.items() if mm
+        ) + [(len(ftxt), len(ftxt), None)]
+        if ftxt[: bounds[0][0]].strip():
+            return None  # unrecognized fill text — rewrite path reports it
+        vals: dict[str, str] = {}
+        for (s_, e_, k), (n_, _, _) in zip(bounds, bounds[1:]):
+            if k:
+                vals[k] = ftxt[e_:n_].strip().rstrip(",")
+        specs.append((m.group("col"), desc_, vals))
+    if not specs:
+        return None
+
+    def _eval(txt: str | None):
+        if not txt:
+            return None
+        return spark.sql(rewrite(f"SELECT ({txt}) AS _v")).first()[0]
+
+    # CH declared types (unsigned FROM validation) when the head is a
+    # simple registered table
+    head = sql[: om.start()].strip()
+    ch_types: dict[str, str] = {}
+    tmatch = re.search(r"\bFROM\s+(\w+)\b", _top_level_mask(head), re.IGNORECASE)
+    if tmatch:
+        from myscaledb_spark.plans.table_ddl import TABLES
+
+        ch_types = (TABLES.get(tmatch.group(1)) or {}).get("ch_types", {})
+    fspecs = []
+    for col, desc_, vals in specs:
+        fs = FillSpec(
+            col, descending=desc_,
+            from_value=_eval(vals.get("FROM")),
+            to_value=_eval(vals.get("TO")),
+            step=_eval(vals.get("STEP")),
+        )
+        validate_spec(fs, ch_types.get(col))
+        fspecs.append(fs)
+    if len(fspecs) == 1 and not fspecs[0].descending and not extra:
+        return None  # the single-ascending rewrite path (incl. INTERPOLATE)
+    if tail and re.match(r"INTERPOLATE\b", tail, re.IGNORECASE):
+        raise ChSqlError(
+            "INTERPOLATE is not supported with multi-column/DESC WITH FILL"
+            " → myscaledb_spark.operators.fill_multi"
+        )
+    from pyspark.sql import functions as F
+
+    head_df = ch_sql(spark, head)
+    out = with_fill_multi(head_df, fspecs, extra_order=extra, keep_marker=True)
+    # inserted fill rows carry CH column defaults in the non-fill columns
+    # AND in fill columns the odometer left unset (a fill row created by an
+    # outer column with no FROM for the inner one — 00995 prints 0)
+    fill_cols = {f.col for f in fspecs}
+    for c, t in head_df.dtypes:
+        dflt = _ch_default_sql(t)
+        if dflt == "NULL":
+            continue
+        if c in fill_cols:
+            keep = F.col("_wfm_orig") | F.col(c).isNotNull()
+        else:
+            keep = F.col("_wfm_orig")
+        out = out.withColumn(
+            c, F.when(keep, F.col(c)).otherwise(F.expr(dflt))
+        )
+    out = out.drop("_wfm_orig").select(*head_df.columns)
+    if tail:
+        lm = re.match(r"LIMIT\s+(\d+)\s*$", tail, re.IGNORECASE)
+        sm2 = re.match(r"SETTINGS\b", tail, re.IGNORECASE)
+        if lm:
+            out = out.limit(int(lm.group(1)))
+        elif not sm2:  # SETTINGS are engine-tuning knobs — ignored
+            raise ChSqlError(
+                f"unsupported clause after multi-column WITH FILL: {tail!r}"
+            )
+    return out
+
+
 def _maybe_grouped_tdigest(spark: SparkSession, sql: str):
     """`SELECT keys..., quantileTDigest(p)(x) AS a... FROM t [WHERE] GROUP
     BY keys` → the REAL per-group Dunning digest
@@ -3283,6 +3413,12 @@ def ch_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataFrame
             sql, "<grouped t-digest plan>", (_time.perf_counter() - t0) * 1e3
         )
         return td
+    mf = _maybe_multi_fill(spark, sql)
+    if mf is not None:
+        log_query(
+            sql, "<multi-column fill plan>", (_time.perf_counter() - t0) * 1e3
+        )
+        return mf
     am_ = re.match(
         r"^\s*EXPLAIN\s+AST\s+(?:optimize\s*=\s*(\d+)\s+)?", sql, re.IGNORECASE
     )

@@ -61,6 +61,10 @@ PINNED = [
     # off a scalar-WITH alias
     "../0_stateless/01614_with_fill_with_limit.sql",
     "../0_stateless/01145_with_fill_const.sql",
+    # r7 multi-column / DESC WITH FILL: the full FillingTransform odometer
+    # (operators/fill_multi.py) — 29 statements incl. negative steps,
+    # FROM/TO on inner columns, and the four serverError 475 validations
+    "../0_stateless/00995_order_by_with_fill.sql",
 ]
 
 
