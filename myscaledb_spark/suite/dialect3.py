@@ -480,3 +480,77 @@ def ch_sql_create_function(spark, sf_dir):
         GROUP BY o_orderpriority
         """,
     )
+
+
+@register(
+    "ch_sql_with_fill_multi",
+    """
+    WITH orig AS (
+      SELECT CAST(o_orderkey % 5 AS BIGINT) AS d,
+             CAST(o_orderkey % 3 AS BIGINT) AS v,
+             COUNT(*) AS n
+      FROM orders WHERE o_orderkey % 7 = 0 AND (o_orderkey % 5) IN (1, 3)
+      GROUP BY 1, 2
+    ),
+    lattice AS (
+      SELECT g1.d, g2.v
+      FROM (SELECT unnest(range(0, 5)) AS d) g1,
+           (SELECT unnest(range(0, 3)) AS v) g2
+    )
+    SELECT l.d, l.v, COALESCE(orig.n, 0) AS n
+    FROM lattice l LEFT JOIN orig ON l.d = orig.d AND l.v = orig.v
+    ORDER BY l.d, l.v
+    """,
+)
+def ch_sql_with_fill_multi(spark, sf_dir):
+    """Multi-column `ORDER BY d WITH FILL FROM 0 TO 5, v WITH FILL FROM 0
+    TO 3` verbatim — the FillingTransform odometer (operators/fill_multi;
+    FillingRow.cpp).  The data occupies d ∈ {1,3} with every original v on
+    the inner grid, so the exact odometer output IS the full 5×3 lattice:
+    inserted d-groups enumerate v from FROM to TO (exclusive), groups with
+    originals fill between/around them, and fill rows take the column
+    default n = 0 — which a DuckDB grid cross-join reproduces
+    independently.  The operator never assumes the lattice shape."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_wfm_orders")
+    return ch_sql(
+        spark,
+        """
+        SELECT o_orderkey % 5 AS d, o_orderkey % 3 AS v,
+               count(*) AS n
+        FROM _wfm_orders WHERE o_orderkey % 7 = 0 AND (o_orderkey % 5) IN (1, 3)
+        GROUP BY o_orderkey % 5, o_orderkey % 3
+        ORDER BY d WITH FILL FROM 0 TO 5, v WITH FILL FROM 0 TO 3
+        """,
+    )
+
+
+@register(
+    "ch_sql_with_fill_desc",
+    """
+    WITH orig AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS x, COUNT(*) AS n
+      FROM orders WHERE o_orderkey < 40 GROUP BY 1
+    ),
+    grid AS (SELECT unnest(generate_series(39, 1, -2)) AS x)
+    SELECT COALESCE(g.x, o.x) AS x, COALESCE(o.n, 0) AS n
+    FROM grid g FULL OUTER JOIN orig o ON g.x = o.x
+    ORDER BY x DESC
+    """,
+)
+def ch_sql_with_fill_desc(spark, sf_dir):
+    """`ORDER BY x DESC WITH FILL FROM 39 TO 0 STEP -2` verbatim — the
+    descending fill path through operators/fill_multi (the grid-join
+    rewrite only covers ascending fills).  Sparse TPC-H orderkeys sit on
+    and off the descending grid; TO 0 is exclusive, so the grid floor is
+    1.  Oracle: a descending generate_series full-outer-joined to the
+    originals (fill rows default n = 0)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_wfd_orders")
+    return ch_sql(
+        spark,
+        """
+        SELECT o_orderkey AS x, count(*) AS n
+        FROM _wfd_orders WHERE o_orderkey < 40
+        GROUP BY o_orderkey
+        ORDER BY x DESC WITH FILL FROM 39 TO 0 STEP -2
+        """,
+    )
