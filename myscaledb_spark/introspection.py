@@ -140,6 +140,27 @@ def system_vector_index_event_log(
     )
 
 
+#: canonical index-type spellings as the reference's system.vector_indices
+#: prints them (Search::IndexType names — pinned by the 00041/00038
+#: .reference outputs); the `type` column shows the RESOLVED type even for
+#: `TYPE default` declarations (VIUtils getDefaultIndexType)
+_CANON_VI_TYPE = {
+    "MSTG": "MSTG", "BINARYMSTG": "BinaryMSTG", "FLAT": "FLAT",
+    "BINARYFLAT": "BinaryFLAT", "IVFFLAT": "IVFFLAT", "IVFPQ": "IVFPQ",
+    "IVFSQ": "IVFSQ", "HNSWFLAT": "HNSWFLAT", "HNSWPQ": "HNSWPQ",
+    "HNSWSQ": "HNSWSQ", "SCANN": "SCANN",
+}
+
+
+def _vi_type_display(r: dict) -> str:
+    decl = r.get("declared_type")
+    if decl and str(decl).upper() not in ("DEFAULT",):
+        # an explicit TYPE is shown as WRITTEN ('IVFFlat' stays, 00018)
+        return str(decl)
+    resolved = r.get("index_type") or "FLAT"
+    return _CANON_VI_TYPE.get(str(resolved).upper(), str(resolved))
+
+
 def system_vector_indices_ddl(
     spark: SparkSession, artifact_dir: str | None
 ) -> DataFrame:
@@ -160,7 +181,7 @@ def system_vector_indices_ddl(
             "default",
             r.get("table", ""),
             r.get("name"),
-            (r.get("declared_type") or r.get("index_type") or "FLAT"),
+            _vi_type_display(r),
             r.get("expr")
             or f"{r.get('name')} {r.get('column', '')} TYPE "
             f"{r.get('declared_type') or r.get('index_type') or 'FLAT'}",
@@ -236,7 +257,7 @@ def system_vector_index_segments(
             compact_part_name(r.get("table", "")),
             0,
             r.get("name"),
-            (r.get("declared_type") or r.get("index_type") or "FLAT"),
+            _vi_type_display(r),
             0,
             "BUILT",
             0,
