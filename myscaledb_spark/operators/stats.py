@@ -156,21 +156,74 @@ def mann_whitney_u(df: DataFrame, value: Column | str, is_a: Column) -> DataFram
 
 def rank_corr(df: DataFrame, x: Column | str, y: Column | str) -> DataFrame:
     """rankCorr: Spearman correlation = Pearson corr of tie-averaged ranks.
-    Each axis builds its distinct-value rank table (_rank_table, no
-    single-partition window); rows pick their ranks up through two
-    null-safe equi-joins (hash-shuffle joins, linear at 100 TB)."""
+    BOTH axes' distinct-value rank tables build in ONE fused pass (an
+    axis-tagged union through a single groupBy + range partition + one
+    eager materialization + one tiny totals collect — r7: two separate
+    _rank_table builds doubled the fixed job costs, 5.3× calibration);
+    rows then pick their ranks up through two null-safe equi-joins
+    (hash-shuffle joins, linear at 100 TB)."""
+    from pyspark import StorageLevel
+
     x = F.col(x) if isinstance(x, str) else x
     y = F.col(y) if isinstance(y, str) else y
-    base = df.select(x.alias("x"), y.alias("y"))
-    rxt = _rank_table(base.select(F.col("x").alias("v"))).select(
+    # ONE narrow scan feeds the union (both axes) and the join-back —
+    # without the persist the source is scanned three times
+    base = df.select(
+        x.cast("double").alias("x"), y.cast("double").alias("y")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tagged = base.select(F.lit(0).alias("axis"), F.col("x").alias("v")).unionAll(
+        base.select(F.lit(1).alias("axis"), F.col("y").alias("v"))
+    )
+    counts = tagged.groupBy("axis", "v").agg(F.count(F.lit(1)).alias("_n"))
+    local = (
+        counts.repartitionByRange("axis", "v")
+        .withColumn("_pid", F.spark_partition_id())
+        # pin the sampled range split across the totals and join jobs
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy("_pid", "axis")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = local.withColumn("_cum", F.sum("_n").over(w))
+    totals = sorted(
+        ((r._pid, r.axis), r.t)
+        for r in local.groupBy("_pid", "axis")
+        .agg(F.sum("_n").alias("t"))
+        .collect()
+    )
+    running = {0: 0, 1: 0}
+    offsets = []
+    for (pid, axis), t in totals:
+        offsets.append((pid, axis, running[axis]))
+        running[axis] += int(t or 0)
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "_pid int, axis int, _offset long"
+    )
+    ranked_vals = (
+        cum.join(F.broadcast(off_df), ["_pid", "axis"])
+        .withColumn(
+            "_r",
+            (F.col("_offset") + F.col("_cum") - F.col("_n"))
+            + (F.col("_n") + 1) / 2.0,
+        )
+        .select("axis", "v", "_r")
+    )
+    rxt = ranked_vals.filter(F.col("axis") == 0).select(
         F.col("v").alias("_xv"), F.col("_r").alias("rx"))
-    ryt = _rank_table(base.select(F.col("y").alias("v"))).select(
+    ryt = ranked_vals.filter(F.col("axis") == 1).select(
         F.col("v").alias("_yv"), F.col("_r").alias("ry"))
     ranked = (
         base.join(rxt, F.col("x").eqNullSafe(F.col("_xv")))
         .join(ryt, F.col("y").eqNullSafe(F.col("_yv")))
     )
-    return ranked.agg(F.corr("rx", "ry").alias("rank_corr"))
+    # materialize the scalar so the persisted base can be released here
+    rho = ranked.agg(F.corr("rx", "ry").alias("rank_corr")).collect()[0][0]
+    base.unpersist()
+    return df.sparkSession.createDataFrame(
+        [(float(rho),)], "rank_corr double"
+    )
 
 
 def mean_z_test(
