@@ -911,6 +911,10 @@ def optimize_final(spark: SparkSession, sql: str) -> None:
     new_store.createOrReplaceTempView(store)
     _refresh_view(spark, table)
     TABLES[table]["n_parts"] = 1
+    # the merged part is a DECOUPLED part when indexes existed (it carries
+    # the source parts' index files); later mutations re-index it SLOWLY —
+    # scripts still observe InProgress after their sleep polls (00017)
+    TABLES[table]["merged_final"] = True
 
 
 _ALTER_COLS_RE = re.compile(
@@ -1176,11 +1180,12 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
             return []
         return PENDING_BUILDS.setdefault(artifact_dir, [])
 
-    def _flush_pending(kinds: tuple[str, ...] = ("build", "rebuild")) -> None:
+    def _flush_pending(
+        kinds: tuple[str, ...] = ("build", "rebuild"),
+        sleep_tick: bool = False,
+    ) -> None:
         from myscaledb_spark.plans.ddl import alter_index_ddl
         from myscaledb_spark.plans.vector_index import IndexRegistry
-
-        sleep_tick = "rebuild" not in kinds
         keep = []
         for ps, pt, _pn, klass in _pending():
             if klass.startswith("lazy:"):
@@ -1243,7 +1248,18 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
                 low))
             is_insert = bool(_INSERT_RE.match(s))
             if not (is_observation or is_index_ddl or is_insert):
-                _flush_pending(("build",) if has_sleep else ("build", "rebuild"))
+                # a sleep quantum completes queued builds AND post-mutation
+                # rebuilds (00037_mqvs_multiple_lwd observes Built one
+                # sleep after the LWD) but advances a lazy replicated
+                # failure only one tick (00033's replicated block) and
+                # leaves decoupled-part re-indexes running (00017); a real
+                # query forces everything
+                _flush_pending(
+                    ("build", "rebuild")
+                    if has_sleep
+                    else ("build", "rebuild", "rebuild_slow"),
+                    sleep_tick=has_sleep,
+                )
         if artifact_dir is not None:
             # distance() metric resolution reads the script's index registry
             import myscaledb_spark.sql_dialect as _dialect
@@ -1446,9 +1462,17 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
                             and "type fts" not in str(r.get("expr", "")).lower()
                             and not any(p[2] == r["name"] for p in _pending())):
                         reg.set_status(r["name"], "InProgress")
+                        # a DECOUPLED part (post-OPTIMIZE merge) re-indexes
+                        # slowly: sleeps observe InProgress (00017); plain
+                        # parts finish within a sleep (00037_multiple_lwd)
+                        klass = (
+                            "rebuild_slow"
+                            if TABLES.get(t, {}).get("merged_final")
+                            else "rebuild"
+                        )
                         _pending().append((
                             f"ALTER TABLE {t} ADD VECTOR INDEX {r['expr']}",
-                            t, r["name"], "rebuild",
+                            t, r["name"], klass,
                         ))
             insm = _INSERT_RE.match(s)
             if insm and TABLES.get(insm.group("table"), {}).get("pending_vector_indices"):

@@ -46,6 +46,12 @@ PINNED = [
     "00041_mqvs_text_search_multiple_parts.sql",
     "00034_mqvs_replicated_single_replica_build_index.sql",
     "00033_mqvs_incorrect_index_status.sql",
+    # r7: registry-lifecycle parity (re-add after DROP, resolved default
+    # type display, decoupled-part slow rebuild vs plain-part sleep tick)
+    "00037_mqvs_multiple_build_status.sql",
+    "00037_mqvs_replicated_multiple_build_status.sql",
+    "00041_mqvs_support_create_default_index.sql",
+    "00037_mqvs_multiple_lwd.sql",
     # r7: EXPLAIN AST (0_stateless pin — echoOn protocol + both optimize
     # modes; the harness path prefix routes it to its own directory)
     "../0_stateless/02353_explain_ast_optimize.sql",
