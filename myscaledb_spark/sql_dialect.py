@@ -1570,6 +1570,7 @@ def _rewrite_array_join(sql: str) -> str:
     the reference's no-alias form shadows the array column's own name."""
     mask = _string_mask(sql)
     out, last = [], 0
+    shadows: list[str] = []
     for m in _ARRAY_JOIN_RE.finditer(mask):
         # expression extends to the next top-level clause keyword
         tmask = _top_level_mask(sql)
@@ -1586,20 +1587,47 @@ def _rewrite_array_join(sql: str) -> str:
                 "use arrays_zip + explode (or operators' explode helpers)"
             )
         am = re.fullmatch(r"(.+?)\s+AS\s+(\w+)", seg, re.IGNORECASE | re.DOTALL)
-        if am is None:
-            raise ChSqlError(
-                "ARRAY JOIN needs `<expr> AS alias` (the no-alias form "
-                "shadows the source column; name the element explicitly)"
-            )
         outer = "OUTER " if m.group(1) else ""
         out.append(sql[last : m.start()])
-        out.append(
-            f" LATERAL VIEW {outer}explode({am.group(1).strip()}) "
-            f"AS {am.group(2)} "
-        )
+        if am is None:
+            bm = re.fullmatch(r"[A-Za-z_]\w*", seg)
+            if bm is None:
+                raise ChSqlError(
+                    "ARRAY JOIN needs `<expr> AS alias` or a bare column "
+                    "(the no-alias expression form has no name to shadow)"
+                )
+            # bare `ARRAY JOIN col`: the reference SHADOWS the array column
+            # with its element (ArrayJoinAction.cpp) — alias the element
+            # and substitute every other reference to the column; the
+            # explode argument itself is sentinel-protected meanwhile
+            shadows.append(seg)
+            out.append(
+                f" LATERAL VIEW {outer}explode(\0{len(shadows) - 1}\0) "
+                f"AS _aj_{seg} "
+            )
+        else:
+            out.append(
+                f" LATERAL VIEW {outer}explode({am.group(1).strip()}) "
+                f"AS {am.group(2)} "
+            )
         last = seg_end
     out.append(sql[last:])
-    return "".join(out)
+    res = "".join(out)
+    for col in set(shadows):
+        # only TOP-LEVEL references shadow (a subquery's own `AS col`
+        # defines the array the join consumes — it must keep its name)
+        pat = re.compile(rf"(?<![\w.`]){re.escape(col)}\b")
+        tl = _top_level_mask(res)
+        pieces, pos = [], 0
+        for mm in pat.finditer(tl):
+            pieces.append(res[pos : mm.start()])
+            pieces.append(f"_aj_{col}")
+            pos = mm.end()
+        pieces.append(res[pos:])
+        res = "".join(pieces)
+    for i, col in enumerate(shadows):
+        res = res.replace(f"\0{i}\0", col)
+    return res
 
 
 def _rewrite_with_totals(sql: str, types_fn=None) -> str:

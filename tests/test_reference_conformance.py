@@ -74,6 +74,7 @@ PINNED = [
     # r7 SELECT-surface batch 2: ARRAY JOIN forms, DISTINCT, resource-guard
     # SETs, system.numbers, emptyArray<T>
     "../0_stateless/00008_array_join.sql",
+    "../0_stateless/00010_big_array_join.sql",
     "../0_stateless/00009_array_join_subquery.sql",
     "../0_stateless/00011_array_join_alias.sql",
     "../0_stateless/00018_distinct_in_subquery.sql",

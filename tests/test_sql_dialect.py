@@ -760,11 +760,16 @@ def test_array_join_clause(spark):
         "WHERE id = 1 ORDER BY t",
     ).collect()
     assert [r["t"] for r in rows] == [11, 21]
-    # guards: multi-array zip and the no-alias shadow form raise
+    # guards: multi-array zip raises; a no-alias EXPRESSION raises; the
+    # bare-column form SHADOWS the column (r7 — 00010_big_array_join)
     with pytest.raises(ChSqlError, match="zip"):
         rewrite("SELECT a, b FROM t ARRAY JOIN x AS a, y AS b")
     with pytest.raises(ChSqlError, match="alias"):
-        rewrite("SELECT arr FROM t ARRAY JOIN arr")
+        rewrite("SELECT arr FROM t ARRAY JOIN arrayMap(v -> v, arr)")
+    rows = ch_sql(
+        spark, "SELECT id, arr FROM _aj_t ARRAY JOIN arr ORDER BY id, arr"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, 10), (1, 20), (3, 30)]
 
 
 def test_scalar_with_remote_and_uniq_aliases(spark):
