@@ -781,7 +781,7 @@ _NOOP_SETTINGS = re.compile(
     r"batch_distance_queue_size|two_stage_search_option|"
     r"build_vector_index_on_random_single_replica|optimize_trivial_count_query|"
     r"enable_optimizer|joined_subquery_requires_alias|"
-    r"output_format_pretty_[a-z_]+|max_block_size|min_insert_block_size_rows|"
+    r"output_format_[a-z_0-9]+|max_block_size|min_insert_block_size_rows|"
     # resource GUARDS, not semantics: the reference errors only when a
     # query exceeds them — Spark manages its own memory/sort resources, so
     # the success path is identical (00027_distinct_and_order_by)

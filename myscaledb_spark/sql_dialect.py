@@ -165,8 +165,14 @@ TEMPLATES: dict[str, str] = {
     "mid": "substring({*})",
     "positionCaseInsensitive": "instr(lower({0}), lower({1}))",
     "match": "({0} rlike {1})",
-    # every column is nullable in Spark — toNullable is the identity
-    "toNullable": "({0})",
+    # every column is nullable in Spark — toNullable is the identity;
+    # single-arg coalesce is the precedence-safe identity spelling (a bare
+    # `(x)` as a subquery's whole select list makes Spark's parser read
+    # `SELECT (x)` inside IN (...) as a call to a routine named SELECT)
+    "toNullable": "coalesce({0})",
+    # materialize() defeats the reference's constant-folding — Catalyst
+    # folding changes no results, so it's the identity here
+    "materialize": "coalesce({0})",
     # lagInFrame/leadInFrame: CH's frame-respecting lag/lead; Spark's
     # lag/lead are the same offset semantics for the default whole-
     # partition frame the tests use (WindowTransform.cpp)
@@ -3054,6 +3060,15 @@ def _strip_settings(sql: str) -> str:
     return sql if fm is None else sql[: fm.start()].rstrip()
 
 
+#: keywords that may precede a parenthesized expression without being a
+#: call (IF/CAST/EXTRACT etc. stay callable — they ARE functions here)
+_NOT_CALLS = frozenset({
+    "SELECT", "WHERE", "FROM", "AND", "OR", "NOT", "IN", "EXISTS", "ON",
+    "AS", "THEN", "ELSE", "WHEN", "HAVING", "UNION", "ALL", "DISTINCT",
+    "VALUES", "JOIN", "USING", "OVER", "BETWEEN", "IS", "LIKE", "BY",
+})
+
+
 def _rewrite_calls(sql: str, depth: int = 0) -> str:
     """Innermost-first CH function-name rewriting (string-literal aware)."""
     out = []
@@ -3075,6 +3090,14 @@ def _rewrite_calls(sql: str, depth: int = 0) -> str:
             j = m.end()
             while j < len(sql) and sql[j] in " \t":
                 j += 1
+            if name.upper() in _NOT_CALLS:
+                # an SQL keyword before '(' is not a function call —
+                # gluing them (`SELECT(1)`) would make Spark parse a
+                # routine named SELECT; the paren group is scanned by the
+                # main loop so its contents still rewrite
+                out.append(name)
+                i = m.end()
+                continue
             if j < len(sql) and sql[j] == "(":
                 call_end = _find_call_end(sql, j)
                 inner = _rewrite_calls(sql[j + 1 : call_end - 1], depth)

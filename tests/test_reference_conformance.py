@@ -80,6 +80,8 @@ PINNED = [
     "../0_stateless/00018_distinct_in_subquery.sql",
     "../0_stateless/00027_distinct_and_order_by.sql",
     "../0_stateless/00087_distinct_of_empty_arrays.sql",
+    "../0_stateless/00024_unused_array_join_in_subquery.sql",
+    "../0_stateless/00072_in_types.sql",
 ]
 
 

@@ -246,7 +246,7 @@ def test_clause_rewrite_errors():
     # LIMIT BY inside a subquery is rewritten in place (00743 parity)
     s = "SELECT * FROM t WHERE x IN (SELECT y FROM u ORDER BY y LIMIT 1 BY y)"
     out = rewrite(s)
-    assert "ROW_NUMBER" in out and out.startswith("SELECT * FROM t WHERE x IN(")
+    assert "ROW_NUMBER" in out and out.startswith("SELECT * FROM t WHERE x IN (")
 
 
 def test_limit_by_subquery_mask_protects_parens():
@@ -255,13 +255,13 @@ def test_limit_by_subquery_mask_protects_parens():
     out = rewrite(
         "SELECT k, sum(v) AS s FROM t GROUP BY k ORDER BY s DESC LIMIT 1 BY k"
     )
-    assert "FROM(SELECT k, sum(v) AS s FROM t GROUP BY k) _lb" in out
+    assert "FROM (SELECT *, (k) AS _lbk0 FROM (SELECT k, sum(v) AS s FROM t GROUP BY k) _lb)" in out
     assert "PARTITION BY _lbk0 ORDER BY s DESC" in out
 
 
 def test_with_fill_rewrite_and_guards():
     out = rewrite("SELECT d, n FROM t ORDER BY d WITH FILL FROM 1 TO 10 STEP 2")
-    assert "sequence(1, 10, 2)" in out and "FULL OUTER JOIN" in out and "USING(d)" in out
+    assert "sequence(1, 10, 2)" in out and "FULL OUTER JOIN" in out and "USING (d)" in out
     # FROM/TO default to the query's own min/max as scalar subqueries
     out = rewrite("SELECT d, n FROM t ORDER BY d WITH FILL")
     assert "min(d)" in out and "max(d)" in out
