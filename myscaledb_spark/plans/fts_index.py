@@ -3,11 +3,17 @@ tantivy index (`src/Storages/MergeTree/TantivyIndexStore.h:55-59`,
 `MergeTreeIndexTantivy.cpp`; build lifecycle like §3.3).
 
 Artifact layout (parquet):
-  <root>/<name>/postings/   (term, doc_id, tf)  partitioned/bucketable by term
-  <root>/<name>/doclens/    (doc_id, dl)
+  <root>/<name>/postings/   (term, doc_id, tf, dl)  partitioned/bucketable
+                            by term; dl is inlined per posting (Lucene
+                            stores per-doc norms with the index the same
+                            way) so scoring needs NO doclens join
+  <root>/<name>/doclens/    (doc_id, dl)  kept for stats refresh on append
+  <root>/<name>/dfreq/      (term, df)  per-term doc frequency, precomputed
+                            at build — the reference's tantivy index stores
+                            term dictionaries with doc counts likewise
   <root>/<name>/stats.json  {n_docs, avgdl, tokenizer}
-  df (term doc-frequency) is derived from postings at query time with a
-  term-filtered scan — the filter prunes to the query's terms only.
+Pre-r8 artifacts (no dl column / no dfreq dir) still work: fts_search
+falls back to the join-based plan.
 
 Query path (`fts_search`) computes exactly the same tantivy-style BM25 as
 functions/text.py but reads ONLY the query terms' postings (predicate pushed
@@ -47,14 +53,21 @@ def _cached_index_frames(spark: SparkSession, base: str):
     if hit is None:
         for stale in [k for k in _FRAMES_CACHE if k[0] == base]:
             for df_ in _FRAMES_CACHE.pop(stale):
-                df_.unpersist()
+                if df_ is not None:
+                    df_.unpersist()
         postings = spark.read.parquet(os.path.join(base, "postings")).persist(
             StorageLevel.MEMORY_AND_DISK
         )
         doclens = spark.read.parquet(os.path.join(base, "doclens")).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-        hit = (postings, doclens)
+        dfreq_path = os.path.join(base, "dfreq")
+        dfreq = (
+            spark.read.parquet(dfreq_path).persist(StorageLevel.MEMORY_AND_DISK)
+            if os.path.isdir(dfreq_path)
+            else None
+        )
+        hit = (postings, doclens, dfreq)
         _FRAMES_CACHE[key] = hit
     return hit
 
@@ -101,15 +114,25 @@ def build_fts_index(
         tokenize(text_col, tokenizer, spec=spec).alias("toks"),
     )
     doclens = toked.select("doc_id", F.size("toks").alias("dl"))
+    # dl rides along into each posting row (first() over the constant-per-doc
+    # dl) so the query path never joins doclens
     postings = (
-        toked.select("doc_id", F.explode("toks").alias("term"))
+        toked.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
         .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
 
     base = os.path.join(artifact_dir, name)
     postings.write.mode("overwrite").parquet(os.path.join(base, "postings"))
     doclens.write.mode("overwrite").parquet(os.path.join(base, "doclens"))
+    # per-term doc frequency, precomputed once at build (read back from the
+    # written postings so the tokenization pass isn't recomputed)
+    spark = df.sparkSession
+    spark.read.parquet(os.path.join(base, "postings")).groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    ).write.mode("overwrite").parquet(os.path.join(base, "dfreq"))
 
     n_docs, avgdl = doclens.agg(
         F.count(F.lit(1)), F.avg("dl")
@@ -154,12 +177,64 @@ def fts_search(
         raise InvalidSearchQuery("empty text-search query after tokenization")
     n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
 
-    all_postings, doclens = _cached_index_frames(spark, base)
+    all_postings, doclens, dfreq = _cached_index_frames(spark, base)
     # term filter prunes the cached columnar batches (min/max per batch;
     # on a cold cache the same predicate pushes into the parquet scan)
     postings = all_postings.filter(F.col("term").isin(terms))
 
-    # per-term document frequency over the pruned postings (tiny)
+    if dfreq is not None and "dl" in all_postings.columns:
+        # r8 fast path: df comes from the build-time dfreq table (one tiny
+        # pruned lookup — ≤ #query-terms rows) and dl is inlined in the
+        # postings, so the scoring plan is ONE groupBy pivot over the pruned
+        # postings + executeTake — zero joins, one shuffle (map-side
+        # partial-agg'd), vs the legacy plan's dfreq shuffle + broadcast
+        # join + doclens join.
+        dfmap = {
+            r["term"]: float(r["df"])
+            for r in dfreq.filter(F.col("term").isin(list(set(terms)))).collect()
+        }
+        norm = (
+            F.col("tf").cast("double")
+            * (BM25_K1 + 1.0)
+            / (
+                F.col("tf").cast("double")
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / F.lit(avgdl))
+            )
+        )
+        # Pivot per-term norms and add idf·norm in query-term order — the
+        # same association order as bm25_scores' expression tree
+        # (((0+s0)+s1)+s2), so indexed and direct scores are bit-identical
+        # doubles. idf's log argument is computed driver-side with the same
+        # IEEE op order ((n_docs - df) + 0.5) / (df + 0.5); F.log of the
+        # literal is constant-folded by the SAME JVM Math.log as the legacy
+        # column expression, so the folded constant is bit-identical too.
+        aggs = [
+            F.sum(F.when(F.col("term") == t, norm)).alias(f"_n_{i}")
+            for i, t in enumerate(terms)
+        ] + [F.count(F.lit(1)).alias("_nterms")]
+        agg = postings.groupBy("doc_id").agg(*aggs)
+        score = F.lit(0.0)
+        for i, t in enumerate(terms):
+            if t in dfmap:
+                idf = F.log(
+                    F.lit(1.0 + (n_docs - dfmap[t] + 0.5) / (dfmap[t] + 0.5))
+                )
+                score = score + F.coalesce(idf * F.col(f"_n_{i}"), F.lit(0.0))
+            else:
+                # term absent from the index: no posting rows, contributes
+                # exactly the 0.0 the legacy inner-join plan contributed
+                score = score + F.lit(0.0)
+        agg = agg.withColumn(score_name, score)
+        if operator.upper() == "AND":
+            agg = agg.filter(F.col("_nterms") == len(terms))
+        return (
+            agg.drop("_nterms", *[f"_n_{i}" for i in range(len(terms))])
+            .orderBy(F.col(score_name).desc(), F.col("doc_id").asc())
+            .limit(k)
+        )
+
+    # legacy plan for pre-r8 artifacts (no dfreq dir / no inlined dl)
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         postings.join(F.broadcast(dfreq), "term")
@@ -230,15 +305,36 @@ def append_to_fts_index(
             text_col, stats["tokenizer"], spec=_spec_from_json(stats.get("spec"))
         ).alias("toks"),
     )
-    toked.select("doc_id", F.explode("toks").alias("term")).groupBy(
-        "term", "doc_id"
-    ).agg(F.count(F.lit(1)).alias("tf")).write.mode("append").parquet(
-        os.path.join(base, "postings")
+    has_dl = os.path.isdir(os.path.join(base, "dfreq"))
+    new_postings = (
+        toked.select(
+            "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     )
+    if not has_dl:
+        # pre-r8 artifact: keep its (term, doc_id, tf) schema
+        new_postings = new_postings.drop("dl")
+    new_postings.write.mode("append").parquet(os.path.join(base, "postings"))
     doclens = toked.select("doc_id", F.size("toks").alias("dl"))
     doclens.write.mode("append").parquet(os.path.join(base, "doclens"))
 
     spark = new_docs.sparkSession
+    if has_dl:
+        # refresh the precomputed per-term df over the merged postings
+        # (build-time cost; queries stay join-free)
+        merged_df = (
+            spark.read.parquet(os.path.join(base, "postings"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        tmp = os.path.join(base, "dfreq_next")
+        merged_df.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(os.path.join(base, "dfreq"))
+        os.rename(tmp, os.path.join(base, "dfreq"))
     n_docs, avgdl = (
         spark.read.parquet(os.path.join(base, "doclens"))
         .agg(F.count(F.lit(1)), F.avg("dl"))
