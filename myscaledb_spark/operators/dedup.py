@@ -69,12 +69,24 @@ def exact_dedup_groups(
 # ---------------------------------------------------------------------------
 
 
-def shingle_sets(df: DataFrame, id_col: str, tokens_col: Column, n: int = 3) -> DataFrame:
-    """(id, shingle) distinct pairs — the set representation."""
-    return (
-        df.select(F.col(id_col), F.explode(shingles(tokens_col, n)).alias("sh"))
-        .distinct()
-    )
+def shingle_sets(
+    df: DataFrame, id_col: str, tokens_col: Column, n: int = 3,
+    hashed: bool = False,
+) -> DataFrame:
+    """(id, shingle) distinct pairs — the set representation.
+
+    ``hashed=True`` stores the 48-bit md5 of each shingle instead of the
+    string (r8): the persisted sliver shrinks to fixed 8-byte keys, every
+    downstream groupBy/equi-join compares bigints instead of ~20-char
+    strings, and the seeded MinHash re-hashes a short digit string. A
+    2^-48 in-doc collision merges two shingles — invisible at 4-dp
+    Jaccard rounding (and the oracle hashes identically, so the gate
+    comparison stays exact)."""
+    sh = F.explode(shingles(tokens_col, n)).alias("sh")
+    out = df.select(F.col(id_col), sh)
+    if hashed:
+        out = out.select(F.col(id_col), md5_48(F.col("sh")).alias("sh"))
+    return out.distinct()
 
 
 def minhash_signatures(
@@ -241,7 +253,7 @@ def minhash_dedup_pairs(
     from myscaledb_spark.catalog import fan_out
 
     sh = shingle_sets(
-        fan_out(df, df.sparkSession), id_col, tokens_col, n
+        fan_out(df, df.sparkSession), id_col, tokens_col, n, hashed=True
     ).persist(StorageLevel.MEMORY_AND_DISK)
     aggs = [
         F.min(md5_48_seeded(F.col("sh"), s)).alias(f"mh{s}")

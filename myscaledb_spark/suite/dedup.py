@@ -56,15 +56,23 @@ def exact_dedup_q(spark, sf_dir):
 
 
 # --- MinHash signatures (deterministic, hash-portable) ------------------------
-def _minhash_sql_core() -> str:
+def _minhash_sql_core(hashed: bool = False) -> str:
+    """``hashed=True`` mirrors the r8 operator pipeline: the shingle set
+    stores md5-48(shingle) bigints and the seeded MinHash re-hashes the
+    digit string — CAST(bigint AS VARCHAR) renders identically in Spark
+    and DuckDB, so signatures stay bit-portable."""
+    sh_expr = "toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]"
+    seed_in = "'%d:' || CAST(sh AS VARCHAR)" if hashed else "'%d:' || sh"
+    if hashed:
+        sh_expr = _sql_md5_48(sh_expr)
     mins = ", ".join(
-        "MIN(" + _sql_md5_48("'%d:' || sh" % s) + ") AS mh%d" % s
+        "MIN(" + _sql_md5_48(seed_in % s) + ") AS mh%d" % s
         for s in range(NUM_HASHES)
     )
     return f"""
     toked AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
     sh AS (
-      SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      SELECT DISTINCT doc_id, {sh_expr} AS sh
       FROM toked, UNNEST(range(1, len(toks)-1)) t(i) WHERE len(toks) >= 3
     ),
     sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
@@ -101,7 +109,7 @@ def _lsh_pairs_sql(threshold: float) -> str:
         band_rows.append(f"SELECT doc_id, {b} AS band, {cols} AS band_key FROM sig")
     banded = " UNION ALL ".join(band_rows)
     return f"""
-    WITH {_minhash_sql_core()},
+    WITH {_minhash_sql_core(hashed=True)},
     banded AS ({banded}),
     cands AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
