@@ -797,18 +797,39 @@ def tdigest_quantiles_by(
     levels: list[float],
     epsilon: float = TDIGEST_EPSILON,
     out_names: list[str] | None = None,
+    mode: str = "auto",
 ) -> DataFrame:
     """quantileTDigest(level)(x) ... GROUP BY keys — the real per-group
     Dunning digest (`src/AggregateFunctions/QuantileTDigest.h` keeps one
     digest per aggregation state), not percentile_approx.
 
-    Plan: ONE shuffle on the keys (applyInPandas grouped pass).  Each
-    group's values sort inside the Arrow batch and build the same
-    deterministic sorted-order digest the whole-table helper builds, so
-    results are reproducible under any partitioning (ClickHouse itself is
-    insertion-order-dependent here; sorted order is the canonical order).
-    Groups must individually fit an executor's Arrow batch — the normal
-    applyInPandas contract; the digest build itself is O(buffer).
+    Two physical plans, chosen like an engine's cost-based agg choice
+    (``mode``: "single" | "partial" | "auto"):
+
+    - **single** — ONE raw-row shuffle on the keys + per-group sorted
+      build (applyInPandas). Fewest stages, fastest on small/medium
+      inputs; requires each group to fit an Arrow batch.
+    - **partial** (r8, VERDICT ask #4) — map-side PARTIAL digests, merged
+      per group: the same partial/merge algebra the reference's
+      aggregation state uses (QuantileTDigest.h merge(): concatenate
+      centroid lists, re-compress). A mapInPandas pass over the EXISTING
+      input partitions builds one digest per (partition, group), so the
+      ONLY shuffle carries centroid rows, never raw rows, and per-task
+      memory is O(groups × buffer) regardless of group size. The merged
+      digest keeps the 4·n·ε·q·(1−q) k-size bound on every cluster
+      (merged clusters are checked against the global bound; unmerged
+      partial clusters are narrower — their bound used the smaller
+      partial n), so the ≤ε CDF-error guarantee is STRUCTURAL —
+      independent of partition layout or merge order. Exact centroid
+      values do depend on the input split (ClickHouse's own digest is
+      insertion-order-dependent the same way); gates must pin the error
+      indicator, not raw centroids.
+    - **auto** — "partial" when the input has ≥64 scan partitions (≈8 GB
+      at default split size — raw-row shuffle and group-in-one-batch both
+      start to hurt there), else "single". A/B at sf0.1 (3 scan
+      partitions, 600k rows): single 0.85 s, partial 1.15 s — the partial
+      shape's extra stage only pays for itself once the shuffle payload
+      matters.
     """
     import pandas as pd  # noqa: F401  (worker-side import check)
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -821,24 +842,94 @@ def tdigest_quantiles_by(
     ).where(F.col(name).isNotNull())
     out_names = out_names or [f"q{str(lv).replace('.', '_')}" for lv in levels]
     key_fields = [src.schema[k] for k in keys]
+    cent_schema = StructType(
+        list(key_fields)
+        + [StructField("_mean", DoubleType()), StructField("_cnt", DoubleType())]
+    )
     out_schema = StructType(
         list(key_fields) + [StructField(o, DoubleType()) for o in out_names]
     )
     lvls = list(levels)
     eps = float(epsilon)
+    knames = list(keys)
 
-    def per_group(pdf):
+    if mode == "auto":
+        mode = "partial" if src.rdd.getNumPartitions() >= 64 else "single"
+
+    if mode == "single":
+        def per_group(pdf):
+            import numpy as np
+            import pandas as pd
+
+            vals = pdf[name].values
+            row = {k: pdf[k].iloc[0] for k in knames}
+            if vals.size == 0:
+                for o in out_names:
+                    row[o] = float("nan")
+            else:
+                # exact tie-folding via np.unique, then the same
+                # incremental greedy compress (QuantileTDigest.h add())
+                u, c = np.unique(vals, return_counts=True)
+                ul, cl = u.tolist(), c.astype(float).tolist()
+                cents: list = []
+                n = 0.0
+                for i in range(0, len(ul), 8192):
+                    cents.extend(zip(ul[i: i + 8192], cl[i: i + 8192]))
+                    n += float(sum(cl[i: i + 8192]))
+                    cents = _tdigest_compress(cents, n, eps)
+                for o, lv in zip(out_names, lvls):
+                    row[o] = _tdigest_get_quantile(cents, n, lv)
+            return pd.DataFrame([row])
+
+        return src.groupBy(*knames).applyInPandas(per_group, out_schema)
+
+    def partials(it):
+        import numpy as np
         import pandas as pd
 
-        vs = sorted(pdf[name].tolist())
-        row = {k: pdf[k].iloc[0] for k in keys}
-        if not vs:
+        # one partial digest per group fragment in this partition; each
+        # batch-group collapses to exact (value, count) centroids via
+        # np.unique (C-speed — ties fold BEFORE any Python loop; an exact
+        # tie centroid can only tighten the empirical-CDF check), then the
+        # centroid buffer compresses incrementally (QuantileTDigest.h
+        # add()), so memory is O(groups-in-partition × buffer)
+        bufs: dict = {}
+        for pdf in it:
+            for key_vals, g in pdf.groupby(knames, dropna=False, sort=False):
+                if not isinstance(key_vals, tuple):
+                    key_vals = (key_vals,)
+                st = bufs.setdefault(key_vals, [[], 0.0])
+                vals = g[name].values
+                u, c = np.unique(vals, return_counts=True)
+                st[0].extend(zip(u.tolist(), c.astype(float).tolist()))
+                st[1] += float(vals.size)
+                if len(st[0]) > 8192:
+                    st[0].sort()
+                    st[0] = _tdigest_compress(st[0], st[1], eps)
+        for key_vals, (cents, n) in bufs.items():
+            if not cents:
+                continue
+            cents.sort()
+            cents = _tdigest_compress(cents, n, eps)
+            out = {k: [kv] * len(cents) for k, kv in zip(knames, key_vals)}
+            out["_mean"] = [m for m, _ in cents]
+            out["_cnt"] = [c for _, c in cents]
+            yield pd.DataFrame(out)
+
+    def merge(pdf):
+        import pandas as pd
+
+        cents = sorted(zip(pdf["_mean"].tolist(), pdf["_cnt"].tolist()))
+        n = sum(c for _, c in cents)
+        row = {k: pdf[k].iloc[0] for k in knames}
+        if n <= 0.0:
             for o in out_names:
                 row[o] = float("nan")
         else:
-            cents, n = _tdigest_from_sorted(vs, eps)
+            cents = _tdigest_compress(cents, n, eps)
             for o, lv in zip(out_names, lvls):
                 row[o] = _tdigest_get_quantile(cents, n, lv)
         return pd.DataFrame([row])
 
-    return src.groupBy(*keys).applyInPandas(per_group, out_schema)
+    cent_rows = src.mapInPandas(partials, cent_schema)
+    return cent_rows.groupBy(*knames).applyInPandas(merge, out_schema)

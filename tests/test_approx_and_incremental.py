@@ -100,3 +100,27 @@ def test_streaming_fts_maintenance(spark, tmp_path):
     assert [(r.doc_id, round(r.bm25_score, 9)) for r in via_index] == [
         (r.doc_id, round(r.bm25_score, 9)) for r in direct
     ]
+
+
+def test_tdigest_grouped_partial_equals_single_quality(spark):
+    """r8: tdigest_quantiles_by mode='partial' (map-side partial digests,
+    centroid-only shuffle — the 100 TB shape) must satisfy the same
+    empirical-CDF error bound as mode='single', on an input repartitioned
+    so groups genuinely fragment across partitions."""
+    from myscaledb_spark.operators.stats import tdigest_quantiles_by
+
+    li = spark.table("lineitem").repartition(16)
+    for mode in ("single", "partial"):
+        est = {
+            r["l_returnflag"]: (r["q0_5"], r["q0_9"])
+            for r in tdigest_quantiles_by(
+                li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9], mode=mode
+            ).collect()
+        }
+        for flag, (q50, q90) in est.items():
+            grp = li.filter(F.col("l_returnflag") == flag)
+            n = grp.count()
+            for q, v in ((0.5, q50), (0.9, q90)):
+                lo = grp.filter(F.col("l_extendedprice") < v).count() / n
+                hi = grp.filter(F.col("l_extendedprice") <= v).count() / n
+                assert lo - 0.01 <= q <= hi + 0.01, (mode, flag, q, v, lo, hi)
