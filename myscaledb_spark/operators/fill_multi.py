@@ -286,6 +286,7 @@ def with_fill_multi(
     specs: list[FillSpec],
     extra_order: list[tuple[str, bool]] | None = None,
     keep_marker: bool = False,
+    keep_seq: bool = False,
 ) -> DataFrame:
     """Densify several ORDER BY axes at once (and/or descending axes) with
     the reference's exact FillingTransform semantics.  Fill rows carry
@@ -293,7 +294,9 @@ def with_fill_multi(
     surface does).  ``extra_order`` appends non-fill (col, descending)
     sort items after the fill columns (`ORDER BY d WITH FILL, v`);
     ``keep_marker`` keeps a boolean ``_wfm_orig`` column marking original
-    rows (the SQL surface uses it to apply column defaults).
+    rows (the SQL surface uses it to apply column defaults); ``keep_seq``
+    keeps a ``_wfm_seq`` long numbering output rows in emission order (the
+    SQL surface's INTERPOLATE windows order by it — r8).
 
     Plan: ONE global sort, then the ported FillingTransform machine runs
     over it in a single stream (mapInPandas on one partition, state kept
@@ -328,7 +331,7 @@ def with_fill_multi(
     out_fields = (
         [(s.col, dtypes[s.col]) for s in specs]
         + [(c, dtypes[c]) for c in other_cols]
-        + [("_wfm_orig", "boolean")]
+        + [("_wfm_orig", "boolean"), ("_wfm_seq", "bigint")]
     )
     out_schema = ", ".join(f"`{n}` {t}" for n, t in out_fields)
     cols_in_order = [n for n, _ in out_fields]
@@ -337,6 +340,7 @@ def with_fill_multi(
         import pandas as pd
 
         machine = _FillingMachine(descs)
+        seq = [0]
 
         def fill_rec(tup):
             rec = {
@@ -344,6 +348,8 @@ def with_fill_multi(
             }
             rec.update({c: None for c in other_cols})
             rec["_wfm_orig"] = False
+            seq[0] += 1
+            rec["_wfm_seq"] = seq[0]
             return rec
 
         def frame(rows):
@@ -362,6 +368,8 @@ def with_fill_multi(
                 orig = {s.col: r[s.col] for s in specs}
                 orig.update({c: r[c] for c in other_cols})
                 orig["_wfm_orig"] = True
+                seq[0] += 1
+                orig["_wfm_seq"] = seq[0]
                 rows_out.append(orig)
             yield frame(rows_out)
         yield frame([fill_rec(t) for t in machine.finish()])
@@ -369,5 +377,9 @@ def with_fill_multi(
     filled = (
         df.orderBy(*order).coalesce(1).mapInPandas(gen, schema=out_schema)
     )
-    keep = [*fill_cols, *other_cols] + (["_wfm_orig"] if keep_marker else [])
+    keep = (
+        [*fill_cols, *other_cols]
+        + (["_wfm_orig"] if keep_marker else [])
+        + (["_wfm_seq"] if keep_seq else [])
+    )
     return filled.select(*keep)

@@ -1722,6 +1722,29 @@ def _head_select_names(head: str) -> list[str] | None:
     return names
 
 
+_CH_NONNULL_AGG = re.compile(
+    r"^\s*(sum|count|min|max|avg|any|anyLast|first|last|uniq\w*)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _head_item_expr(head: str, name: str) -> str | None:
+    """Select-item expression text for an output column, or None."""
+    hm = _top_level_mask(head)
+    sm = re.search(r"\bSELECT\b(\s+DISTINCT\b)?", hm, re.IGNORECASE)
+    fm = re.search(r"\bFROM\b", hm, re.IGNORECASE)
+    if sm is None or fm is None or sm.end() >= fm.start():
+        return None
+    for it in _split_args(head[sm.end(): fm.start()]):
+        am = re.search(r"\bAS\s+`?([A-Za-z_]\w*)`?\s*$", it, re.IGNORECASE)
+        if am and am.group(1) == name:
+            return it[: am.start()].strip()
+        bm = re.fullmatch(r"\s*(?:[A-Za-z_]\w*\.)?`?([A-Za-z_]\w*)`?\s*", it)
+        if bm and bm.group(1) == name:
+            return it.strip()
+    return None
+
+
 #: tokens an INTERPOLATE expression may contain besides the column itself
 #: and function calls: SQL keywords and the type names CAST can mention
 _ITP_ALLOWED = {
@@ -1732,16 +1755,18 @@ _ITP_ALLOWED = {
 }
 
 
-def _interp_fold_expr(expr: str, col: str) -> str:
-    """Rewrite a self-referencing `INTERPOLATE (col AS expr)` expression for
-    the per-step fold: occurrences of the column become the fold accumulator
-    ``_ipv``.  Any OTHER bare identifier is rejected: ClickHouse evaluates
-    interpolate expressions over the PREVIOUS OUTPUT row
-    (FillingTransform.cpp interpolate actions), and on a fill row the
-    non-interpolated columns are NULL here — evaluating them against the
-    current row would silently diverge from the reference."""
+def _interp_fold_expr(expr: str, col: str) -> tuple[str, list[str]]:
+    """Rewrite an `INTERPOLATE (col AS expr)` expression for the per-step
+    fold: occurrences of the column become the fold accumulator ``_ipv``;
+    any OTHER bare identifier is a previous-OUTPUT-row column reference
+    (FillingTransform.cpp interpolate actions — 02233 pins
+    `inter AS inter2 + inter`) and becomes the marker ``_iprf_<name>``,
+    which the caller binds to the anchor row's value on the first fill of
+    a gap and to the column DEFAULT on subsequent fills (fill rows carry
+    defaults in non-interpolated columns).  Returns (rewritten, refs)."""
     mask = _string_mask(expr)
     out: list[str] = []
+    refs: list[str] = []
     last = 0
     for mm in re.finditer(r"[A-Za-z_]\w*", mask):
         tok = mm.group(0)
@@ -1754,19 +1779,51 @@ def _interp_fold_expr(expr: str, col: str) -> str:
             continue
         if tok.lower() in _ITP_ALLOWED:
             continue
-        raise ChSqlError(
-            f"INTERPOLATE ({col} AS ...) may reference only {col!r}, "
-            f"constants and functions; {tok!r} would read the previous "
-            "output row in ClickHouse, which this rewrite cannot reproduce "
-            "→ myscaledb_spark.operators.relational.with_fill"
-        )
+        if tok not in refs:
+            refs.append(tok)
+        out.append(expr[last:mm.start()])
+        out.append(f"_iprf_{tok}")
+        last = mm.end()
     out.append(expr[last:])
-    return "".join(out)
+    return "".join(out), refs
 
 
 _NUMERIC_SIMPLE = {
     "tinyint", "smallint", "int", "bigint", "float", "double",
 }
+
+
+def _itp_typed_expr(analyze_fn, fold_expr: str, col_type: str | None) -> str:
+    """Coerce an INTERPOLATE fold expression to the target column's type the
+    way the reference does (FillingTransform casts the interpolate result to
+    the column type, erroring on incompatible types — 02233 pins
+    `inter AS 42` working and `inter AS 'inter'` as serverError 6).  The
+    expression is ANALYZED (never executed) with the accumulator bound to a
+    typed NULL; numeric↔numeric mismatches get a CAST, string↔numeric
+    raises."""
+    if not col_type or analyze_fn is None:
+        return fold_expr
+    probe = fold_expr.replace("_ipv", f"CAST(NULL AS {col_type})")
+    schema = analyze_fn(f"SELECT ({probe}) AS _r")
+    if schema is None:
+        raise ChSqlError(
+            f"INTERPOLATE expression {fold_expr!r} does not type-check "
+            f"against the column type {col_type}"
+        )
+    rt = schema["_r"].dataType.simpleString()
+    if rt == col_type:
+        return fold_expr
+
+    def _num(t: str) -> bool:
+        return t in _NUMERIC_SIMPLE or t.startswith("decimal")
+
+    if _num(rt) and _num(col_type):
+        return f"CAST(({fold_expr}) AS {col_type})"
+    raise ChSqlError(
+        f"INTERPOLATE expression type {rt} is incompatible with the "
+        f"column type {col_type} (the reference raises serverError 6/32 "
+        "here — CANNOT_PARSE_TEXT / ATTEMPT_TO_READ_AFTER_EOF)"
+    )
 
 
 def _ch_default_sql(dtype: str) -> str:
@@ -1859,6 +1916,30 @@ def _fill_grid_sql(
     if exclusive_to:
         grid = f"SELECT {col} FROM ({grid}) _gx WHERE {col} < ({to_txt})"
     return grid
+
+
+def _rewrite_with_fill_nested(sql: str, analyze_fn=None) -> str:
+    """Apply the WITH FILL rewrite inside parenthesized subqueries too
+    (02233_interpolate_1: `SELECT ... FROM ( ... ORDER BY n WITH FILL ...
+    INTERPOLATE (...) )`), innermost-first — same protocol as
+    _rewrite_limit_by_nested."""
+    if not re.search(r"\bWITH\s+FILL\b", sql, re.IGNORECASE):
+        return sql
+    mask = _string_mask(sql)
+    out: list[str] = []
+    i = 0
+    while i < len(sql):
+        if mask[i] == "(":
+            close = _find_call_end(sql, i)
+            inner = _rewrite_with_fill_nested(sql[i + 1: close - 1], analyze_fn)
+            if re.match(r"\s*(SELECT|WITH)\b", inner, re.IGNORECASE):
+                inner = _rewrite_with_fill(inner, analyze_fn)
+            out.append("(" + inner + ")")
+            i = close
+        else:
+            out.append(sql[i])
+            i += 1
+    return _rewrite_with_fill("".join(out), analyze_fn)
 
 
 def _rewrite_with_fill(sql: str, analyze_fn=None) -> str:
@@ -1969,16 +2050,52 @@ def _rewrite_with_fill(sql: str, analyze_fn=None) -> str:
     # analysis only — nothing executes) for the fill column's type and the
     # other output columns' types
     types: dict[str, str] = {}
+    nulls: dict[str, bool] = {}
     schema_names: list[str] | None = None
     if analyze_fn is not None:
         schema = analyze_fn(head)
         if schema is not None:
             types = {f.name: f.dataType.simpleString() for f in schema.fields}
+            nulls = {f.name: f.nullable for f in schema.fields}
             fnames = [f.name for f in schema.fields]
             if len(set(fnames)) == len(fnames):
                 # output order straight from the analyzed plan — covers
                 # SELECT * heads the text parse can't
                 schema_names = fnames
+    # previous-output-row column references inside INTERPOLATE expressions
+    # (02233: `inter AS inter2 + inter` with inter2 NOT in the select list):
+    # extend the head query with the referenced columns so the window can
+    # anchor them — the final projection still emits only the original
+    # select items
+    names = _head_select_names(head) or schema_names
+    if interp_exprs:
+        known = set(names or []) | set(types)
+        allrefs = {r for _f, rs in interp_exprs.values() for r in rs}
+        if col not in known:
+            # the fill column itself may be absent from the select list
+            # (02233 stmt: `SELECT source, inter ... ORDER BY n WITH FILL`)
+            allrefs = allrefs | {col}
+        need = sorted(r for r in allrefs if r not in known)
+        if need:
+            hm = re.search(r"\bFROM\b", _top_level_mask(head), re.IGNORECASE)
+            if hm is None or analyze_fn is None:
+                raise ChSqlError(
+                    f"INTERPOLATE references column(s) {need} not in the "
+                    "select list and the head query cannot be extended"
+                )
+            head = (
+                head[: hm.start()] + ", " + ", ".join(need) + " "
+                + head[hm.start():]
+            )
+            schema = analyze_fn(head)
+            if schema is None:
+                raise ChSqlError(
+                    f"INTERPOLATE references {need}, which do not resolve "
+                    "from the query (the reference reads them from the "
+                    "previous output row)"
+                )
+            types = {f.name: f.dataType.simpleString() for f in schema.fields}
+            nulls = {f.name: f.nullable for f in schema.fields}
     grid = _fill_grid_sql(
         col, types.get(col), step, vals.get("FROM"), vals.get("TO"), head
     )
@@ -1988,7 +2105,12 @@ def _rewrite_with_fill(sql: str, analyze_fn=None) -> str:
     # keeps every original row and interleaves fill rows. Spark's USING join
     # coalesces the key across both sides for FULL OUTER.
     if interp_cols:
-        names = _head_select_names(head) or schema_names
+        if col in interp_cols:
+            raise ChSqlError(
+                f"INTERPOLATE column {col!r} is a WITH FILL column — the "
+                "reference rejects interpolating a fill column "
+                "(INVALID_WITH_FILL_EXPRESSION, serverError 475)"
+            )
         if names is None:
             raise ChSqlError(
                 "WITH FILL INTERPOLATE needs every head select item's output "
@@ -2008,11 +2130,24 @@ def _rewrite_with_fill(sql: str, analyze_fn=None) -> str:
             f"OVER (ORDER BY {col} ROWS BETWEEN UNBOUNDED PRECEDING AND "
             "CURRENT ROW)"
         )
-        itp = ", ".join(
-            f"last(CASE WHEN _orig THEN struct({c} AS v) END, true) "
-            f"{wspec} AS _itp_{i}"
-            for i, c in enumerate(interp_cols)
-        )
+
+        def _typed_dflt(r: str) -> str:
+            if r not in types:
+                raise ChSqlError(
+                    f"INTERPOLATE reference {r!r} has no resolvable type"
+                )
+            return f"CAST({_ch_default_sql(types[r])} AS {types[r]})"
+
+        itp_parts = []
+        for i, c in enumerate(interp_cols):
+            fields = [f"`{c}` AS v"]
+            for j, r in enumerate(interp_exprs.get(c, ("", []))[1]):
+                fields.append(f"`{r}` AS _r{j}")
+            itp_parts.append(
+                f"last(CASE WHEN _orig THEN struct({', '.join(fields)}) END, "
+                f"true) {wspec} AS _itp_{i}"
+            )
+        itp = ", ".join(itp_parts)
         if interp_exprs:
             # gap length k = rows since the last ORIGINAL row: a row_number
             # tag on the joined rows plus a carried last-original-row tag
@@ -2030,16 +2165,50 @@ def _rewrite_with_fill(sql: str, analyze_fn=None) -> str:
                 sel.append(_fill_defaulted(n, col, types))
                 continue
             i = interp_cols.index(n)
+            # leading fill rows (no original yet) interpolate from the
+            # COLUMN DEFAULT — 02233_interpolate_1.reference: `inter AS
+            # inter + 1` prints 1, 2 on the rows before the first original
+            item = _head_item_expr(head, n)
+            ch_nullable = nulls.get(n, False) and not (
+                item is not None and _CH_NONNULL_AGG.match(item)
+            )
+            dflt = "NULL" if ch_nullable else _ch_default_sql(types.get(n, ""))
+            anchor = (
+                f"CASE WHEN _itp_{i} IS NULL THEN "
+                + (f"CAST({dflt} AS {types[n]})" if n in types else "NULL")
+                + f" ELSE _itp_{i}.v END"
+            )
             if n in interp_exprs:
+                folded, refs = interp_exprs[n]
+                # step (fill rows ≥2 in a gap): the previous OUTPUT row is
+                # itself a fill row, whose non-interpolated columns carry
+                # COLUMN DEFAULTS (02233: `inter2 + inter` adds 0 after the
+                # first fill of each gap)
+                step = folded
+                for j, r in enumerate(refs):
+                    step = step.replace(f"_iprf_{r}", _typed_dflt(r))
+                tstep = _itp_typed_expr(analyze_fn, step, types.get(n))
+                # seed (first fill of a gap): previous output row is the
+                # anchor (last original), so refs read the anchored values
+                seed = folded.replace("_ipv", f"({anchor})")
+                for j, r in enumerate(refs):
+                    seed = seed.replace(
+                        f"_iprf_{r}",
+                        f"(CASE WHEN _itp_{i} IS NULL THEN {_typed_dflt(r)}"
+                        f" ELSE _itp_{i}._r{j} END)",
+                    )
+                if tstep != step and n in types:
+                    seed = f"CAST(({seed}) AS {types[n]})"
+                k = f"_wfseq - coalesce(_wfoseq, 0)"
                 sel.append(
-                    "CASE WHEN _wfoseq IS NULL THEN NULL "
-                    f"WHEN _wfseq = _wfoseq THEN _itp_{i}.v "
-                    f"ELSE aggregate(sequence(1, _wfseq - _wfoseq), "
-                    f"_itp_{i}.v, (_ipv, _ik) -> ({interp_exprs[n]})) "
-                    f"END AS {n}"
+                    f"CASE WHEN _wfseq = _wfoseq THEN _itp_{i}.v "
+                    f"WHEN {k} = 1 THEN {seed} "
+                    f"ELSE aggregate(sequence(2, {k}), "
+                    f"{seed}, (_ipv, _ik) -> ({tstep})) "
+                    f"END AS `{n}`"
                 )
             else:
-                sel.append(f"_itp_{i}.v AS {n}")
+                sel.append(f"{anchor} AS `{n}`")
         out = (
             f"SELECT {', '.join(sel)} FROM "
             f"(SELECT *, {itp} FROM ({src}) _wfj) _wfi ORDER BY {col}"
@@ -2067,13 +2236,15 @@ def _rewrite_with_fill(sql: str, analyze_fn=None) -> str:
 def _fill_defaulted(n: str, fill_col: str, types: dict[str, str]) -> str:
     """Projection item for a non-interpolated column: fill rows (no _orig
     tag) take the column's ClickHouse type default; unknown types / the
-    fill column itself pass through."""
+    fill column itself pass through.  Names are backtick-quoted — analyzed
+    output names of unaliased expressions contain parens (`first(source)`,
+    02233 stmt 12)."""
     if n == fill_col or n not in types:
-        return n
+        return f"`{n}`"
     dflt = _ch_default_sql(types[n])
     if dflt == "NULL":
-        return n
-    return f"CASE WHEN _orig THEN {n} ELSE {dflt} END AS {n}"
+        return f"`{n}`"
+    return f"CASE WHEN _orig THEN `{n}` ELSE {dflt} END AS `{n}`"
 
 
 def _rewrite_limit_by_nested(sql: str) -> str:
@@ -2845,7 +3016,7 @@ def rewrite(sql: str, schema_fn=None, types_fn=None, analyze_fn=None) -> str:
     )
     sql = _rewrite_limit_by(_rewrite_limit_by_nested(sql))
     sql = _rewrite_groups_frame(sql)
-    sql = _rewrite_with_fill(sql, analyze_fn)
+    sql = _rewrite_with_fill_nested(sql, analyze_fn)
     sql = _rewrite_limit_ties(sql)
     sql = _rewrite_with_totals(sql, types_fn)
     sql = _rewrite_scalar_with(sql)
@@ -3341,20 +3512,62 @@ def _maybe_multi_fill(spark: SparkSession, sql: str):
         fspecs.append(fs)
     if len(fspecs) == 1 and not fspecs[0].descending and not extra:
         return None  # the single-ascending rewrite path (incl. INTERPOLATE)
+    # INTERPOLATE under multi-column/DESC fill (r7 VERDICT ask #5): parse
+    # the item list exactly like the single-column rewrite, then compute
+    # the interpolated columns with previous-OUTPUT-row semantics over the
+    # odometer's emission order (FillingTransform.cpp interpolate actions)
+    interp_cols: list[str] = []
+    interp_exprs: dict[str, str] = {}
     if tail and re.match(r"INTERPOLATE\b", tail, re.IGNORECASE):
-        raise ChSqlError(
-            "INTERPOLATE is not supported with multi-column/DESC WITH FILL"
-            " → myscaledb_spark.operators.fill_multi"
-        )
+        pm = re.match(r"INTERPOLATE\s*\(", tail, re.IGNORECASE)
+        if pm is None:
+            raise ChSqlError(
+                "bare INTERPOLATE (all-columns) is not supported — list the "
+                "columns: INTERPOLATE (c1, c2 AS expr, ...)"
+            )
+        open_idx = pm.end() - 1
+        close = _find_call_end(tail, open_idx)
+        for it in _split_args(tail[open_idx + 1: close - 1]):
+            m2 = re.match(
+                r"\s*([A-Za-z_]\w*)(?:\s+AS\s+(.+))?\s*$",
+                it, re.IGNORECASE | re.DOTALL,
+            )
+            if m2 is None:
+                raise ChSqlError(
+                    f"INTERPOLATE item {it.strip()!r} is neither `col` nor "
+                    "`col AS expr`"
+                )
+            c, expr = m2.group(1), (m2.group(2) or "").strip()
+            interp_cols.append(c)
+            if expr and expr != c:
+                interp_exprs[c] = _interp_fold_expr(expr, c)
+        tail = tail[close:].strip()
     from pyspark.sql import functions as F
 
     head_df = ch_sql(spark, head)
-    out = with_fill_multi(head_df, fspecs, extra_order=extra, keep_marker=True)
-    # inserted fill rows carry CH column defaults in the non-fill columns
-    # AND in fill columns the odometer left unset (a fill row created by an
-    # outer column with no FROM for the inner one — 00995 prints 0)
     fill_cols = {f.col for f in fspecs}
+    bad = [c for c in interp_cols if c in fill_cols]
+    if bad:
+        raise ChSqlError(
+            f"INTERPOLATE column(s) {bad} are fill columns — the reference "
+            "rejects interpolating a WITH FILL column"
+        )
+    missing = [c for c in interp_cols if c not in head_df.columns]
+    if missing:
+        raise ChSqlError(
+            f"INTERPOLATE column(s) {missing} are not in the select list"
+        )
+    out = with_fill_multi(
+        head_df, fspecs, extra_order=extra, keep_marker=True,
+        keep_seq=bool(interp_cols),
+    )
+    # inserted fill rows carry CH column defaults in the non-fill,
+    # non-interpolated columns AND in fill columns the odometer left unset
+    # (a fill row created by an outer column with no FROM for the inner
+    # one — 00995 prints 0)
     for c, t in head_df.dtypes:
+        if c in interp_cols:
+            continue
         dflt = _ch_default_sql(t)
         if dflt == "NULL":
             continue
@@ -3365,7 +3578,88 @@ def _maybe_multi_fill(spark: SparkSession, sql: str):
         out = out.withColumn(
             c, F.when(keep, F.col(c)).otherwise(F.expr(dflt))
         )
-    out = out.drop("_wfm_orig").select(*head_df.columns)
+    if interp_cols:
+        # previous-output-row interpolation over the emission order: the
+        # anchor is the last ORIGINAL row (struct-wrapped so NULL original
+        # values stay distinguishable), and `col AS expr` folds the
+        # rewritten expression once per output row since that anchor —
+        # identical semantics (and SQL text) to the single-column rewrite.
+        # The window runs over the odometer's single output partition,
+        # which is already the documented single-stream bound.
+        wspec = (
+            "OVER (ORDER BY _wfm_seq ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW)"
+        )
+        dtypes_map = dict(head_df.dtypes)
+
+        def _resolve(s: str):
+            try:
+                return spark.sql(s).schema
+            except Exception:  # noqa: BLE001
+                return None
+
+        def _typed_dflt(r: str) -> str:
+            if r not in dtypes_map:
+                raise ChSqlError(
+                    f"INTERPOLATE reference {r!r} is not in the select list "
+                    "(multi-column fill cannot extend the head query)"
+                )
+            return f"CAST({_ch_default_sql(dtypes_map[r])} AS {dtypes_map[r]})"
+
+        for c in interp_cols:
+            folded, refs = interp_exprs.get(c, ("", []))
+            fields = [f"`{c}` AS v"] + [
+                f"`{r}` AS _r{j}" for j, r in enumerate(refs)
+            ]
+            for r in refs:
+                _typed_dflt(r)  # validate resolvability up front
+            anchor = (
+                f"last(CASE WHEN _wfm_orig THEN struct({', '.join(fields)}) "
+                f"END, true) {wspec}"
+            )
+            oseq = (
+                f"last(CASE WHEN _wfm_orig THEN _wfm_seq END, true) {wspec}"
+            )
+            out = out.withColumn("_itp", F.expr(anchor)).withColumn(
+                "_oseq", F.expr(oseq)
+            )
+            # leading fill rows (no original yet) interpolate from the
+            # COLUMN DEFAULT — 02233_interpolate_1.reference: `inter AS
+            # inter + 1` prints 1, 2 on the rows before the first original
+            dflt = _ch_default_sql(dtypes_map[c])
+            anchor_v = (
+                f"CASE WHEN _oseq IS NULL THEN CAST({dflt} AS "
+                f"{dtypes_map[c]}) ELSE _itp.v END"
+            )
+            if c in interp_exprs:
+                step = folded
+                for r in refs:
+                    step = step.replace(f"_iprf_{r}", _typed_dflt(r))
+                tstep = _itp_typed_expr(_resolve, step, dtypes_map.get(c))
+                seed = folded.replace("_ipv", f"({anchor_v})")
+                for j, r in enumerate(refs):
+                    seed = seed.replace(
+                        f"_iprf_{r}",
+                        f"(CASE WHEN _oseq IS NULL THEN {_typed_dflt(r)}"
+                        f" ELSE _itp._r{j} END)",
+                    )
+                if tstep != step:
+                    seed = f"CAST(({seed}) AS {dtypes_map[c]})"
+                k = "_wfm_seq - coalesce(_oseq, 0)"
+                val = (
+                    f"CASE WHEN {k} = 1 THEN {seed} "
+                    f"ELSE aggregate(sequence(2, {k}), {seed}, "
+                    f"(_ipv, _ik) -> ({tstep})) END"
+                )
+            else:
+                val = anchor_v
+            out = out.withColumn(
+                c,
+                F.expr(
+                    f"CASE WHEN _wfm_orig THEN `{c}` ELSE {val} END"
+                ),
+            ).drop("_itp", "_oseq")
+    out = out.drop("_wfm_orig", "_wfm_seq").select(*head_df.columns)
     if tail:
         lm = re.match(r"LIMIT\s+(\d+)\s*$", tail, re.IGNORECASE)
         sm2 = re.match(r"SETTINGS\b", tail, re.IGNORECASE)

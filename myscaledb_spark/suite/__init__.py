@@ -97,6 +97,7 @@ PRIORITY: list[str] = [
     "quantile_tdigest_grouped",
     "hybrid_search_indexed_exhaustive",
     "ch_sql_with_fill_multi",
+    "ch_sql_with_fill_multi_interpolate",
     "ch_sql_with_fill_desc",
     # --- (b) changed in r7: recall-pinned indexed hybrid gate, fused
     #     2-shuffle uniq-HLL, single-pass MinHash banding, distributed

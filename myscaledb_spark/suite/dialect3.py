@@ -525,6 +525,65 @@ def ch_sql_with_fill_multi(spark, sf_dir):
 
 
 @register(
+    "ch_sql_with_fill_multi_interpolate",
+    """
+    WITH orig AS (
+      SELECT CAST(o_orderkey % 5 AS BIGINT) AS d,
+             CAST(o_orderkey % 3 AS BIGINT) AS v,
+             COUNT(*) AS n,
+             CAST(SUM(o_orderkey) AS BIGINT) AS m
+      FROM orders WHERE o_orderkey % 7 = 0 AND (o_orderkey % 5) IN (1, 3)
+      GROUP BY 1, 2
+    ),
+    lattice AS (
+      SELECT g1.d, g2.v
+      FROM (SELECT unnest(range(0, 5)) AS d) g1,
+           (SELECT unnest(range(0, 3)) AS v) g2
+    ),
+    j AS (
+      SELECT l.d, l.v, orig.n, orig.m, orig.d IS NOT NULL AS is_orig,
+             ROW_NUMBER() OVER (ORDER BY l.d, l.v) AS rn
+      FROM lattice l LEFT JOIN orig ON l.d = orig.d AND l.v = orig.v
+    ),
+    w AS (
+      SELECT d, v, n, m, is_orig, rn,
+             LAST_VALUE(CASE WHEN is_orig THEN m END IGNORE NULLS)
+               OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS am,
+             LAST_VALUE(CASE WHEN is_orig THEN rn END IGNORE NULLS)
+               OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS arn
+      FROM j
+    )
+    SELECT d, v, COALESCE(n, 0) AS n,
+           CASE WHEN is_orig THEN m
+                ELSE COALESCE(am, 0) + (rn - COALESCE(arn, 0)) END AS m
+    FROM w ORDER BY d, v
+    """,
+)
+def ch_sql_with_fill_multi_interpolate(spark, sf_dir):
+    """Multi-column WITH FILL **with INTERPOLATE** verbatim (r7 VERDICT ask
+    #5) — `INTERPOLATE (m AS m + 1)` under a two-column odometer fill: each
+    inserted fill row computes m over the PREVIOUS OUTPUT row
+    (FillingTransform.cpp interpolate actions), so a gap's fill rows carry
+    anchor_m + k, and rows before the first original fold from the column
+    default (02233_interpolate_1 semantics).  The oracle reproduces the
+    chain in longhand DuckDB: a lattice join ordered like the odometer,
+    last-original anchors via IGNORE NULLS windows, and m = anchor + gap
+    offset.  n (non-interpolated) keeps the fill default 0."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_wfmi_orders")
+    return ch_sql(
+        spark,
+        """
+        SELECT o_orderkey % 5 AS d, o_orderkey % 3 AS v,
+               count(*) AS n, sum(o_orderkey) AS m
+        FROM _wfmi_orders WHERE o_orderkey % 7 = 0 AND (o_orderkey % 5) IN (1, 3)
+        GROUP BY o_orderkey % 5, o_orderkey % 3
+        ORDER BY d WITH FILL FROM 0 TO 5, v WITH FILL FROM 0 TO 3
+        INTERPOLATE (m AS m + 1)
+        """,
+    )
+
+
+@register(
     "ch_sql_with_fill_desc",
     """
     WITH orig AS (

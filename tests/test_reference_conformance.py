@@ -55,6 +55,11 @@ PINNED = [
     # r7: EXPLAIN AST (0_stateless pin — echoOn protocol + both optimize
     # modes; the harness path prefix routes it to its own directory)
     "../0_stateless/02353_explain_ast_optimize.sql",
+    # r8: the full INTERPOLATE matrix verbatim (19 stmts, 246 rows) —
+    # const / carry / expr folds, previous-output-row column refs incl.
+    # columns outside the select list, sub-select fills, aggregates,
+    # Nullable defaults, four expected-error validations
+    "../0_stateless/02233_interpolate_1.sql",
     # r7 SELECT-surface batch: LIMIT [off,] n BY forms incl. no-ORDER-BY
     # input-order semantics, constant/aliased/nondeterministic BY items,
     # nested-subquery LIMIT BY, system.one, CREATE TEMPORARY TABLE,

@@ -268,16 +268,18 @@ def test_with_fill_rewrite_and_guards():
     # INTERPOLATE (bare columns) is supported since r6: carry-forward via
     # a last-IGNORE-NULLS window over a struct wrap
     out = rewrite("SELECT d, n FROM t ORDER BY d WITH FILL INTERPOLATE (n)")
-    assert "last(CASE WHEN _orig THEN struct(n AS v) END, true)" in out
-    assert "_itp_0.v AS n" in out
-    # computed INTERPOLATE (r7): k-step aggregate fold over the gap length
+    assert "last(CASE WHEN _orig THEN struct(`n` AS v) END, true)" in out
+    assert "ELSE _itp_0.v END AS `n`" in out
+    # computed INTERPOLATE (r7/r8): seed = expr over the anchor row, then a
+    # (k-1)-step aggregate fold — leading fills seed from the column default
     out = rewrite("SELECT d, n FROM t ORDER BY d WITH FILL INTERPOLATE (n AS n + 1)")
-    assert "aggregate(sequence(1, _wfseq - _wfoseq), _itp_0.v" in out
+    assert "aggregate(sequence(2, _wfseq - coalesce(_wfoseq, 0))" in out
     assert "(_ipv, _ik) -> (_ipv + 1)" in out
     with pytest.raises(ChSqlError, match="with_fill"):
         rewrite("SELECT d FROM t ORDER BY d DESC WITH FILL")
-    with pytest.raises(ChSqlError, match="with_fill"):
-        rewrite("SELECT * FROM (SELECT d FROM t ORDER BY d WITH FILL) q")
+    # r8: WITH FILL inside a subquery rewrites in place (02233 stmt 11)
+    out = rewrite("SELECT * FROM (SELECT d FROM t ORDER BY d WITH FILL) q")
+    assert "FULL OUTER JOIN" in out and out.strip().startswith("SELECT * FROM (")
 
 
 def test_asof_join_rewrite_shapes():

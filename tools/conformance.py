@@ -90,8 +90,11 @@ def _split(script: str):
 
 
 def _strip_comment_lines(stmt: str) -> str:
+    # `#`-prefixed lines appear in some 0_stateless files (clickhouse-test
+    # treats them as comments, e.g. 02233_interpolate_1.sql)
     return "\n".join(
-        l for l in stmt.splitlines() if not l.strip().startswith("--")
+        l for l in stmt.splitlines()
+        if not l.strip().startswith("--") and not l.strip().startswith("#")
     ).strip()
 
 
@@ -126,6 +129,9 @@ def _parse_ref(path: str):
 def _cmp_cell(a, b) -> bool:
     import decimal
 
+    if a is None:
+        # ClickHouse TSV renders NULL as \N
+        return b == "\\N"
     if isinstance(a, decimal.Decimal):
         a = float(a)
     if isinstance(a, (int, float)) and isinstance(b, (int, float)):
