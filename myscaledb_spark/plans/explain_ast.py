@@ -90,7 +90,9 @@ _INFIX = {
 
 _KEYWORDS = {
     "from", "where", "group", "order", "by", "limit", "as", "asc", "desc",
-    "and", "or", "not", "like", "in",
+    "and", "or", "not", "like", "in", "join", "on", "using", "union",
+    "all", "inner", "left", "right", "full", "cross", "outer", "with",
+    "select",
 }
 
 
@@ -145,6 +147,21 @@ class _Parser:
                 node = Node(f"Function {fn}",
                             [Node("ExpressionList", [node, rhs])])
                 continue
+            if t == "->":
+                # lambda: params -> body; single params wrap into tuple()
+                # like the reference parser (01604 CreateFunctionQuery dump)
+                if min_prec > 0:
+                    return node
+                self.next()
+                body = self.expr(1)
+                params = node
+                if not params.label.startswith("Function tuple"):
+                    params = Node(
+                        "Function tuple", [Node("ExpressionList", [params])]
+                    )
+                node = Node("Function lambda",
+                            [Node("ExpressionList", [params, body])])
+                continue
             if tl not in _INFIX:
                 return node
             fn, prec = _INFIX[tl]
@@ -168,9 +185,20 @@ class _Parser:
                 return Node(f"Literal Int64_-{m.group(1)}")
             return Node("Function negate", [Node("ExpressionList", [arg])])
         if t == "(":
-            node = self.expr(0)
+            els = [self.expr(0)]
+            while self.peek() == ",":
+                self.next()
+                els.append(self.expr(0))
             self.expect(")")
-            return node
+            if len(els) == 1:
+                return els[0]
+            # tuple literal when every element is a flat literal
+            # (01840: Literal Tuple_(UInt64_255, UInt64_1))
+            lits = [re.fullmatch(r"Literal (\S+)", e.label) for e in els]
+            if all(m and not e.children for m, e in zip(lits, els)):
+                inner = ", ".join(m.group(1) for m in lits)
+                return Node(f"Literal Tuple_({inner})")
+            return Node("Function tuple", [Node("ExpressionList", els)])
         if t == "[":
             els = []
             if self.peek() != "]":
@@ -220,57 +248,166 @@ class _Parser:
         return node
 
 
-def explain_ast(
-    sql: str,
-    optimize: bool = False,
-    schema_fn: Callable[[str], list[str]] | None = None,
-) -> list[str]:
-    """Dump the reference-shaped AST for a flat SELECT query."""
-    toks = _tokenize(sql.strip().rstrip(";"))
-    p = _Parser(toks)
+#: clause keywords that terminate a select-item / GROUP BY list
+_CLAUSE_STOPS = {
+    "from", "where", "group", "order", "limit", "union",
+}
+
+_JOIN_KINDS = {"inner", "left", "right", "full", "cross"}
+
+
+def _parse_table_expression(
+    p: _Parser, schema_fn
+) -> tuple[Node, list[str] | None]:
+    """One FROM source: subquery, table function, or table identifier.
+    Returns (TableExpression child node, source columns if resolvable)."""
+    src_cols: list[str] | None = None
+    if p.peek() == "(":
+        # subquery (ASTSubquery getID = "Subquery", child =
+        # SelectWithUnionQuery)
+        p.next()
+        inner = _parse_select_with_union(p, schema_fn)
+        p.expect(")")
+        return Node("Subquery", [inner]), None
+    name = p.next()
+    if not re.fullmatch(r"[A-Za-z_]\w*", name) or name.lower() in _KEYWORDS:
+        raise _err(f"FROM expects a table or table function, got {name!r}")
+    while p.peek() == "." and p.i + 1 < len(p.toks) and \
+            re.fullmatch(r"[A-Za-z_]\w*", p.toks[p.i + 1]):
+        p.next()
+        name += "." + p.next()
+    if p.peek() == "(":
+        p.next()
+        args: list[Node] = []
+        if p.peek() != ")":
+            args.append(p.expr(0))
+            while p.peek() == ",":
+                p.next()
+                args.append(p.expr(0))
+        p.expect(")")
+        src = Node(f"Function {name}", [Node("ExpressionList", args)])
+        if name == "numbers":
+            src_cols = ["number"]
+        elif schema_fn is not None:
+            try:
+                src_cols = schema_fn(name)
+            except Exception:
+                src_cols = None
+    else:
+        src = Node(f"TableIdentifier {name}")
+        if schema_fn is not None:
+            try:
+                src_cols = schema_fn(name)
+            except Exception:
+                src_cols = None
+    if (t := p.peek()) and t.lower() == "as":
+        p.next()
+        alias = p.next()
+        src.label += f" (alias {alias})"
+    return src, src_cols
+
+
+def _parse_tables(p: _Parser, schema_fn) -> tuple[Node, list[str] | None]:
+    """FROM clause with optional JOINs — TablesInSelectQuery per the
+    reference parser (ParserTablesInSelectQuery.cpp: each joined element's
+    children are [TableExpression, TableJoin]; TableJoin's child is the ON
+    expression or the USING ExpressionList)."""
+    src, src_cols = _parse_table_expression(p, schema_fn)
+    elements = [Node("TablesInSelectQueryElement", [
+        Node("TableExpression", [src])])]
+    while True:
+        t = p.peek()
+        if t is None:
+            break
+        tl = t.lower()
+        if tl not in _JOIN_KINDS and tl != "join":
+            break
+        kind = None
+        if tl in _JOIN_KINDS:
+            kind = tl
+            p.next()
+            if (t2 := p.peek()) and t2.lower() == "outer":
+                p.next()
+        p.expect("JOIN")
+        rsrc, _ = _parse_table_expression(p, schema_fn)
+        join_children: list[Node] = []
+        if (t3 := p.peek()) and t3.lower() == "using":
+            p.next()
+            parens = p.peek() == "("
+            if parens:
+                p.next()
+            cols = [p.expr(0)]
+            while p.peek() == ",":
+                p.next()
+                cols.append(p.expr(0))
+            if parens:
+                p.expect(")")
+            join_children.append(Node("ExpressionList", cols))
+        elif (t3 := p.peek()) and t3.lower() == "on":
+            p.next()
+            join_children.append(p.expr(0))
+        elif kind != "cross":
+            raise _err("JOIN requires ON or USING (or CROSS)")
+        elements.append(Node("TablesInSelectQueryElement", [
+            Node("TableExpression", [rsrc]),
+            Node("TableJoin", join_children),
+        ]))
+        src_cols = None  # joined schema not resolved for * expansion
+    return Node("TablesInSelectQuery", elements), src_cols
+
+
+def _parse_select(
+    p: _Parser, schema_fn, optimize: bool = False
+) -> Node:
+    """One SELECT query (no UNION tail) → SelectQuery node."""
+    children: list[Node] = []
+    with_list: list[Node] | None = None
+    if (t := p.peek()) and t.lower() == "with":
+        # WITH a AS (subquery), expr AS name, ... — CTEs become WithElement
+        # nodes (child = Subquery), scalar items stay plain expressions
+        p.next()
+        with_list = []
+        while True:
+            if (
+                re.fullmatch(r"[A-Za-z_]\w*", p.peek() or "")
+                and (p.peek() or "").lower() not in _KEYWORDS
+                and p.i + 2 < len(p.toks)
+                and p.toks[p.i + 1].lower() == "as"
+                and p.toks[p.i + 2] == "("
+                and p.i + 3 < len(p.toks)
+                and p.toks[p.i + 3].lower() in ("select", "with")
+            ):
+                p.next(); p.next(); p.next()  # name AS (
+                inner = _parse_select_with_union(p, schema_fn)
+                p.expect(")")
+                with_list.append(
+                    Node("WithElement", [Node("Subquery", [inner])])
+                )
+            else:
+                with_list.append(p.maybe_alias(p.expr(0)))
+            if p.peek() == ",":
+                p.next()
+                continue
+            break
     p.expect("SELECT")
 
-    def parse_list(stop: set[str]) -> list[Node]:
+    def parse_list() -> list[Node]:
         items = [p.maybe_alias(p.expr(0))]
         while p.peek() == ",":
             p.next()
             items.append(p.maybe_alias(p.expr(0)))
         nxt = p.peek()
-        if nxt is not None and nxt.lower() not in stop:
+        if nxt is not None and nxt != ")" and nxt.lower() not in _CLAUSE_STOPS:
             raise _err(f"unexpected {nxt!r}")
         return items
 
-    select_items = parse_list({"from"})
-    children: list[Node] = []
+    select_items = parse_list()
     src_cols: list[str] | None = None
 
     tables = None
     if (t := p.peek()) and t.lower() == "from":
         p.next()
-        name = p.next()
-        if not re.fullmatch(r"[A-Za-z_]\w*", name):
-            raise _err(f"FROM expects a table or table function, got {name!r}")
-        if p.peek() == "(":
-            p.i -= 1
-            src = p.prefix()  # table function
-            fn = src.label.removeprefix("Function ")
-            if fn == "numbers":
-                src_cols = ["number"]
-            elif schema_fn is not None:
-                try:
-                    src_cols = schema_fn(fn)
-                except Exception:
-                    src_cols = None
-        else:
-            src = Node(f"TableIdentifier {name}")
-            if schema_fn is not None:
-                try:
-                    src_cols = schema_fn(name)
-                except Exception:
-                    src_cols = None
-        tables = Node("TablesInSelectQuery", [
-            Node("TablesInSelectQueryElement", [
-                Node("TableExpression", [src])])])
+        tables, src_cols = _parse_tables(p, schema_fn)
 
     if optimize:
         def rewrite(n: Node) -> Node:
@@ -289,6 +426,8 @@ def explain_ast(
                     expanded.append(it)
             select_items = expanded
 
+    if with_list is not None:
+        children.append(Node("ExpressionList", with_list))
     children.append(Node("ExpressionList", select_items))
     if tables is not None:
         children.append(tables)
@@ -298,8 +437,7 @@ def explain_ast(
         children.append(p.expr(0))
     if (t := p.peek()) and t.lower() == "group":
         p.next(); p.expect("BY")
-        children.append(Node("ExpressionList", parse_list(
-            {"order", "limit"})))
+        children.append(Node("ExpressionList", parse_list()))
     if (t := p.peek()) and t.lower() == "order":
         p.next(); p.expect("BY")
         items = []
@@ -316,9 +454,82 @@ def explain_ast(
     if (t := p.peek()) and t.lower() == "limit":
         p.next()
         children.append(_Parser._literal(p.next()))
+    return Node("SelectQuery", children)
+
+
+def _parse_select_with_union(
+    p: _Parser, schema_fn, optimize: bool = False
+) -> Node:
+    branches = [_parse_select(p, schema_fn, optimize)]
+    while (t := p.peek()) and t.lower() == "union":
+        p.next()
+        if (m := p.peek()) and m.lower() in ("all", "distinct"):
+            p.next()
+        branches.append(_parse_select(p, schema_fn, optimize))
+    return Node("SelectWithUnionQuery", [Node("ExpressionList", branches)])
+
+
+def _explain_insert(p: _Parser) -> list[str]:
+    """`INSERT INTO t ...` — the reference stops parsing at the data clause
+    (02504: `values balabala` never parses), so the dump is the query node
+    plus the table identifier.  The dump label carries two empty id slots
+    (database, format), hence the extra spaces."""
+    p.expect("INSERT")
+    p.expect("INTO")
+    name = p.next()
+    return Node("InsertQuery  ", [Node(f"Identifier {name}")]).dump()
+
+
+def _explain_alter(p: _Parser) -> list[str]:
+    """`ALTER TABLE t DELETE WHERE expr` (01604) — AlterQuery dump."""
+    p.expect("ALTER")
+    p.expect("TABLE")
+    name = p.next()
+    p.expect("DELETE")
+    p.expect("WHERE")
+    cond = p.expr(0)
+    if p.peek() is not None:
+        raise _err(f"unsupported ALTER tail at {p.peek()!r}")
+    return Node(f"AlterQuery  {name}", [
+        Node("ExpressionList", [Node("AlterCommand DELETE", [cond])]),
+        Node(f"Identifier {name}"),
+    ]).dump()
+
+
+def _explain_create_function(p: _Parser) -> list[str]:
+    """`CREATE FUNCTION f AS (params) -> body` (01604) —
+    CreateFunctionQuery dump; the lambda prints as Function lambda over
+    (tuple(params), body)."""
+    p.expect("CREATE")
+    p.expect("FUNCTION")
+    name = p.next()
+    p.expect("AS")
+    lam = p.expr(0)
+    if p.peek() is not None:
+        raise _err(f"unsupported CREATE FUNCTION tail at {p.peek()!r}")
+    return Node(f"CreateFunctionQuery {name}", [
+        Node(f"Identifier {name}"), lam,
+    ]).dump()
+
+
+def explain_ast(
+    sql: str,
+    optimize: bool = False,
+    schema_fn: Callable[[str], list[str]] | None = None,
+) -> list[str]:
+    """Dump the reference-shaped AST: SELECT queries (with JOIN / UNION /
+    CTE / FROM-subquery shapes — r7 VERDICT ask #6), INSERT, ALTER DELETE,
+    and CREATE FUNCTION."""
+    toks = _tokenize(sql.strip().rstrip(";"))
+    p = _Parser(toks)
+    head = (p.peek() or "").lower()
+    if head == "insert":
+        return _explain_insert(p)
+    if head == "alter":
+        return _explain_alter(p)
+    if head == "create":
+        return _explain_create_function(p)
+    root = _parse_select_with_union(p, schema_fn, optimize)
     if p.peek() is not None:
         raise _err(f"unsupported trailing clause at {p.peek()!r}")
-
-    root = Node("SelectWithUnionQuery", [
-        Node("ExpressionList", [Node("SelectQuery", children)])])
     return root.dump()

@@ -157,3 +157,53 @@ def test_explain_ast_select_shapes(spark):
     assert "TableIdentifier orders" in joined
     assert "OrderByElement (children 1)" in joined
     assert joined.rstrip().endswith("Literal UInt64_5")
+
+
+def test_explain_ast_join_union_cte(spark):
+    """r8 (r7 VERDICT ask #6): EXPLAIN AST for JOIN / UNION / CTE /
+    FROM-subquery shapes.  Node vocabulary and child ordering follow the
+    reference parser (ASTTablesInSelectQuery.h getID strings;
+    ParserTablesInSelectQuery.cpp: a joined element's children are
+    [TableExpression, TableJoin], TableJoin's child is the ON expression
+    or USING ExpressionList; ASTWithElement/ASTSubquery getIDs)."""
+    from myscaledb_spark.sql_dialect import ch_sql
+
+    joined = "\n".join(r[0] for r in ch_sql(
+        spark,
+        "EXPLAIN AST SELECT n_name FROM nation "
+        "INNER JOIN region ON n_regionkey = r_regionkey",
+    ).collect())
+    assert "TablesInSelectQuery (children 2)" in joined
+    assert joined.count("TablesInSelectQueryElement") == 2
+    assert "TableJoin (children 1)" in joined
+    assert "Function equals" in joined
+    assert "TableIdentifier region" in joined
+
+    joined = "\n".join(r[0] for r in ch_sql(
+        spark,
+        "EXPLAIN AST SELECT n_name FROM nation JOIN region USING (n_regionkey)",
+    ).collect())
+    assert "TableJoin (children 1)" in joined
+    assert "Identifier n_regionkey" in joined
+
+    joined = "\n".join(r[0] for r in ch_sql(
+        spark, "EXPLAIN AST SELECT 1 UNION ALL SELECT 2 UNION ALL SELECT 3",
+    ).collect())
+    assert joined.startswith("SelectWithUnionQuery (children 1)")
+    assert " ExpressionList (children 3)" in joined
+    assert joined.count("SelectQuery") == 3
+
+    joined = "\n".join(r[0] for r in ch_sql(
+        spark,
+        "EXPLAIN AST WITH x AS (SELECT 1) SELECT * FROM x",
+    ).collect())
+    assert "WithElement (children 1)" in joined
+    assert "Subquery (children 1)" in joined
+    assert " SelectQuery (children 3)" in joined  # WITH + items + tables
+
+    joined = "\n".join(r[0] for r in ch_sql(
+        spark,
+        "EXPLAIN AST SELECT a FROM (SELECT 1 AS a)",
+    ).collect())
+    assert "TableExpression (children 1)" in joined
+    assert "Subquery (children 1)" in joined

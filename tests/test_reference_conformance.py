@@ -55,6 +55,11 @@ PINNED = [
     # r7: EXPLAIN AST (0_stateless pin — echoOn protocol + both optimize
     # modes; the harness path prefix routes it to its own directory)
     "../0_stateless/02353_explain_ast_optimize.sql",
+    # r8: EXPLAIN AST beyond the flat SELECT (tuple literals, INSERT,
+    # ALTER DELETE + CREATE FUNCTION lambdas, bare-AST clientError)
+    "../0_stateless/01840_tupleElement_formatting_fuzzer.sql",
+    "../0_stateless/02504_explain_ast_insert.sql",
+    "../0_stateless/01604_explain_ast_of_nonselect_query.sql",
     # r8: the full INTERPOLATE matrix verbatim (19 stmts, 246 rows) —
     # const / carry / expr folds, previous-output-row column refs incl.
     # columns outside the select list, sub-select fills, aggregates,
