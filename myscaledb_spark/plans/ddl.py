@@ -29,6 +29,7 @@ Type mapping (tests/vector_search/benchmark.py:23 sweep):
 from __future__ import annotations
 
 import json
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -180,7 +181,19 @@ def alter_index_ddl(
             # IF EXISTS on a missing index is a pure no-op — writing a
             # "Dropped" record would fabricate a phantom system.vector_indices row
             return {"name": name, "status": "Dropped"}
+        was_built = (reg.get(name) or {}).get("status") == "Built"
         reg.set_status(name, "Dropped")
+        if was_built:
+            # 00030's VIEventLog trace for DROP VECTOR INDEX: the command
+            # expires the cache entry, then the part-GC pass expires its
+            # slot again and clears the index files on disk —
+            # DefinitionDroped, CacheExpire, CacheExpire, Cleared
+            from myscaledb_spark.plans import frame_cache
+
+            frame_cache.evict_prefix(os.path.join(artifact_dir, name))
+            reg.add_event(name, "CacheExpire", cache_resident=False)
+            reg.add_event(name, "CacheExpire")
+            reg.add_event(name, "Cleared")
         return {"name": name, "status": "Dropped"}
 
     m = _ADD_FTS.match(sql)

@@ -31,6 +31,7 @@ insertInto); the temp-view store keeps the gate hermetic.
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1420,15 +1421,63 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
                            s, re.IGNORECASE)
             if dtm and artifact_dir is not None:
                 # dropping a table drops its indexes with it (the reference
-                # removes index metadata with the table) — so a later
-                # CREATE + ADD of the same names starts clean (00032)
+                # removes index metadata with the table — NO DefinitionDroped
+                # row, just the cache/file cleanup: 00030's DROP TABLE trace
+                # is CacheExpire, Cleared) — so a later CREATE + ADD of the
+                # same names starts clean (00032)
+                from myscaledb_spark.plans import frame_cache
                 from myscaledb_spark.plans.vector_index import IndexRegistry
 
                 reg = IndexRegistry(artifact_dir)
                 for r in reg.list():
                     if (r.get("table") == dtm.group(1)
                             and r.get("status") not in (None, "Dropped")):
-                        reg.set_status(r["name"], "Dropped")
+                        if r.get("status") == "Built":
+                            frame_cache.evict_prefix(
+                                os.path.join(artifact_dir, r["name"])
+                            )
+                            reg.add_event(r["name"], "CacheExpire",
+                                          cache_resident=False)
+                            reg.add_event(r["name"], "Cleared")
+                        reg.reset(r["name"])
+            dem = re.match(r"^\s*DETACH\s+TABLE\s+(\w+)", s, re.IGNORECASE)
+            if dem and artifact_dir is not None:
+                # DETACH evicts the table's resident index caches
+                # (VICacheManager; 00030 logs CacheExpire) — the next
+                # search's artifact read logs the LoadStart/LoadSucceed pair
+                from myscaledb_spark.plans import frame_cache
+                from myscaledb_spark.plans.vector_index import IndexRegistry
+
+                reg = IndexRegistry(artifact_dir)
+                for r in reg.list():
+                    if (r.get("table") == dem.group(1)
+                            and r.get("status") == "Built"):
+                        frame_cache.evict_prefix(
+                            os.path.join(artifact_dir, r["name"])
+                        )
+                        reg.add_event(r["name"], "CacheExpire",
+                                      cache_resident=False)
+            trm = re.match(
+                r"^\s*TRUNCATE\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*(?:SYNC)?\s*$",
+                s, re.IGNORECASE,
+            )
+            if trm and artifact_dir is not None:
+                # TRUNCATE removes every part: resident index caches expire
+                # and the per-part index files are cleared (00030:
+                # CacheExpire, Cleared)
+                from myscaledb_spark.plans import frame_cache
+                from myscaledb_spark.plans.vector_index import IndexRegistry
+
+                reg = IndexRegistry(artifact_dir)
+                for r in reg.list():
+                    if (r.get("table") == trm.group(1)
+                            and r.get("status") == "Built"):
+                        frame_cache.evict_prefix(
+                            os.path.join(artifact_dir, r["name"])
+                        )
+                        reg.add_event(r["name"], "CacheExpire",
+                                      cache_resident=False)
+                        reg.add_event(r["name"], "Cleared")
             mcm2 = re.match(
                 r"^\s*ALTER\s+TABLE\s+(\w+)\s+MATERIALIZE\s+COLUMN\s+(\w+)",
                 s, re.IGNORECASE,
@@ -1494,9 +1543,51 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
                     rec = alter_index_ddl(spark, ddl_stmt, spark.table(t), idc, artifact_dir)
                     if isinstance(rec, dict) and rec.get("name"):
                         IndexRegistry(artifact_dir).annotate(rec["name"], table=t)
+            if insm and artifact_dir is not None:
+                # a new part lands on a table with BUILT vector indexes:
+                # the reference builds the index on the inserted part
+                # asynchronously (VIBuilderUpdater; 00030's post-INSERT
+                # BuildStart..BuildSucceed trace) — status drops back to
+                # InProgress until the queued rebuild completes, same
+                # protocol as the lightweight-DELETE hook
+                from myscaledb_spark.plans.vector_index import IndexRegistry
+
+                t = insm.group("table")
+                reg = IndexRegistry(artifact_dir)
+                for r in reg.list():
+                    if (r.get("table") == t and r.get("status") == "Built"
+                            and r.get("expr")
+                            and "fts" not in str(r.get("index_type", "")).lower()
+                            and "type fts" not in str(r.get("expr", "")).lower()
+                            and not any(p[2] == r["name"] for p in _pending())):
+                        reg.set_status(r["name"], "InProgress")
+                        _pending().append((
+                            f"ALTER TABLE {t} ADD VECTOR INDEX {r['expr']}",
+                            t, r["name"], "rebuild",
+                        ))
         else:
             if re.search(r"\bsystem\.\w+", s, re.IGNORECASE):
                 s = _bind_system_tables(spark, s, artifact_dir)
+            if artifact_dir is not None and re.search(
+                r"\b(distance|batch_distance|TextSearch|HybridSearch)\s*\(",
+                s, re.IGNORECASE,
+            ):
+                # a search against a table whose Built index was evicted
+                # (DETACH/ATTACH) re-loads it into the cache — VIEventLog
+                # logs the LoadStart/LoadSucceed pair on first use
+                # (00030's post-ATTACH query)
+                from myscaledb_spark.plans.vector_index import IndexRegistry
+
+                reg = IndexRegistry(artifact_dir)
+                for r in reg.list():
+                    if (r.get("status") == "Built"
+                            and r.get("cache_resident") is False
+                            and r.get("table")
+                            and re.search(rf"\b{re.escape(r['table'])}\b", s)):
+                        reg.add_event(r["name"], "LoadStart")
+                        reg.add_event(
+                            r["name"], "LoadSucceed", cache_resident=True
+                        )
             result = ch_sql(spark, s)
     # A multi-statement script flushes at its end (builds nothing observed
     # are still materialized for API callers reusing artifact_dir).  A

@@ -37,6 +37,20 @@ from myscaledb_spark.functions.vector import distance
 from myscaledb_spark.operators.topk import vector_topk
 
 
+_LAST_EVENT_T = [0.0]
+
+
+def _next_event_time() -> float:
+    """Strictly increasing event timestamps: VIEventLog rows are consumed
+    ORDER BY event_time_microseconds (00030), and several events can land
+    in the same statement — ties would make the order nondeterministic."""
+    t = time.time()
+    if t <= _LAST_EVENT_T[0]:
+        t = _LAST_EVENT_T[0] + 1e-6
+    _LAST_EVENT_T[0] = t
+    return t
+
+
 class IndexRegistry:
     """≈ system.vector_indices (attachSystemTables.cpp:144). One JSON file
     per index under <root>/registry/ — tiny metadata, not data."""
@@ -50,8 +64,10 @@ class IndexRegistry:
 
     def set_status(self, name: str, status: str, **extra) -> None:
         rec = {"name": name, "status": status, "updated_at": time.time(), **extra}
+        prev_status = None
         if os.path.exists(self._path(name)):
             old = json.load(open(self._path(name)))
+            prev_status = old.get("status")
             events = old.pop("events", [])
             old.update(rec)
             rec = old
@@ -61,7 +77,7 @@ class IndexRegistry:
             # (VIEventLog: DefinitionCreated precedes the build events);
             # seq preserves declaration order for the listing (the reference
             # lists indexes in metadata order, 00041)
-            rec["events"] = [{"status": "Defined", "event_time": time.time()}]
+            rec["events"] = [{"status": "Defined", "event_time": _next_event_time()}]
             existing = [
                 json.load(open(os.path.join(self.dir, f))).get("seq", 0)
                 for f in os.listdir(self.dir)
@@ -72,9 +88,36 @@ class IndexRegistry:
         # (src/VectorIndex/Interpreters/VIEventLog.cpp); a repeated
         # transition (e.g. deferred InProgress followed by the build's own
         # InProgress) is ONE build start, not two
+        if status == "Built" and prev_status == "InProgress":
+            # the build's artifact read-back is the index's initial cache
+            # residency: VIEventLog logs LoadStart/LoadSucceed INSIDE the
+            # build window (00030: BuildStart, LoadStart, LoadSucceed,
+            # BuildSucceed)
+            for lbl in ("LoadStart", "LoadSucceed"):
+                rec["events"].append(
+                    {"status": lbl, "event_time": _next_event_time()}
+                )
+            rec["cache_resident"] = True
         if not rec["events"] or rec["events"][-1].get("status") != status:
-            rec["events"].append({"status": status, "event_time": time.time()})
+            rec["events"].append(
+                {"status": status, "event_time": _next_event_time()}
+            )
         json.dump(rec, open(self._path(name), "w"), indent=1)
+
+    def add_event(self, name: str, label: str, **extra) -> None:
+        """Append a raw VIEventLog row (LoadStart / LoadSucceed /
+        CacheExpire / Cleared — VIEventLog.cpp event vocabulary) WITHOUT a
+        status transition; ``extra`` fields merge into the record (e.g.
+        cache_resident bookkeeping)."""
+        p = self._path(name)
+        if not os.path.exists(p):
+            return
+        rec = json.load(open(p))
+        rec.setdefault("events", []).append(
+            {"status": label, "event_time": _next_event_time()}
+        )
+        rec.update(extra)
+        json.dump(rec, open(p, "w"), indent=1)
 
     def reset(self, name: str) -> None:
         """Discard a record entirely — a same-named index declared on a

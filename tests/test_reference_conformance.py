@@ -52,6 +52,10 @@ PINNED = [
     "00037_mqvs_replicated_multiple_build_status.sql",
     "00041_mqvs_support_create_default_index.sql",
     "00037_mqvs_multiple_lwd.sql",
+    # r8: VIEventLog cache/load lifecycle (build read-back residency,
+    # DETACH CacheExpire, post-ATTACH query load, DROP cleanup, TRUNCATE
+    # clear, INSERT rebuild-on-new-part)
+    "00030_mqvs_vector_event_log.sql",
     # r7: EXPLAIN AST (0_stateless pin — echoOn protocol + both optimize
     # modes; the harness path prefix routes it to its own directory)
     "../0_stateless/02353_explain_ast_optimize.sql",
