@@ -44,6 +44,65 @@ def pack_sequences(
     """
     cnt = F.col(count_col) if isinstance(count_col, str) else count_col
     narrow = df.select(F.col(id_col), *[F.col(c) for c in order_cols], cnt.alias("_n"))
+    nshuf = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    dtypes = dict(narrow.dtypes)
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    if len(order_cols) == 1 and (
+        dtypes[order_cols[0]] in numeric
+        or dtypes[order_cols[0]].startswith("decimal")
+    ):
+        # r8 fast path (the rank_corr lesson): a single NUMERIC order key
+        # partitions DETERMINISTICALLY via width_bucket over broadcast
+        # min/max — no boundary-sampling job, no localCheckpoint, and the
+        # per-bucket offsets are an in-plan broadcast prefix-sum subtree,
+        # so the whole prefix sum is ONE action (re-execution is
+        # value-determined, never split-dependent)
+        okey = order_cols[0]
+        grid = max(nshuf * 4, 64)
+        v = F.col(okey).cast("double")
+        mm = narrow.agg(F.min(v).alias("_mn"), F.max(v).alias("_mx"))
+        pid = (
+            F.when(v.isNull(), F.lit(-1))
+            .when(F.isnan(v), F.lit(grid + 2))
+            .when(F.col("_mn") == F.col("_mx"), F.lit(1))
+            .otherwise(F.width_bucket(v, F.col("_mn"), F.col("_mx"), F.lit(grid)))
+        )
+        wb = (
+            narrow.crossJoin(F.broadcast(mm))
+            .withColumn("_pid", pid)
+            .drop("_mn", "_mx")
+        )
+        w_pref = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+        off = F.broadcast(
+            wb.groupBy(F.col("_pid").alias("_b"))
+            .agg(F.sum("_n").alias("_t"))
+            .withColumn("_offset", F.coalesce(F.sum("_t").over(w_pref), F.lit(0)))
+            .select(F.col("_b").alias("_pid"), "_offset")
+        )
+        w = (
+            Window.partitionBy("_pid")
+            .orderBy(okey, id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = (
+            wb.repartition(nshuf, F.col("_pid"))
+            .withColumn("_local_cum", F.sum("_n").over(w))
+            .join(off, "_pid")
+        )
+        return (
+            cum.withColumn(
+                "_cum_before",
+                F.col("_offset") + F.col("_local_cum") - F.col("_n"),
+            )
+            .select(
+                F.col(id_col),
+                F.floor(F.col("_cum_before") / budget).cast("long").alias("seq_id"),
+                (F.col("_cum_before") % budget).alias("offset_in_seq"),
+                F.col("_n").alias("n_tokens"),
+            )
+        )
     parted = (
         narrow.repartitionByRange(num_partitions, *order_cols)
         if num_partitions
