@@ -499,11 +499,6 @@ PARAMETRIC: dict[str, str] = {
 }
 
 UNSUPPORTED_SYNTAX = {
-    r"\b(LEFT\s+|RIGHT\s+|INNER\s+)?ANY\s+JOIN\b": (
-        "ANY JOIN → myscaledb_spark.operators.relational.any_join "
-        "(SQL can't pin which right row survives; the helper makes it "
-        "deterministic via right_order)"
-    ),
     # the SQL forms of the search table-functions ARE supported — but only
     # through ch_sql (they need a live session to run the operators,
     # sql_search.py); the bare textual rewrite cannot express them
@@ -2247,6 +2242,121 @@ def _fill_defaulted(n: str, fill_col: str, types: dict[str, str]) -> str:
     return f"CASE WHEN _orig THEN `{n}` ELSE {dflt} END AS `{n}`"
 
 
+def _add_implicit_one(sql: str) -> str:
+    """A FROM-less SELECT reads system.one in ClickHouse — its `dummy`
+    column (UInt8 0) resolves implicitly (`SELECT dummy, dummy AS value`,
+    00120/00016/00066).  Spark has no implicit source, so a SELECT segment
+    with no top-level FROM that references bare ``dummy`` gains
+    `FROM (SELECT 0 AS dummy)`; literal-only FROM-less SELECTs stay
+    untouched (Spark supports those natively).  Applied recursively to
+    parenthesized subqueries."""
+    if not re.search(r"\bdummy\b", sql, re.IGNORECASE):
+        return sql
+    mask = _string_mask(sql)
+    out: list[str] = []
+    i = 0
+    while i < len(sql):
+        if mask[i] == "(":
+            close = _find_call_end(sql, i)
+            out.append("(" + _add_implicit_one(sql[i + 1: close - 1]) + ")")
+            i = close
+        else:
+            out.append(sql[i])
+            i += 1
+    sql = "".join(out)
+    tmask = _top_level_mask(sql)
+    if not re.match(r"\s*SELECT\b", tmask, re.IGNORECASE):
+        return sql
+    if re.search(r"\bFROM\b", tmask, re.IGNORECASE):
+        return sql
+    # the dummy reference may sit inside parens (`(dummy IN (1)) AS x`,
+    # 00066) — check the raw text, not the top-level mask
+    if not re.search(r"\bdummy\b", sql, re.IGNORECASE):
+        return sql
+    cm = re.search(
+        r"\b(WHERE|GROUP|HAVING|ORDER|LIMIT|UNION|SETTINGS|FORMAT)\b|$",
+        tmask, re.IGNORECASE,
+    )
+    ins = " FROM (SELECT CAST(0 AS SMALLINT) AS dummy) _sysone "
+    return sql[: cm.start()].rstrip() + ins + sql[cm.start():]
+
+
+_ANY_JOIN_RE = re.compile(
+    r"\b(?:(LEFT|INNER|RIGHT)\s+)?ANY\s+(?:(LEFT|INNER|RIGHT)\s+)?JOIN\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_any_join(sql: str) -> str:
+    """`[kind] ANY [kind] JOIN right [alias] USING keys` → a plain join
+    against the right side deduplicated to one row per key
+    (`row_number() OVER (PARTITION BY keys ORDER BY keys) = 1`) — the
+    reference's ANY strictness keeps a single (unspecified) matching right
+    row (src/Interpreters/TableJoin.h JoinStrictness::Any); among true
+    duplicates our pick is likewise unspecified, and for unique right keys
+    (every pinned use: 00120/00057-style tests) the result is exact.
+    RIGHT/ON forms raise with a pointer to the deterministic API helper."""
+    m = _ANY_JOIN_RE.search(_top_level_mask(sql))
+    if m is None:
+        return sql
+    kind = (m.group(1) or m.group(2) or "INNER").upper()
+    if kind == "RIGHT":
+        raise ChSqlError(
+            "ANY RIGHT JOIN → myscaledb_spark.operators.relational.any_join"
+        )
+    rest = sql[m.end():]
+    rmask = _string_mask(rest)
+    # right side: parenthesized subquery or identifier chain
+    pm = re.match(r"\s*\(", rest)
+    if pm:
+        close = _find_call_end(rest, pm.end() - 1)
+        right = rest[pm.end() - 1: close]
+        tail = rest[close:]
+    else:
+        im = re.match(r"\s*[\w.]+", rmask)
+        if im is None:
+            raise ChSqlError("ANY JOIN: cannot parse the right-side table")
+        right = rest[: im.end()].strip()
+        tail = rest[im.end():]
+    am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", tail, re.IGNORECASE)
+    alias = ""
+    if am and am.group(1).upper() != "USING":
+        alias = " " + am.group(1)
+        tail = tail[am.end():]
+    um = re.match(r"\s*USING\s*", tail, re.IGNORECASE)
+    if um is None:
+        raise ChSqlError(
+            "ANY JOIN supports the USING form only → "
+            "myscaledb_spark.operators.relational.any_join for ON joins"
+        )
+    kt = tail[um.end():]
+    if kt.lstrip().startswith("("):
+        kclose = _find_call_end(kt, kt.index("("))
+        keys_txt = kt[kt.index("(") + 1: kclose - 1]
+        kt_rest = kt[kclose:]
+    else:
+        km = re.search(
+            r"\b(WHERE|GROUP|HAVING|ORDER|LIMIT|SETTINGS|UNION|FORMAT)\b|$",
+            _string_mask(kt), re.IGNORECASE,
+        )
+        keys_txt = kt[: km.start()]
+        kt_rest = kt[km.start():]
+    keys = ", ".join(k.strip() for k in keys_txt.split(",") if k.strip())
+    if not keys:
+        raise ChSqlError("ANY JOIN USING needs at least one key column")
+    dedup = (
+        f"(SELECT * EXCEPT (_ajrn) FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY {keys} ORDER BY {keys}) AS _ajrn FROM {right} "
+        f"_ajsrc) _ajq WHERE _ajrn = 1)"
+    )
+    out = (
+        sql[: m.start()]
+        + f" {'LEFT' if kind == 'LEFT' else 'INNER'} JOIN {dedup}{alias} "
+        + f"USING ({keys}) " + kt_rest
+    )
+    return _rewrite_any_join(out)
+
+
 def _rewrite_limit_by_nested(sql: str) -> str:
     """Apply the LIMIT BY rewrite inside parenthesized subqueries too
     (00743_limit_by_not_found_column: `SELECT count(*) FROM (... LIMIT 5 BY
@@ -2915,7 +3025,54 @@ def _special_finalize_aggregation(args: list[str]) -> str:
     )
 
 
+def _lit_kind(txt: str) -> str | None:
+    """Literal type class of an expression TEXT: 'str' / 'num' for plain
+    literals, the first element's class for array literals, None when not a
+    literal (runtime-typed — no static check possible)."""
+    t = txt.strip()
+    if t.startswith("[") and t.endswith("]"):
+        inner = t[1:-1].strip()
+        return _lit_kind(inner.split(",", 1)[0]) if inner else None
+    if t.startswith("'"):
+        return "str"
+    if re.fullmatch(r"[+-]?\d+(\.\d*)?([eE][+-]?\d+)?", t):
+        return "num"
+    return None
+
+
+def _special_transform(args: list[str]) -> str:
+    """transform(x, array_from, array_to[, default]) — the dictionary-map
+    function (src/Functions/transform.cpp): x values found in array_from
+    map to the matching array_to element; others take ``default`` (4-arg)
+    or x itself (3-arg, which requires x and array_to to share a type —
+    serverError 43).  Spark's transform(arr, lambda) HOF passes through
+    untouched (arity + lambda detection)."""
+    if len(args) == 2 and "->" in args[1]:
+        return f"transform({', '.join(args)})"
+    if len(args) not in (3, 4):
+        raise ChSqlError(
+            "transform(x, array_from, array_to[, default]) takes 3 or 4 "
+            f"arguments, got {len(args)}"
+        )
+    x, src, dst = args[0], args[1], args[2]
+    if len(args) == 3:
+        kx, kd = _lit_kind(x), _lit_kind(dst)
+        if kx and kd and kx != kd:
+            # 3-arg form falls back to x — mixed x/array_to types are the
+            # reference's ILLEGAL_TYPE_OF_ARGUMENT (00153 serverError 43);
+            # Spark's coalesce would silently coerce instead
+            raise ChSqlError(
+                "transform: 3-argument form needs x and array_to of the "
+                "same type (serverError 43) — pass an explicit default"
+            )
+        return f"coalesce(element_at(map_from_arrays({src}, {dst}), {x}), {x})"
+    return (
+        f"coalesce(element_at(map_from_arrays({src}, {dst}), {x}), {args[3]})"
+    )
+
+
 SPECIAL = {
+    "transform": _special_transform,
     "dateDiff": _special_date_diff,
     "date_diff": _special_date_diff,
     "toWeek": _special_to_week,
@@ -2964,6 +3121,72 @@ for _name, _secs in (
     )
 
 
+# intHash64 / intHash32 as pure-SQL templates — the exact ports of
+# functions/hashes.int_hash64/int_hash32 (src/Common/HashTable/Hash.h),
+# composed from the same wrapping-add limb decomposition so ANSI overflow
+# checking can never fire; verified bit-identical to the Column forms.
+_M32_SQL = "4294967295"
+
+
+def _wadd_sql(a: str, b: str) -> str:
+    lo = f"(({a} & {_M32_SQL}) + ({b} & {_M32_SQL}))"
+    hi = (
+        f"(shiftrightunsigned({a}, 32) + shiftrightunsigned({b}, 32) + "
+        f"shiftrightunsigned({lo}, 32))"
+    )
+    return f"(shiftleft({hi}, 32) | ({lo} & {_M32_SQL}))"
+
+
+def _int_hash64_sql() -> str:
+    # the SQL-visible intHash64 salts its input first
+    # (FunctionsHashing.h:150: intHash64(x ^ 0x4CF2D2BAAE6DA887)) and
+    # returns UInt64 — the signed result wraps into DECIMAL(20,0) so values
+    # print and SORT like the reference's unsigned column
+    y = "(acc ^ shiftrightunsigned(acc, 33))"
+    limb = "(shiftrightunsigned(c, CAST(16 * i AS INT)) & 65535)"
+    lo = f"(({y} & {_M32_SQL}) * {limb})"
+    hi = f"(shiftrightunsigned({y}, 32) * {limb})"
+    part = _wadd_sql(lo, f"shiftleft({hi}, 32)")
+    inner = (
+        "aggregate(sequence(0, 3), CAST(0 AS BIGINT), (o, i) -> "
+        + _wadd_sql("o", f"shiftleft({part}, CAST(16 * i AS INT))")
+        + ", o -> o)"
+    )
+    h = (
+        "aggregate(array(CAST(-49064778989728563 AS BIGINT), "
+        "CAST(-4265267296055464877 AS BIGINT)), "
+        "(CAST(({0}) AS BIGINT) ^ 5544725790478674055), "
+        f"(acc, c) -> {inner}, acc -> (acc ^ shiftrightunsigned(acc, 33)))"
+    )
+    return (
+        f"CAST(CAST({h} AS DECIMAL(20, 0)) + CASE WHEN {h} < 0 THEN "
+        "CAST(18446744073709551616 AS DECIMAL(21, 0)) ELSE 0 END "
+        "AS DECIMAL(20, 0))"
+    )
+
+
+def _int_hash32_sql() -> str:
+    # SQL intHash32 = intHash32<0x75D9543DE018BF45>(x)
+    # (FunctionsHashing.h:140) — salt-xor then the six avalanche steps;
+    # the result is already 0..2^32-1
+    steps = (
+        f"CASE WHEN i = 1 THEN {_wadd_sql('(k ^ -1)', 'shiftleft(k, 18)')} "
+        "WHEN i = 2 THEN (k ^ (shiftrightunsigned(k, 31) | shiftleft(k, 33))) "
+        f"WHEN i = 3 THEN {_wadd_sql(_wadd_sql('shiftleft(k, 4)', 'shiftleft(k, 2)'), 'k')} "
+        "WHEN i = 4 THEN (k ^ (shiftrightunsigned(k, 11) | shiftleft(k, 53))) "
+        f"WHEN i = 5 THEN {_wadd_sql('k', 'shiftleft(k, 6)')} "
+        "ELSE (k ^ (shiftrightunsigned(k, 22) | shiftleft(k, 42))) END"
+    )
+    return (
+        "aggregate(sequence(1, 6), "
+        "(CAST(({0}) AS BIGINT) ^ 8491911197113237317), "
+        f"(k, i) -> {steps}, acc -> (acc & {_M32_SQL}))"
+    )
+
+
+TEMPLATES["intHash64"] = _int_hash64_sql()
+TEMPLATES["intHash32"] = _int_hash32_sql()
+
 # emptyArray<T>() → a typed empty array literal (emptyArrayToSingle's
 # family, src/Functions/array/emptyArray*.cpp)
 for _ch, _sp in (
@@ -3006,7 +3229,30 @@ def rewrite(sql: str, schema_fn=None, types_fn=None, analyze_fn=None) -> str:
         sql,
     )
     sql = _strip_settings(sql)
+    sql = _add_implicit_one(sql)
     sql = _rewrite_asof_join(sql)
+    # `ALL <kind> JOIN` — ALL is ClickHouse's default join strictness
+    # spelled explicitly (00053_all_inner_join); Spark's parser rejects it
+    sql = _masked_sub(
+        re.compile(
+            r"\bALL\s+((?:INNER|LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?JOIN)\b",
+            re.IGNORECASE,
+        ),
+        lambda m: m.group(1),
+        sql,
+    )
+    sql = _rewrite_any_join(sql)
+    if re.search(r"\bJOIN\b", sql, re.IGNORECASE):
+        # ClickHouse accepts paren-less `USING k1, k2`; Spark requires the
+        # parenthesized form (00053_all_inner_join)
+        sql = _masked_sub(
+            re.compile(
+                r"\bUSING\s+(?!\()([A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)",
+                re.IGNORECASE,
+            ),
+            lambda m: f"USING ({m.group(1)})",
+            sql,
+        )
     # MySQL-style `LIMIT offset, n` (ClickHouse accepts it) → LIMIT/OFFSET;
     # `LIMIT n, m BY cols` stays with the LIMIT BY rewrite below
     sql = _masked_sub(

@@ -71,16 +71,30 @@ def test_interpolate_computed_expr_compounds(spark):
             assert r.rev == carried * (2 ** k)  # exact binary scaling
 
 
-def test_interpolate_rejects_other_column_reference(spark):
-    with pytest.raises(ChSqlError, match="previous output row"):
-        ch_sql(
+def test_interpolate_other_column_reads_previous_output_row(spark):
+    """r7 pinned this shape as a refusal; r8 implements the reference's
+    actual semantics (02233_interpolate_1: `inter AS inter2 + inter`):
+    the referenced column reads the PREVIOUS OUTPUT row — the anchor's
+    value on a gap's first fill, the column default (n = 0) on later
+    fills."""
+    rows = {
+        r["d"]: (r["n"], r["rev"])
+        for r in ch_sql(
             spark,
             """
             SELECT o_orderkey AS d, count(*) AS n, sum(o_totalprice) AS rev
-            FROM orders WHERE o_orderkey < 8 GROUP BY o_orderkey
-            ORDER BY d WITH FILL FROM 1 TO 12 INTERPOLATE (rev AS rev + n)
+            FROM orders WHERE o_orderkey IN (1, 6) GROUP BY o_orderkey
+            ORDER BY d WITH FILL FROM 1 TO 8 INTERPOLATE (rev AS rev + n)
             """,
-        )
+        ).collect()
+    }
+    n1, rev1 = rows[1]
+    assert rows[2] == (0, rev1 + n1)          # first fill: anchor's n
+    assert rows[3] == (0, rev1 + n1)          # later fills add default 0
+    assert rows[5] == (0, rev1 + n1)
+    n6, rev6 = rows[6]
+    assert n6 >= 1
+    assert rows[7] == (0, rev6 + n6)
 
 
 def test_with_fill_api_computed_interpolate(spark):

@@ -96,6 +96,20 @@ PINNED = [
     "../0_stateless/00087_distinct_of_empty_arrays.sql",
     "../0_stateless/00024_unused_array_join_in_subquery.sql",
     "../0_stateless/00072_in_types.sql",
+    # r8 SELECT-surface batch 3: array sorting/typing, UNION ALL, implicit
+    # system.one (FROM-less `dummy`), ALL/ANY JOIN strictness forms with
+    # paren-less USING, transform() dictionary mapping, salted SQL
+    # intHash64/intHash32 as UInt64
+    "../0_stateless/00007_array.sql",
+    "../0_stateless/00012_array_join_alias_2.sql",
+    "../0_stateless/00020_sorting_arrays.sql",
+    "../0_stateless/00021_sorting_arrays.sql",
+    "../0_stateless/00035_function_array_return_type.sql",
+    "../0_stateless/00098_6_union_all.sql",
+    "../0_stateless/00153_transform.sql",
+    "../0_stateless/00053_all_inner_join.sql",
+    "../0_stateless/00120_join_and_group_by.sql",
+    "../0_stateless/00066_group_by_in.sql",
 ]
 
 
