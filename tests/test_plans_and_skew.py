@@ -242,14 +242,15 @@ def test_no_python_eval_in_any_gate_plan(spark):
     # design for nq≫100 batch search (Arrow-batched matrix math — the
     # vectorized analog of the reference's SIMD batch kernels), gated
     # against the explode-path oracle
-    # ch_sql_with_fill_multi / _desc: the FillingTransform odometer port is
-    # a deliberate single-stream mapInPandas (the reference's own
-    # ISimpleTransform execution shape); fill output is result-scale, and
-    # the hot single-ascending-fill path keeps the JVM grid-join rewrite
+    # ch_sql_with_fill_multi / _desc / _multi_interpolate: the
+    # FillingTransform odometer port is a deliberate single-stream
+    # mapInPandas (the reference's own ISimpleTransform execution shape);
+    # fill output is result-scale, and the hot single-ascending-fill path
+    # keeps the JVM grid-join rewrite
     allow = {
         "avg_vector_centroids", "multimodal_roundtrip",
         "batch_distance_gemm", "ch_sql_with_fill_multi",
-        "ch_sql_with_fill_desc",
+        "ch_sql_with_fill_desc", "ch_sql_with_fill_multi_interpolate",
     }
     offenders = []
     for name, (fn, _oracle) in sorted(suite.REGISTRY.items()):

@@ -147,8 +147,12 @@ def test_vector_index_event_log(spark, tmp_path):
     IndexRegistry(art).set_status("ivf", "Dropped")
     log = system_vector_index_event_log(spark, art)
     rows = log.orderBy("event_time").collect()
-    # Defined -> InProgress -> Built -> Dropped, in order (VIEventLog lifecycle)
-    assert [r["status"] for r in rows] == ["Defined", "InProgress", "Built", "Dropped"]
+    # Defined -> InProgress -> LoadStart/LoadSucceed (the build's artifact
+    # read-back is the initial cache residency, 00030) -> Built -> Dropped
+    assert [r["status"] for r in rows] == [
+        "Defined", "InProgress", "LoadStart", "LoadSucceed", "Built", "Dropped",
+    ]
     assert [r["event_type"] for r in rows] == [
-        "DefinitionCreated", "BuildStart", "BuildSucceed", "DefinitionDroped",
+        "DefinitionCreated", "BuildStart", "LoadStart", "LoadSucceed",
+        "BuildSucceed", "DefinitionDroped",
     ]
