@@ -176,8 +176,35 @@ def system_vector_indices_ddl(
     from myscaledb_spark.plans.vector_index import IndexRegistry
 
     host = socket.gethostname()
-    rows = [
-        (
+
+    def _part_counts(r: dict) -> tuple[int, int]:
+        """(total_parts, parts_with_vector_index). With the part tracker:
+        total = active parts; covered = parts whose OWN index segment is
+        live (a decoupled merged part counts 0 — its self-segment is
+        PENDING until the rebuild lands: 00034/00037_support_multiple).
+        API-built whole-table artifacts keep the 1/1 shape."""
+        try:
+            from myscaledb_spark.plans.table_ddl import TABLES, _part_label
+        except ImportError:  # pragma: no cover
+            return 1, 1 if r.get("status") == "Built" else 0
+        parts = TABLES.get(r.get("table", ""), {}).get("parts")
+        if parts is None:
+            return 1, 1 if r.get("status") == "Built" else 0
+        total = len(parts)
+        segs = r.get("segments")
+        if segs is not None:
+            owned = {p for p, o, _i, st in segs if p == o and st != "PENDING"}
+            covered = sum(1 for p in parts if _part_label(p) in owned)
+        else:
+            covered = total if r.get("status") == "Built" else 0
+        return total, covered
+
+    rows = []
+    for r in (IndexRegistry(artifact_dir).list() if artifact_dir else []):
+        if r.get("status") == "Dropped":
+            continue
+        total_parts, covered_parts = _part_counts(r)
+        rows.append((
             "default",
             r.get("table", ""),
             r.get("name"),
@@ -185,17 +212,14 @@ def system_vector_indices_ddl(
             r.get("expr")
             or f"{r.get('name')} {r.get('column', '')} TYPE "
             f"{r.get('declared_type') or r.get('index_type') or 'FLAT'}",
-            1,
-            1 if r.get("status") == "Built" else 0,
+            total_parts,
+            covered_parts,
             0,
             r.get("status"),
             host,
             r.get("latest_failed_part", ""),
             r.get("latest_fail_reason", ""),
-        )
-        for r in (IndexRegistry(artifact_dir).list() if artifact_dir else [])
-        if r.get("status") != "Dropped"
-    ]
+        ))
     # replicas surface the primary's indexes under their own table name
     # (ReplicatedMergeTree metadata replication; 00034)
     try:
@@ -243,33 +267,44 @@ def system_vector_index_segments(
     spark: SparkSession, artifact_dir: str | None
 ) -> DataFrame:
     """≈ system.vector_index_segments (StorageSystemVIsWithPart.cpp:43-56).
-    Artifacts here are whole-table, so each Built index reports one segment
-    named like the reference's single compact part ('all_1_1_0'); BUILT is
-    the terminal state (we have no LRU cache, so no LOADED/CACHE states)."""
+    Records carrying part-model ``segments`` lineage (ch_ddl tables —
+    table_ddl part tracker) report one row per (part, owner_part): LOADED
+    while cache-resident, BUILT when the artifact was evicted
+    (DETACH/ATTACH — VICacheManager residency, 00031), PENDING for a
+    decoupled merged part's own not-yet-rebuilt index (00032/00034/00037).
+    Detached tables disappear from the listing. API-built whole-table
+    artifacts keep the single compact-part BUILT row."""
     from myscaledb_spark.plans.ddl import compact_part_name
+    from myscaledb_spark.plans.table_ddl import TABLES
     from myscaledb_spark.plans.vector_index import IndexRegistry
 
-    rows = [
-        (
-            "default",
-            r.get("table", ""),
-            compact_part_name(r.get("table", "")),
-            compact_part_name(r.get("table", "")),
-            0,
-            r.get("name"),
-            _vi_type_display(r),
-            0,
-            "BUILT",
-            0,
-            0,
-            0,
-            100,
-            0,
-            "",
-        )
-        for r in (IndexRegistry(artifact_dir).list() if artifact_dir else [])
-        if r.get("status") == "Built"
-    ]
+    rows = []
+    for r in (IndexRegistry(artifact_dir).list() if artifact_dir else []):
+        if r.get("status") == "Dropped":
+            continue
+        table = r.get("table", "")
+        if TABLES.get(table, {}).get("detached"):
+            continue
+        segs = r.get("segments")
+        if segs is not None:
+            # an EMPTY list is real state (post-TRUNCATE: parts gone, no
+            # segments) — only records that never tracked parts fall back
+            # to the legacy whole-table row
+            resident = r.get("cache_resident", True)
+            for part, owner, oid, st in segs:
+                disp = st if st == "PENDING" else (
+                    "LOADED" if resident else "BUILT"
+                )
+                rows.append((
+                    "default", table, part, owner, int(oid), r.get("name"),
+                    _vi_type_display(r), 0, disp, 0, 0, 0, 100, 0, "",
+                ))
+        elif r.get("status") == "Built":
+            rows.append((
+                "default", table, compact_part_name(table),
+                compact_part_name(table), 0, r.get("name"),
+                _vi_type_display(r), 0, "BUILT", 0, 0, 0, 100, 0, "",
+            ))
     return spark.createDataFrame(
         rows,
         "database string, table string, part string, owner_part string, "
@@ -317,10 +352,47 @@ def system_merge_tree_settings(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([(n, "") for n in names], "name string, value string")
 
 
-def system_zookeeper(spark: SparkSession) -> DataFrame:
-    """≈ system.zookeeper — replication coordination state; this engine has
-    no ZooKeeper (replication is a no-op), so the listing is empty."""
-    return spark.createDataFrame([], "name string, value string, path string")
+def system_zookeeper(
+    spark: SparkSession, artifact_dir: str | None = None
+) -> DataFrame:
+    """≈ system.zookeeper — replication coordination state. Replication is
+    a no-op here, but the per-replica ``vidx_info`` node is real metadata:
+    one ``<part>\\t<index>\\n`` entry per (active part, built vector index),
+    part names WITHOUT the mutation suffix (VIDescriptions::toString over
+    getPartNameWithoutMutation — 00032_mqvs_vector_index_autoload). The
+    node appears with the first build, survives DROP VECTOR INDEX as an
+    empty value, and vanishes with DROP TABLE."""
+    rows: list[tuple[str, str, str]] = []
+    if artifact_dir is not None:
+        from myscaledb_spark.plans.table_ddl import (
+            TABLES,
+            _part_base_label,
+            _part_label,
+        )
+        from myscaledb_spark.plans.vector_index import IndexRegistry
+
+        recs = IndexRegistry(artifact_dir).list()
+        for t, meta in TABLES.items():
+            zkp = meta.get("zk_replica_path")
+            if not zkp or meta.get("detached"):
+                continue
+            trecs = [r for r in recs if r.get("table") == t and "segments" in r]
+            if not trecs:
+                continue  # node is created by the first index build
+            live = sorted(
+                (r for r in trecs if r.get("status") != "Dropped"),
+                key=lambda r: r.get("seq", 0),
+            )
+            entries = []
+            for p in meta.get("parts") or []:
+                lbl = _part_label(p)
+                for r in live:
+                    if any(seg[0] == lbl for seg in r.get("segments") or []):
+                        entries.append(f"{_part_base_label(p)}\t{r['name']}\n")
+            rows.append(("vidx_info", "".join(entries), zkp))
+    return spark.createDataFrame(
+        rows, "name string, value string, path string"
+    )
 
 
 def system_one(spark: SparkSession) -> DataFrame:

@@ -242,6 +242,100 @@ _INSERT_RE = re.compile(
 TABLES: dict[str, dict] = {}
 _SEQ: dict[str, int] = {}
 
+
+# ---------------------------------------------------------------------------
+# Part model — MergeTree part NAMING lineage (`all_<min>_<max>_<level>
+# [_<mutation>]`, MergeTreePartInfo::getPartNameV1) tracked as metadata so
+# the diagnostics surface (system.vector_index_segments, the replicas'
+# zookeeper vidx_info node) prints the reference's exact part names.  Data
+# itself lives in the single logical store — parts here are bookkeeping,
+# like the reference's in-RAM part set, never a physical layout constraint.
+#   - INSERT allocates one block number (replicated tables count from 0,
+#     plain MergeTree from 1 — MergeTreeData::getMaxBlockNumber seed),
+#   - a lightweight DELETE is a mutation: it allocates a block number as its
+#     version and renames every existing part `..._<version>`,
+#   - OPTIMIZE FINAL merges all active parts into
+#     `all_<min(min)>_<max(max)>_<max(level)+1>[_<max(mut)>]`,
+#   - TRUNCATE drops all parts without consuming a block (00031's
+#     post-TRUNCATE INSERT lands on the next sequential block).
+# ---------------------------------------------------------------------------
+
+
+def _part_label(p: dict) -> str:
+    base = f"all_{p['min']}_{p['max']}_{p['level']}"
+    return f"{base}_{p['mut']}" if p.get("mut") else base
+
+
+def _part_base_label(p_or_name) -> str:
+    """Part name WITHOUT the mutation version — what the replication
+    coordinator's vidx_info node records (VIDescriptions::toString uses
+    info.getPartNameWithoutMutation — 00032's post-LWD node keeps
+    'all_0_0_0' while the part on disk is 'all_0_0_0_1')."""
+    if isinstance(p_or_name, dict):
+        return f"all_{p_or_name['min']}_{p_or_name['max']}_{p_or_name['level']}"
+    bits = str(p_or_name).split("_")
+    return "_".join(bits[:4])
+
+
+def _active_parts(table: str) -> list[dict] | None:
+    meta = TABLES.get(table)
+    if meta is None:
+        return None
+    return meta.get("parts")
+
+
+def _alloc_block(table: str) -> int:
+    meta = TABLES[table]
+    b = meta.setdefault("next_block", 0 if meta.get("replicated") else 1)
+    meta["next_block"] = b + 1
+    return b
+
+
+def _eval_zk_arg(arg: str) -> str | None:
+    """Evaluate a Replicated* engine coordinate argument — a string literal
+    or a ``||`` concatenation of literals and currentDatabase() (the
+    reference's test scripts build paths as
+    ``'/clickhouse/tables/'||currentDatabase()||'/...'``). Returns None for
+    anything this tiny folder can't resolve statically."""
+    out = []
+    for seg in (s.strip() for s in arg.split("||")):
+        if len(seg) >= 2 and seg[0] == "'" and seg[-1] == "'":
+            out.append(seg[1:-1])
+        elif re.fullmatch(r"currentDatabase\(\s*\)", seg, re.IGNORECASE):
+            out.append("default")
+        else:
+            return None
+    return "".join(out)
+
+
+def _is_vec_index_record(rec: dict) -> bool:
+    """True for VECTOR index registry records (FTS records share the
+    registry but live outside system.vector_index_segments / vidx_info —
+    the reference keeps tantivy indexes in the skip-index machinery)."""
+    return (
+        "fts" not in str(rec.get("index_type", "")).lower()
+        and "type fts" not in str(rec.get("expr", "")).lower()
+    )
+
+
+def _sync_index_segments(table: str, name: str, artifact_dir: str) -> None:
+    """After a build/rebuild completes, the index covers every ACTIVE part
+    with its own per-part segment (VICacheManager cache residency —
+    LOADED). Decoupled lineage (owner ≠ part) is written by the OPTIMIZE
+    hook instead and collapses here once the merged part's rebuild lands
+    (00031's 'auto build after merge': 3 decoupled rows → 1 LOADED row)."""
+    parts = _active_parts(table)
+    if parts is None:
+        return
+    from myscaledb_spark.plans.vector_index import IndexRegistry
+
+    reg = IndexRegistry(artifact_dir)
+    rec = reg.get(name)
+    if not rec or rec.get("status") != "Built" or not _is_vec_index_record(rec):
+        return
+    segs = [[_part_label(p), _part_label(p), 0, "LOADED"] for p in parts]
+    reg.annotate(name, segments=segs)
+
 #: data-skipping indexes (minmax / bloom_filter / set...) — metadata only:
 #: Spark's parquet scan already does min/max pruning and dictionary/bloom
 #: skipping at the format layer, so these DDLs register the declaration
@@ -504,7 +598,14 @@ def create_table(spark: SparkSession, sql: str) -> dict:
         # merge algorithm with their plain twins)
         eng = eng[len("replicated"):]
         zk_path = None
+        zk_replica_path = None
         if len(eargs) >= 2 and all(a.startswith("'") for a in eargs[:2]):
+            zk_eval = _eval_zk_arg(eargs[0])
+            rep_eval = _eval_zk_arg(eargs[1])
+            if zk_eval and rep_eval:
+                # the replica's coordination node — system.zookeeper rows
+                # (vidx_info etc.) live under <zk_path>/replicas/<replica>
+                zk_replica_path = f"{zk_eval}/replicas/{rep_eval}"
             zk_path = eargs[0].strip().strip("'\"")
             eargs = eargs[2:]
         if zk_path:
@@ -593,7 +694,7 @@ def create_table(spark: SparkSession, sql: str) -> dict:
         store=store,
         agg_cols=agg_cols if kind == "aggregating" else None,
     )
-    TABLES[table] = {"schema": schema, "n_parts": 0}
+    TABLES[table] = {"schema": schema, "n_parts": 0, "parts": []}
     mr = re.search(r"\bmin_rows_to_build_vector_index\s*=\s*(\d+)", tail,
                    re.IGNORECASE)
     if mr:
@@ -602,6 +703,12 @@ def create_table(spark: SparkSession, sql: str) -> dict:
         # (MergeTreeVSManager; 00038_mqvs_brute_force_setting)
         TABLES[table].setdefault("settings", {})[
             "min_rows_to_build_vector_index"] = mr.group(1)
+    for knob in ("enable_rebuild_for_decouple", "enable_decouple_vector_index"):
+        km = re.search(rf"\b{knob}\s*=\s*(\w+)", tail, re.IGNORECASE)
+        if km:
+            # decouple/rebuild policy drives the post-merge segment lineage
+            # (VIDescriptions; 00031/00032/00034 pin both branches)
+            TABLES[table].setdefault("settings", {})[knob] = km.group(1).lower()
     if ch_types:
         TABLES[table]["ch_types"] = ch_types
     if inline_fts is not None:
@@ -611,6 +718,8 @@ def create_table(spark: SparkSession, sql: str) -> dict:
         # replicated merges number blocks from 0 (all_0_0_0), plain
         # MergeTree from 1 (all_1_1_0) — the system views print it
         TABLES[table]["replicated"] = True
+        if zk_replica_path:
+            TABLES[table]["zk_replica_path"] = zk_replica_path
     if pending_vector:
         TABLES[table]["pending_vector_indices"] = pending_vector
     _SEQ[table] = 0
@@ -724,6 +833,11 @@ def insert_into(spark: SparkSession, sql: str) -> int:
     store = f"{table}__store"
     merged = spark.table(store).unionByName(w_part)
     TABLES[table]["n_parts"] += 1
+    if "parts" in TABLES[table]:
+        b = _alloc_block(table)
+        TABLES[table]["parts"].append(
+            {"min": b, "max": b, "level": 0, "mut": 0}
+        )
     if TABLES[table]["n_parts"] % _CHECKPOINT_EVERY == 0:
         merged = merged.localCheckpoint(eager=True)  # squash union lineage
     merged.createOrReplaceTempView(store)
@@ -858,6 +972,21 @@ def delete_where(spark: SparkSession, sql: str) -> None:
     ).localCheckpoint(eager=True)
     masked.createOrReplaceTempView(store)
     _refresh_view(spark, table)
+    parts = _active_parts(table)
+    if parts:
+        # a lightweight DELETE is a mutation: it allocates a block number
+        # as its version and renames every existing part
+        # `all_min_max_level_<version>` (MergeTreePartInfo mutation suffix;
+        # 00031: DELETE after block 2 renames all_2_2_0 → all_2_2_0_3)
+        version = _alloc_block(table)
+        rename: dict[str, str] = {}
+        for p in parts:
+            old = _part_label(p)
+            p["mut"] = version
+            rename[old] = _part_label(p)
+        # ch_script's DELETE hook propagates the rename into the index
+        # registry's segment lineage
+        TABLES[table]["last_mutation_rename"] = rename
     from myscaledb_spark.streaming.live_view import note_write
 
     note_write(table)
@@ -875,6 +1004,10 @@ def truncate_table(spark: SparkSession, table: str) -> None:
     ).createOrReplaceTempView(store)
     _refresh_view(spark, table)
     TABLES[table]["n_parts"] = 0
+    # TRUNCATE drops all parts WITHOUT consuming a block number (00031's
+    # post-TRUNCATE INSERT lands on the next sequential block)
+    if "parts" in TABLES[table]:
+        TABLES[table]["parts"] = []
     from myscaledb_spark.streaming.live_view import note_write
 
     note_write(table)
@@ -917,6 +1050,22 @@ def optimize_final(spark: SparkSession, sql: str) -> None:
     new_store.createOrReplaceTempView(store)
     _refresh_view(spark, table)
     TABLES[table]["n_parts"] = 1
+    parts = _active_parts(table)
+    if parts:
+        merged_part = {
+            "min": min(p["min"] for p in parts),
+            "max": max(p["max"] for p in parts),
+            "level": max(p["level"] for p in parts) + 1,
+            "mut": max(p.get("mut", 0) for p in parts),
+        }
+        # ch_script's OPTIMIZE hook turns this into the index registry's
+        # decoupled-segment lineage (children stay LOADED under the merged
+        # part, the merged part's own index is PENDING until rebuilt)
+        TABLES[table]["last_merge"] = {
+            "children": [_part_label(p) for p in parts],
+            "merged": _part_label(merged_part),
+        }
+        TABLES[table]["parts"] = [merged_part]
     # the merged part is a DECOUPLED part when indexes existed (it carries
     # the source parts' index files); later mutations re-index it SLOWLY —
     # scripts still observe InProgress after their sleep polls (00017)
@@ -1125,13 +1274,20 @@ def ch_ddl(spark: SparkSession, sql: str):
             TABLE_VS_METRIC[mm.group(1)] = mm.group(3).strip().strip("'\"")
         return None
     am = re.match(
-        r"^\s*(?:DETACH|ATTACH)\s+TABLE\s+(\w+)\s*(?:SYNC)?\s*$", s, re.IGNORECASE
+        r"^\s*(?P<verb>DETACH|ATTACH)\s+TABLE\s+(\w+)\s*(?:SYNC)?\s*$",
+        s, re.IGNORECASE,
     )
     if am:
         # detach/attach round-trips on-disk state; views + registries are
-        # already durable here, so the pair is a no-op
-        if am.group(1) not in TABLES:
-            raise ChSqlError(f"table {am.group(1)!r} was not created via ch_ddl")
+        # already durable here, so data-wise the pair is a no-op — but a
+        # detached table disappears from the system tables until re-attach
+        # (00031: its vector_index_segments rows vanish while detached)
+        if am.group(2) not in TABLES:
+            raise ChSqlError(f"table {am.group(2)!r} was not created via ch_ddl")
+        if am.group("verb").upper() == "DETACH":
+            TABLES[am.group(2)]["detached"] = True
+        else:
+            TABLES[am.group(2)].pop("detached", None)
         return None
     if re.match(r"^\s*CREATE\s+FUNCTION\b", s, re.IGNORECASE):
         from myscaledb_spark.sql_dialect import create_sql_function
@@ -1194,6 +1350,12 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
         from myscaledb_spark.plans.vector_index import IndexRegistry
         keep = []
         for ps, pt, _pn, klass in _pending():
+            if TABLES.get(pt, {}).get("stop_build"):
+                # SYSTEM STOP BUILD VECTOR INDICES parks this table's queue
+                # until START (00037_mqvs_support_multiple_vector_indices
+                # observes the decoupled state while builds are stopped)
+                keep.append((ps, pt, _pn, klass))
+                continue
             if klass.startswith("lazy:"):
                 # a replicated table's param-deferred build failure: the
                 # random-single-replica pool may schedule it on the OTHER
@@ -1219,6 +1381,7 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
             rec = alter_index_ddl(spark, ps, pdf, idc, artifact_dir)
             if isinstance(rec, dict) and rec.get("name"):
                 IndexRegistry(artifact_dir).annotate(rec["name"], table=pt)
+                _sync_index_segments(pt, rec["name"], artifact_dir)
         _pending()[:] = keep
 
     for stmt in stmts:
@@ -1271,6 +1434,22 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
             import myscaledb_spark.sql_dialect as _dialect
 
             _dialect.CURRENT_REGISTRY_DIR = artifact_dir
+        sbm = re.match(
+            r"^\s*SYSTEM\s+(STOP|START)\s+BUILD\s+VECTOR\s+INDICES\s+(\w+)\s*$",
+            s, re.IGNORECASE,
+        )
+        if sbm:
+            # STOP parks the table's queued index (re)builds; START releases
+            # them to the next flush point (VIBuilderUpdater stop flag —
+            # 00037_mqvs_support_multiple_vector_indices drives a decoupled
+            # merge under STOP and observes InProgress until START)
+            if sbm.group(2) in TABLES:
+                if sbm.group(1).upper() == "STOP":
+                    TABLES[sbm.group(2)]["stop_build"] = True
+                else:
+                    TABLES[sbm.group(2)].pop("stop_build", None)
+            result = None
+            continue
         if re.match(
             r"^\s*SYSTEM\s+(FLUSH|RELOAD|DROP\s+\w*CACHE|STOP|START|SYNC|RESTART)\b",
             s, re.IGNORECASE,
@@ -1383,6 +1562,7 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
                     IndexRegistry(artifact_dir).annotate(
                         result["name"], table=table
                     )
+                    _sync_index_segments(table, result["name"], artifact_dir)
                 except KeyError:
                     pass  # IF EXISTS drop of a missing index: no record
             continue
@@ -1478,6 +1658,11 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
                         reg.add_event(r["name"], "CacheExpire",
                                       cache_resident=False)
                         reg.add_event(r["name"], "Cleared")
+                    if r.get("segments"):
+                        # every part is gone — the per-part segment lineage
+                        # empties with them (00031: zero segment rows after
+                        # TRUNCATE until the next INSERT rebuilds)
+                        reg.annotate(r["name"], segments=[])
             mcm2 = re.match(
                 r"^\s*ALTER\s+TABLE\s+(\w+)\s+MATERIALIZE\s+COLUMN\s+(\w+)",
                 s, re.IGNORECASE,
@@ -1509,6 +1694,18 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
 
                 t = delm.group(1)
                 reg = IndexRegistry(artifact_dir)
+                ren = TABLES.get(t, {}).pop("last_mutation_rename", None)
+                if ren:
+                    # the mutation renames every active part — the segment
+                    # lineage follows (00031: DELETE renames all_2_2_0 →
+                    # all_2_2_0_3 and its LOADED segment with it; decoupled
+                    # child owners are historical names and stay)
+                    for r in reg.list():
+                        if r.get("table") == t and r.get("segments"):
+                            reg.annotate(r["name"], segments=[
+                                [ren.get(p, p), ren.get(o, o), i, st]
+                                for p, o, i, st in r["segments"]
+                            ])
                 for r in reg.list():
                     if (r.get("table") == t and r.get("status") == "Built"
                             and r.get("expr")
@@ -1528,6 +1725,49 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
                             f"ALTER TABLE {t} ADD VECTOR INDEX {r['expr']}",
                             t, r["name"], klass,
                         ))
+            optm = re.match(r"^\s*OPTIMIZE\s+TABLE\s+(\w+)", s, re.IGNORECASE)
+            if optm and artifact_dir is not None:
+                # merge lineage for Built vector indexes
+                # (MergeTreeDataMergerMutator + VIDescriptions):
+                #   decouple (default): the merged part serves queries
+                #   through its children's index files — child segments stay
+                #   LOADED under the merged part, the merged part's OWN
+                #   index is PENDING; enable_rebuild_for_decouple (default
+                #   true) queues the full rebuild that collapses the lineage
+                #   to one LOADED segment (00031 'auto build after merge',
+                #   00032, 00034, 00037_support_multiple).
+                #   enable_decouple_vector_index=false: no lineage — the
+                #   merged part rebuilds from scratch (00034 second half).
+                from myscaledb_spark.plans.vector_index import IndexRegistry
+
+                t = optm.group(1)
+                lm = TABLES.get(t, {}).pop("last_merge", None)
+                if lm:
+                    st = TABLES.get(t, {}).get("settings", {})
+                    decouple = st.get(
+                        "enable_decouple_vector_index", "true") != "false"
+                    rebuild = st.get(
+                        "enable_rebuild_for_decouple", "true") != "false"
+                    reg = IndexRegistry(artifact_dir)
+                    for r in reg.list():
+                        if (r.get("table") != t or r.get("status") != "Built"
+                                or not _is_vec_index_record(r)):
+                            continue
+                        segs = [[lm["merged"], lm["merged"], 0, "PENDING"]]
+                        if decouple:
+                            segs += [
+                                [lm["merged"], c, i, "LOADED"]
+                                for i, c in enumerate(lm["children"])
+                            ]
+                        reg.annotate(r["name"], segments=segs)
+                        if ((rebuild or not decouple) and r.get("expr")
+                                and not any(
+                                    p[2] == r["name"] for p in _pending())):
+                            reg.set_status(r["name"], "InProgress")
+                            _pending().append((
+                                f"ALTER TABLE {t} ADD VECTOR INDEX {r['expr']}",
+                                t, r["name"], "rebuild",
+                            ))
             insm = _INSERT_RE.match(s)
             if insm and TABLES.get(insm.group("table"), {}).get("pending_vector_indices"):
                 # inline VECTOR INDEX declarations build once data exists
@@ -1543,6 +1783,7 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
                     rec = alter_index_ddl(spark, ddl_stmt, spark.table(t), idc, artifact_dir)
                     if isinstance(rec, dict) and rec.get("name"):
                         IndexRegistry(artifact_dir).annotate(rec["name"], table=t)
+                        _sync_index_segments(t, rec["name"], artifact_dir)
             if insm and artifact_dir is not None:
                 # a new part lands on a table with BUILT vector indexes:
                 # the reference builds the index on the inserted part
@@ -1634,7 +1875,7 @@ def _bind_system_tables(spark: SparkSession, s: str, artifact_dir: str | None) -
         elif name == "merge_tree_settings":
             intro.system_merge_tree_settings(spark).createOrReplaceTempView(view)
         elif name == "zookeeper":
-            intro.system_zookeeper(spark).createOrReplaceTempView(view)
+            intro.system_zookeeper(spark, artifact_dir).createOrReplaceTempView(view)
         elif name == "vector_index_segments":
             intro.system_vector_index_segments(spark, artifact_dir).createOrReplaceTempView(view)
         elif name == "parts":

@@ -56,6 +56,15 @@ PINNED = [
     # DETACH CacheExpire, post-ATTACH query load, DROP cleanup, TRUNCATE
     # clear, INSERT rebuild-on-new-part)
     "00030_mqvs_vector_event_log.sql",
+    # r8: MergeTree part-naming lineage (block allocation, mutation
+    # suffixes, merge levels) + per-part segment states LOADED/BUILT/
+    # PENDING, decouple vs rebuild policy, SYSTEM STOP/START BUILD,
+    # zookeeper vidx_info node (table_ddl part tracker)
+    "00031_mqvs_vector_index_segments.sql",
+    "00032_mqvs_vector_index_autoload.sql",
+    "00034_mqvs_enable_decouple_data_part.sql",
+    "00037_mqvs_support_multiple_vector_indices.sql",
+    "00037_mqvs_replicated_support_multiple_vector_indices.sql",
     # r7: EXPLAIN AST (0_stateless pin — echoOn protocol + both optimize
     # modes; the harness path prefix routes it to its own directory)
     "../0_stateless/02353_explain_ast_optimize.sql",
