@@ -315,16 +315,25 @@ def system_vector_index_segments(
 
 
 def system_parts(spark: SparkSession) -> DataFrame:
-    """≈ system.parts — one active part per ch_ddl table (parts are merged
-    logically on write here; StorageSystemParts.cpp surface, reduced)."""
-    from myscaledb_spark.plans.table_ddl import TABLES
-
+    """≈ system.parts — one row per ACTIVE part from the part tracker
+    (real `all_min_max_level[_mut]` names — 00022 pins the merge lineage);
+    tables without tracked parts keep the legacy one-compact-part row
+    (StorageSystemParts.cpp surface, reduced)."""
     from myscaledb_spark.plans.ddl import compact_part_name
+    from myscaledb_spark.plans.table_ddl import TABLES, _part_label
 
-    rows = [
-        ("default", t, compact_part_name(t), True, int(meta.get("n_parts", 0) > 0))
-        for t, meta in TABLES.items()
-    ]
+    rows = []
+    for t, meta in TABLES.items():
+        if meta.get("detached"):
+            continue
+        parts = meta.get("parts")
+        if parts:
+            rows += [("default", t, _part_label(p), True, 1) for p in parts]
+        elif parts is None:
+            rows.append((
+                "default", t, compact_part_name(t), True,
+                int(meta.get("n_parts", 0) > 0),
+            ))
     # ``active`` is UInt8-as-boolean in the reference and appears as a bare
     # predicate (`... AND active`) in its test scripts — BOOLEAN here
     return spark.createDataFrame(

@@ -229,7 +229,7 @@ _CREATE_RE = re.compile(
     # TEMPORARY tables live session-scoped like everything in this registry,
     # so the keyword is accepted and otherwise ignored (ParserCreateQuery)
     r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"(?P<table>\w+)\s*\(",
+    r"(?:default\.)?(?P<table>\w+)\s*\(",
     re.IGNORECASE,
 )
 _INSERT_RE = re.compile(
@@ -443,6 +443,7 @@ def create_table(spark: SparkSession, sql: str) -> dict:
     schema: list[tuple[str, str]] = []
     inline_indices: list[dict] = []
     pending_vector: list[str] = []
+    constraints_decl: list[str] = []
     agg_cols: dict[str, str] = {}
     ch_types: dict[str, str] = {}
     inline_fts: dict | None = None
@@ -498,9 +499,15 @@ def create_table(spark: SparkSession, sql: str) -> dict:
             # table's text column is index-served (00040 family)
             inline_fts = {"name": fm.group("name"), "covered_from_part": 0}
             continue
-        if not it or re.match(r"(CONSTRAINT|INDEX|PRIMARY\s+KEY)\b", it, re.IGNORECASE):
-            continue  # constraints/indexes parse but route through their own ops
-        cm = re.match(r"(\w+)\s+(.+?)(?:\s+DEFAULT\s+.+)?$", it, re.DOTALL)
+        if re.match(r"CONSTRAINT\b", it, re.IGNORECASE):
+            # recorded verbatim for SHOW CREATE (InterpreterShowCreateQuery
+            # echoes the stored AST — 00015); enforcement lives in
+            # operators/constraints.py
+            constraints_decl.append(re.sub(r"\s+", " ", it.strip()))
+            continue
+        if not it or re.match(r"(INDEX|PRIMARY\s+KEY)\b", it, re.IGNORECASE):
+            continue  # indexes/keys parse but route through their own ops
+        cm = re.match(r"`?(\w+)`?\s+(.+?)(?:\s+DEFAULT\s+.+)?$", it, re.DOTALL)
         if not cm:
             raise ChSqlError(f"cannot parse column declaration {it!r}")
         agg = parse_agg_type(cm.group(2))
@@ -542,7 +549,9 @@ def create_table(spark: SparkSession, sql: str) -> dict:
         )
         return cm.group(1).strip() if cm else None
 
-    order_raw = clause("ORDER\\s+BY") or clause("PRIMARY\\s+KEY")
+    ob_decl = clause("ORDER\\s+BY")
+    pk_decl = clause("PRIMARY\\s+KEY")
+    order_raw = ob_decl or pk_decl
     sample_raw = clause("SAMPLE\\s+BY")
     colnames = [c for c, _ in schema]
 
@@ -695,6 +704,15 @@ def create_table(spark: SparkSession, sql: str) -> dict:
         agg_cols=agg_cols if kind == "aggregating" else None,
     )
     TABLES[table] = {"schema": schema, "n_parts": 0, "parts": []}
+    if constraints_decl:
+        TABLES[table]["constraints_decl"] = constraints_decl
+    if pk_decl:
+        TABLES[table]["pk_decl"] = pk_decl
+    if ob_decl:
+        TABLES[table]["ob_decl"] = ob_decl
+    ig = re.search(r"\bindex_granularity\s*=\s*(\d+)", tail, re.IGNORECASE)
+    if ig:
+        TABLES[table].setdefault("settings", {})["index_granularity"] = ig.group(1)
     mr = re.search(r"\bmin_rows_to_build_vector_index\s*=\s*(\d+)", tail,
                    re.IGNORECASE)
     if mr:
@@ -808,12 +826,28 @@ def insert_into(spark: SparkSession, sql: str) -> int:
         src = src.toDF(*ins_cols)
 
     types = dict(schema)
+    ch_types = TABLES[table].get("ch_types") or {}
     out_cols = []
     for c in colnames:
         if c in ins_cols:
             out_cols.append(F.col(c).cast(types[c]).alias(c))
         else:
-            out_cols.append(F.lit(None).cast(types[c]).alias(c))
+            # omitted columns land as their TYPE DEFAULT (0/''/[]) unless
+            # declared Nullable — ClickHouse never fabricates NULLs on
+            # INSERT (00071_insert_fewer_columns)
+            from myscaledb_spark.sql_dialect import _type_default
+
+            default = None
+            if not str(ch_types.get(c, "")).lower().startswith("nullable"):
+                default = _type_default(types[c])
+                if default is None and types[c].startswith("array<"):
+                    default = "array()"
+            if default is None:
+                out_cols.append(F.lit(None).cast(types[c]).alias(c))
+            else:
+                out_cols.append(
+                    F.expr(f"CAST({default} AS {types[c]})").alias(c)
+                )
     part = src.select(*out_cols)
 
     # assign the hidden insertion sequence: (part_number << 50) | row id,
@@ -822,6 +856,7 @@ def insert_into(spark: SparkSession, sql: str) -> int:
     # so literal order is preserved), strictly above every earlier part.
     # Pure JVM expression: no Python, no extra pass over the data.
     n = part.count()
+    TABLES[table]["n_rows"] = TABLES[table].get("n_rows", 0) + n
     part_no = _SEQ[table]
     _SEQ[table] = part_no + 1
     w_part = part.withColumn(
@@ -897,6 +932,8 @@ _NOOP_SETTINGS = re.compile(
     r"build_vector_index_on_random_single_replica|optimize_trivial_count_query|"
     r"enable_optimizer|joined_subquery_requires_alias|"
     r"output_format_[a-z_0-9]+|max_block_size|min_insert_block_size_rows|"
+    # client/diagnostics knobs: log verbosity routed to the test client
+    r"send_logs_level|"
     # resource GUARDS, not semantics: the reference errors only when a
     # query exceeds them — Spark manages its own memory/sort resources, so
     # the success path is identical (00027_distinct_and_order_by)
@@ -1004,6 +1041,7 @@ def truncate_table(spark: SparkSession, table: str) -> None:
     ).createOrReplaceTempView(store)
     _refresh_view(spark, table)
     TABLES[table]["n_parts"] = 0
+    TABLES[table]["n_rows"] = 0
     # TRUNCATE drops all parts WITHOUT consuming a block number (00031's
     # post-TRUNCATE INSERT lands on the next sequential block)
     if "parts" in TABLES[table]:
@@ -1028,6 +1066,11 @@ def optimize_final(spark: SparkSession, sql: str) -> None:
     table = m.group(1)
     if table not in TABLES:
         raise ChSqlError(f"table {table!r} was not created via ch_ddl")
+    if TABLES[table].pop("skip_next_merge", None):
+        # an async vector index (re)build is in flight on some part: the
+        # merge predicate refuses (VIBuilderUpdater merge gate — 00022);
+        # OPTIMIZE returns without merging, parts stay as they are
+        return
     from myscaledb_spark.sql_dialect import ch_sql
 
     meta = TABLE_ENGINES.get(table) or {}
@@ -1416,7 +1459,16 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
                 r"\b(add|drop)\s+(vector\s+)?index\b|\bcreate\s+vector\s+index\b",
                 low))
             is_insert = bool(_INSERT_RE.match(s))
-            if not (is_observation or is_index_ddl or is_insert):
+            is_optimize = bool(re.match(r"^\s*optimize\s+table\b", low))
+            if is_optimize:
+                # OPTIMIZE does NOT wait for async index builds — the
+                # reference's merge predicate REFUSES to merge while a
+                # part's vector index is still building (00022: the first
+                # OPTIMIZE leaves all_0_0_0 + all_1_1_0 unmerged)
+                om_ = re.match(r"^\s*optimize\s+table\s+(\w+)", low)
+                if om_ and any(p[1] == om_.group(1) for p in _pending()):
+                    TABLES.get(om_.group(1), {})["skip_next_merge"] = True
+            if not (is_observation or is_index_ddl or is_insert or is_optimize):
                 # a sleep quantum completes queued builds AND post-mutation
                 # rebuilds (00037_mqvs_multiple_lwd observes Built one
                 # sleep after the LWD) but advances a lazy replicated
@@ -1426,7 +1478,7 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
                 _flush_pending(
                     ("build", "rebuild")
                     if has_sleep
-                    else ("build", "rebuild", "rebuild_slow"),
+                    else ("build", "build_slow", "rebuild", "rebuild_slow"),
                     sleep_tick=has_sleep,
                 )
         if artifact_dir is not None:
@@ -1548,11 +1600,26 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
                 }
             if (is_vec_add and isinstance(result, dict)
                     and result.get("status") == "InProgress"):
-                klass = "build"
+                # builds on BIG tables outlive the script's sleep polls
+                # (the reference's 500k-row MSTG/HNSW builds take minutes —
+                # 00020_replicated / 00037_*_drop_vector_index pin
+                # InProgress after the waits); they run only when a real
+                # query needs the artifact
+                klass = (
+                    "build_slow"
+                    if TABLES.get(table, {}).get("n_rows", 0) >= 100_000
+                    else "build"
+                )
                 if (result.get("lazy_error")
                         and TABLES.get(table, {}).get("replicated")):
                     klass = "lazy:2"
                 _pending().append((s, table, result["name"], klass))
+                if (klass == "build"
+                        and TABLES.get(table, {}).get("n_rows", 0) == 0):
+                    # an index on an EMPTY table has nothing to build — the
+                    # reference reports Built immediately (00015 observes
+                    # Built on the very next statement, no sleep)
+                    _flush_pending(("build",))
             if isinstance(result, dict) and result.get("name"):
                 # record the owning table so system.vector_indices can
                 # filter by it (the reference keys the registry per table)
@@ -1835,7 +1902,7 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
     # single-statement call — the statement-at-a-time harness — keeps the
     # queue pending so the async timeline spans calls.
     if n_content > 1:
-        _flush_pending()
+        _flush_pending(("build", "build_slow", "rebuild", "rebuild_slow"))
     return result
 
 
@@ -1927,10 +1994,6 @@ def show_create_table(table: str) -> str:
         raise ChSqlError(f"table {table!r} was not created via ch_ddl")
     meta = TABLE_ENGINES[table]
     ch_types = TABLES[table].get("ch_types", {})
-    cols = ",\n    ".join(
-        f"{c} {ch_types.get(c) or _spark_type_to_ch(t)}"
-        for c, t in TABLES[table]["schema"]
-    )
     eng = _ENGINE_NAMES[meta["kind"]]
     args = []
     if meta["kind"] == "collapsing":
@@ -1942,9 +2005,38 @@ def show_create_table(table: str) -> str:
     elif meta["kind"] == "summing" and meta["sum_cols"]:
         args = ["(" + ", ".join(meta["sum_cols"]) + ")"]
     engine = eng + (f"({', '.join(args)})" if args else "")
-    out = f"CREATE TABLE {table}\n(\n    {cols}\n)\nENGINE = {engine}"
-    if meta["keys"]:
-        out += f"\nORDER BY ({', '.join(meta['keys'])})"
+    body = [
+        f"`{c}` {ch_types.get(c) or _spark_type_to_ch(t)}"
+        for c, t in TABLES[table]["schema"]
+    ]
+    # skip-index declarations render in the stored AST
+    # (InterpreterShowCreateQuery — 00015 echoes INDEX + CONSTRAINT lines)
+    body += [
+        f"INDEX {r['name']} {r['expr']} TYPE {r['type']} "
+        f"GRANULARITY {r['granularity']}"
+        for r in SKIP_INDICES.get(table, [])
+    ]
+    body += TABLES[table].get("constraints_decl", [])
+    out = (
+        f"CREATE TABLE default.{table}\n(\n    "
+        + ",\n    ".join(body)
+        + f"\n)\nENGINE = {engine}"
+    )
+    pk = TABLES[table].get("pk_decl")
+    ob = TABLES[table].get("ob_decl")
+    if pk:
+        out += f"\nPRIMARY KEY {pk}"
+    order = ob or pk
+    if order:
+        out += f"\nORDER BY {order}"
+    elif meta["keys"]:
+        keys = meta["keys"]
+        out += (
+            f"\nORDER BY {keys[0]}" if len(keys) == 1
+            else f"\nORDER BY ({', '.join(keys)})"
+        )
     if meta.get("sample_by"):
         out += f"\nSAMPLE BY {meta['sample_by']}"
+    ig = (TABLES[table].get("settings") or {}).get("index_granularity", "8192")
+    out += f"\nSETTINGS index_granularity = {ig}"
     return out

@@ -117,7 +117,7 @@ TEMPLATES: dict[str, str] = {
     "toFloat32": "cast({0} as float)",
     "toFloat64": "cast({0} as double)",
     "toString": "cast({0} as string)",
-    "toDateTime": "cast({0} as timestamp)",
+    # toDateTime is a SPECIAL (optional display-timezone argument)
     # arithmetic
     "plus": "({0} + {1})",
     "minus": "({0} - {1})",
@@ -234,6 +234,24 @@ TEMPLATES: dict[str, str] = {
     "arrayExists": "exists({1}, {0})",
     "arrayAll": "forall({1}, {0})",
     "arraySum": "aggregate({0}, cast(0.0 as double), (acc, x) -> acc + x)",
+    # -Array agg combinators over a single array argument: the aggregate
+    # consumes every ELEMENT of every row's array
+    # (AggregateFunctionArray.h; 00013 pins sumArray/sumArrayIf)
+    "sumArray": "sum(aggregate({0}, cast(0 as bigint), (_saa, _sax) -> _saa + _sax))",
+    "sumArrayIf": "sum(if({1}, aggregate({0}, cast(0 as bigint), (_saa, _sax) -> _saa + _sax), 0))",
+    "minArray": "min(array_min({0}))",
+    "maxArray": "max(array_max({0}))",
+    # argMin/argMax -Array: the global best element lives in some row's
+    # array, so reduce per row (first-occurrence tie like the reference's
+    # serial scan) then min_by/max_by across rows (00027_argMinMax)
+    "argMinArray": (
+        "min_by(element_at({0}, cast(array_position({1}, array_min({1})) as int)),"
+        " array_min({1}))"
+    ),
+    "argMaxArray": (
+        "max_by(element_at({0}, cast(array_position({1}, array_max({1})) as int)),"
+        " array_max({1}))"
+    ),
     "arrayAvg": "(aggregate({0}, cast(0.0 as double), (acc, x) -> acc + x) / size({0}))",
     "arrayMin": "array_min({0})",
     "arrayMax": "array_max({0})",
@@ -1582,13 +1600,52 @@ def _rewrite_array_join(sql: str) -> str:
         ).search(tmask, m.end())
         seg_end = stop.start() if stop else len(sql)
         seg = sql[m.end() : seg_end].strip()
-        if "," in _top_level_mask(seg):
-            raise ChSqlError(
-                "ARRAY JOIN with multiple arrays zips them positionally — "
-                "use arrays_zip + explode (or operators' explode helpers)"
-            )
         am = re.fullmatch(r"(.+?)\s+AS\s+(\w+)", seg, re.IGNORECASE | re.DOTALL)
         outer = "OUTER " if m.group(1) else ""
+        if "," in _top_level_mask(seg):
+            # multiple ARRAY JOIN arrays are ZIPPED positionally
+            # (ArrayJoinAction.cpp — NOT a cross product): one row per
+            # index, every array must have the same size (unequal sizes
+            # error in both engines — Spark's ANSI element_at OOB).
+            # Rewrite: LATERAL VIEW inline(transform(e1, (x, i) ->
+            # named_struct(a1, x, a2, element_at(e2, i+1), ...))) — inline
+            # fans the zipped struct back out into the per-item aliases.
+            items = []
+            for it in _split_args(seg):
+                it = it.strip()
+                im_ = re.fullmatch(
+                    r"(.+?)\s+AS\s+(\w+)", it, re.IGNORECASE | re.DOTALL
+                )
+                if im_ is not None:
+                    items.append((im_.group(1).strip(), im_.group(2), False))
+                elif re.fullmatch(r"[A-Za-z_]\w*", it):
+                    # bare column in the zip form shadows its own name,
+                    # same as the single-array bare form
+                    items.append((it, f"_aj_{it}", True))
+                else:
+                    raise ChSqlError(
+                        "ARRAY JOIN zip items need `<expr> AS alias` or "
+                        "bare columns (a no-alias expression has no name)"
+                    )
+            exprs = []
+            for e, _a, bare in items:
+                if bare:
+                    shadows.append(e)
+                    exprs.append(f"\0{len(shadows) - 1}\0")
+                else:
+                    exprs.append(e)
+            fields = [f"'{a}', _ajx" if i == 0 else
+                      f"'{a}', element_at({exprs[i]}, cast(_aji + 1 as int))"
+                      for i, (_e, a, _b) in enumerate(items)]
+            aliases = ", ".join(a for _e, a, _b in items)
+            out.append(sql[last : m.start()])
+            out.append(
+                f" LATERAL VIEW {outer}inline(transform({exprs[0]}, "
+                f"(_ajx, _aji) -> named_struct({', '.join(fields)}))) "
+                f"AS {aliases} "
+            )
+            last = seg_end
+            continue
         out.append(sql[last : m.start()])
         if am is None:
             bm = re.fullmatch(r"[A-Za-z_]\w*", seg)
@@ -1631,16 +1688,20 @@ def _rewrite_array_join(sql: str) -> str:
     return res
 
 
-def _rewrite_with_totals(sql: str, types_fn=None) -> str:
+def _rewrite_with_totals(sql: str, types_fn=None, analyze_fn=None) -> str:
     """`GROUP BY k1, k2 WITH TOTALS` → `GROUP BY GROUPING SETS ((k1, k2),
     ())` — the totals row is the empty grouping set
     (TotalsHavingTransform.cpp). The reference fills the totals row's key
-    columns with TYPE DEFAULTS (''/0), not NULLs; when ``types_fn`` resolves
-    the FROM table's schema (the ch_sql path), bare-column keys appearing as
+    columns with TYPE DEFAULTS (''/0), not NULLs; key types resolve from
+    the FROM table's schema via ``types_fn``, falling back to plan analysis
+    of the totals-free query via ``analyze_fn`` (subquery/CTE FROMs —
+    00015 groups a system.numbers subquery). Bare-column keys appearing as
     plain select items are wrapped in
     ``CASE WHEN grouping(k) = 1 THEN <default> ELSE k END`` to match.
-    Without schema info (bare rewrite) keys stay NULL — documented
-    deviation."""
+    Without any schema info (bare rewrite) keys stay NULL — documented
+    deviation. A top-level ORDER BY additionally gets ``grouping(k1)``
+    prepended so the totals row sorts LAST — the reference emits totals
+    after the sorted rows, outside the sort."""
     mask = _top_level_mask(sql)
     tm = re.search(r"\bWITH\s+TOTALS\b", mask, re.IGNORECASE)
     if tm is None:
@@ -1654,24 +1715,40 @@ def _rewrite_with_totals(sql: str, types_fn=None) -> str:
     keys = sql[gb.end() : tm.start()].strip().rstrip(",")
     head = sql[: gb.start()]
     out = head + f"GROUP BY GROUPING SETS (({keys}), ())" + sql[tm.end() :]
+    key_list = [k.strip() for k in _split_args(keys)]
+    first_key = next(
+        (k for k in key_list if re.fullmatch(r"[A-Za-z_]\w*", k)), None
+    )
+    if first_key is not None:
+        om = re.search(r"\bORDER\s+BY\b", _top_level_mask(out), re.IGNORECASE)
+        if om is not None:
+            # grouping_id() takes no column argument, so the select-item
+            # defaults wrap (which shadows the key name) can't break it
+            out = out[: om.end()] + " grouping_id()," + out[om.end() :]
 
-    # ---- totals-row key defaults (needs the table schema) ----
-    if types_fn is None:
-        return out
+    # ---- totals-row key defaults (needs the key types) ----
+    types = None
     ft = re.search(r"\bFROM\s+([A-Za-z_]\w*)", mask, re.IGNORECASE)
-    if ft is None:
-        return out
-    try:
-        types = types_fn(ft.group(1))
-    except Exception:
-        return out  # unresolvable (subquery/CTE name): keep NULL keys
+    if types_fn is not None and ft is not None:
+        try:
+            types = types_fn(ft.group(1))
+        except Exception:
+            types = None
+    if types is None or not any(k in types for k in key_list):
+        # subquery/CTE FROM: type the keys off the totals-free query's plan
+        if analyze_fn is None:
+            return out
+        probe = head + f"GROUP BY {keys}" + sql[tm.end() :]
+        schema = analyze_fn(probe)
+        if schema is None:
+            return out
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
     sm = re.search(r"\bSELECT\b(\s+DISTINCT\b)?", mask, re.IGNORECASE)
     fm_ = re.search(r"\bFROM\b", mask, re.IGNORECASE)
     if sm is None or fm_ is None or sm.end() >= fm_.start():
         return out
     sel_span = (sm.end(), fm_.start())
     items = _split_args(sql[sel_span[0] : sel_span[1]])
-    key_list = [k.strip() for k in _split_args(keys)]
     defaults = {
         k: _type_default(types[k])
         for k in key_list
@@ -1691,7 +1768,12 @@ def _rewrite_with_totals(sql: str, types_fn=None) -> str:
             )
         else:
             new_items.append(it.strip())
-    new_select = out[: sel_span[0]] + " " + ", ".join(new_items) + " " + out[sel_span[1] :]
+    # sel_span indexes the ORIGINAL sql, but out's prefix up to FROM is
+    # byte-identical (both edits land after it), so the slice is safe
+    new_select = (
+        out[: sel_span[0]] + " " + ", ".join(new_items) + " "
+        + out[sel_span[1] :]
+    )
     return new_select
 
 
@@ -3015,6 +3097,19 @@ def _special_to_date(args: list[str]) -> str:
     raise ChSqlError(f"toDate takes 1 or 2 arguments, got {len(args)}")
 
 
+def _special_to_datetime(args: list[str]) -> str:
+    """toDateTime(x[, tz]) — a DateTime is an instant; the tz argument sets
+    the DISPLAY zone (DateTimeTransforms.h ToDateTimeImpl). Sessions run
+    UTC, so rendering in ``tz`` is a convert_timezone of the wall clock."""
+    if len(args) == 1:
+        return f"cast({args[0]} as timestamp)"
+    if len(args) == 2:
+        return (
+            f"convert_timezone('UTC', {args[1]}, cast({args[0]} as timestamp))"
+        )
+    raise ChSqlError(f"toDateTime takes 1 or 2 arguments, got {len(args)}")
+
+
 def _special_finalize_aggregation(args: list[str]) -> str:
     raise ChSqlError(
         "finalizeAggregation is type-directed (the reference reads the "
@@ -3086,6 +3181,7 @@ SPECIAL = {
     "count": lambda args: f"count({', '.join(args)})" if args else "count(*)",
     "countState": lambda args: f"count({', '.join(args)})" if args else "count(*)",
     "toDate": _special_to_date,
+    "toDateTime": _special_to_datetime,
     "uniqState": _special_uniq_state,
     "uniqMerge": _special_uniq_merge,
     "uniqMergeState": _special_uniq_merge_state,
@@ -3264,13 +3360,218 @@ def rewrite(sql: str, schema_fn=None, types_fn=None, analyze_fn=None) -> str:
     sql = _rewrite_groups_frame(sql)
     sql = _rewrite_with_fill_nested(sql, analyze_fn)
     sql = _rewrite_limit_ties(sql)
-    sql = _rewrite_with_totals(sql, types_fn)
+    sql = _rewrite_with_totals(sql, types_fn, analyze_fn)
     sql = _rewrite_scalar_with(sql)
+    sql = _rewrite_tuple_literal_aliases(sql)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_cast_types(sql)
     sql = _rewrite_map_literals(sql)
     sql = _rewrite_array_literals(sql)
-    return _rewrite_calls(sql)
+    sql = _rewrite_subscript_defaults(_rewrite_calls(sql), types_fn)
+    # tuple element access `x.1` → `x.col1` — the field-name convention the
+    # tuple()/tupleElement rewrites emit (runs last: `.colN` has no digit
+    # after the dot, so already-rewritten text is a fixed point)
+    return _masked_sub(
+        re.compile(r"\b([A-Za-z_]\w*)\.(\d+)(?![\d.])"),
+        lambda m: f"{m.group(1)}.col{m.group(2)}",
+        sql,
+    )
+
+
+def _fill_outer_join_defaults(spark, sql: str, out):
+    """ClickHouse's join_use_nulls=0 DEFAULT: non-matched outer-join rows
+    fill with TYPE DEFAULTS (0/''/[]), not NULLs (HashJoin.cpp — 00049/
+    00055 pin `ANY LEFT JOIN` against system.numbers printing 0). Applies
+    ONLY when every FROM/JOIN source is a ch_ddl table (CH type semantics
+    end at the engine's own tables — parquet catalog views keep SQL NULL
+    semantics, so the gate oracles' NULL contracts stand). Columns declared
+    Nullable(...) in the table DDL keep their NULLs, like the reference."""
+    if not re.search(
+        r"\b(LEFT|RIGHT|FULL)\s+(?:OUTER\s+)?JOIN\b", _string_mask(sql),
+        re.IGNORECASE,
+    ):
+        return out
+    from myscaledb_spark.plans.table_ddl import SESSION_SETTINGS, TABLES
+
+    if SESSION_SETTINGS.get("join_use_nulls", "0").strip() == "1":
+        return out
+    srcs = {
+        m.group(1)
+        for m in re.finditer(
+            r"\b(?:FROM|JOIN)\s+([A-Za-z_]\w*)", _string_mask(sql),
+            re.IGNORECASE,
+        )
+    }
+    def _ch_typed(t: str) -> bool:
+        # ch_ddl tables and the bound system.* views are CH-typed
+        # (non-Nullable by default); anything else — parquet catalog
+        # views, API-registered frames — keeps SQL NULL semantics
+        return (
+            t in TABLES
+            or t.startswith("system_")
+            or t in ("system", "numbers")
+        )
+
+    if not srcs or not all(_ch_typed(t) for t in srcs):
+        return out
+    nullable_decls = {
+        c
+        for t in srcs
+        for c, d in (TABLES.get(t, {}).get("ch_types") or {}).items()
+        if str(d).lower().startswith("nullable")
+    }
+    from pyspark.sql import functions as F
+
+    cols = []
+    for f in out.schema.fields:
+        d = f.dataType.simpleString()
+        default = _type_default(d)
+        if default is None and d.startswith("array<"):
+            default = "array()"
+        if f.name in nullable_decls or default is None:
+            cols.append(F.col(f.name))
+        else:
+            cols.append(
+                F.coalesce(F.col(f.name), F.expr(f"CAST({default} AS {d})"))
+                .alias(f.name)
+            )
+    return out.select(*cols)
+
+
+def _rewrite_tuple_literal_aliases(sql: str) -> str:
+    """Aliased tuple literals — `(e1, e2) AS x` →
+    `struct(e1 AS col1, e2 AS col2) AS x` (ExpressionElementParsers tuple;
+    fields col1..colN match the tupleElement/`.N` access convention,
+    00027_argMinMax). Only parenthesized top-level comma lists directly
+    followed by `AS <ident>` and not preceded by a callable name rewrite —
+    IN-lists, call arguments, and subqueries keep their parens."""
+    mask = _string_mask(sql)
+    kw = {
+        "select", "distinct", "when", "then", "else", "case", "end", "and",
+        "or", "not", "where", "having", "on", "by", "as", "all", "union",
+        "intersect", "except", "from", "with", "limit", "offset", "in",
+        "return", "returns",
+    }
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        if mask[i] == "(":
+            pm = re.search(r"([A-Za-z_]\w*)?\s*$", sql[:i])
+            prev_word = (pm.group(1) or "").lower() if pm else ""
+            prev = next(
+                (sql[k] for k in range(i - 1, -1, -1) if not sql[k].isspace()),
+                "",
+            )
+            callable_prev = (
+                (prev.isalnum() or prev in "_)]") and prev_word not in kw
+            )
+            depth, j = 0, i
+            while j < n:
+                if mask[j] == "(":
+                    depth += 1
+                elif mask[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            follow = re.match(r"\s+AS\s+[A-Za-z_]\w*", sql[j + 1 :], re.IGNORECASE)
+            inner = sql[i + 1 : j] if j < n else ""
+            if (
+                j < n
+                and follow
+                and not callable_prev
+                and not re.match(r"\s*(SELECT|WITH)\b", inner, re.IGNORECASE)
+            ):
+                parts = _split_args(inner)
+                if len(parts) >= 2:
+                    fields = ", ".join(
+                        f"{_rewrite_tuple_literal_aliases(p.strip())} AS col{k + 1}"
+                        for k, p in enumerate(parts)
+                    )
+                    out.append(f"struct({fields})")
+                    i = j + 1
+                    continue
+        out.append(sql[i])
+        i += 1
+    return "".join(out)
+
+
+def _rewrite_subscript_defaults(sql: str, types_fn=None) -> str:
+    """ClickHouse arrayElement returns the element type's DEFAULT VALUE for
+    an out-of-range or zero index (arrayElement.cpp — 00036: [11,12][3] →
+    0, [11,12][-3] → 0, arr[0] → 0, '' for strings, [] for arrays); Spark's
+    ANSI element_at throws. Wrap `element_at(col, idx)` over a bare array
+    column of the (single) FROM table in the guarded CASE form. Applies
+    only when the schema resolves — expression bases and unresolvable
+    tables keep plain element_at (valid-index behavior is identical)."""
+    if types_fn is None or "element_at(" not in sql:
+        return sql
+    mask = _top_level_mask(sql)
+    ft = re.search(r"\bFROM\s+([A-Za-z_]\w*)", mask, re.IGNORECASE)
+    if ft is None:
+        return sql
+    try:
+        types = types_fn(ft.group(1))
+    except Exception:
+        return sql
+    smask = _string_mask(sql)
+    out, i = [], 0
+    pat = re.compile(r"\belement_at\(\s*([A-Za-z_]\w*)\s*,")
+    while True:
+        m = pat.search(sql, i)
+        if m is None:
+            out.append(sql[i:])
+            break
+        col = m.group(1)
+        dtype = str(types.get(col, ""))
+        em = re.fullmatch(r"array<(.+)>", dtype)
+        etype = em.group(1) if em else None
+        if etype is None:
+            # a select-aliased array LITERAL (`[1,2,3] AS arr, arr[id]` —
+            # 00036's third table): type the elements off the literal
+            lm = re.search(
+                rf"\barray\(([^()]*)\)\s+AS\s+{re.escape(col)}\b",
+                sql, re.IGNORECASE,
+            )
+            if lm:
+                elems = [e.strip() for e in lm.group(1).split(",") if e.strip()]
+                if elems and all(re.fullmatch(r"-?\d+", e) for e in elems):
+                    etype = "int"
+                elif elems and all(
+                    re.fullmatch(r"-?\d+(\.\d*)?", e) for e in elems
+                ):
+                    etype = "double"
+                elif elems and all(
+                    len(e) >= 2 and e[0] == "'" and e[-1] == "'" for e in elems
+                ):
+                    etype = "string"
+        # balanced scan for the index expression
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            if smask[j] == "(":
+                depth += 1
+            elif smask[j] == ")":
+                depth -= 1
+            j += 1
+        if etype is None or depth:
+            out.append(sql[i : m.end()])
+            i = m.end()
+            continue
+        default = _type_default(etype)
+        if default is None and etype.startswith("array<"):
+            default = "array()"
+        if default is None:
+            out.append(sql[i : m.end()])
+            i = m.end()
+            continue
+        idx = sql[m.end() : j - 1].strip()
+        out.append(sql[i : m.start()])
+        out.append(
+            f"(CASE WHEN ({idx}) = 0 OR abs(cast(({idx}) AS BIGINT)) > "
+            f"size({col}) THEN CAST({default} AS {etype}) "
+            f"ELSE element_at({col}, cast(({idx}) AS INT)) END)"
+        )
+        i = j
+    return "".join(out)
 
 
 #: ClickHouse type name → Spark SQL type, for CAST(x AS <ChType>) and the
@@ -4109,6 +4410,7 @@ def ch_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataFrame
         analyze_fn=_analyze_select,
     )
     out = spark.sql(translated, args=args) if args else spark.sql(translated)
+    out = _fill_outer_join_defaults(spark, sql, out)
     if _brute_force_blocked(spark, sql):
         # SETTINGS enable_brute_force_vector_search = 0 on an index-less
         # table whose parts exceed the build threshold: the reference's

@@ -65,6 +65,15 @@ PINNED = [
     "00034_mqvs_enable_decouple_data_part.sql",
     "00037_mqvs_support_multiple_vector_indices.sql",
     "00037_mqvs_replicated_support_multiple_vector_indices.sql",
+    "00037_mqvs_select_multiple_vector_indices.sql",
+    # r8: merge gate (OPTIMIZE refuses while an index build is in flight),
+    # real part names in system.parts, big-table builds outliving sleep
+    # polls (build_slow — 500k-row MSTG/HNSW builds stay InProgress);
+    # 00037_mqvs_multiple_drop_vector_index also passes but materializes a
+    # 500k x 768 x 2 insert (~8 min) — covered by the sweep, not pinned
+    "00022_mqvs_replicated_merge_with_vector_index.sql",
+    "00020_mqvs_replicated_drop_vector_index_and_drop_table.sql",
+    "00037_mqvs_replicated_multiple_drop_vector_index.sql",
     # r7: EXPLAIN AST (0_stateless pin — echoOn protocol + both optimize
     # modes; the harness path prefix routes it to its own directory)
     "../0_stateless/02353_explain_ast_optimize.sql",
@@ -109,6 +118,27 @@ PINNED = [
     # system.one (FROM-less `dummy`), ALL/ANY JOIN strictness forms with
     # paren-less USING, transform() dictionary mapping, salted SQL
     # intHash64/intHash32 as UInt64
+    # r8 SELECT-surface batch 4: multi-array ARRAY JOIN (positional zip via
+    # inline(transform)), sumArray/sumArrayIf combinators, WITH TOTALS over
+    # subquery FROMs (key defaults via plan analysis, totals row pinned
+    # last, blank-separator emulation), CH arrayElement OOB/zero→type
+    # default, join_use_nulls=0 outer-join defaults on CH-typed sources,
+    # INSERT omitted columns→type defaults, aliased tuple literals with
+    # col1..colN fields, send_logs_level no-op
+    "../0_stateless/00001_select_1.sql",
+    "../0_stateless/00002_system_numbers.sql",
+    "../0_stateless/00013_create_table_with_arrays.sql",
+    "../0_stateless/00015_totals_having_constants.sql",
+    "../0_stateless/00016_totals_having_constants.sql",
+    "../0_stateless/00022_func_higher_order_and_constants.sql",
+    "../0_stateless/00023_agg_select_agg_subquery.sql",
+    "../0_stateless/00025_implicitly_used_subquery_column.sql",
+    "../0_stateless/00036_array_element.sql",
+    "../0_stateless/00042_set.sql",
+    "../0_stateless/00044_sorting_by_string_descending.sql",
+    "../0_stateless/00055_join_two_numbers.sql",
+    "../0_stateless/00056_join_number_string.sql",
+    "../0_stateless/00071_insert_fewer_columns.sql",
     "../0_stateless/00007_array.sql",
     "../0_stateless/00012_array_join_alias_2.sql",
     "../0_stateless/00020_sorting_arrays.sql",

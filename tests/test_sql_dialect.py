@@ -694,6 +694,7 @@ def test_every_template_rewrites_to_parseable_sql(spark):
         "uniqMerge": "uniqMerge(a)",
         "uniqMergeState": "uniqMergeState(a)",
         "replaceRegexpOne": "replaceRegexpOne(a, 'x+', 'y')",
+        "toDateTime": "toDateTime(a, 'UTC')",
         # finalizeAggregation is type-directed and ALWAYS raises (checked
         # in test_agg_state.py::test_dialect_error_discipline)
         "finalizeAggregation": None,
@@ -763,10 +764,15 @@ def test_array_join_clause(spark):
         "WHERE id = 1 ORDER BY t",
     ).collect()
     assert [r["t"] for r in rows] == [11, 21]
-    # guards: multi-array zip raises; a no-alias EXPRESSION raises; the
+    # multi-array ARRAY JOIN zips POSITIONALLY (r8 — 00013: one row per
+    # index, never a cross product); a no-alias EXPRESSION still raises; the
     # bare-column form SHADOWS the column (r7 — 00010_big_array_join)
-    with pytest.raises(ChSqlError, match="zip"):
-        rewrite("SELECT a, b FROM t ARRAY JOIN x AS a, y AS b")
+    rows = ch_sql(
+        spark,
+        "SELECT id, a, n FROM _aj_t ARRAY JOIN arr AS a, "
+        "arrayEnumerate(arr) AS n WHERE id = 1 ORDER BY n",
+    ).collect()
+    assert [(r["a"], r["n"]) for r in rows] == [(10, 1), (20, 2)]
     with pytest.raises(ChSqlError, match="alias"):
         rewrite("SELECT arr FROM t ARRAY JOIN arrayMap(v -> v, arr)")
     rows = ch_sql(

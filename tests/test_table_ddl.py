@@ -106,7 +106,9 @@ def test_insert_column_subset_and_errors(spark):
     )
     ch_ddl(spark, "INSERT INTO t_ddl_e (a, b) VALUES (1, 'x')")
     r = spark.table("t_ddl_e").collect()[0]
-    assert r["a"] == 1 and r["b"] == "x" and r["c"] is None
+    # omitted columns land as their CH TYPE DEFAULT, never NULL
+    # (00071_insert_fewer_columns — r8)
+    assert r["a"] == 1 and r["b"] == "x" and r["c"] == 0.0
     with pytest.raises(ChSqlError, match="not in table"):
         ch_ddl(spark, "INSERT INTO t_ddl_e (zz) VALUES (1)")
     with pytest.raises(ChSqlError, match="not created"):

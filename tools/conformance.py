@@ -221,14 +221,41 @@ def run_file(spark, path: str):
             return "FAIL", f"stmt {i + 1}: {s.splitlines()[0][:90]!r} -> {type(e).__name__}: {str(e)[:160]}"
         if re.match(r"^\s*(SELECT|WITH|SHOW|EXPLAIN)\b", s, re.IGNORECASE) and res is not None:
             if re.search(r"FORMAT\s+Vertical", s, re.IGNORECASE):
-                compared = False  # Vertical rendering not replayed
+                # replay clickhouse-client's Vertical rendering: per row a
+                # `Row N:` header, a ─ rule of the header's width, then
+                # `col:<pad>value` lines padded to the longest column name
+                try:
+                    vrows = res.collect()
+                except Exception as e:
+                    return "FAIL", f"stmt {i + 1} collect: {type(e).__name__}: {str(e)[:160]}"
+                cols = res.columns
+                if vrows:
+                    w = max(len(c) for c in cols) + 2
+                    for rn, r in enumerate(vrows, 1):
+                        hdr = f"Row {rn}:"
+                        got_rows.append([hdr])
+                        got_rows.append(["─" * len(hdr)])
+                        for c, v in zip(cols, r):
+                            val = "ᴺᵁᴸᴸ" if v is None else v
+                            got_rows.append(
+                                [f"{c}:{' ' * (w - len(c) - 1)}{val}"]
+                            )
                 continue
             try:
                 if hasattr(res, "collect"):
-                    for r in res.collect():
-                        got_rows.append(
-                            [x if not isinstance(x, bool) else int(x) for x in r]
-                        )
+                    stmt_rows = [
+                        [x if not isinstance(x, bool) else int(x) for x in r]
+                        for r in res.collect()
+                    ]
+                    if (
+                        len(stmt_rows) >= 2
+                        and re.search(r"\bWITH\s+TOTALS\b", s, re.IGNORECASE)
+                    ):
+                        # clickhouse-client prints the totals row after a
+                        # BLANK separator line; the dialect pins it last
+                        # under ORDER BY (grouping_id() sort key)
+                        stmt_rows.insert(len(stmt_rows) - 1, [""])
+                    got_rows.extend(stmt_rows)
                 else:
                     got_rows.append([res])
             except Exception as e:
