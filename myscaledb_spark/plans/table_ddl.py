@@ -66,6 +66,12 @@ def _refresh_view(spark: SparkSession, table: str) -> None:
     if EXISTS in cols:
         q += f" WHERE {EXISTS}"
     spark.sql(q).createOrReplaceTempView(table)
+    # replica views capture the primary's plan SNAPSHOT — re-point them so
+    # a replica reads the primary's writes (ReplicatedMergeTree replication;
+    # 00017_replicated queries the r2 table after r1 inserts)
+    for rep, meta in TABLES.items():
+        if meta.get("replica_of") == table:
+            spark.table(table).createOrReplaceTempView(rep)
 
 #: deferred vector-index builds per registry dir (the reference's async
 #: build pool) — module-level so the timeline spans statement-at-a-time
@@ -1827,13 +1833,28 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
                                 for i, c in enumerate(lm["children"])
                             ]
                         reg.annotate(r["name"], segments=segs)
-                        if ((rebuild or not decouple) and r.get("expr")
+                        # a decoupled merge over MUTATED children (LWD'd
+                        # parts) re-indexes SLOWLY even with
+                        # enable_rebuild_for_decouple=false — status reads
+                        # InProgress for the rest of the script
+                        # (00017_replicated pins InProgress after the
+                        # decoupled merge AND after later queries; 00022's
+                        # clean-children merge stays Built)
+                        mutated = any(
+                            len(c.split("_")) > 4 for c in lm["children"]
+                        )
+                        queue_klass = None
+                        if (rebuild or not decouple):
+                            queue_klass = "rebuild"
+                        elif decouple and mutated:
+                            queue_klass = "rebuild_never"
+                        if (queue_klass and r.get("expr")
                                 and not any(
                                     p[2] == r["name"] for p in _pending())):
                             reg.set_status(r["name"], "InProgress")
                             _pending().append((
                                 f"ALTER TABLE {t} ADD VECTOR INDEX {r['expr']}",
-                                t, r["name"], "rebuild",
+                                t, r["name"], queue_klass,
                             ))
             insm = _INSERT_RE.match(s)
             if insm and TABLES.get(insm.group("table"), {}).get("pending_vector_indices"):

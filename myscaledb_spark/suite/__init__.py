@@ -66,6 +66,7 @@ def load_all() -> None:
         bucketed_gate,
         dialect2,
         dialect3,
+        dialect4,
         search3,
         quality_gate,
         agg_state_gate,
@@ -86,40 +87,46 @@ def load_all() -> None:
 # from the registry are skipped; registry entries absent from this list
 # follow in registration order.
 PRIORITY: list[str] = [
-    # =========== r7 window ===========
-    # r6 came back 50/50.  This window leads with (a) entries ADDED in r7,
-    # (b) entries whose SEMANTICS or plan changed in r7 — including the
-    # post-r6-verdict reworks (2-shuffle uniq-HLL gate, folded MinHash
-    # banding, recall-pinned indexed hybrid) that landed after the r6
-    # driver window closed — then (c) the oldest standing driver records.
-    # --- (a) new in r7 ---
-    "ch_sql_with_fill_interpolate_expr",
-    "quantile_tdigest_grouped",
-    "hybrid_search_indexed_exhaustive",
-    "ch_sql_with_fill_multi",
-    "ch_sql_with_fill_multi_interpolate",
-    "ch_sql_with_fill_desc",
-    # --- (b) changed in r7: recall-pinned indexed hybrid gate, fused
-    #     2-shuffle uniq-HLL, single-pass MinHash banding, distributed
-    #     tie-avg rank, INTERPOLATE column order + computed form ---
+    # =========== r8 window ===========
+    # r7 came back 50/50.  This window leads with (a) entries ADDED in r8
+    # (the SELECT-surface/storage-semantics gates of suite/dialect4), then
+    # (b) entries whose PLAN or shared path was reworked after the r7
+    # driver window closed — concurrent hybrid candidate legs + join-free
+    # FTS scoring, one-action grid-bucketed rank_corr, hashed-shingle
+    # MinHash sliver, cost-based grouped t-digest, one-action
+    # pack_sequences prefix sum, WITH TOTALS ordering/defaults — then
+    # (c) the oldest standing driver records.
+    # --- (a) new in r8 ---
+    "ch_sql_array_join_zip",
+    "ch_sql_totals_subquery",
+    "ch_sql_left_join_defaults",
+    "ch_sql_insert_defaults",
+    "ch_sql_tuple_access",
+    # --- (b) reworked after the r7 window closed ---
     "hybrid_search_indexed",
-    "uniq_hll_state_events",
+    "hybrid_search_indexed_exhaustive",
+    "hybrid_search_rsf",
+    "hybrid_search_rrf",
+    "rank_corr_qty_price",
     "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "quantile_tdigest_grouped",
+    "quantile_tdigest_qty",
+    "pack_sequences_docs",
+    "ch_sql_with_totals",
+    "ch_sql_with_fill_multi_interpolate",
+    "ch_sql_with_fill_multi",
+    "ch_sql_with_fill_desc",
+    "ch_sql_with_fill_interpolate_expr",
+    "uniq_hll_state_events",
     "mann_whitney_click_error",
-    "rank_corr_qty_price",
     "ch_sql_with_fill_interpolate",
     "ch_sql_with_fill_off_grid",
     "ch_sql_groups_frame",
     "mv_agg_state_hourly",
     "ch_sql_aggregating_mt",
-    "quantile_tdigest_qty",
-    # --- (b continued) r6-window entries kept for one more round of
-    #     certification on the reworked shared paths ---
     "bm25_cjk_topk",
-    "hybrid_search_rsf",
-    "hybrid_search_rrf",
     "ivf_search_topk",
     "mstg_search_topk",
     "text_search_routed",

@@ -74,6 +74,10 @@ PINNED = [
     "00022_mqvs_replicated_merge_with_vector_index.sql",
     "00020_mqvs_replicated_drop_vector_index_and_drop_table.sql",
     "00037_mqvs_replicated_multiple_drop_vector_index.sql",
+    # r8: live replica views, FORMAT Vertical replay, SHOW CREATE parity,
+    # decoupled-merge-over-mutations permanent InProgress (rebuild_never)
+    "00015_mqvs_create_vector_index.sql",
+    "00017_mqvs_replicated_lightweight_delete_with_decouple.sql",
     # r7: EXPLAIN AST (0_stateless pin — echoOn protocol + both optimize
     # modes; the harness path prefix routes it to its own directory)
     "../0_stateless/02353_explain_ast_optimize.sql",

@@ -302,8 +302,11 @@ def test_show_create_table_round_trips(spark):
         "ENGINE = ReplacingMergeTree(ver) ORDER BY k SAMPLE BY k",
     )
     ddl = show_create_table("t_sct")
-    assert "ReplacingMergeTree(ver)" in ddl and "ORDER BY (k)" in ddl
-    assert "price Decimal(18, 2)" in ddl and "tags Array(String)" in ddl
+    # CH stored-AST rendering (r8): bare single ORDER BY key, backquoted
+    # column names, SETTINGS trailer (00015 pins the exact shape)
+    assert "ReplacingMergeTree(ver)" in ddl and "ORDER BY k" in ddl
+    assert "`price` Decimal(18, 2)" in ddl and "`tags` Array(String)" in ddl
+    assert "SETTINGS index_granularity = 8192" in ddl
     assert "SAMPLE BY k" in ddl
     # round trip: the emitted DDL parses back
     ch_ddl(spark, "DROP TABLE t_sct")
