@@ -944,6 +944,7 @@ _NOOP_SETTINGS = re.compile(
     # query exceeds them — Spark manages its own memory/sort resources, so
     # the success path is identical (00027_distinct_and_order_by)
     r"max_rows_to_sort|max_bytes_to_sort|max_bytes_before_external_sort|"
+    r"max_rows_to_read|max_bytes_to_read|read_overflow_mode|"
     r"max_memory_usage|max_rows_to_group_by|max_execution_time|"
     r"dfs_[a-z_]+|storage_policy)$",
     re.IGNORECASE,
@@ -1975,7 +1976,16 @@ def _bind_system_tables(spark: SparkSession, s: str, artifact_dir: str | None) -
         elif name == "one":
             intro.system_one(spark).createOrReplaceTempView(view)
         elif name in ("numbers", "numbers_mt"):
-            intro.system_numbers(spark).createOrReplaceTempView(view)
+            num = intro.system_numbers(spark)
+            cap = SESSION_SETTINGS.get("max_rows_to_read")
+            if (cap and str(cap).isdigit()
+                    and SESSION_SETTINGS.get(
+                        "read_overflow_mode", "").strip("'\"") == "break"):
+                # read_overflow_mode='break' STOPS the unbounded numbers
+                # stream at the guard instead of erroring
+                # (00135_duplicate_group_by_keys_segfault)
+                num = num.limit(int(cap))
+            num.createOrReplaceTempView(view)
     return re.sub(r"\bsystem\.(\w+)", r"system_\1", s, flags=re.IGNORECASE)
 
 

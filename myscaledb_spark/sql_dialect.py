@@ -254,6 +254,17 @@ TEMPLATES: dict[str, str] = {
     ),
     "arrayAvg": "(aggregate({0}, cast(0.0 as double), (acc, x) -> acc + x) / size({0}))",
     "arrayMin": "array_min({0})",
+    # FixedString(n): pad with NUL bytes to n, error when the value is
+    # longer (FunctionsConversion toFixedString — 00078/00128)
+    "toFixedString": (
+        "if(length({0}) > {1}, raise_error(concat('String too long for "
+        "FixedString(', cast({1} as string), ')')), rpad({0}, {1}, chr(0)))"
+    ),
+    "IPv4NumToStringClassC": (
+        "concat(cast(({0} div 16777216) % 256 as string), '.', "
+        "cast(({0} div 65536) % 256 as string), '.', "
+        "cast(({0} div 256) % 256 as string), '.xxx')"
+    ),
     "arrayMax": "array_max({0})",
     "arrayEnumerate": "sequence(1, size({0}))",
     "arrayPushBack": "concat({0}, array({1}))",
@@ -3097,6 +3108,22 @@ def _special_to_date(args: list[str]) -> str:
     raise ChSqlError(f"toDate takes 1 or 2 arguments, got {len(args)}")
 
 
+def _special_sum(args: list[str]) -> str:
+    """sum over a BOOLEAN expression — ClickHouse comparisons are UInt8, so
+    `sum(x = y)` counts matches (00103); Spark's sum rejects booleans. A
+    top-level comparison/logical op in the argument gets an int cast;
+    plain numeric arguments pass through untouched (decimal sums keep
+    their exact type)."""
+    if len(args) != 1:
+        raise ChSqlError(f"sum takes one argument, got {len(args)}")
+    a = args[0]
+    tm = _top_level_mask(a)
+    if re.search(r"[<>=!]|\bAND\b|\bOR\b|\bNOT\b|\bLIKE\b|\bIN\b",
+                 tm, re.IGNORECASE):
+        return f"sum(cast(({a}) as int))"
+    return f"sum({a})"
+
+
 def _special_to_datetime(args: list[str]) -> str:
     """toDateTime(x[, tz]) — a DateTime is an instant; the tz argument sets
     the DISPLAY zone (DateTimeTransforms.h ToDateTimeImpl). Sessions run
@@ -3182,6 +3209,7 @@ SPECIAL = {
     "countState": lambda args: f"count({', '.join(args)})" if args else "count(*)",
     "toDate": _special_to_date,
     "toDateTime": _special_to_datetime,
+    "sum": _special_sum,
     "uniqState": _special_uniq_state,
     "uniqMerge": _special_uniq_merge,
     "uniqMergeState": _special_uniq_merge_state,
@@ -3325,6 +3353,13 @@ def rewrite(sql: str, schema_fn=None, types_fn=None, analyze_fn=None) -> str:
         sql,
     )
     sql = _strip_settings(sql)
+    # hex integer literals (0xFF) — ClickHouse parses them, Spark does not
+    # (ParserNumber; 00103 uses 0x7f000001)
+    sql = _masked_sub(
+        re.compile(r"\b0[xX]([0-9A-Fa-f]+)\b"),
+        lambda m: str(int(m.group(1), 16)),
+        sql,
+    )
     sql = _add_implicit_one(sql)
     sql = _rewrite_asof_join(sql)
     # `ALL <kind> JOIN` — ALL is ClickHouse's default join strictness

@@ -695,6 +695,7 @@ def test_every_template_rewrites_to_parseable_sql(spark):
         "uniqMergeState": "uniqMergeState(a)",
         "replaceRegexpOne": "replaceRegexpOne(a, 'x+', 'y')",
         "toDateTime": "toDateTime(a, 'UTC')",
+        "sum": "sum(a = 2)",
         # finalizeAggregation is type-directed and ALWAYS raises (checked
         # in test_agg_state.py::test_dialect_error_discipline)
         "finalizeAggregation": None,

@@ -139,15 +139,21 @@ def _cmp_cell(a, b) -> bool:
             return True
         # reference math is Float32; ours is Float64 — compare at f32 grain
         return math.isclose(float(a), float(b), rel_tol=1e-4, abs_tol=1e-6)
+    if isinstance(b, list):  # already-parsed nested composite
+        try:
+            seq = list(a) if not isinstance(a, (str, bytes)) else None
+        except TypeError:
+            return False
+        return (
+            seq is not None and len(seq) == len(b)
+            and all(_cmp_cell(x, y) for x, y in zip(seq, b))
+        )
     # ClickHouse prints arrays/tuples as composite literals ('[0,0,0]',
-    # '(0,2.43)'); our cells come back as lists / Rows — compare elementwise
+    # '(0,2.43)', nested '[[''a''],[''b'']]'); our cells come back as
+    # lists / Rows — parse the literal RECURSIVELY and compare elementwise
     if isinstance(b, str) and len(b) >= 2 and b[0] in "[(" and b[-1] in "])":
         try:
-            elems = [
-                _parse_cell(t.strip().strip("'"))
-                for t in b[1:-1].split(",")
-                if t.strip() != ""
-            ]
+            elems = _parse_composite(b)
         except Exception:
             return str(a) == str(b)
         seq = list(a) if not isinstance(a, (str, bytes)) else None
@@ -155,6 +161,40 @@ def _cmp_cell(a, b) -> bool:
             return all(_cmp_cell(x, y) for x, y in zip(seq, elems))
         return False
     return str(a) == str(b)
+
+
+def _parse_composite(s: str):
+    """Parse a ClickHouse composite literal ('[...]' / '(...)') into nested
+    Python lists of typed cells — top-level commas only, quotes respected,
+    nested composites recurse."""
+    inner = s[1:-1]
+    parts, depth, q, last = [], 0, False, 0
+    for i, c in enumerate(inner):
+        if q:
+            q = c != "'"
+            continue
+        if c == "'":
+            q = True
+        elif c in "[(":
+            depth += 1
+        elif c in "])":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(inner[last:i])
+            last = i + 1
+    tailp = inner[last:]
+    if tailp.strip() != "" or parts:
+        parts.append(tailp)
+    out = []
+    for p in parts:
+        p = p.strip()
+        if len(p) >= 2 and p[0] in "[(" and p[-1] in "])":
+            out.append(_parse_composite(p))
+        elif len(p) >= 2 and p[0] == "'" and p[-1] == "'":
+            out.append(_parse_cell(p[1:-1]))
+        else:
+            out.append(_parse_cell(p))
+    return out
 
 
 def _cmp_rows(got, want) -> bool:
@@ -260,6 +300,10 @@ def run_file(spark, path: str):
                     got_rows.append([res])
             except Exception as e:
                 return "FAIL", f"stmt {i + 1} collect: {type(e).__name__}: {str(e)[:160]}"
+    if not want and compared and not got_rows:
+        # an EMPTY .reference with zero produced rows IS an exact match
+        # (e.g. 00136: LIMIT past the end of the input)
+        return "PASS", f"{len(stmts)} stmts, 0 rows match"
     if not want or not compared:
         return "RAN", f"{len(stmts)} stmts"
     if _cmp_rows(got_rows, want):
