@@ -139,8 +139,8 @@ def ch_sql_insert_defaults(spark, sf_dir):
 @register(
     "ch_sql_tuple_access",
     """
-    SELECT arg_min(l_partkey, l_orderkey * 10 + l_linenumber) AS amin,
-           arg_max(l_partkey, l_orderkey * 10 + l_linenumber) AS amax,
+    SELECT arg_min(l_partkey, (l_orderkey * 10 + l_linenumber) * 1000000 + l_partkey) AS amin,
+           arg_max(l_partkey, (l_orderkey * 10 + l_linenumber) * 1000000 + l_partkey) AS amax,
            COUNT(*) AS n
     FROM lineitem WHERE l_orderkey < 500
     """,
@@ -149,7 +149,8 @@ def ch_sql_tuple_access(spark, sf_dir):
     """Aliased tuple literal + `.N` field access feeding argMin/argMax
     (ExpressionElementParsers tuple; 00027_argMinMax): `(a, b) AS t` maps
     to struct fields col1..colN, the `t.1`/`t.2` accesses resolve to them.
-    The order axis is unique by construction, so the picks are exact."""
+    The order axis folds the answer column in, so axis ties imply equal
+    answers and the picks are exact at every scale factor."""
     from myscaledb_spark.sql_dialect import ch_sql
 
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_tup_l")
@@ -159,7 +160,7 @@ def ch_sql_tuple_access(spark, sf_dir):
         SELECT argMin(t.1, t.2) AS amin, argMax(t.1, t.2) AS amax,
                count() AS n
         FROM (
-          SELECT (l_partkey, l_orderkey * 10 + l_linenumber) AS t
+          SELECT (l_partkey, (l_orderkey * 10 + l_linenumber) * 1000000 + l_partkey) AS t
           FROM _tup_l WHERE l_orderkey < 500
         )
         """,
