@@ -414,8 +414,11 @@ def system_numbers(spark: SparkSession) -> DataFrame:
     """≈ system.numbers — the reference streams an UNBOUNDED counter that
     only terminates under LIMIT (StorageSystemNumbers.cpp); a lazy 2^32
     range is the practical analog: LIMIT prunes it to a few splits, and an
-    unbounded full scan is as pathological as it is on the reference."""
-    return spark.range(1 << 32).toDF("number")
+    unbounded full scan is as pathological as it is on the reference.
+    ONE partition, like the reference's single ordered stream — with many
+    partitions a per-partition LocalLimit evaluates projections on rows
+    near 2^32 (00179: sequence(0, number) explodes on partition 31)."""
+    return spark.range(0, 1 << 32, 1, 1).toDF("number")
 
 
 def system_data_type_families(spark: SparkSession) -> DataFrame:

@@ -944,7 +944,7 @@ _NOOP_SETTINGS = re.compile(
     # query exceeds them — Spark manages its own memory/sort resources, so
     # the success path is identical (00027_distinct_and_order_by)
     r"max_rows_to_sort|max_bytes_to_sort|max_bytes_before_external_sort|"
-    r"max_rows_to_read|max_bytes_to_read|read_overflow_mode|"
+    r"max_rows_to_read|max_bytes_to_read|read_overflow_mode|join_algorithm|"
     r"max_memory_usage|max_rows_to_group_by|max_execution_time|"
     r"dfs_[a-z_]+|storage_policy)$",
     re.IGNORECASE,

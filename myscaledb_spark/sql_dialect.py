@@ -254,6 +254,7 @@ TEMPLATES: dict[str, str] = {
     ),
     "arrayAvg": "(aggregate({0}, cast(0.0 as double), (acc, x) -> acc + x) / size({0}))",
     "arrayMin": "array_min({0})",
+    "arrayUniq": "size(array_distinct({0}))",
     # FixedString(n): pad with NUL bytes to n, error when the value is
     # longer (FunctionsConversion toFixedString — 00078/00128)
     "toFixedString": (
@@ -3009,9 +3010,25 @@ def _special_range(args: list[str]) -> str:
     end-1 (exact for step 1; for step s sequence stops at <= end-1, which
     matches exclusivity)."""
     if len(args) == 1:
-        return f"sequence(0, ({args[0]}) - 1)"
+        # an EMPTY range must not fall into sequence's auto-descending step
+        # (CH range(0) = [] — 00198_group_by_empty_arrays)
+        a = args[0].strip()
+        if re.fullmatch(r"\d+", a):
+            return (
+                "cast(array() as array<bigint>)" if int(a) == 0
+                else f"sequence(0, cast({a} as bigint) - 1)"
+            )
+        return (
+            f"(CASE WHEN ({a}) <= 0 THEN cast(array() as array<bigint>) "
+            f"ELSE sequence(0, cast(({a}) as bigint) - 1) END)"
+        )
     if len(args) == 2:
-        return f"sequence({args[0]}, ({args[1]}) - 1)"
+        return (
+            f"(CASE WHEN ({args[1]}) <= ({args[0]}) THEN "
+            f"cast(array() as array<bigint>) "
+            f"ELSE sequence(cast(({args[0]}) as bigint), "
+            f"cast(({args[1]}) as bigint) - 1) END)"
+        )
     if len(args) == 3:
         return f"sequence({args[0]}, ({args[1]}) - 1, {args[2]})"
     raise ChSqlError("range(N) / range(start, end[, step])")
@@ -3106,6 +3123,79 @@ def _special_to_date(args: list[str]) -> str:
             f"cast({args[0]} as timestamp)))"
         )
     raise ChSqlError(f"toDate takes 1 or 2 arguments, got {len(args)}")
+
+
+def _scaled(fn: str, args: list[str]) -> str:
+    """floor/ceil with ClickHouse's optional SCALE argument (negative =
+    powers of ten — roundToExp2 family, 00161_rounding_functions)."""
+    if len(args) == 1:
+        return f"{fn}({args[0]})"
+    if len(args) == 2:
+        p = f"pow(10, {args[1]})"
+        return f"({fn}(({args[0]}) * {p}) / {p})"
+    raise ChSqlError(f"{fn} takes 1 or 2 arguments, got {len(args)}")
+
+
+def _special_floor(args: list[str]) -> str:
+    return _scaled("floor", args)
+
+
+def _special_ceil(args: list[str]) -> str:
+    return _scaled("ceil", args)
+
+
+def _special_trunc(args: list[str]) -> str:
+    """truncate toward zero (CH trunc/truncate — Spark's trunc is the DATE
+    function, so spell it as sign-aware floor/ceil)."""
+    x = args[0]
+    if len(args) == 1:
+        return f"(CASE WHEN ({x}) >= 0 THEN floor({x}) ELSE ceil({x}) END)"
+    if len(args) == 2:
+        p = f"pow(10, {args[1]})"
+        return (
+            f"((CASE WHEN ({x}) >= 0 THEN floor(({x}) * {p}) "
+            f"ELSE ceil(({x}) * {p}) END) / {p})"
+        )
+    raise ChSqlError(f"trunc takes 1 or 2 arguments, got {len(args)}")
+
+
+def _special_round_bankers(args: list[str]) -> str:
+    if len(args) in (1, 2):
+        return f"bround({', '.join(args)})"
+    raise ChSqlError(f"roundBankers takes 1 or 2 arguments, got {len(args)}")
+
+
+def _special_round_to_exp2(args: list[str]) -> str:
+    """roundToExp2 — nearest power of two not above |x| (type-dispatched in
+    the reference: integers clamp below 1 to 0, floats keep sign and scale
+    by exponent — Round.h roundDownToPowerOfTwo). Literal arguments
+    constant-fold (00161); column args would need the input type, raise."""
+    import math
+
+    if len(args) != 1:
+        raise ChSqlError(f"roundToExp2 takes one argument, got {len(args)}")
+    a = args[0].strip()
+    if re.fullmatch(r"-?\d+", a):
+        v = int(a)
+        return str(0 if v < 1 else 1 << (v.bit_length() - 1))
+    if re.fullmatch(r"-?\d*\.\d+", a):
+        v = float(a)
+        if v == 0:
+            return "0.0"
+        return repr(math.copysign(2.0 ** math.floor(math.log2(abs(v))), v))
+    raise ChSqlError(
+        "roundToExp2 over non-literal arguments is type-dispatched — "
+        "use floor(log2(...)) directly"
+    )
+
+
+def _special_round(args: list[str]) -> str:
+    """ClickHouse round() uses BANKER'S rounding for floating-point inputs
+    (Round.h — 00161 pins round(-0.5) = -0); Spark's bround matches for
+    floats and is identical to round for integers."""
+    if len(args) in (1, 2):
+        return f"bround({', '.join(args)})"
+    raise ChSqlError(f"round takes 1 or 2 arguments, got {len(args)}")
 
 
 def _special_sum(args: list[str]) -> str:
@@ -3210,6 +3300,14 @@ SPECIAL = {
     "toDate": _special_to_date,
     "toDateTime": _special_to_datetime,
     "sum": _special_sum,
+    "floor": _special_floor,
+    "ceil": _special_ceil,
+    "ceiling": _special_ceil,
+    "trunc": _special_trunc,
+    "truncate": _special_trunc,
+    "roundBankers": _special_round_bankers,
+    "round": _special_round,
+    "roundToExp2": _special_round_to_exp2,
     "uniqState": _special_uniq_state,
     "uniqMerge": _special_uniq_merge,
     "uniqMergeState": _special_uniq_merge_state,
@@ -3360,6 +3458,7 @@ def rewrite(sql: str, schema_fn=None, types_fn=None, analyze_fn=None) -> str:
         lambda m: str(int(m.group(1), 16)),
         sql,
     )
+    sql = _rewrite_ternary(sql)
     sql = _add_implicit_one(sql)
     sql = _rewrite_asof_join(sql)
     # `ALL <kind> JOIN` — ALL is ClickHouse's default join strictness
@@ -3471,6 +3570,122 @@ def _fill_outer_join_defaults(spark, sql: str, out):
                 .alias(f.name)
             )
     return out.select(*cols)
+
+
+_TERNARY_STOP_BACK = re.compile(
+    r"\b(SELECT|WHERE|HAVING|PREWHERE|ON|WHEN|THEN|ELSE|BY|FROM|LIMIT|"
+    r"SETTINGS|UNION|DISTINCT|ALL|RETURN|RETURNS)\b",
+    re.IGNORECASE,
+)
+_TERNARY_STOP_FWD = re.compile(
+    r"\b(AS|FROM|WHERE|GROUP|ORDER|HAVING|LIMIT|SETTINGS|UNION|INTO)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_ternary(sql: str) -> str:
+    """ClickHouse ternary `cond ? a : b` → `if(cond, a, b)`
+    (ParserTernaryOperatorExpression — C precedence: comparisons and
+    AND/OR chains bind tighter, so they stay inside the condition; the
+    else-branch ends at a top-level comma, closing bracket, alias AS, or
+    clause keyword). Nested ternaries recurse; `{p:Type}` query-parameter
+    placeholders and string literals are untouched."""
+    while True:
+        mask = _string_mask(sql)
+        qpos = -1
+        for m in re.finditer(r"\?", mask):
+            # skip `?` inside {param:Type} braces (no top-level ? there
+            # anyway) — any bare ? is the ternary operator in CH SQL
+            qpos = m.start()
+            break
+        if qpos < 0:
+            return sql
+        # matching ':' — same bracket depth, skipping nested '?'
+        depth, nest, colon, i = 0, 0, -1, qpos + 1
+        while i < len(sql):
+            c = mask[i]
+            if c in "([{":
+                depth += 1
+            elif c in ")]}":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif depth == 0 and c == "?":
+                nest += 1
+            elif depth == 0 and c == ":":
+                if i + 1 < len(sql) and mask[i + 1] == ":":
+                    i += 2  # `::` cast operator, not the ternary colon
+                    continue
+                if nest:
+                    nest -= 1
+                else:
+                    colon = i
+                    break
+            i += 1
+        if colon < 0:
+            return sql  # no ternary shape (e.g. a bare ? placeholder)
+        # condition start: walk BACK over balanced tokens to the start of
+        # the expression (stop at top-level ',', an opening bracket, a
+        # lambda arrow, or a clause keyword)
+        j = qpos
+        cstart = 0
+        depth = 0
+        while j > 0:
+            c = mask[j - 1]
+            if c in ")]":
+                depth += 1
+            elif c in "([":
+                if depth == 0:
+                    cstart = j
+                    break
+                depth -= 1
+            elif depth == 0 and c == ",":
+                cstart = j
+                break
+            elif depth == 0 and c == ">" and j >= 2 and mask[j - 2] == "-":
+                cstart = j  # lambda arrow `->`
+                break
+            j -= 1
+        else:
+            cstart = 0
+        last = None
+        for sm in _TERNARY_STOP_BACK.finditer(mask[cstart:qpos]):
+            last = sm
+        if last:
+            cstart = cstart + last.end()
+        cond = sql[cstart:qpos].strip()
+        if not cond:
+            return sql
+        then = sql[qpos + 1 : colon].strip()
+        # else end: forward to a top-level ',', closing bracket, alias AS,
+        # or clause keyword
+        depth, k, eend = 0, colon + 1, len(sql)
+        while k < len(sql):
+            c = mask[k]
+            if c in "([":
+                depth += 1
+            elif c in ")]":
+                if depth == 0:
+                    eend = k
+                    break
+                depth -= 1
+            elif depth == 0 and c == ",":
+                eend = k
+                break
+            elif depth == 0:
+                fm = _TERNARY_STOP_FWD.match(mask, k)
+                if fm and (k == 0 or not (mask[k - 1].isalnum() or mask[k - 1] == "_")):
+                    eend = k
+                    break
+            k += 1
+        els = sql[colon + 1 : eend].strip()
+        if not then or not els:
+            return sql
+        sql = (
+            sql[:cstart]
+            + f" if(cast(({cond}) as boolean), {then}, {els}) "
+            + sql[eend:]
+        )
 
 
 def _rewrite_tuple_literal_aliases(sql: str) -> str:

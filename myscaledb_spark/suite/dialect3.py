@@ -452,7 +452,10 @@ def ch_sql_url_funcs(spark, sf_dir):
     "ch_sql_create_function",
     """
     SELECT o_orderpriority,
-           CAST(SUM(CAST(ROUND(o_totalprice * (1 + 0.07), 2) AS DECIMAL(18,2)))
+           -- floor keeps the lambda double-math TIE-FREE: ClickHouse
+           -- round() is banker's (mapped to Spark bround, r8) but Spark
+           -- and DuckDB detect double half-ties differently at the margin
+           CAST(SUM(CAST(FLOOR(o_totalprice * (1 + 0.07) * 100) / 100 AS DECIMAL(18,2)))
                 AS DOUBLE) AS taxed_total,
            COUNT(*) AS n
     FROM orders WHERE o_custkey < 400 GROUP BY 1
@@ -466,7 +469,7 @@ def ch_sql_create_function(spark, sf_dir):
     from myscaledb_spark.sql_dialect import create_sql_function
 
     create_sql_function(
-        "CREATE FUNCTION gate_taxed AS (p, r) -> round(p * (1 + r), 2)"
+        "CREATE FUNCTION gate_taxed AS (p, r) -> floor(p * (1 + r) * 100) / 100"
     )
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("_cf_orders")
     return ch_sql(

@@ -159,6 +159,20 @@ PINNED = [
     "../0_stateless/00144_empty_regexp.sql",
     "../0_stateless/00145_empty_likes.sql",
     "../0_stateless/00151_tuple_with_array.sql",
+    # r8 SELECT-surface batch 6: CH ternary `cond ? a : b` (nested, inside
+    # lambdas, numeric conds via boolean cast), single-stream
+    # system.numbers (per-partition LocalLimit projected rows near 2^32),
+    # empty range() = [], rounding family (bround parity, scaled
+    # floor/ceil/trunc, roundToExp2 const-fold), arrayUniq,
+    # inline error annotations on unterminated final statements
+    "../0_stateless/00156_array_map_to_constant.sql",
+    "../0_stateless/00157_aliases_and_lambda_formal_parameters.sql",
+    "../0_stateless/00159_whitespace_in_columns_list.sql",
+    "../0_stateless/00165_transform_non_const_default.sql",
+    "../0_stateless/00179_lambdas_with_common_expressions_and_filter.sql",
+    "../0_stateless/00185_array_literals.sql",
+    "../0_stateless/00187_like_regexp_prefix.sql",
+    "../0_stateless/00198_group_by_empty_arrays.sql",
     "../0_stateless/00007_array.sql",
     "../0_stateless/00012_array_join_alias_2.sql",
     "../0_stateless/00020_sorting_arrays.sql",

@@ -696,6 +696,14 @@ def test_every_template_rewrites_to_parseable_sql(spark):
         "replaceRegexpOne": "replaceRegexpOne(a, 'x+', 'y')",
         "toDateTime": "toDateTime(a, 'UTC')",
         "sum": "sum(a = 2)",
+        "floor": "floor(a, 1)",
+        "ceil": "ceil(a, 1)",
+        "ceiling": "ceiling(a, 1)",
+        "trunc": "trunc(a, 1)",
+        "truncate": "truncate(a)",
+        "roundBankers": "roundBankers(a, 2)",
+        "round": "round(a, 2)",
+        "roundToExp2": "roundToExp2(100)",
         # finalizeAggregation is type-directed and ALWAYS raises (checked
         # in test_agg_state.py::test_dialect_error_discipline)
         "finalizeAggregation": None,

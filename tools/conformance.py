@@ -84,6 +84,17 @@ def _split(script: str):
             continue
         expect_err = bool(
             re.search(r"--\s*\{\s*(serverError|clientError|error)\b", trailer)
+            # a final statement without `;` carries its annotation as a
+            # TRAILING same-line comment (00161's last ceil); whole-line
+            # comments inside the piece belong to the PREVIOUS statement's
+            # trailer and must not leak forward
+            or any(
+                not ln.strip().startswith("--")
+                and re.search(
+                    r"--\s*\{\s*(serverError|clientError|error)\b", ln
+                )
+                for ln in s.splitlines()
+            )
         )
         out.append((s, expect_err))
     return out
