@@ -231,6 +231,46 @@ def ch_type_to_spark(t: str) -> str:
     raise ChSqlError(f"unsupported ClickHouse type {t!r}")
 
 
+#: CREATE [TEMPORARY] TABLE t [ENGINE = E] AS SELECT ... (CTAS —
+#: InterpreterCreateQuery as_select; 00235_create_temporary_table_as)
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?:default\.)?(?P<table>\w+)\s+(?:ENGINE\s*=?\s*(?P<engine>\w+)\s+)?"
+    r"AS\s+(?P<select>(?:SELECT|WITH)\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def create_table_as_select(spark: SparkSession, sql: str) -> dict:
+    """CTAS: evaluate the SELECT through the dialect, register the result
+    as a ch_ddl table (schema from the analyzed frame, rows as part 1)."""
+    m = _CTAS_RE.match(sql)
+    if not m:
+        raise ChSqlError("not a CREATE TABLE ... AS SELECT statement")
+    from myscaledb_spark.sql_dialect import ch_sql
+
+    table = m.group("table")
+    df = ch_sql(spark, m.group("select"))
+    schema = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    # backquote: CTAS from literals yields names like `1` (00235)
+    fields = ", ".join(f"`{c}` {t}" for c, t in schema)
+    empty_store = spark.createDataFrame(
+        [], f"{fields}, {ISEQ} bigint, {EXISTS} boolean"
+    )
+    empty_store.createOrReplaceTempView(f"{table}__store")
+    register_table_engine(table, "none", [])
+    TABLES[table] = {"schema": schema, "n_parts": 0, "parts": []}
+    _SEQ[table] = 0
+    SKIP_INDICES[table] = []
+    _refresh_view(spark, table)
+    df.createOrReplaceTempView(f"_ctas_src_{table}")
+    insert_into(
+        spark, f"INSERT INTO {table} SELECT * FROM _ctas_src_{table}"
+    )
+    return {"table": table, "engine": m.group("engine") or "Memory",
+            "keys": [], "schema": schema}
+
+
 _CREATE_RE = re.compile(
     # TEMPORARY tables live session-scoped like everything in this registry,
     # so the keyword is accepted and otherwise ignored (ParserCreateQuery)
@@ -945,6 +985,7 @@ _NOOP_SETTINGS = re.compile(
     # the success path is identical (00027_distinct_and_order_by)
     r"max_rows_to_sort|max_bytes_to_sort|max_bytes_before_external_sort|"
     r"max_rows_to_read|max_bytes_to_read|read_overflow_mode|join_algorithm|"
+    r"allow_deprecated_syntax_for_merge_tree|"
     r"max_memory_usage|max_rows_to_group_by|max_execution_time|"
     r"dfs_[a-z_]+|storage_policy)$",
     re.IGNORECASE,
@@ -1202,6 +1243,8 @@ def ch_ddl(spark: SparkSession, sql: str):
     s = _strip_backquotes(sql.strip().rstrip(";"))
     if _CREATE_RE.match(s):
         return create_table(spark, s)
+    if _CTAS_RE.match(s):
+        return create_table_as_select(spark, s)
     if _INSERT_RE.match(s):
         return insert_into(spark, s)
     if re.match(r"^\s*CREATE\s+LIVE\s+VIEW\b", s, re.IGNORECASE):
@@ -1222,7 +1265,7 @@ def ch_ddl(spark: SparkSession, sql: str):
         drop_live_view(vm.group(2), if_exists=bool(vm.group("ie")))
         return None
     dm = re.match(
-        r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*(?:SYNC)?\s*$",
+        r"^\s*DROP\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*(?:SYNC)?\s*$",
         s, re.IGNORECASE,
     )
     if dm:
@@ -1653,6 +1696,7 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
             continue
         if (
             _CREATE_RE.match(s)
+            or _CTAS_RE.match(s)
             or _INSERT_RE.match(s)
             # SET needs its own test: the grouped regex below ends in \b,
             # which can never match after '=' (both neighbors non-word), so
@@ -1660,7 +1704,7 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
             # handler and were never recorded in SESSION_SETTINGS
             or re.match(r"^\s*SET\s+\w+\s*=", s, re.IGNORECASE)
             or re.match(
-                r"^\s*(DROP\s+TABLE|CREATE\s+FUNCTION|DROP\s+FUNCTION|"
+                r"^\s*(DROP\s+(?:TEMPORARY\s+)?TABLE|CREATE\s+FUNCTION|DROP\s+FUNCTION|"
                 r"DELETE\s+FROM|TRUNCATE\s+TABLE|OPTIMIZE\s+TABLE|DETACH\s+TABLE|"
                 r"ATTACH\s+TABLE|ALTER\s+TABLE\s+\w+\s+MODIFY\s+SETTING|"
                 r"ALTER\s+TABLE\s+\w+\s+MATERIALIZE\s+(INDEX|COLUMN)|"
@@ -1671,7 +1715,7 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
             or _ALTER_COLS_RE.match(s)
         ):
             result = ch_ddl(spark, s)
-            dtm = re.match(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)",
+            dtm = re.match(r"^\s*DROP\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)",
                            s, re.IGNORECASE)
             if dtm and artifact_dir is not None:
                 # dropping a table drops its indexes with it (the reference

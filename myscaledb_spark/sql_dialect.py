@@ -163,7 +163,6 @@ TEMPLATES: dict[str, str] = {
     "upperUTF8": "upper({0})",
     "substringUTF8": "substring({*})",
     "mid": "substring({*})",
-    "positionCaseInsensitive": "instr(lower({0}), lower({1}))",
     "match": "({0} rlike {1})",
     # every column is nullable in Spark — toNullable is the identity;
     # single-arg coalesce is the precedence-safe identity spelling (a bare
@@ -205,7 +204,6 @@ TEMPLATES: dict[str, str] = {
     "countSubstrings": "(size(split({0}, concat('\\\\Q', {1}, '\\\\E'), -1)) - 1)",
     "trimLeft": "ltrim({0})",
     "trimRight": "rtrim({0})",
-    "positionUTF8": "instr({0}, {1})",
     "space": "repeat(' ', {0})",
     # deviation: Spark's parsers accept ISO-like strings only — the
     # reference's best-effort grammar (DD/MM/YYYY, RFC-1123, compact
@@ -226,7 +224,6 @@ TEMPLATES: dict[str, str] = {
     "arrayReverse": "reverse({0})",
     "arrayConcat": "concat({*})",
     "arraySlice": "slice({0}, {1}, {2})",
-    "arrayStringConcat": "array_join({0}, {1})",
     "arrayFlatten": "flatten({0})",
     "arrayCompact": "array_compact({0})",
     "arrayMap": "transform({1}, {0})",
@@ -255,6 +252,15 @@ TEMPLATES: dict[str, str] = {
     "arrayAvg": "(aggregate({0}, cast(0.0 as double), (acc, x) -> acc + x) / size({0}))",
     "arrayMin": "array_min({0})",
     "arrayUniq": "size(array_distinct({0}))",
+    # CH lower/upper are ASCII-ONLY (lowerUTF8/upperUTF8 do Unicode —
+    # 00170: Cyrillic survives plain lower())
+    "lower": "translate({0}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')",
+    "upper": "translate({0}, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ')",
+    "lowerUTF8": "lower({0})",
+    "upperUTF8": "upper({0})",
+    # IPv4 values display dotted — keep the string form (comparisons on
+    # the numeric domain go through IPv4StringToNum)
+    "toIPv4": "{0}",
     # FixedString(n): pad with NUL bytes to n, error when the value is
     # longer (FunctionsConversion toFixedString — 00078/00128)
     "toFixedString": (
@@ -273,6 +279,15 @@ TEMPLATES: dict[str, str] = {
     "arrayPopBack": "slice({0}, 1, greatest(0, size({0}) - 1))",
     "arrayPopFront": "(case when size({0}) <= 1 then array() else slice({0}, 2, size({0}) - 1) end)",
     "arrayUniq": "size(array_distinct({0}))",
+    # CH lower/upper are ASCII-ONLY (lowerUTF8/upperUTF8 do Unicode —
+    # 00170: Cyrillic survives plain lower())
+    "lower": "translate({0}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')",
+    "upper": "translate({0}, 'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ')",
+    "lowerUTF8": "lower({0})",
+    "upperUTF8": "upper({0})",
+    # IPv4 values display dotted — keep the string form (comparisons on
+    # the numeric domain go through IPv4StringToNum)
+    "toIPv4": "{0}",
     "countEqual": "size(filter({0}, _ce -> _ce <=> {1}))",
     # no-match yields NULL (documented deviation: the reference yields the
     # element type's default, 0/'' — unknowable in a purely textual rewrite;
@@ -2979,13 +2994,131 @@ def _special_position(args: list[str]) -> str:
     argument order is needle-first) vs ClickHouse
     `position(haystack, needle[, start])` → locate/instr."""
     if len(args) == 1 and re.search(r"\sIN\s", args[0], re.IGNORECASE):
+        # ANSI `position(needle IN haystack)` — BYTE offsets, like the
+        # 2-arg CH form (00233_position_function_sql_comparibilty)
+        am = re.search(r"\sIN\s", _top_level_mask(args[0]), re.IGNORECASE)
+        if am:
+            needle = args[0][: am.start()].strip()
+            hay = args[0][am.end() :].strip()
+            return _position_spark(hay, needle, None, bytes_mode=True)
         return f"position({args[0]})"
-    if len(args) == 2:
-        return f"instr({args[0]}, {args[1]})"
-    if len(args) == 3:
-        # Spark locate(substr, str, pos) — CH is haystack-first
-        return f"locate({args[1]}, {args[0]}, {args[2]})"
+    if len(args) in (2, 3):
+        return _position_spark(args[0], args[1],
+                               args[2] if len(args) == 3 else None,
+                               bytes_mode=True)
     raise ChSqlError("position(haystack, needle[, start]) needs 2-3 arguments")
+
+
+_ASCII_FOLD = (
+    "translate({0}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+    " 'abcdefghijklmnopqrstuvwxyz')"
+)
+
+
+def _position_spark(h: str, n: str, p: str | None,
+                    fold: str | None = None, bytes_mode: bool = False) -> str:
+    """CH position semantics on Spark (PositionImpl — 00233): start_pos 0
+    ≡ 1; an EMPTY needle matches AT the start position while within
+    len+1; the case-insensitive variants fold ASCII ONLY; the non-UTF8
+    variants report BYTE offsets."""
+    rn = n
+    if fold:
+        h, n = fold.format(h), fold.format(n)
+    if p is None:
+        found = f"instr({h}, {n})"
+        if bytes_mode:
+            body = (
+                f"(CASE WHEN {found} = 0 THEN 0 ELSE "
+                f"octet_length(substr({h}, 1, {found} - 1)) + 1 END)"
+            )
+        else:
+            body = found
+        return f"(CASE WHEN ({rn}) = '' THEN 1 ELSE {body} END)"
+    cp = f"greatest(cast(({p}) as int), 1)"
+    if bytes_mode:
+        # the start position is in BYTES too (00233: position('абвабв',
+        # 'б', 3) = 3). A match can only begin at a character boundary, so
+        # the byte start maps to the first char whose byte offset reaches
+        # it (no partial-byte decode — strict decoding would throw on
+        # mid-character starts), and the result maps back to bytes.
+        # char i starts at byte prefix(i-1)+1; the first char starting AT
+        # or AFTER byte cp is count(start < cp) + 1
+        char_start = (
+            f"(size(filter(sequence(1, length({h})), "
+            f"_pbi -> octet_length(substr({h}, 1, _pbi - 1)) + 1 < {cp})) + 1)"
+        )
+        found = f"locate({n}, {h}, {char_start})"
+        body = (
+            f"(CASE WHEN {found} = 0 THEN 0 ELSE "
+            f"octet_length(substr({h}, 1, {found} - 1)) + 1 END)"
+        )
+        guard = f"octet_length({h})"
+    else:
+        found = f"locate({n}, {h}, {cp})"
+        body = found
+        guard = f"length({h})"
+    return (
+        f"(CASE WHEN ({rn}) = '' THEN "
+        f"(CASE WHEN {cp} <= {guard} + 1 THEN {cp} ELSE 0 END) "
+        f"ELSE {body} END)"
+    )
+
+
+def _special_position_utf8(args: list[str]) -> str:
+    """positionUTF8 — Spark string functions are already CHARACTER-based,
+    so this is position() without the ANSI needle-IN-haystack form."""
+    if len(args) in (2, 3):
+        return _position_spark(args[0], args[1],
+                               args[2] if len(args) == 3 else None)
+    return _special_position(args)
+
+
+def _special_position_ci(args: list[str]) -> str:
+    """positionCaseInsensitive[UTF8](haystack, needle[, start]) (00233)."""
+    if len(args) in (2, 3):
+        return _position_spark(args[0], args[1],
+                               args[2] if len(args) == 3 else None,
+                               fold=_ASCII_FOLD, bytes_mode=True)
+    raise ChSqlError("positionCaseInsensitive needs 2-3 arguments")
+
+
+def _special_position_ci_utf8(args: list[str]) -> str:
+    if len(args) in (2, 3):
+        return _position_spark(args[0], args[1],
+                               args[2] if len(args) == 3 else None,
+                               fold="lower({0})")
+    raise ChSqlError("positionCaseInsensitiveUTF8 needs 2-3 arguments")
+
+
+def _special_array_string_concat(args: list[str]) -> str:
+    """arrayStringConcat(arr[, sep]) — separator defaults to '' (00255)."""
+    sep = args[1] if len(args) == 2 else "''"
+    if len(args) not in (1, 2):
+        raise ChSqlError(
+            f"arrayStringConcat takes 1 or 2 arguments, got {len(args)}"
+        )
+    # cast elements: the reference stringifies any element type (ints,
+    # dates — 00255); NULL elements are skipped by both engines
+    return (
+        f"array_join(transform({args[0]}, _asc_x -> "
+        f"cast(_asc_x as string)), {sep})"
+    )
+
+
+def _bit_test_family(op: str, args: list[str]) -> str:
+    if len(args) < 2:
+        raise ChSqlError("bitTestAll/bitTestAny need a value and bit indexes")
+    bits = [f"((shiftright({args[0]}, {a}) & 1) = 1)" for a in args[1:]]
+    return f"cast(({f' {op} '.join(bits)}) as int)"
+
+
+def _special_bit_test_all(args: list[str]) -> str:
+    """bitTestAll(x, b1, b2, ...) — conjunction of bit probes (00216)."""
+    return _bit_test_family("AND", args)
+
+
+def _special_bit_test_any(args: list[str]) -> str:
+    return _bit_test_family("OR", args)
 
 
 def _special_remote(args: list[str]) -> str:
@@ -3295,6 +3428,12 @@ SPECIAL = {
     "clusterAllReplicas": _special_remote,
     "extract": _special_extract,
     "position": _special_position,
+    "positionUTF8": _special_position_utf8,
+    "positionCaseInsensitive": _special_position_ci,
+    "positionCaseInsensitiveUTF8": _special_position_ci_utf8,
+    "arrayStringConcat": _special_array_string_concat,
+    "bitTestAll": _special_bit_test_all,
+    "bitTestAny": _special_bit_test_any,
     "count": lambda args: f"count({', '.join(args)})" if args else "count(*)",
     "countState": lambda args: f"count({', '.join(args)})" if args else "count(*)",
     "toDate": _special_to_date,
@@ -3458,6 +3597,7 @@ def rewrite(sql: str, schema_fn=None, types_fn=None, analyze_fn=None) -> str:
         lambda m: str(int(m.group(1), 16)),
         sql,
     )
+    sql = _rewrite_inner_aliases(sql)
     sql = _rewrite_ternary(sql)
     sql = _add_implicit_one(sql)
     sql = _rewrite_asof_join(sql)
@@ -3581,6 +3721,128 @@ _TERNARY_STOP_FWD = re.compile(
     r"\b(AS|FROM|WHERE|GROUP|ORDER|HAVING|LIMIT|SETTINGS|UNION|INTO)\b",
     re.IGNORECASE,
 )
+
+
+_INNER_ALIAS_TYPE_WORDS = {
+    "int8", "int16", "int32", "int64", "uint8", "uint16", "uint32", "uint64",
+    "float32", "float64", "string", "date", "date32", "datetime",
+    "datetime64", "decimal", "nullable", "fixedstring", "uuid", "bool",
+    "boolean", "int", "integer", "bigint", "smallint", "tinyint", "float",
+    "double", "varchar", "text", "timestamp", "array", "map", "tuple",
+    "lowcardinality", "enum8", "enum16", "struct", "binary", "interval",
+}
+
+
+def _rewrite_inner_aliases(sql: str) -> str:
+    """ClickHouse EXPRESSION aliases — `f('x' AS a) = a` names a
+    subexpression ANYWHERE and makes it referable across the query
+    (ParserAlias inside expressions; 00170/00233 use them inside call
+    arguments). Rewrite: drop the inline `AS a`, substitute other
+    standalone references of `a` with the parenthesized expression.
+    Only aliases INSIDE parens rewrite (top-level select/table aliases
+    keep Spark semantics); `CAST(x AS Type)` spellings are excluded by a
+    type-word guard, and subquery aliases `( SELECT ...) AS t` skip."""
+    mask = _string_mask(sql)
+    # paren depth per position — SUBQUERY parens reset the depth to 0, so
+    # a subquery's own select-list aliases keep Spark semantics and only
+    # true expression-level parens count as "inner"
+    stack: list[int] = []
+    cur = 0
+    depths = []
+    for i, c in enumerate(mask):
+        if c == "(":
+            is_sub = bool(
+                re.match(r"\(\s*(SELECT|WITH)\b", mask[i:], re.IGNORECASE)
+            )
+            stack.append(cur)
+            cur = 0 if is_sub else cur + 1
+            depths.append(cur)
+        elif c == ")":
+            depths.append(cur)
+            cur = stack.pop() if stack else 0
+        else:
+            depths.append(cur)
+    # `AS` inside INTERPOLATE (col AS expr) groups is the fill syntax, not
+    # an expression alias — exclude those spans
+    interp_spans = []
+    for im in re.finditer(r"\bINTERPOLATE\s*\(", mask, re.IGNORECASE):
+        d2, k = 1, im.end()
+        while k < len(mask) and d2:
+            if mask[k] == "(":
+                d2 += 1
+            elif mask[k] == ")":
+                d2 -= 1
+            k += 1
+        interp_spans.append((im.start(), k))
+    defs = []  # (estart, end_of_alias, expr, alias)
+    for m in re.finditer(r"\bAS\s+([A-Za-z_]\w*)", mask, re.IGNORECASE):
+        if depths[m.start()] <= 0:
+            continue
+        if any(a <= m.start() < b for a, b in interp_spans):
+            continue
+        alias = sql[m.start(1) : m.end(1)]
+        if alias.lower() in _INNER_ALIAS_TYPE_WORDS:
+            continue
+        # end of the aliased expression: real-SQL whitespace before AS
+        # (masked string literals read as spaces in the MASK, so the walk
+        # must trim by the original text)
+        eend = m.start()
+        while eend > 0 and sql[eend - 1].isspace():
+            eend -= 1
+        # start: balanced backward walk to the current argument boundary
+        j = eend
+        d = 0
+        estart = None
+        while j > 0:
+            c = mask[j - 1]
+            if c in ")]":
+                d += 1
+            elif c in "([":
+                if d == 0:
+                    estart = j
+                    break
+                d -= 1
+            elif d == 0 and c == ",":
+                estart = j
+                break
+            j -= 1
+        if estart is None:
+            continue
+        expr = sql[estart:eend].strip()
+        if not expr or re.match(r"\(\s*SELECT\b", expr, re.IGNORECASE):
+            continue
+        if re.fullmatch(
+            r"(SELECT|WHERE|AND|OR|WHEN|THEN|ELSE|BY|NOT|IN|LIKE)",
+            expr, re.IGNORECASE,
+        ):
+            continue
+        defs.append((estart, m.end(), expr, alias))
+    if not defs:
+        return sql
+    # drop the ` AS alias` tails, left to right
+    pieces, last = [], 0
+    for estart, aend, expr, alias in defs:
+        pieces.append(sql[last:estart])
+        pieces.append(
+            re.sub(r"\s+AS\s+\w+\s*$", "", sql[estart:aend],
+                   flags=re.IGNORECASE)
+        )
+        last = aend
+    pieces.append(sql[last:])
+    out = "".join(pieces)
+    # substitute standalone references (not the definition text itself,
+    # not qualified, not a call)
+    for _e, _a, expr, alias in defs:
+        omask = _string_mask(out)
+        pat = re.compile(rf"(?<![\w.`]){re.escape(alias)}\b(?!\s*\()")
+        res, pos = [], 0
+        for mm in pat.finditer(omask):
+            res.append(out[pos : mm.start()])
+            res.append(f"({expr})")
+            pos = mm.end()
+        res.append(out[pos:])
+        out = "".join(res)
+    return out
 
 
 def _rewrite_ternary(sql: str) -> str:
@@ -3842,7 +4104,14 @@ _CAST_AS_RE = re.compile(
 def _rewrite_cast_types(sql: str) -> str:
     """CAST(x AS Float64) / x::UInt32 → the Spark type names (every CH
     numeric spelling Spark's parser rejects; `AS <alias>` collisions are
-    impossible — these are type keywords, not valid aliases worth keeping)."""
+    impossible — these are type keywords, not valid aliases worth keeping).
+    Nullable(T) unwraps to T first — Spark types are nullable already
+    (00255: Null::Nullable(String))."""
+    sql = _masked_sub(
+        re.compile(r"(AS\s+|::\s*)Nullable\s*\(\s*(\w+)\s*\)", re.IGNORECASE),
+        lambda m: m.group(1) + m.group(2),
+        sql,
+    )
     return _masked_sub(
         _CAST_AS_RE,
         lambda m: m.group(1) + _CAST_TYPES[m.group(2).lower()],

@@ -173,6 +173,24 @@ PINNED = [
     "../0_stateless/00185_array_literals.sql",
     "../0_stateless/00187_like_regexp_prefix.sql",
     "../0_stateless/00198_group_by_empty_arrays.sql",
+    # r8 SELECT-surface batch 7: inner-expression aliases (`f(x AS a) = a`),
+    # ASCII-only lower/upper vs *UTF8, BYTE-offset position family with
+    # byte start positions + ANSI needle-IN-haystack form, CTAS, bit-test
+    # family, Nullable(T) cast unwrap, element-stringifying
+    # arrayStringConcat, IPv4 display, DROP TEMPORARY TABLE
+    "../0_stateless/00102_insert_into_temporary_table.sql",
+    "../0_stateless/00170_lower_upper_utf8.sql",
+    "../0_stateless/00213_multiple_global_in.sql",
+    "../0_stateless/00218_like_regexp_newline.sql",
+    "../0_stateless/00230_array_functions_has_count_equal_index_of_non_const_second_arg.sql",
+    "../0_stateless/00233_position_function_family.sql",
+    "../0_stateless/00233_position_function_sql_comparibilty.sql",
+    "../0_stateless/00234_disjunctive_equality_chains_optimization.sql",
+    "../0_stateless/00235_create_temporary_table_as.sql",
+    "../0_stateless/00239_type_conversion_in_in.sql",
+    "../0_stateless/00240_replace_substring_loop.sql",
+    "../0_stateless/00255_array_concat_string.sql",
+    "../0_stateless/00260_like_and_curly_braces.sql",
     "../0_stateless/00007_array.sql",
     "../0_stateless/00012_array_join_alias_2.sql",
     "../0_stateless/00020_sorting_arrays.sql",

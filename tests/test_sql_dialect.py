@@ -704,6 +704,12 @@ def test_every_template_rewrites_to_parseable_sql(spark):
         "roundBankers": "roundBankers(a, 2)",
         "round": "round(a, 2)",
         "roundToExp2": "roundToExp2(100)",
+        "positionUTF8": "positionUTF8(a, 'x', 2)",
+        "positionCaseInsensitive": "positionCaseInsensitive(a, 'x')",
+        "positionCaseInsensitiveUTF8": "positionCaseInsensitiveUTF8(a, 'x')",
+        "arrayStringConcat": "arrayStringConcat(arr, ',')",
+        "bitTestAll": "bitTestAll(a, 1, 2)",
+        "bitTestAny": "bitTestAny(a, 1, 2)",
         # finalizeAggregation is type-directed and ALWAYS raises (checked
         # in test_agg_state.py::test_dialect_error_discipline)
         "finalizeAggregation": None,
@@ -722,13 +728,14 @@ def test_ansi_collisions_and_mysql_limit(spark):
     assert "extract(YEAR FROM d)" in out
     out = rewrite("SELECT extract(s, '([0-9]+)') FROM t")
     assert "regexp_extract(s, '([0-9]+)', 1)" in out
-    # ANSI POSITION(x IN y) passes through; CH position(h, n[, start]) maps
+    # ANSI POSITION(x IN y) gets CH BYTE-offset semantics (00233 — r8);
+    # the 2/3-arg CH forms map the same way
     out = rewrite("SELECT position(n IN h) FROM t")
-    assert "position(n IN h)" in out
+    assert "octet_length" in out and "instr(h, n)" in out
     out = rewrite("SELECT position(h, n) FROM t")
     assert "instr(h, n)" in out
     out = rewrite("SELECT position(h, n, 3) FROM t")
-    assert "locate(n, h, 3)" in out
+    assert "locate(n, h," in out  # byte start maps through char boundary
     # count() with no args = count(*)
     r = ch_sql(spark, "SELECT count() AS n FROM numbers(7)").first()
     assert r.n == 7
