@@ -261,6 +261,7 @@ TEMPLATES: dict[str, str] = {
     # IPv4 values display dotted — keep the string form (comparisons on
     # the numeric domain go through IPv4StringToNum)
     "toIPv4": "{0}",
+    "identity": "{0}",
     # FixedString(n): pad with NUL bytes to n, error when the value is
     # longer (FunctionsConversion toFixedString — 00078/00128)
     "toFixedString": (
@@ -288,6 +289,7 @@ TEMPLATES: dict[str, str] = {
     # IPv4 values display dotted — keep the string form (comparisons on
     # the numeric domain go through IPv4StringToNum)
     "toIPv4": "{0}",
+    "identity": "{0}",
     "countEqual": "size(filter({0}, _ce -> _ce <=> {1}))",
     # no-match yields NULL (documented deviation: the reference yields the
     # element type's default, 0/'' — unknowable in a purely textual rewrite;
@@ -3598,6 +3600,7 @@ def rewrite(sql: str, schema_fn=None, types_fn=None, analyze_fn=None) -> str:
         sql,
     )
     sql = _rewrite_inner_aliases(sql)
+    sql = _strip_rank_frames(sql)
     sql = _rewrite_ternary(sql)
     sql = _add_implicit_one(sql)
     sql = _rewrite_asof_join(sql)
@@ -3731,6 +3734,71 @@ _INNER_ALIAS_TYPE_WORDS = {
     "double", "varchar", "text", "timestamp", "array", "map", "tuple",
     "lowcardinality", "enum8", "enum16", "struct", "binary", "interval",
 }
+
+
+#: ntile is EXCLUDED on both axes: ClickHouse itself rejects explicit
+#: frames AND missing ORDER BY for ntile (02560), matching Spark's checks
+_RANK_FAMILY_RE = re.compile(
+    r"\b(row_number|rank|dense_rank|lead|lag|percent_rank|cume_dist|"
+    r"nth_value)\s*\(", re.IGNORECASE,
+)
+_FRAME_KEEPS = {"nth_value"}  # respects frames — strip nothing
+
+
+def _strip_rank_frames(sql: str) -> str:
+    """Rank-family window calls with an explicit frame — ClickHouse accepts
+    and IGNORES `ROWS BETWEEN ...` on row_number/ntile/lead/... (their
+    result is frame-independent); Spark rejects the clause
+    (01571_window_functions, 02560_window_ntile). Strip the frame from the
+    OVER group of those calls only."""
+    mask = _string_mask(sql)
+    out, last = [], 0
+    for m in _RANK_FAMILY_RE.finditer(mask):
+        # end of the call's argument list
+        d, i = 1, m.end()
+        while i < len(sql) and d:
+            if mask[i] == "(":
+                d += 1
+            elif mask[i] == ")":
+                d -= 1
+            i += 1
+        om = re.match(r"\s*OVER\s*\(", mask[i:], re.IGNORECASE)
+        if not om:
+            continue
+        gstart = i + om.end()
+        d, j = 1, gstart
+        while j < len(sql) and d:
+            if mask[j] == "(":
+                d += 1
+            elif mask[j] == ")":
+                d -= 1
+            j += 1
+        group = sql[gstart : j - 1]
+        gmask = _top_level_mask(group)
+        fm = re.search(r"\b(ROWS|RANGE|GROUPS)\b", gmask, re.IGNORECASE)
+        keep_frame = m.group(1).lower() in _FRAME_KEEPS
+        new_group = (
+            group[: fm.start()].rstrip() if fm and not keep_frame else group
+        )
+        if not re.search(r"\bORDER\s+BY\b", gmask, re.IGNORECASE):
+            # ClickHouse allows UNORDERED rank-family windows (arbitrary
+            # intra-partition order); Spark requires ORDER BY — a constant
+            # key reproduces the arbitrary-order semantics
+            if keep_frame and fm:
+                # keep the frame AFTER the injected order key
+                head = group[: fm.start()].rstrip()
+                new_group = (
+                    f"{head} ORDER BY 1 {group[fm.start():]}".lstrip()
+                )
+            else:
+                new_group = (new_group + " ORDER BY 1").lstrip()
+        if new_group == group:
+            continue
+        out.append(sql[last : gstart])
+        out.append(new_group)
+        last = j - 1
+    out.append(sql[last:])
+    return "".join(out)
 
 
 def _rewrite_inner_aliases(sql: str) -> str:

@@ -191,6 +191,17 @@ PINNED = [
     "../0_stateless/00240_replace_substring_loop.sql",
     "../0_stateless/00255_array_concat_string.sql",
     "../0_stateless/00260_like_and_curly_braces.sql",
+    # r8 SELECT-surface batch 8: rank-family frame stripping + constant
+    # ORDER injection (ntile keeps CH's strictness), verbatim `-- { echo }`
+    # replay incl. comment/blank/';' placement, identity()
+    "../0_stateless/00194_identity.sql",
+    "../0_stateless/00268_aliases_without_as_keyword.sql",
+    "../0_stateless/00312_position_case_insensitive_utf8.sql",
+    "../0_stateless/01571_window_functions.sql",
+    "../0_stateless/02306_window_move_row_number_fix.sql",
+    "../0_stateless/02354_window_expression_with_aggregation_expression.sql",
+    "../0_stateless/02364_window_case.sql",
+    "../0_stateless/02366_window_function_order_by.sql",
     "../0_stateless/00007_array.sql",
     "../0_stateless/00012_array_join_alias_2.sql",
     "../0_stateless/00020_sorting_arrays.sql",

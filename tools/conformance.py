@@ -74,13 +74,15 @@ def _split(script: str):
         if c == ";":
             nl = script.find("\n", i)
             trailer = script[i + 1 : nl if nl != -1 else len(script)]
-            pieces.append((script[last:i], trailer))
+            pieces.append((script[last:i], trailer, script[last : i + 1]))
             last = i + 1
-    pieces.append((script[last:], ""))
+    pieces.append((script[last:], "", script[last:]))
     out = []
-    for stmt, trailer in pieces:
+    prev_trailer = ""
+    for stmt, trailer, raw in pieces:
         s = stmt.strip()
         if not s:
+            prev_trailer = trailer
             continue
         expect_err = bool(
             re.search(r"--\s*\{\s*(serverError|clientError|error)\b", trailer)
@@ -96,7 +98,20 @@ def _split(script: str):
                 for ln in s.splitlines()
             )
         )
-        out.append((s, expect_err))
+        # verbatim display text for the echo protocol: the raw span up to
+        # and INCLUDING the ';' plus a same-line trailing comment; the
+        # previous statement's trailer line is not part of this statement
+        disp = raw + (trailer if trailer.strip().startswith("--") else "")
+        dlines = disp.splitlines()
+        if (prev_trailer.strip() and dlines
+                and dlines[0].strip() == prev_trailer.strip()):
+            dlines = dlines[1:]
+        # leading blank lines are between-statement separators, not part
+        # of the echoed statement text (02353 vs 01571 interior blanks)
+        while dlines and not dlines[0].strip():
+            dlines = dlines[1:]
+        out.append((s, expect_err, dlines))
+        prev_trailer = trailer
     return out
 
 
@@ -235,26 +250,26 @@ def run_file(spark, path: str):
     got_rows: list[list] = []
     compared = True
     echo = False
-    for i, (stmt, expect_err) in enumerate(stmts):
-        # clickhouse-test echo protocol: after a `-- { echoOn }` marker the
-        # client prints each statement (the marker line included) before its
-        # results, and the .reference embeds those echoed lines as rows
-        for line in stmt.splitlines():
+    for i, (stmt, expect_err, dlines) in enumerate(stmts):
+        # clickhouse-test echo protocol: after a `-- { echoOn }` (or
+        # `-- { echo }`) marker the client prints each statement's RAW
+        # text — comment lines, blank lines and the ';' exactly as they
+        # appear in the file (01571) — before its results
+        emit_from = 0 if echo else None
+        for j, line in enumerate(dlines):
             ls = line.strip()
-            if re.fullmatch(r"--\s*\{\s*echoOn\s*\}", ls):
+            if re.fullmatch(r"--\s*\{\s*echo(On)?\s*\}", ls):
                 echo = True
-                got_rows.append([ls])
+                emit_from = j
             elif re.fullmatch(r"--\s*\{\s*echoOff\s*\}", ls):
                 echo = False
+                emit_from = None
+        if echo and emit_from is not None:
+            for line in dlines[emit_from:]:
+                got_rows.append([line])
         s = _strip_comment_lines(stmt)
         if not s:
             continue
-        if echo:
-            lines = s.splitlines()
-            for j, line in enumerate(lines):
-                got_rows.append(
-                    [line + (";" if j == len(lines) - 1 else "")]
-                )
         if expect_err:
             try:
                 res = ch_script(spark, s, artifact_dir=art)
