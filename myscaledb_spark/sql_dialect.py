@@ -23,6 +23,7 @@ innermost calls first, so nested expressions like
 
 from __future__ import annotations
 
+import functools
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,7 +42,22 @@ TEMPLATES: dict[str, str] = {
     "toMonth": "month({0})",
     "toDayOfMonth": "day({0})",
     "toDayOfWeek": "(((dayofweek({0}) + 5) % 7) + 1)",
-    "toHour": "hour({0})",
+    "isNaN": "isnan(cast({0} as double))",
+    "isFinite": (
+        "(NOT isnan(cast({0} as double)) AND "
+        "abs(cast({0} as double)) != cast('Infinity' as double))"
+    ),
+    "isInfinite": "(abs(cast({0} as double)) = cast('Infinity' as double))",
+    "toYYYYMMDDhhmmss": (
+        "cast(date_format(cast({0} as timestamp), 'yyyyMMddHHmmss') as bigint)"
+    ),
+    "MACStringToNum": "cast(conv(replace({0}, ':', ''), 16, 10) as bigint)",
+    "MACNumToString": (
+        "lower(regexp_replace(lpad(hex({0}), 12, '0'), '(..)(?!$)', '$1:'))"
+    ),
+    "MACStringToOUI": (
+        "cast(conv(replace(substring({0}, 1, 8), ':', ''), 16, 10) as bigint)"
+    ),
     "toMinute": "minute({0})",
     "toSecond": "second({0})",
     # toDate with a timezone argument is a SPECIAL (below)
@@ -116,7 +132,6 @@ TEMPLATES: dict[str, str] = {
     "toUInt64": "cast({0} as bigint)",
     "toFloat32": "cast({0} as float)",
     "toFloat64": "cast({0} as double)",
-    "toString": "cast({0} as string)",
     # toDateTime is a SPECIAL (optional display-timezone argument)
     # arithmetic
     "plus": "({0} + {1})",
@@ -200,7 +215,6 @@ TEMPLATES: dict[str, str] = {
     # extractAll: match index 0 = whole match (deviation: the reference
     # returns capture group 1 when the pattern has one — wrap the pattern's
     # group yourself or use regexp_extract_all(s, re, 1) directly)
-    "extractAll": "regexp_extract_all({0}, {1}, 0)",
     "countSubstrings": "(size(split({0}, concat('\\\\Q', {1}, '\\\\E'), -1)) - 1)",
     "trimLeft": "ltrim({0})",
     "trimRight": "rtrim({0})",
@@ -215,12 +229,11 @@ TEMPLATES: dict[str, str] = {
     "toDateOrNull": "try_to_date({0})",
     # arrays
     "arrayJoin": "explode({0})",
-    "has": "array_contains({0}, {1})",
+    "toUUID": "{0}",
     "hasAll": "(size(array_except({1}, {0})) = 0)",
     "hasAny": "arrays_overlap({0}, {1})",
     "indexOf": "array_position({0}, {1})",
     "arrayDistinct": "array_distinct({0})",
-    "arraySort": "array_sort({0})",
     "arrayReverse": "reverse({0})",
     "arrayConcat": "concat({*})",
     "arraySlice": "slice({0}, {1}, {2})",
@@ -297,7 +310,6 @@ TEMPLATES: dict[str, str] = {
     "arrayFirst": "get(filter({1}, {0}), 0)",
     "arrayLast": "try_element_at(filter({1}, {0}), -1)",
     "arrayFirstIndex": "coalesce(array_position(transform({1}, {0}), true), 0)",
-    "arrayIntersect": "array_intersect({0}, {1})",
     "substringIndex": "substring_index({0}, {1}, {2})",
     "reverseUTF8": "reverse({0})",
     "translateUTF8": "translate({0}, {1}, {2})",
@@ -320,6 +332,54 @@ TEMPLATES: dict[str, str] = {
     "JSONExtractFloat": "cast(get_json_object({0}, concat('$.', {1})) as double)",
     "JSONHas": "(get_json_object({0}, concat('$.', {1})) is not null)",
     "visitParamExtractString": "get_json_object({0}, concat('$.', {1}))",
+    # visitParam* are the legacy spellings of the simdjson JSONExtract
+    # family (FunctionsVisitParam.h) — same paths, same semantics
+    "visitParamExtractInt": "coalesce(try_cast(get_json_object({0}, concat('$.', {1})) as bigint), cast(0 as bigint))",
+    "visitParamExtractUInt": "greatest(coalesce(try_cast(get_json_object({0}, concat('$.', {1})) as bigint), cast(0 as bigint)), cast(0 as bigint))",
+    "visitParamExtractFloat": "coalesce(try_cast(get_json_object({0}, concat('$.', {1})) as double), cast(0 as double))",
+    "visitParamExtractBool": "cast(get_json_object({0}, concat('$.', {1})) = 'true' as int)",
+    "visitParamHas": "cast(get_json_object({0}, concat('$.', {1})) IS NOT NULL as int)",
+    "visitParamExtractRaw": "get_json_object({0}, concat('$.', {1}))",
+    # simpleJSON* are the modern spellings of the same family
+    "simpleJSONExtractInt": "coalesce(try_cast(get_json_object({0}, concat('$.', {1})) as bigint), cast(0 as bigint))",
+    "simpleJSONExtractUInt": "greatest(coalesce(try_cast(get_json_object({0}, concat('$.', {1})) as bigint), cast(0 as bigint)), cast(0 as bigint))",
+    "simpleJSONExtractFloat": "coalesce(try_cast(get_json_object({0}, concat('$.', {1})) as double), cast(0 as double))",
+    "simpleJSONExtractBool": "cast(get_json_object({0}, concat('$.', {1})) = 'true' as int)",
+    "simpleJSONHas": "cast(get_json_object({0}, concat('$.', {1})) IS NOT NULL as int)",
+    "simpleJSONExtractRaw": "get_json_object({0}, concat('$.', {1}))",
+    "simpleJSONExtractString": "get_json_object({0}, concat('$.', {1}))",
+    # toRelative*Num: monotone counters since the epoch
+    # (DateTimeTransforms.h — only DIFFERENCES are meaningful)
+    "toRelativeYearNum": "year({0})",
+    "toRelativeQuarterNum": "((year({0}) * 12 + month({0}) - 1) div 3)",
+    "toRelativeMonthNum": "(year({0}) * 12 + month({0}))",
+    "toRelativeWeekNum": "((datediff({0}, DATE '1970-01-01') + 8) div 7)",
+    "toRelativeDayNum": "datediff({0}, DATE '1970-01-01')",
+    "toRelativeHourNum": "(unix_timestamp(cast({0} as timestamp)) div 3600)",
+    "toRelativeMinuteNum": "(unix_timestamp(cast({0} as timestamp)) div 60)",
+    "toRelativeSecondNum": "unix_timestamp(cast({0} as timestamp))",
+    # OrZero/OrNull parse forms (FunctionsConversion *OrZero/*OrNull):
+    # try_cast never raises; OrZero defaults 0
+    "toUInt8OrNull": "try_cast({0} as int)",
+    "toUInt16OrNull": "try_cast({0} as int)",
+    "toUInt32OrNull": "try_cast({0} as bigint)",
+    "toUInt64OrNull": "try_cast({0} as bigint)",
+    "toInt8OrNull": "try_cast({0} as tinyint)",
+    "toInt16OrNull": "try_cast({0} as smallint)",
+    "toInt32OrNull": "try_cast({0} as int)",
+    "toInt64OrNull": "try_cast({0} as bigint)",
+    "toFloat32OrNull": "try_cast({0} as float)",
+    "toFloat64OrNull": "try_cast({0} as double)",
+    "toUInt8OrZero": "if({0} IS NULL, NULL, coalesce(try_cast({0} as int), 0))",
+    "toUInt16OrZero": "if({0} IS NULL, NULL, coalesce(try_cast({0} as int), 0))",
+    "toUInt32OrZero": "if({0} IS NULL, NULL, coalesce(try_cast({0} as bigint), cast(0 as bigint)))",
+    "toUInt64OrZero": "if({0} IS NULL, NULL, coalesce(try_cast({0} as bigint), cast(0 as bigint)))",
+    "toInt8OrZero": "if({0} IS NULL, NULL, coalesce(try_cast({0} as tinyint), cast(0 as tinyint)))",
+    "toInt16OrZero": "if({0} IS NULL, NULL, coalesce(try_cast({0} as smallint), cast(0 as smallint)))",
+    "toInt32OrZero": "if({0} IS NULL, NULL, coalesce(try_cast({0} as int), 0))",
+    "toInt64OrZero": "if({0} IS NULL, NULL, coalesce(try_cast({0} as bigint), cast(0 as bigint)))",
+    "toFloat32OrZero": "if({0} IS NULL, NULL, coalesce(try_cast({0} as float), cast(0 as float)))",
+    "toFloat64OrZero": "if({0} IS NULL, NULL, coalesce(try_cast({0} as double), cast(0 as double)))",
     # URL family (FunctionsURL.h) — same parse_url expressions as the
     # ch_compat builders, so SQL and DataFrame paths agree exactly
     "protocol": "parse_url({0}, 'PROTOCOL')",
@@ -373,7 +433,12 @@ TEMPLATES: dict[str, str] = {
     "sipHash64": "xxhash64({0})",
     "MD5": "md5(cast({0} as binary))",
     "SHA256": "sha2(cast({0} as binary), 256)",
-    "hex": "hex({0})",
+    # CH hex() is byte-aligned: numbers pad to EVEN digit count
+    # (FunctionsCoding — hex(1108152157446) is '010203040506', 00480);
+    # string/binary inputs are already even
+    "hex": (
+        "if(length(hex({0})) % 2 = 1, concat('0', hex({0})), hex({0}))"
+    ),
     "unhex": "unhex({0})",
     "base64Encode": "base64(cast({0} as binary))",
     "base64Decode": "cast(unbase64({0}) as string)",
@@ -401,6 +466,8 @@ TEMPLATES: dict[str, str] = {
     "anyLast": "last({0})",
     "any": "first({0})",
     "median": "percentile({0}, 0.5)",
+    "quantile": "percentile({0}, 0.5)",
+    "quantileExact": "percentile({0}, 0.5)",
     "varPop": "var_pop({0})",
     "varSamp": "var_samp({0})",
     "stddevPop": "stddev_pop({0})",
@@ -543,6 +610,14 @@ PARAMETRIC: dict[str, str] = {
         "(acc, e) -> acc + e.w) as negw, vv as val))), s -> s.val), 1, {p0})"
     ),
     "uniqUpTo": "least(count(distinct {a0}), {p0} + 1)",
+    # max_size-parametric: KEEPS an arbitrary subset of that size
+    # (AggregateFunctionGroupUniqArray with max_elems — tests check length)
+    "groupUniqArray": "slice(collect_set({a0}), 1, {p0})",
+    # -Array combinator over uniqUpTo: distinct zipped tuples capped (00533)
+    "uniqUpToArray": (
+        "least(size(array_distinct(flatten(collect_list(arrays_zip({a*}))))), "
+        "{p0} + 1)"
+    ),
 }
 
 UNSUPPORTED_SYNTAX = {
@@ -1292,13 +1367,18 @@ _SAMPLE_RE = re.compile(
 def _string_mask(sql: str) -> str:
     """Copy of ``sql`` with string-literal contents blanked (parens kept) —
     clause regexes that must also match inside subqueries run on this, so a
-    literal like 'use FROM t FINAL' can never trigger a rewrite."""
+    literal like 'use FROM t FINAL' can never trigger a rewrite. Both the
+    CH and Spark literal conventions treat backslash as an escape, so a
+    ``\\'`` inside a literal does not terminate it (00342)."""
     out = list(sql)
     i = 0
     while i < len(sql):
         if sql[i] == "'":
             j = i + 1
             while j < len(sql):
+                if sql[j] == "\\" and j + 1 < len(sql):
+                    j += 2
+                    continue
                 if sql[j] == "'" and (j + 1 >= len(sql) or sql[j + 1] != "'"):
                     break
                 j += 2 if sql[j] == "'" else 1
@@ -1306,6 +1386,109 @@ def _string_mask(sql: str) -> str:
                 out[k] = " "
             i = j + 1
             continue
+        i += 1
+    return "".join(out)
+
+
+def _ch_unescape_bytes(inner: str) -> bytes:
+    """Decode a CH string-literal body to its BYTES (parseComplexEscape-
+    Sequence: \\xHH hex bytes, the C control escapes incl. \\a \\v \\0, and
+    unknown escapes keep the backslash — `hex('\\?')` is 5C3F, 00342)."""
+    out = bytearray()
+    i, n = 0, len(inner)
+    mp = {"a": 7, "b": 8, "f": 12, "n": 10, "r": 13, "t": 9, "v": 11,
+          "0": 0, "\\": 92, "'": 39, '"': 34, "`": 96, "/": 47, "=": 61}
+    while i < n:
+        c = inner[i]
+        if c == "\\" and i + 1 < n:
+            nx = inner[i + 1]
+            if nx in ("x", "X") and re.match(r"[0-9a-fA-F]{2}", inner[i + 2 : i + 4]):
+                out.append(int(inner[i + 2 : i + 4], 16))
+                i += 4
+                continue
+            if nx in mp:
+                out.append(mp[nx])
+                i += 2
+                continue
+            out += b"\\" + nx.encode("utf-8")
+            i += 2
+            continue
+        if c == "'" and i + 1 < n and inner[i + 1] == "'":
+            out += b"'"
+            i += 2
+            continue
+        out += c.encode("utf-8")
+        i += 1
+    return bytes(out)
+
+
+def _spark_unescape(inner: str) -> bytes:
+    """What Spark's unescapeSQLString would produce for the same literal
+    body — unknown escapes DROP the backslash, \\uXXXX and octal decode."""
+    out = []
+    i, n = 0, len(inner)
+    mp = {"b": "\b", "n": "\n", "r": "\r", "t": "\t", "Z": "\x1a",
+          "\\": "\\", "'": "'", '"': '"', "%": "\\%", "_": "\\_"}
+    while i < n:
+        c = inner[i]
+        if c == "\\" and i + 1 < n:
+            nx = inner[i + 1]
+            om = re.match(r"[0-7]{1,3}", inner[i + 1 :])
+            if nx == "u" and re.fullmatch(r"[0-9a-fA-F]{4}", inner[i + 2 : i + 6] or ""):
+                out.append(chr(int(inner[i + 2 : i + 6], 16)))
+                i += 6
+                continue
+            if om and nx.isdigit():
+                out.append(chr(int(om.group(0), 8)))
+                i += 1 + len(om.group(0))
+                continue
+            out.append(mp.get(nx, nx))
+            i += 2
+            continue
+        if c == "'" and i + 1 < n and inner[i + 1] == "'":
+            out.append("'")
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out).encode("utf-8", "surrogatepass")
+
+
+def _rewrite_ch_escapes(sql: str) -> str:
+    """Normalize string literals whose CH escape semantics differ from
+    Spark's: re-emit as a Spark-convention literal with the exact CH bytes,
+    or as ``unhex('...')`` when the bytes are not valid UTF-8 (CH strings
+    are byte strings — \\xAA alone is a legal CH literal, 00342)."""
+    if "\\" not in sql:
+        return sql
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
+                if sql[j] == "'" and (j + 1 >= n or sql[j + 1] != "'"):
+                    break
+                j += 2 if sql[j] == "'" else 1
+            inner = sql[i + 1 : j]
+            if "\\" in inner:
+                chb = _ch_unescape_bytes(inner)
+                if chb != _spark_unescape(inner):
+                    try:
+                        txt = chb.decode("utf-8")
+                        lit = ("'" + txt.replace("\\", "\\\\")
+                               .replace("'", "''") + "'")
+                    except UnicodeDecodeError:
+                        lit = "unhex('" + chb.hex().upper() + "')"
+                    out.append(lit)
+                    i = j + 1
+                    continue
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        out.append(sql[i])
         i += 1
     return "".join(out)
 
@@ -2702,6 +2885,177 @@ def _rewrite_limit_by(sql: str) -> str:
     )
 
 
+_INTERVAL_POS = {"year": 0, "month": 1, "quarter": 1, "week": 2, "day": 3,
+                 "hour": 4, "minute": 5, "second": 6}
+
+
+def _rewrite_dyn_interval(sql: str) -> str:
+    """`INTERVAL <expr> UNIT` with a NON-literal expr (Spark's INTERVAL
+    literal syntax demands constants; CH evaluates any integer expression —
+    00537 `+ INTERVAL number MONTH`) → make_interval(...). Constant
+    intervals stay native so date+INTERVAL keeps its DATE type."""
+    if not re.search(r"\bINTERVAL\b", sql, re.IGNORECASE):
+        return sql
+
+    def sub(m: re.Match) -> str:
+        expr, unit = m.group(1).strip(), m.group(2).lower()
+        if re.fullmatch(r"'?\d+'?", expr):
+            return m.group(0)  # constant: Spark handles it natively
+        args = ["0"] * 7
+        scaled = f"cast(({expr}) as int)"
+        if unit == "quarter":
+            scaled = f"3 * {scaled}"
+        args[_INTERVAL_POS[unit]] = scaled
+        return "make_interval(" + ", ".join(args) + ")"
+
+    return _masked_sub(
+        re.compile(
+            r"\bINTERVAL\s+((?:(?!\bINTERVAL\b).)+?)\s+"
+            r"(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR)S?\b",
+            re.IGNORECASE | re.DOTALL,
+        ),
+        sub, sql,
+    )
+
+
+def _rewrite_datetime_arith(sql: str) -> str:
+    """CH `date ± N` adds days and `datetime ± N` adds seconds for ANY
+    integer expression (FunctionDateOrDateTimeAddInterval); Spark's
+    date_add demands an INT (system.numbers' `number` is BIGINT — 00300) and
+    timestamp + bigint does not resolve at all. Rewrites
+    `to_date(..) ± expr` → date_add/date_sub(.., CAST(expr AS INT)) and
+    `cast(.. as timestamp) ± expr` → `.. ± make_interval(secs => expr)`.
+    The RHS consumes one multiplicative chain (CH precedence); INTERVAL
+    arithmetic and date−date stay untouched."""
+    low = sql.lower()
+    if "to_date(" not in low and "as timestamp)" not in low:
+        return sql
+
+    def _consume_rhs(s: str, mask: str, k: int) -> int | None:
+        n = len(s)
+
+        def _primary(k2: int) -> int | None:
+            while k2 < n and s[k2] in " \t":
+                k2 += 1
+            if k2 >= n:
+                return None
+            if mask[k2] == "(":
+                return _find_call_end(s, k2)
+            if s[k2] == "'":
+                j2 = k2 + 1
+                while j2 < n and mask[j2] != "'":
+                    j2 += 1
+                return j2 + 1
+            m2 = re.match(r"\d+(?:\.\d+)?", s[k2:])
+            if m2:
+                return k2 + m2.end()
+            m2 = _IDENT_RE.match(s, k2)
+            if m2:
+                if m2.group(0).upper() in ("INTERVAL", "CASE", "SELECT"):
+                    return None
+                j2 = m2.end()
+                while j2 < n and s[j2] in " \t":
+                    j2 += 1
+                if j2 < n and s[j2] == "(":
+                    return _find_call_end(s, j2)
+                return m2.end()
+            return None
+
+        j = _primary(k)
+        if j is None:
+            return None
+        while True:
+            k2 = j
+            while k2 < n and s[k2] in " \t":
+                k2 += 1
+            if k2 < n and s[k2] in "*/%":
+                j2 = _primary(k2 + 1)
+                if j2 is None:
+                    return j
+                j = j2
+                continue
+            return j
+
+    for _ in range(50):
+        mask = _string_mask(sql)
+        n = len(sql)
+        done = True
+        for m in re.finditer(r"\bto_date\s*\(|\bcast\s*\(", sql, re.IGNORECASE):
+            open_i = m.end() - 1
+            end = _find_call_end(sql, open_i)
+            body = sql[m.start() : end]
+            is_date = body.lower().startswith("to_date")
+            if not is_date and not re.search(
+                r"as\s+timestamp\s*\)\s*$", body, re.IGNORECASE
+            ):
+                continue
+            k = end
+            while k < n and sql[k] in " \t":
+                k += 1
+            if k >= n or sql[k] not in "+-":
+                continue
+            op = sql[k]
+            rend = _consume_rhs(sql, mask, k + 1)
+            if rend is None:
+                continue
+            rhs = sql[k + 1 : rend].strip()
+            if re.match(r"^(to_date|cast)\s*\(", rhs, re.IGNORECASE):
+                continue  # date−date / ts−ts difference: leave to Spark
+            if is_date:
+                fn = "date_add" if op == "+" else "date_sub"
+                repl = f"{fn}({body}, CAST(({rhs}) AS INT))"
+            else:
+                repl = (
+                    f"({body} {op} make_interval(0, 0, 0, 0, 0, 0, "
+                    f"CAST(({rhs}) AS BIGINT)))"
+                )
+            sql = sql[: m.start()] + repl + sql[rend:]
+            done = False
+            break
+        if done:
+            return sql
+    return sql
+
+
+def _rewrite_distinct_limit(sql: str) -> str:
+    """Top-level `SELECT DISTINCT items FROM src LIMIT n` without ORDER BY:
+    ClickHouse's DistinctTransform streams and keeps the FIRST-seen row per
+    distinct key, so LIMIT picks the first n distinct values in INPUT order
+    (00326's tail `SELECT DISTINCT col1, multiIf(...) LIMIT 10`); Spark's
+    hash-distinct returns arbitrary rows. Rank distinct groups by
+    min(monotonically_increasing_id()) — faithful for ordered-by-
+    construction sources (numbers(), Memory/MergeTree part unions)."""
+    mask = _top_level_mask(sql)
+    if re.search(
+        r"\bORDER\s+BY\b|\bGROUP\s+BY\b|\bUNION\b|\bHAVING\b|\bJOIN\b|\bBY\b",
+        mask, re.IGNORECASE,
+    ):
+        return sql
+    m = re.match(
+        r"^\s*SELECT\s+DISTINCT\s+(.*?)\bFROM\b(.*?)\bLIMIT\s+(\d+)\s*$",
+        mask, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        return sql
+    items_txt = sql[m.start(1) : m.end(1)].strip().rstrip(",")
+    src = sql[m.start(2) : m.end(2)].strip()
+    n = int(m.group(3))
+    if "*" in _string_mask(items_txt):
+        return sql
+    items = [it.strip() for it in _split_args(items_txt) if it.strip()]
+    if not items:
+        return sql
+    ordinals = ", ".join(str(i + 1) for i in range(len(items)))
+    # the id is projected in a subquery first — Spark rejects
+    # non-deterministic expressions directly under an Aggregate
+    return (
+        f"SELECT * EXCEPT (_dseq) FROM (SELECT {items_txt}, "
+        f"min(_dmid) AS _dseq FROM (SELECT *, "
+        f"monotonically_increasing_id() AS _dmid FROM {src}) _dsrc "
+        f"GROUP BY {ordinals}) _dls ORDER BY _dseq LIMIT {n}"
+    )
+
+
 def _find_call_end(s: str, open_idx: int) -> int:
     """Index just past the matching ')' for the '(' at open_idx; string-aware."""
     depth = 0
@@ -2793,29 +3147,475 @@ def _special_date_diff(args: list[str]) -> str:
     (same sign convention: end - start; the optional tz argument raises)."""
     if len(args) < 3:
         raise ChSqlError("dateDiff(unit, start, end) needs 3 arguments")
-    if len(args) > 3:
-        raise ChSqlError(
-            "dateDiff timezone argument is not supported — convert the "
-            "operands with to_utc_timestamp/from_utc_timestamp explicitly "
-            "(silently ignoring it would shift day boundaries)"
-        )
+    if len(args) > 4:
+        raise ChSqlError("dateDiff(unit, start, end[, timezone])")
     unit = _unquote(args[0], "dateDiff").lower()
     allowed = {
         "second", "minute", "hour", "day", "week", "month", "quarter", "year",
     }
     if unit not in allowed:
         raise ChSqlError(f"dateDiff unit {unit!r} not in {sorted(allowed)}")
-    return f"timestampdiff({unit}, {args[1]}, {args[2]})"
+    a, b = args[1], args[2]
+    if len(args) == 4:
+        # the tz argument sets the zone both operands are READ in
+        # (dateDiff.cpp with timezone — 00538): shift day boundaries by
+        # converting each operand's wall clock
+        a = f"convert_timezone('UTC', {args[3]}, cast({a} as timestamp))"
+        b = f"convert_timezone('UTC', {args[3]}, cast({b} as timestamp))"
+    # CH dateDiff counts CALENDAR-BOUNDARY crossings (the difference of
+    # toRelative<Unit>Num values — dateDiff('month', Jan-31, Feb-01) is 1);
+    # Spark's timestampdiff counts whole elapsed units (00538)
+    rel = {
+        "year": "year(cast({x} as timestamp))",
+        "quarter": "((year(cast({x} as timestamp)) * 12 + "
+                   "month(cast({x} as timestamp)) - 1) div 3)",
+        "month": "(year(cast({x} as timestamp)) * 12 + "
+                 "month(cast({x} as timestamp)))",
+        "week": "((datediff(to_date(cast({x} as timestamp)), "
+                "DATE '1970-01-01') + 8) div 7)",
+        "day": "datediff(to_date(cast({x} as timestamp)), DATE '1970-01-01')",
+        "hour": "(unix_timestamp(cast({x} as timestamp)) div 3600)",
+        "minute": "(unix_timestamp(cast({x} as timestamp)) div 60)",
+        "second": "unix_timestamp(cast({x} as timestamp))",
+    }[unit]
+    return f"({rel.format(x=b)} - {rel.format(x=a)})"
+
+
+def _special_uniq_array(args: list[str]) -> str:
+    """-Array combinator over uniq: multiple array args count DISTINCT
+    POSITION-ZIPPED tuples (00533: uniqArray([0,1,1],[0,1,1],[0,1,0]) = 3)."""
+    if not args:
+        raise ChSqlError("uniqArray(arr, ...)")
+    inner = args[0] if len(args) == 1 else "arrays_zip(" + ", ".join(args) + ")"
+    return f"size(array_distinct(flatten(collect_list({inner}))))"
 
 
 def _special_multi_if(args: list[str]) -> str:
-    """multiIf(c1, v1, c2, v2, ..., else) → CASE chain."""
+    """multiIf(c1, v1, c2, v2, ..., else) → CASE chain. Conditions cast to
+    boolean: CH conditions are UInt8 numbers (FunctionsConditional), so
+    `multiIf(1, 2, ...)` and `multiIf(rand() % 2, ...)` are legal — Spark
+    CASE demands booleans (00326_long_function_multi_if)."""
     if len(args) < 3 or len(args) % 2 == 0:
         raise ChSqlError("multiIf needs cond/value pairs plus an else")
     whens = "".join(
-        f" WHEN {args[i]} THEN {args[i + 1]}" for i in range(0, len(args) - 1, 2)
+        f" WHEN cast(({args[i]}) as boolean) THEN {_tuplify_branch(args[i + 1])}"
+        for i in range(0, len(args) - 1, 2)
     )
-    return f"(CASE{whens} ELSE {args[-1]} END)"
+    out = f"(CASE{whens} ELSE {_tuplify_branch(args[-1])} END)"
+    # mixed String/FixedString branches: the CH supertype is String and the
+    # FixedString→String conversion DROPS trailing zero bytes
+    # (FunctionsConversion; 00326 rows mixing col4 with toFixedString) —
+    # all-FixedString branches keep their padding
+    vals = [args[i] for i in range(1, len(args) - 1, 2)] + [args[-1]]
+    fs = [v.lstrip("(").startswith("if(length(") and "rpad(" in v for v in vals]
+    if any(fs) and not all(fs):
+        out = f"regexp_replace({out}, '\\\\x00+$', '')"
+    return out
+
+
+def _tuplify_branch(arg: str) -> str:
+    """A parenthesized comma list used as a VALUE (tuple literal in an
+    if/multiIf branch — 00346_if_tuple) → struct(col1..colN): Spark's bare
+    tuple syntax derives field names from the expressions, so two branches
+    of the same CH tuple type get mismatched struct types."""
+    a = arg.strip()
+    if a.startswith("(") and _find_call_end(a, 0) == len(a):
+        if re.match(r"^\(\s*(SELECT|WITH)\b", a, re.IGNORECASE):
+            return arg
+        parts = _split_args(a[1:-1])
+        if len(parts) >= 2:
+            fields = ", ".join(
+                f"{_tuplify_branch(p.strip())} AS col{k + 1}"
+                for k, p in enumerate(parts)
+            )
+            return f"struct({fields})"
+    return arg
+
+
+_ARRAY_HEAD_RE = re.compile(
+    r"^\(*\s*(array\(|sequence\(|array_|arrays_|transform\(|filter\(|"
+    r"slice\(|split\(|collect_list\(|collect_set\(|map_keys\(|map_values\(|"
+    r"flatten\(|zip_with\(|shuffle\(|sort_array\()",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_visible_width(sql: str) -> str:
+    """visibleWidth(x) — the width the value takes in text output
+    (FunctionsFormatting). Supported for CONSTANT arguments, computed at
+    rewrite time from the CH literal spelling BEFORE bracket literals are
+    rewritten (whitespace outside strings dropped — `(1, 2)` prints
+    `(1,2)`, width 5; `[1, 2, 3]` prints `[1,2,3]`, width 7; 00349)."""
+    if not re.search(r"\bvisibleWidth\s*\(", sql, re.IGNORECASE):
+        return sql
+    mask = _string_mask(sql)
+    out, i = [], 0
+    for m in re.finditer(r"\bvisibleWidth\s*\(", mask, re.IGNORECASE):
+        end = _find_call_end(sql, m.end() - 1)
+        a = sql[m.end() : end - 1].strip()
+        amask = _string_mask(a)
+        if re.search(r"[A-Za-z_]", amask):
+            raise ChSqlError(
+                "visibleWidth over non-constant expressions is not emulated "
+                "— compute length(toString(x)) instead"
+            )
+        compact = "".join(
+            ch for ch, mk in zip(a, amask) if not (mk == ch and ch in " \t")
+        )
+        out.append(sql[i : m.start()])
+        out.append(str(len(compact)))
+        i = end
+    out.append(sql[i:])
+    return "".join(out)
+
+
+def _lambda_parts(lam: str) -> tuple[str, str]:
+    lm = re.match(r"^\(?\s*(\w+)\s*\)?\s*->\s*(.+)$", lam.strip(), re.DOTALL)
+    if not lm:
+        raise ChSqlError(f"expected a one-variable lambda, got {lam[:40]!r}")
+    return lm.group(1), lm.group(2).strip()
+
+
+def _stable_keyed_sort(arr: str, var: str, key: str, desc: bool) -> str:
+    """STABLE sort of ``arr`` by ``key`` (arraySort/arrayReverseSort —
+    FunctionsArraySort is stable): zip each element with its 1-based
+    position, sort by (key, position) via an explicit comparator, project
+    the elements back. Empty arrays short-circuit (sequence(1, 0) raises)."""
+    first = ("_l.k > _r.k", "_l.k < _r.k") if desc else ("_l.k < _r.k", "_l.k > _r.k")
+    cmp = (
+        f"(_l, _r) -> CASE WHEN {first[0]} THEN -1 WHEN {first[1]} THEN 1 "
+        "WHEN _l.i < _r.i THEN -1 WHEN _l.i > _r.i THEN 1 ELSE 0 END"
+    )
+    zipped = (
+        f"zip_with({arr}, sequence(1, size({arr})), "
+        f"({var}, _asi) -> struct(({key}) as k, _asi as i, {var} as v))"
+    )
+    return (
+        f"(CASE WHEN size({arr}) = 0 THEN {arr} ELSE "
+        f"transform(array_sort({zipped}, {cmp}), _aso -> _aso.v) END)"
+    )
+
+
+def _special_array_sort(args: list[str]) -> str:
+    if len(args) == 1:
+        return f"array_sort({args[0]})"
+    if len(args) == 2:
+        var, body = _lambda_parts(args[0])
+        return _stable_keyed_sort(args[1], var, body, desc=False)
+    raise ChSqlError("arraySort([lambda,] arr)")
+
+
+def _special_array_reverse_sort(args: list[str]) -> str:
+    if len(args) == 1:
+        return _stable_keyed_sort(args[0], "_arv", "_arv", desc=True)
+    if len(args) == 2:
+        var, body = _lambda_parts(args[0])
+        return _stable_keyed_sort(args[1], var, body, desc=True)
+    raise ChSqlError("arrayReverseSort([lambda,] arr)")
+
+
+def _special_to_string(args: list[str]) -> str:
+    """toString(x[, tz]) — the 2-arg form renders a DateTime in the given
+    zone (FunctionsConversion with timezone argument, 00414)."""
+    if len(args) == 1:
+        return (
+            f"regexp_replace(cast({args[0]} as string), "
+            "'^(-?\\\\d+)\\\\.0$', '$1')"
+        )
+    if len(args) == 2:
+        return (
+            f"date_format(convert_timezone('UTC', {args[1]}, "
+            f"cast({args[0]} as timestamp)), 'yyyy-MM-dd HH:mm:ss')"
+        )
+    raise ChSqlError("toString(x[, timezone])")
+
+
+def _pip_ring_sql(r: str, px: str, py: str) -> str:
+    """Even-odd ray cast over one ring (array<struct<col1, col2>>), the SQL
+    twin of functions/geo.point_in_polygon (pointInPolygon.cpp)."""
+    a = f"element_at({r}, _pi)"
+    b = f"element_at({r}, (_pi % size({r})) + 1)"
+    straddles = f"(({a}.col2 > ({py})) != ({b}.col2 > ({py})))"
+    xint = (
+        f"((cast({b}.col1 as double) - {a}.col1) * (({py}) - {a}.col2) "
+        f"/ (cast({b}.col2 as double) - {a}.col2) + {a}.col1)"
+    )
+    return (
+        f"(CASE WHEN size({r}) = 0 THEN false ELSE "
+        f"aggregate(sequence(1, size({r})), false, "
+        f"(_pp, _pi) -> IF({straddles} AND (({px}) < {xint}), "
+        f"NOT _pp, _pp)) END)"
+    )
+
+
+def _special_point_in_polygon(args: list[str]) -> str:
+    """pointInPolygon((x, y), ring [, hole...]) — even-odd over each ring,
+    XOR across rings (holes). Rings arrive as array(struct(col1, col2))
+    literals (the tuple-element normalization) or array-of-array for the
+    bracketed multi-ring form (00500 family)."""
+    if len(args) < 2:
+        raise ChSqlError("pointInPolygon(point, ring, ...)")
+    pt = args[0].strip()
+    if pt.startswith("(") and _find_call_end(pt, 0) == len(pt):
+        parts = _split_args(pt[1:-1])
+        if len(parts) != 2:
+            raise ChSqlError("pointInPolygon point must be a 2-tuple")
+        px, py = parts[0].strip(), parts[1].strip()
+    elif pt.startswith("struct(") :
+        parts = _split_args(pt[len("struct("):-1])
+        px = re.sub(r"\s+AS\s+\w+$", "", parts[0].strip(), flags=re.IGNORECASE)
+        py = re.sub(r"\s+AS\s+\w+$", "", parts[1].strip(), flags=re.IGNORECASE)
+    else:
+        px, py = f"({pt}).col1", f"({pt}).col2"
+    rings: list[str] = []
+    for ring_arg in args[1:]:
+        ra = ring_arg.strip()
+        if re.match(r"^array\(\s*array\(", ra):
+            # bracketed multi-ring literal: XOR via fold over the rings
+            inner = _pip_ring_sql("_pring", px, py)
+            rings.append(
+                f"aggregate({ra}, false, (_pacc, _pring) -> "
+                f"(_pacc != {inner}))"
+            )
+        else:
+            rings.append(_pip_ring_sql(ra, px, py))
+    combined = rings[0]
+    for r in rings[1:]:
+        combined = f"({combined} != {r})"
+    return f"cast({combined} as int)"
+
+
+def _special_point_in_ellipses(args: list[str]) -> str:
+    """pointInEllipses(x, y, x0, y0, a0, b0, ...) — 1 when the point falls
+    in ANY of the axis-aligned ellipses (FunctionsGeo pointInEllipses)."""
+    if len(args) < 6 or (len(args) - 2) % 4 != 0:
+        raise ChSqlError("pointInEllipses(x, y, x0, y0, a, b, ...)")
+    x, y = args[0], args[1]
+    conds = []
+    for k in range(2, len(args), 4):
+        x0, y0, a, b = args[k : k + 4]
+        conds.append(
+            f"(pow((({x}) - ({x0})) / ({a}), 2) + "
+            f"pow((({y}) - ({y0})) / ({b}), 2) <= 1.0)"
+        )
+    return f"cast(({' OR '.join(conds)}) as int)"
+
+
+def _special_length(args: list[str]) -> str:
+    """CH length() is polymorphic — bytes of a String, elements of an Array
+    (FunctionsLength). Spark splits that into length()/size(); the
+    array-producing-expression heads route to size() (00343 length(range)).
+    Bare columns keep length() — the common String case."""
+    if len(args) != 1:
+        raise ChSqlError("length(x)")
+    s = args[0].strip()
+    arrayish = bool(_ARRAY_HEAD_RE.match(s)) or bool(
+        re.match(r"^\(CASE WHEN .*cast\(array\(\)", s, re.DOTALL)
+    ) or (
+        s.lower().startswith("cast(")
+        and re.search(r"as\s+array<[^>]*>\s*\)$", s, re.IGNORECASE)
+    )
+    return f"size({s})" if arrayish else f"length({s})"
+
+
+def _special_if_fn(args: list[str]) -> str:
+    """if(cond, a, b) — CH conditions are UInt8 (if.cpp), Spark's if()
+    demands a boolean; numeric → boolean cast is nonzero-is-true in both."""
+    if len(args) != 3:
+        raise ChSqlError("if(cond, then, else)")
+    return (
+        f"if(cast(({args[0]}) as boolean), "
+        f"{_tuplify_branch(args[1])}, {_tuplify_branch(args[2])})"
+    )
+
+
+# --- quantileTiming / weighted-quantile SQL kernels ---------------------------
+# QuantileTiming.h (fixed grid: exact < 1024, width-16 de-evened buckets to
+# 30000, clamp above) and QuantileExactWeighted.h / QuantileInterpolated-
+# Weighted.h (cumulative-weight walk, midpoint interpolation). The grid /
+# walk arithmetic is expressed as pure Spark SQL so the parametric SQL forms
+# run JVM-side; operators/stats.py holds the DataFrame twins.
+
+_TIMING_REP_SQL: str | None = None
+
+
+def _timing_rep_array_sql() -> str:
+    global _TIMING_REP_SQL
+    if _TIMING_REP_SQL is None:
+        from myscaledb_spark.operators.stats import timing_rep_values
+
+        _TIMING_REP_SQL = (
+            "array(" + ",".join(str(v) for v in timing_rep_values()) + ")"
+        )
+    return _TIMING_REP_SQL
+
+
+def _timing_key_sql(v: str) -> str:
+    """The histogram key a raw value lands in (QuantileTiming.h:241-269):
+    < 1024 exact, [1024, 30000) → de-evened bucket representative,
+    ≥ 30000 → NULL (counted but bucketless)."""
+    return (
+        f"(CASE WHEN ({v}) < 1024 THEN cast(({v}) as bigint) "
+        f"WHEN ({v}) < 30000 THEN cast(element_at({_timing_rep_array_sql()}, "
+        f"cast((cast(({v}) as bigint) - 1024) / 16 as int) + 1) as bigint) "
+        f"ELSE NULL END)"
+    )
+
+
+def _timing_quantile_sql(level: str, a: str) -> str:
+    """One timing quantile as an aggregate expression — the full
+    tiny/medium/large state machine of QuantileTiming.h:
+      • n < 5672 (mediumIsWorthToConvertToLarge: sizeof(Large)/2/2): values
+        stored EXACT (clamped at 30000); quantile = sorted[floor(n·level)]
+        0-based, clamped to n−1 (Tiny::get / Medium::get nth_element).
+      • n ≥ 5672: histogram — the walk returns the first key whose
+        cumulative count reaches ceil(n·level) (Large::getMany), which is
+        the grid key of the ceil(n·level)-th smallest clamped value; values
+        ≥ 30000 are counted but bucketless, so a position past the
+        histogram returns 30000.
+    Both paths index ONE sorted clamped array. `arrayJoin(arr)` arguments
+    aggregate the ARRAY directly (Spark cannot nest a generator inside an
+    aggregate — 00323)."""
+    em = re.match(r"^explode\((.*)\)$", a.strip(), re.DOTALL)
+    if em:
+        arr = em.group(1)
+        sorted_ = (
+            f"array_sort(transform({arr}, "
+            "_tv -> least(cast(_tv as bigint), 30000)))"
+        )
+        n = f"size({arr})"
+    else:
+        sorted_ = (
+            f"array_sort(collect_list(least(cast(({a}) as bigint), 30000)))"
+        )
+        n = f"count({a})"
+    med_idx = (
+        f"least(cast(floor({n} * ({level})) as int), cast({n} as int) - 1) + 1"
+    )
+    big_pos = f"greatest(1, cast(ceil({n} * ({level})) as int))"
+    big_val = f"try_element_at({sorted_}, {big_pos})"
+    return (
+        f"(CASE WHEN {n} < 5672 THEN try_element_at({sorted_}, {med_idx}) "
+        f"ELSE coalesce({_timing_key_sql(big_val)}, 30000) END)"
+    )
+
+
+def _param_quantile_timing(params: list[str], args: list[str]) -> str:
+    if len(args) != 1:
+        raise ChSqlError("quantileTiming(level)(x)")
+    return _timing_quantile_sql(params[0] if params else "0.5", args[0])
+
+
+def _param_quantiles_timing(params: list[str], args: list[str]) -> str:
+    if len(args) != 1:
+        raise ChSqlError("quantilesTiming(l1, l2, ...)(x)")
+    return (
+        "array("
+        + ", ".join(_timing_quantile_sql(p, args[0]) for p in params)
+        + ")"
+    )
+
+
+def _weighted_pairs_sql(x: str, w: str) -> str:
+    """Sorted (value, weight) pairs for the weighted-quantile folds."""
+    return (
+        f"array_sort(collect_list(struct(cast(({x}) as double) as v, "
+        f"cast(({w}) as double) as w)))"
+    )
+
+
+def _exact_weighted_finish(levels: list[str]) -> str:
+    """Finish lambda body over s = struct(acc: array<(v, cum)>, cum: total):
+    first value whose cumulative weight reaches level·total
+    (QuantileExactWeighted.h — accumulated >= threshold)."""
+    one = (
+        "try_element_at(filter(s.acc, p -> p.cum >= ({lv}) * s.cum), 1).v"
+    )
+    if len(levels) == 1:
+        return one.format(lv=levels[0])
+    return "array(" + ", ".join(one.format(lv=lv) for lv in levels) + ")"
+
+
+def _quantile_exact_weighted_sql(levels: list[str], x: str, w: str) -> str:
+    pairs = _weighted_pairs_sql(x, w)
+    return (
+        f"aggregate({pairs}, "
+        "struct(cast(array() as array<struct<v:double,cum:double>>) as acc, "
+        "cast(0.0 as double) as cum), "
+        "(s, e) -> struct(concat(s.acc, array(struct(e.v as v, "
+        "s.cum + e.w as cum))), s.cum + e.w), "
+        f"s -> {_exact_weighted_finish(levels)})"
+    )
+
+
+def _interp_weighted_finish(levels: list[str]) -> str:
+    """Finish lambda over s = struct(acc: array<(v, cum, w)> with DISTINCT
+    values, cum: total): weighted interpolation on midpoints m_i =
+    cum_i − w_i/2 (QuantileInterpolatedWeighted.h); integral grids truncate
+    (the reference returns the input type)."""
+    one = (
+        "(CASE WHEN size(s.acc) = 0 THEN NULL "
+        "WHEN ({lv}) * s.cum <= element_at(s.acc, 1).cum - element_at(s.acc, 1).w / 2 "
+        "THEN element_at(s.acc, 1).v "
+        "WHEN ({lv}) * s.cum >= element_at(s.acc, -1).cum - element_at(s.acc, -1).w / 2 "
+        "THEN element_at(s.acc, -1).v "
+        "ELSE aggregate(transform(sequence(1, size(s.acc) - 1), "
+        "i -> struct(element_at(s.acc, i) as lo, element_at(s.acc, i + 1) as hi)), "
+        "cast(NULL as double), "
+        "(r, pr) -> coalesce(r, CASE WHEN pr.lo.cum - pr.lo.w / 2 <= ({lv}) * s.cum "
+        "AND ({lv}) * s.cum < pr.hi.cum - pr.hi.w / 2 THEN "
+        "if(pr.lo.v = floor(pr.lo.v) AND pr.hi.v = floor(pr.hi.v), "
+        "floor(pr.lo.v + (({lv}) * s.cum - (pr.lo.cum - pr.lo.w / 2)) "
+        "/ ((pr.hi.cum - pr.hi.w / 2) - (pr.lo.cum - pr.lo.w / 2)) "
+        "* (pr.hi.v - pr.lo.v)), "
+        "pr.lo.v + (({lv}) * s.cum - (pr.lo.cum - pr.lo.w / 2)) "
+        "/ ((pr.hi.cum - pr.hi.w / 2) - (pr.lo.cum - pr.lo.w / 2)) "
+        "* (pr.hi.v - pr.lo.v)) END)) END)"
+    )
+    if len(levels) == 1:
+        return one.format(lv=levels[0])
+    return "array(" + ", ".join(one.format(lv=lv) for lv in levels) + ")"
+
+
+def _quantile_interp_weighted_sql(levels: list[str], x: str, w: str) -> str:
+    pairs = _weighted_pairs_sql(x, w)
+    # fold merges equal values (the reference keys a hash map value → weight)
+    return (
+        f"aggregate({pairs}, "
+        "struct(cast(array() as array<struct<v:double,cum:double,w:double>>) as acc, "
+        "cast(0.0 as double) as cum), "
+        "(s, e) -> if(size(s.acc) > 0 AND element_at(s.acc, -1).v = e.v, "
+        "struct(concat(slice(s.acc, 1, size(s.acc) - 1), "
+        "array(struct(e.v as v, s.cum + e.w as cum, "
+        "element_at(s.acc, -1).w + e.w as w))), s.cum + e.w), "
+        "struct(concat(s.acc, array(struct(e.v as v, s.cum + e.w as cum, "
+        "e.w as w))), s.cum + e.w)), "
+        f"s -> {_interp_weighted_finish(levels)})"
+    )
+
+
+def _param_quantile_exact_weighted(params, args):
+    if len(args) != 2:
+        raise ChSqlError("quantileExactWeighted(level)(x, weight)")
+    return _quantile_exact_weighted_sql(params or ["0.5"], args[0], args[1])
+
+
+def _param_quantiles_exact_weighted(params, args):
+    if len(args) != 2:
+        raise ChSqlError("quantilesExactWeighted(l...)(x, weight)")
+    return _quantile_exact_weighted_sql(params, args[0], args[1])
+
+
+def _param_quantile_interp_weighted(params, args):
+    if len(args) != 2:
+        raise ChSqlError("quantileInterpolatedWeighted(level)(x, weight)")
+    return _quantile_interp_weighted_sql(params or ["0.5"], args[0], args[1])
+
+
+def _param_quantiles_interp_weighted(params, args):
+    if len(args) != 2:
+        raise ChSqlError("quantilesInterpolatedWeighted(l...)(x, weight)")
+    return _quantile_interp_weighted_sql(params, args[0], args[1])
 
 
 def _special_replace_regexp_one(args: list[str]) -> str:
@@ -3165,7 +3965,14 @@ def _special_range(args: list[str]) -> str:
             f"cast(({args[1]}) as bigint) - 1) END)"
         )
     if len(args) == 3:
-        return f"sequence({args[0]}, ({args[1]}) - 1, {args[2]})"
+        # empty guard here too: range(n, n+100, 100) has ONE element and
+        # range(n, n, s) none — sequence(s, s-1, +step) raises (00343)
+        return (
+            f"(CASE WHEN ({args[1]}) <= ({args[0]}) THEN "
+            f"cast(array() as array<bigint>) "
+            f"ELSE sequence(cast(({args[0]}) as bigint), "
+            f"cast(({args[1]}) as bigint) - 1, cast(({args[2]}) as bigint)) END)"
+        )
     raise ChSqlError("range(N) / range(start, end[, step])")
 
 
@@ -3455,6 +4262,75 @@ SPECIAL = {
     "finalizeAggregation": _special_finalize_aggregation,
     "range": _special_range,
     "multiIf": _special_multi_if,
+    "if": _special_if_fn,
+    "length": _special_length,
+    "arraySort": _special_array_sort,
+    "arrayReverseSort": _special_array_reverse_sort,
+    "toString": _special_to_string,
+    "pointInEllipses": _special_point_in_ellipses,
+    # cut at the first zero byte (FunctionsCoding toStringCutToZero)
+    "toStringCutToZero": lambda args: (
+        f"regexp_replace({args[0]}, '(?s)\\\\x00.*', '')"
+    ),
+    "pointInPolygon": _special_point_in_polygon,
+    # n-ary intersect folds left (arrayIntersect.cpp is variadic — 00556)
+    "arrayIntersect": lambda args: (
+        functools.reduce(lambda a, b: f"array_intersect({a}, {b})", args)
+        if args
+        else (_ for _ in ()).throw(ChSqlError("arrayIntersect(a, b, ...)"))
+    ),
+    # uniqArray(a1[, a2...]) ≡ uniq(-Array combinator): distinct elements
+    # across every row's arrays (00533); the estimator variants are exact
+    # here like the uniq family itself
+    "uniqArray": _special_uniq_array,
+    "uniqExactArray": _special_uniq_array,
+    "uniqCombinedArray": _special_uniq_array,
+    "uniqHLL12Array": _special_uniq_array,
+    "DATEDIFF": _special_date_diff,
+    # CH substring: offset 0 yields '' (GatherUtils sliceFromLeft offset
+    # semantics — 00496); negative offsets count from the end (Spark same)
+    "substring": lambda args: (
+        f"if(({args[1]}) = 0, '', substring({', '.join(args)}))"
+        if len(args) in (2, 3)
+        else (_ for _ in ()).throw(ChSqlError("substring(s, offset[, len])"))
+    ),
+    # extractAll returns capture group 1 when the pattern HAS a group,
+    # else whole matches (OptimizedRegularExpression — 00518)
+    "extractAll": lambda args: (
+        "regexp_extract_all({}, {}, {})".format(
+            args[0], args[1],
+            1 if (args[1].strip().startswith("'")
+                  and re.search(r"(?<!\\)\((?!\?)", args[1].strip()[1:-1]))
+            else 0,
+        )
+        if len(args) == 2
+        else (_ for _ in ()).throw(ChSqlError("extractAll(s, pattern)"))
+    ),
+    "toHour": lambda args: (
+        f"hour({args[0]})" if len(args) == 1
+        else f"hour(convert_timezone('UTC', {args[1]}, cast({args[0]} as timestamp)))"
+    ),
+    # needle tuples normalize to col1..colN structs so they compare equal
+    # to array elements built the same way (00347_has_tuple)
+    "has": lambda args: (
+        f"array_contains({args[0]}, {_tuplify_branch(args[1])})"
+        if len(args) == 2
+        else (_ for _ in ()).throw(ChSqlError("has(arr, elem)"))
+    ),
+    "indexOf": lambda args: (
+        f"array_position({args[0]}, {_tuplify_branch(args[1])})"
+        if len(args) == 2
+        else (_ for _ in ()).throw(ChSqlError("indexOf(arr, elem)"))
+    ),
+    # default level 0.5 for the bare (non-parametric) call forms
+    "quantileTiming": lambda args: _timing_quantile_sql("0.5", args[0]),
+    "medianTiming": lambda args: _timing_quantile_sql("0.5", args[0]),
+    "quantileExactWeighted": lambda args: _quantile_exact_weighted_sql(
+        ["0.5"], args[0], args[1]
+    ),
+    "quantileInterpolatedWeighted": lambda args: _quantile_interp_weighted_sql(
+        ["0.5"], args[0], args[1]
+    ),
     "replaceRegexpOne": _special_replace_regexp_one,
     "formatDateTime": _special_format_datetime,
     "arrayResize": _special_array_resize,
@@ -3471,6 +4347,21 @@ SPECIAL = {
         else (_ for _ in ()).throw(ChSqlError("char() needs at least one argument"))
     ),
 }
+
+# parametric forms whose expansion needs code, not a template (plural level
+# lists, arrayJoin-argument handling) — the expansion calls these with
+# (params, args)
+PARAMETRIC.update(
+    {
+        "quantileTiming": _param_quantile_timing,
+        "quantilesTiming": _param_quantiles_timing,
+        "medianTiming": _param_quantile_timing,
+        "quantileExactWeighted": _param_quantile_exact_weighted,
+        "quantilesExactWeighted": _param_quantiles_exact_weighted,
+        "quantileInterpolatedWeighted": _param_quantile_interp_weighted,
+        "quantilesInterpolatedWeighted": _param_quantiles_interp_weighted,
+    }
+)
 
 # fixed-width convenience bucketing (same epoch alignment)
 for _name, _secs in (
@@ -3562,6 +4453,252 @@ for _ch, _sp in (
     TEMPLATES[f"emptyArray{_ch}"] = f"CAST(array() AS ARRAY<{_sp}>)"
 
 
+_IS_CONST_KEYWORDS = {
+    "and", "or", "not", "case", "when", "then", "else", "end", "null",
+    "true", "false", "as", "in", "is", "interval", "between", "like",
+}
+
+
+def _expr_is_constant(text: str) -> bool:
+    """CH-style constanthood of an expression TEXT — no bare column
+    identifiers after constant-folding multiIf/if shortcuts
+    (isConstant.cpp + ExpressionAnalyzer constant folding: a constant-TRUE
+    condition selects its branch before the column branches are looked at
+    — 00326 `multiIf(2 > 1, 'Value', value)` is constant 'Value')."""
+    text = text.strip()
+    cm = re.match(r"^(multiIf|if)\s*\((.*)\)$", text, re.DOTALL)
+    if cm and _find_call_end(text, cm.start(2) - 1) == len(text):
+        args = _split_args(cm.group(2))
+        if len(args) >= 3 and len(args) % 2 == 1:
+            for i in range(0, len(args) - 1, 2):
+                cond = args[i].strip()
+                if not _expr_is_constant(cond):
+                    return False
+                val = _const_truthiness(cond)
+                if val is None:
+                    return False
+                if val:
+                    return _expr_is_constant(args[i + 1])
+            return _expr_is_constant(args[-1])
+    mask = _string_mask(text)
+    for m in _IDENT_RE.finditer(mask):
+        j = m.end()
+        while j < len(mask) and mask[j] in " \t":
+            j += 1
+        if j < len(mask) and mask[j] == "(":
+            continue  # function name
+        if m.group(0).lower() in _IS_CONST_KEYWORDS:
+            continue
+        return False
+    return True
+
+
+def _const_truthiness(cond: str):
+    """Evaluate a constant condition's truth value when it is a simple
+    literal/comparison arithmetic shape; None when not evaluable."""
+    t = cond.strip()
+    if not re.fullmatch(r"[\d\s()<>=!+*/%.-]+", t):
+        return None
+    t = re.sub(r"(?<![<>=!])=(?!=)", "==", t)
+    try:
+        return bool(eval(t, {"__builtins__": {}}, {}))  # noqa: S307
+    except Exception:
+        return None
+
+
+def _rewrite_in_null_literals(sql: str) -> str:
+    """ClickHouse drops NULL literals from IN lists (transform_null_in=0:
+    a set never contains NULL, so `0 IN (1, NULL, 3)` is 0 where SQL says
+    NULL — 00441_nulls_in; a NULL LHS still propagates NULL). Tuples
+    containing a NULL member drop whole."""
+    if "NULL" not in sql.upper() or " IN" not in sql.upper():
+        return sql
+    mask = _string_mask(sql)
+    edits = []
+    for m in re.finditer(r"\b(?:NOT\s+)?IN\s*\(", mask, re.IGNORECASE):
+        open_ = m.end() - 1
+        end_ = _find_call_end(sql, open_)
+        inner = sql[open_ + 1 : end_ - 1]
+        if re.match(r"\s*(SELECT|WITH)\b", inner, re.IGNORECASE):
+            continue
+        elems = _split_args(inner)
+
+        def _has_null(e: str) -> bool:
+            s = e.strip()
+            if s.upper() == "NULL":
+                return True
+            if s.startswith("(") and s.endswith(")"):
+                return any(
+                    x.strip().upper() == "NULL" for x in _split_args(s[1:-1])
+                )
+            return False
+
+        kept = [e.strip() for e in elems if not _has_null(e)]
+        if len(kept) != len(elems) and kept:
+            edits.append((open_, end_, "(" + ", ".join(kept) + ")"))
+    for s0, e0, txt in sorted(edits, reverse=True):
+        sql = sql[:s0] + txt + sql[e0:]
+    return sql
+
+
+def _rewrite_tuple_in(sql: str) -> str:
+    """`(a, b) IN (x, y)` — when the IN-list arity matches the LHS tuple and
+    the elements are scalars, ClickHouse reads the RHS as ONE tuple
+    (functionIn with a single tuple literal — 00317 `(1,'') IN (-1,'')`);
+    Spark reads a two-element scalar list. Wrap the RHS in one more paren
+    level so it becomes a single row constructor."""
+    if " IN" not in sql.upper():
+        return sql
+    mask = _string_mask(sql)
+    edits: list[tuple[int, int]] = []  # positions of RHS-group parens to wrap
+    for m in re.finditer(r"\b(?:NOT\s+)?IN\s*\(", mask, re.IGNORECASE):
+        k = m.start() - 1
+        while k >= 0 and sql[k] in " \t":
+            k -= 1
+        if k < 0 or sql[k] != ")":
+            continue
+        depth, i = 0, k
+        while i >= 0:
+            if mask[i] == ")":
+                depth += 1
+            elif mask[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        if i < 0:
+            continue
+        prev = next(
+            (sql[p] for p in range(i - 1, -1, -1) if not sql[p].isspace()), ""
+        )
+        pm = re.search(r"([A-Za-z_]\w*)\s*$", sql[:i])
+        prev_word = (pm.group(1) or "").lower() if pm else ""
+        kw = {"select", "distinct", "where", "and", "or", "not", "when",
+              "then", "else", "case", "by", "on", "having", "as", "in",
+              "union", "all", "from", "with", "limit", "offset"}
+        if (prev.isalnum() or prev in "_)]") and prev_word not in kw:
+            continue  # call arguments / subscript base, not a tuple literal
+        lparts = _split_args(sql[i + 1 : k])
+        if len(lparts) < 2:
+            continue
+        open2 = m.end() - 1
+        end2 = _find_call_end(sql, open2)
+        inner2 = sql[open2 + 1 : end2 - 1]
+        if re.match(r"^\s*SELECT\b", inner2, re.IGNORECASE):
+            continue
+        elems = _split_args(inner2)
+        if all(e.strip().startswith("(") for e in elems):
+            # already a tuple LIST — normalize each element and the LHS to
+            # col1..colN structs so the struct types line up (00317 stmt 6)
+            rhs = ", ".join(_tuplify_branch(e.strip()) for e in elems)
+        elif len(elems) == len(lparts):
+            # scalar list of matching arity: CH reads ONE tuple
+            rhs = _tuplify_branch(f"({inner2})")
+        else:
+            continue
+        lhs = _tuplify_branch(sql[i : k + 1])
+        edits.append((i, k + 1, lhs, open2, end2, rhs))
+    for i, lk, lhs, open2, end2, rhs in sorted(edits, reverse=True):
+        sql = (
+            sql[:i] + lhs + sql[lk:open2 + 1] + rhs + sql[end2 - 1 :]
+        )
+    return sql
+
+
+def _rewrite_case_bool(sql: str) -> str:
+    """Searched-CASE conditions cast to boolean — CH conditions are UInt8
+    (`CASE WHEN 1 THEN ...` — 00328_long_case_construction); Spark CASE
+    demands booleans, and boolean→boolean casts are no-ops so every
+    condition is wrapped. Simple-CASE (`CASE x WHEN v ...`) comparands are
+    left alone. Nested CASEs resolve by token sequence (an inner CASE's END
+    arrives before the outer THEN)."""
+    if not re.search(r"\bCASE\b", sql, re.IGNORECASE):
+        return sql
+    mask = _string_mask(sql)
+    stack: list[dict] = []
+    inserts: list[tuple[int, str]] = []
+
+    def _close_value(frame, upto: int) -> None:
+        if frame["value_open"] is not None:
+            frame["values"].append(sql[frame["value_open"]: upto].strip())
+            frame["value_open"] = None
+
+    for m in re.finditer(r"\b(CASE|WHEN|THEN|ELSE|END)\b", mask, re.IGNORECASE):
+        t = m.group(0).upper()
+        if t == "CASE":
+            searched = bool(re.match(r"\s*WHEN\b", mask[m.end():], re.IGNORECASE))
+            stack.append({
+                "searched": searched, "pending": None, "start": m.start(),
+                "values": [], "value_open": None,
+            })
+        elif t == "WHEN":
+            if stack:
+                _close_value(stack[-1], m.start())
+                if stack[-1]["searched"]:
+                    stack[-1]["pending"] = m.end()
+        elif t == "THEN":
+            if stack:
+                if stack[-1]["pending"] is not None:
+                    inserts.append((stack[-1]["pending"], " cast(("))
+                    inserts.append((m.start(), ") as boolean) "))
+                    stack[-1]["pending"] = None
+                stack[-1]["value_open"] = m.end()
+        elif t == "ELSE":
+            if stack:
+                _close_value(stack[-1], m.start())
+                stack[-1]["value_open"] = m.end()
+        elif t == "END" and stack:
+            frame = stack.pop()
+            _close_value(frame, m.start())
+            # mixed String/FixedString branch values: the CH supertype is
+            # String and FixedString→String DROPS trailing zero bytes
+            # (00328 CASE rows mixing col4 with toFixedString)
+            fs = [
+                v.lstrip("(").startswith("if(length(") and "rpad(" in v
+                for v in frame["values"] if v
+            ]
+            if fs and any(fs) and not all(fs):
+                inserts.append((frame["start"], "regexp_replace("))
+                inserts.append((m.end(), ", '\\\\x00+$', '')"))
+    if not inserts:
+        return sql
+    out, last = [], 0
+    for pos, txt in sorted(inserts, key=lambda p: p[0]):
+        out.append(sql[last:pos])
+        out.append(txt)
+        last = pos
+    out.append(sql[last:])
+    return "".join(out)
+
+
+def _rewrite_is_constant(sql: str) -> str:
+    """`isConstant(x)` → 0/1 literal decided at rewrite time. A bare
+    identifier argument resolves through the statement's own SELECT-item
+    aliases first (CH analyzes the expression behind the alias)."""
+    if not re.search(r"\bisConstant\s*\(", sql, re.IGNORECASE):
+        return sql
+    mask = _string_mask(sql)
+    aliases: dict[str, str] = {}
+    msel = re.search(r"\bSELECT\b(.*?)(?:\bFROM\b|$)", mask, re.IGNORECASE | re.DOTALL)
+    if msel:
+        seg = sql[msel.start(1) : msel.end(1)]
+        for item in _split_args(seg):
+            am = re.match(r"^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", item.strip(),
+                          re.IGNORECASE | re.DOTALL)
+            if am:
+                aliases[am.group(2)] = am.group(1).strip()
+    out, i = [], 0
+    for m in re.finditer(r"\bisConstant\s*\(", mask, re.IGNORECASE):
+        end = _find_call_end(sql, m.end() - 1)
+        arg = sql[m.end() : end - 1].strip()
+        arg = aliases.get(arg, arg)
+        out.append(sql[i : m.start()])
+        out.append("1" if _expr_is_constant(arg) else "0")
+        i = end
+    out.append(sql[i:])
+    return "".join(out)
+
+
 def rewrite(sql: str, schema_fn=None, types_fn=None, analyze_fn=None) -> str:
     """Rewrite CH-flavored SQL (function names + FINAL / SAMPLE / LIMIT BY
     clauses) to Spark SQL. ``schema_fn(table) -> [col, ...]`` is needed only
@@ -3574,6 +4711,7 @@ def rewrite(sql: str, schema_fn=None, types_fn=None, analyze_fn=None) -> str:
     for pat, hint in UNSUPPORTED_SYNTAX.items():
         if re.search(pat, sql, flags=re.IGNORECASE):
             raise ChSqlError(f"construct not supported in SQL dialect shim: {hint}")
+    sql = _rewrite_ch_escapes(sql)
     # PREWHERE is a storage-level optimization in the reference; Catalyst's
     # pushdown provides the same effect, so PREWHERE ≡ WHERE here
     # (MergeTreeWhereOptimizer.h:31 — the optimizer moves predicates anyway).
@@ -3599,9 +4737,47 @@ def rewrite(sql: str, schema_fn=None, types_fn=None, analyze_fn=None) -> str:
         lambda m: str(int(m.group(1), 16)),
         sql,
     )
+    sql = _rewrite_is_constant(sql)
+    sql = _rewrite_visible_width(sql)
     sql = _rewrite_inner_aliases(sql)
     sql = _strip_rank_frames(sql)
     sql = _rewrite_ternary(sql)
+    # nan / inf literal keywords (ParserNumber accepts them — 00437)
+    sql = _masked_sub(
+        re.compile(r"\b(nan|inf)\b", re.IGNORECASE),
+        lambda m: (
+            "(cast('NaN' as double))"
+            if m.group(1).lower() == "nan"
+            else "(cast('Infinity' as double))"
+        ),
+        sql,
+    )
+    # literal division by zero folds to CH's IEEE result (1/0 → inf,
+    # 0/0 → nan — 00516; Spark's ANSI divide raises instead)
+    def _fold_div0(m: re.Match) -> str:
+        num, den = float(m.group(1)), m.group(2)
+        if num == 0:
+            return "(cast('NaN' as double))"
+        neg = (num < 0) != den.lstrip().startswith("-")
+        return ("(-cast('Infinity' as double))" if neg
+                else "(cast('Infinity' as double))")
+
+    sql = _masked_sub(
+        re.compile(r"(?<![\w.)])(-?\d+\.?\d*)\s*/\s*(-?0\.?0*)(?![\d.])"),
+        _fold_div0,
+        sql,
+    )
+    sql = _rewrite_in_null_literals(sql)
+    sql = _rewrite_tuple_in(sql)
+    # `x IN f(...)` — a paren-less scalar RHS is an equality test in CH
+    # (single-element set; 00422 `cityHash64('abc') IN cityHash64('abc')`);
+    # tuple(...) RHS stays membership
+    sql = _masked_sub(
+        re.compile(r"\b(NOT\s+)?IN\s+(?=(?!tuple\b)[A-Za-z_]\w*\s*\()",
+                   re.IGNORECASE),
+        lambda m: ("!= " if m.group(1) else "= "),
+        sql,
+    )
     sql = _add_implicit_one(sql)
     sql = _rewrite_asof_join(sql)
     # `ALL <kind> JOIN` — ALL is ClickHouse's default join strictness
@@ -3634,6 +4810,7 @@ def rewrite(sql: str, schema_fn=None, types_fn=None, analyze_fn=None) -> str:
         sql,
     )
     sql = _rewrite_limit_by(_rewrite_limit_by_nested(sql))
+    sql = _rewrite_distinct_limit(sql)
     sql = _rewrite_groups_frame(sql)
     sql = _rewrite_with_fill_nested(sql, analyze_fn)
     sql = _rewrite_limit_ties(sql)
@@ -3641,18 +4818,324 @@ def rewrite(sql: str, schema_fn=None, types_fn=None, analyze_fn=None) -> str:
     sql = _rewrite_scalar_with(sql)
     sql = _rewrite_tuple_literal_aliases(sql)
     sql = _rewrite_array_join(sql)
+    # function-form cast `CAST(x, 'Type')` (ParserCastExpression accepts
+    # both spellings — 00483_cast_syntax) → `CAST(x AS Type)` so the type
+    # mapping below sees one shape
+    for _ in range(16):
+        if not re.search(r"\bCAST\s*\(", sql, re.IGNORECASE):
+            break
+        cmask = _string_mask(sql)
+        edit_c = None
+        for cm in re.finditer(r"\bCAST\s*\(", cmask, re.IGNORECASE):
+            cend = _find_call_end(sql, cm.end() - 1)
+            cargs = _split_args(sql[cm.end() : cend - 1])
+            if len(cargs) == 2:
+                t = cargs[1].strip()
+                if len(t) >= 2 and t[0] == "'" and t[-1] == "'":
+                    edit_c = (cm.start(), cend,
+                              f"CAST({cargs[0].strip()} AS {t[1:-1]})")
+        if edit_c is None:
+            break
+        s0, e0, txt = edit_c
+        sql = sql[:s0] + txt + sql[e0:]
     sql = _rewrite_cast_types(sql)
     sql = _rewrite_map_literals(sql)
     sql = _rewrite_array_literals(sql)
-    sql = _rewrite_subscript_defaults(_rewrite_calls(sql), types_fn)
+    sql = _rewrite_subscript_defaults(
+        _rewrite_datetime_arith(
+            _rewrite_dyn_interval(_rewrite_case_bool(_rewrite_calls(sql)))
+        ),
+        types_fn,
+        analyze_fn,
+    )
+    sql = _rewrite_to_type_name(sql, analyze_fn)
+    sql = _rewrite_poly_length(sql, analyze_fn)
+    sql = _rewrite_where_bool(sql)
+    sql = _rewrite_order_nulls(sql)
     # tuple element access `x.1` → `x.col1` — the field-name convention the
     # tuple()/tupleElement rewrites emit (runs last: `.colN` has no digit
-    # after the dot, so already-rewritten text is a fixed point)
-    return _masked_sub(
-        re.compile(r"\b([A-Za-z_]\w*)\.(\d+)(?![\d.])"),
-        lambda m: f"{m.group(1)}.col{m.group(2)}",
-        sql,
+    # after the dot, so already-rewritten text is a fixed point). The
+    # `).N` form follows call results (`t[1].1` → element_at(t, 1).col1 —
+    # 00348); a NUMBER before the dot (e.g. `0.5`) never matches the `)`.
+    # lookahead excludes a following digit (decimal literals) but ALLOWS a
+    # following dot so chained access `t.1.2` resolves left-to-right — the
+    # replacement turns the next segment into identifier.digit, which the
+    # second pattern then picks up (00348)
+    for _ in range(6):
+        new = _masked_sub(
+            re.compile(r"\)\.(\d+)(?!\d)"),
+            lambda m: f").col{m.group(1)}",
+            sql,
+        )
+        new = _masked_sub(
+            re.compile(r"\b([A-Za-z_]\w*)\.(\d+)(?!\d)"),
+            lambda m: f"{m.group(1)}.col{m.group(2)}",
+            new,
+        )
+        if new == sql:
+            break
+        sql = new
+    return sql
+
+
+def _clause_end(mask: str, start: int, stops: tuple[str, ...]) -> int:
+    """End of a clause beginning at ``start``: the next stop keyword or a
+    closing paren AT THE SAME depth, else end of string."""
+    depth = 0
+    i = start
+    stop_re = re.compile(r"\b(" + "|".join(stops) + r")\b", re.IGNORECASE)
+    while i < len(mask):
+        c = mask[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                return i
+            depth -= 1
+        elif depth == 0:
+            m = stop_re.match(mask, i)
+            if m:
+                return i
+        i += 1
+    return len(mask)
+
+
+def _rewrite_order_nulls(sql: str) -> str:
+    """ClickHouse puts NULLs LAST in BOTH directions by default (the parser
+    defaults nulls_direction to the sort direction relative to NULLS LAST —
+    00426_nulls_sorting: ASC ends with NULL, DESC starts with the max
+    value); Spark defaults to NULLS FIRST on ASC. Append the explicit
+    NULLS LAST to every query-level ORDER BY item that does not spell one
+    (window OVER(ORDER BY) clauses keep Spark defaults — the
+    frame-sensitive cases pin their own)."""
+    if not re.search(r"\bORDER\s+BY\b", sql, re.IGNORECASE):
+        return sql
+    # one edit per iteration (rightmost/innermost first) — nested clauses
+    # (an ORDER BY inside an IN-subquery inside another's sort item) would
+    # otherwise corrupt positions computed on the pre-edit string
+    for _ in range(32):
+        mask = _string_mask(sql)
+        edit = None
+        for m in re.finditer(r"\bORDER\s+BY\b", mask, re.IGNORECASE):
+            # inside OVER(...)? — walk back to the enclosing '(' and check
+            # the word before it
+            depth = 0
+            j = m.start() - 1
+            inside_over = False
+            while j >= 0:
+                if mask[j] == ")":
+                    depth += 1
+                elif mask[j] == "(":
+                    if depth == 0:
+                        wm = re.search(r"([A-Za-z_]\w*)\s*$", sql[:j])
+                        inside_over = bool(wm) and wm.group(1).upper() == "OVER"
+                        break
+                    depth -= 1
+                j -= 1
+            if inside_over:
+                continue
+            end = _clause_end(
+                mask, m.end(),
+                ("LIMIT", "SETTINGS", "FORMAT", "OFFSET", "UNION", "INTO"),
+            )
+            seg = sql[m.end() : end]
+            if re.search(r"\bWITH\s+FILL\b|\bCOLLATE\b", seg, re.IGNORECASE):
+                continue
+            parts = _split_args(seg)
+            if not parts or not seg.strip():
+                continue
+            newparts = []
+            changed = False
+            for p in parts:
+                ps = p.strip()
+                if re.search(r"\bNULLS\s+(FIRST|LAST)\s*$", ps, re.IGNORECASE):
+                    newparts.append(ps)
+                else:
+                    newparts.append(ps + " NULLS LAST")
+                    changed = True
+            if not changed:
+                continue
+            txt = " " + ", ".join(newparts) + (" " if end < len(sql) else "")
+            edit = (m.end(), end, txt)  # keep scanning: rightmost wins
+        if edit is None:
+            return sql
+        s, e, txt = edit
+        sql = sql[:s] + txt + sql[e:]
+    return sql
+
+
+def _rewrite_where_bool(sql: str) -> str:
+    """CH WHERE/HAVING/filter accepts a UInt8 expression (`WHERE x % 2` —
+    00449); Spark demands a boolean. Wrap every WHERE/HAVING clause body in
+    cast(... as boolean) — a no-op cast for already-boolean predicates
+    (Catalyst SimplifyCasts keeps pushdown intact)."""
+    if not re.search(r"\b(WHERE|HAVING)\b", sql, re.IGNORECASE):
+        return sql
+    # one edit per iteration (rightmost first): a WHERE nested in another
+    # WHERE's subquery would otherwise shift positions mid-application
+    for _ in range(32):
+        mask = _string_mask(sql)
+        edit = None
+        for m in re.finditer(r"\b(WHERE|HAVING)\b", mask, re.IGNORECASE):
+            end = _clause_end(
+                mask, m.end(),
+                ("GROUP", "HAVING", "ORDER", "LIMIT", "SETTINGS", "FORMAT",
+                 "UNION", "WINDOW", "QUALIFY", "OFFSET"),
+            )
+            body = sql[m.end() : end].strip()
+            if not body:
+                continue
+            if (body.startswith("cast((") and body.endswith("as boolean)")
+                    and _find_call_end(body, 4) == len(body)):
+                continue  # already wrapped
+            edit = (m.end(), end, f" cast(({body}) as boolean) ")
+        if edit is None:
+            return sql
+        s, e, txt = edit
+        sql = sql[:s] + txt + sql[e:]
+    return sql
+
+
+#: Spark simpleString → ClickHouse type name (toTypeName emulation)
+_SPARK_TO_CH_TYPE = {
+    "tinyint": "Int8", "smallint": "Int16", "int": "Int32",
+    "bigint": "Int64", "float": "Float32", "double": "Float64",
+    "string": "String", "date": "Date", "timestamp": "DateTime",
+    "boolean": "UInt8", "binary": "String", "void": "Nothing",
+}
+
+
+def _spark_type_to_ch(dt, nullable: bool = False) -> str:
+    from pyspark.sql.types import ArrayType, DecimalType, StructType
+
+    if isinstance(dt, ArrayType):
+        inner = _spark_type_to_ch(dt.elementType, dt.containsNull)
+        name = f"Array({inner})"
+        return name  # Array itself is never Nullable in CH
+    if isinstance(dt, StructType):
+        inner = ", ".join(
+            _spark_type_to_ch(f.dataType, f.nullable) for f in dt.fields
+        )
+        return f"Tuple({inner})"
+    if isinstance(dt, DecimalType):
+        base = f"Decimal({dt.precision}, {dt.scale})"
+    else:
+        base = _SPARK_TO_CH_TYPE.get(dt.simpleString(), dt.simpleString())
+    return f"Nullable({base})" if nullable else base
+
+
+def _rewrite_to_type_name(sql: str, analyze_fn=None) -> str:
+    """toTypeName(x) → the CH type name as a string literal, decided at
+    rewrite time (DataTypePtr::getName). Plain non-negative integer
+    literals take CH's smallest-UInt reading (ParserNumber — toTypeName(1)
+    is 'UInt8'); everything else resolves by ANALYZING a probe select and
+    mapping the Spark type (plan-only, no execution)."""
+    if not re.search(r"\btoTypeName\s*\(", sql, re.IGNORECASE):
+        return sql
+    mask = _top_level_mask(sql)
+    from_txt = None
+    ftx = re.search(
+        r"\bFROM\b(.*?)(?=\bWHERE\b|\bGROUP\b|\bORDER\b|\bLIMIT\b|"
+        r"\bHAVING\b|\bSETTINGS\b|\bUNION\b|$)",
+        mask, re.IGNORECASE | re.DOTALL,
     )
+    if ftx is not None:
+        from_txt = sql[ftx.start(1) : ftx.end(1)].strip()
+    # resolve same-SELECT aliases (`ifNull(x, y) AS res, toTypeName(res)` —
+    # CH analyzes the expression behind the alias; 00433)
+    aliases: dict[str, str] = {}
+    msel = re.search(r"\bSELECT\b(.*?)(?:\bFROM\b|$)", mask,
+                     re.IGNORECASE | re.DOTALL)
+    if msel:
+        for item in _split_args(sql[msel.start(1) : msel.end(1)]):
+            am = re.match(r"^(.*?)\s+AS\s+([A-Za-z_]\w*)\s*$", item.strip(),
+                          re.IGNORECASE | re.DOTALL)
+            if am:
+                aliases[am.group(2)] = am.group(1).strip()
+    smask = _string_mask(sql)
+    out, i = [], 0
+    for m in re.finditer(r"\btoTypeName\s*\(", smask, re.IGNORECASE):
+        if m.start() < i:
+            continue
+        end = _find_call_end(sql, m.end() - 1)
+        a = sql[m.end() : end - 1].strip()
+        for _ in range(4):
+            if a in aliases:
+                a = aliases[a]
+            else:
+                break
+        name = None
+        lm = re.fullmatch(r"-?\d+", a)
+        if lm:
+            v = int(a)
+            if v >= 0:
+                name = ("UInt8" if v < 256 else "UInt16" if v < 65536
+                        else "UInt32" if v < 2**32 else "UInt64")
+            else:
+                name = ("Int8" if v >= -128 else "Int16" if v >= -(2**15)
+                        else "Int32" if v >= -(2**31) else "Int64")
+        elif re.fullmatch(r"-?\d+\.\d*", a):
+            name = "Float64"
+        elif analyze_fn is not None:
+            probe = f"SELECT {a} AS _ttprobe"
+            if from_txt:
+                probe += f" FROM {from_txt}"
+            try:
+                schema = analyze_fn(probe)
+                f = schema["_ttprobe"]  # type: ignore[index]
+                name = _spark_type_to_ch(f.dataType, f.nullable)
+            except Exception:
+                name = None
+        if name is None:
+            raise ChSqlError(
+                f"toTypeName({a[:40]!r}) did not resolve — the probe select "
+                "failed to analyze"
+            )
+        out.append(sql[i : m.start()])
+        out.append(f"'{name}'")
+        i = end
+    out.append(sql[i:])
+    return "".join(out)
+
+
+def _rewrite_poly_length(sql: str, analyze_fn=None) -> str:
+    """length(<bare column>) — the head-shape heuristic in _special_length
+    cannot type a bare identifier; probe it (plan-only) and route
+    array-typed columns to size() (00449 `WHERE length(x) % 2` over a
+    range() subquery column)."""
+    if analyze_fn is None or not re.search(r"\blength\(", sql):
+        return sql
+    mask = _top_level_mask(sql)
+    from_txt = None
+    ftx = re.search(
+        r"\bFROM\b(.*?)(?=\bWHERE\b|\bGROUP\b|\bORDER\b|\bLIMIT\b|"
+        r"\bHAVING\b|\bSETTINGS\b|\bUNION\b|$)",
+        mask, re.IGNORECASE | re.DOTALL,
+    )
+    if ftx is not None:
+        from_txt = sql[ftx.start(1) : ftx.end(1)].strip()
+    if not from_txt:
+        return sql
+    smask = _string_mask(sql)
+    out, i = [], 0
+    cache: dict[str, bool] = {}
+    for m in re.finditer(r"\blength\(\s*([A-Za-z_]\w*)\s*\)", smask):
+        col = sql[m.start(1) : m.end(1)]
+        if col not in cache:
+            try:
+                schema = analyze_fn(f"SELECT {col} AS _plprobe FROM {from_txt}")
+                from pyspark.sql.types import ArrayType
+
+                cache[col] = isinstance(
+                    schema["_plprobe"].dataType, ArrayType  # type: ignore[index]
+                )
+            except Exception:
+                cache[col] = False
+        out.append(sql[i : m.start()])
+        out.append(f"size({col})" if cache[col] else sql[m.start() : m.end()])
+        i = m.end()
+    out.append(sql[i:])
+    return "".join(out)
 
 
 def _fill_outer_join_defaults(spark, sql: str, out):
@@ -4075,7 +5558,7 @@ def _rewrite_tuple_literal_aliases(sql: str) -> str:
     return "".join(out)
 
 
-def _rewrite_subscript_defaults(sql: str, types_fn=None) -> str:
+def _rewrite_subscript_defaults(sql: str, types_fn=None, analyze_fn=None) -> str:
     """ClickHouse arrayElement returns the element type's DEFAULT VALUE for
     an out-of-range or zero index (arrayElement.cpp — 00036: [11,12][3] →
     0, [11,12][-3] → 0, arr[0] → 0, '' for strings, [] for arrays); Spark's
@@ -4083,75 +5566,104 @@ def _rewrite_subscript_defaults(sql: str, types_fn=None) -> str:
     column of the (single) FROM table in the guarded CASE form. Applies
     only when the schema resolves — expression bases and unresolvable
     tables keep plain element_at (valid-index behavior is identical)."""
-    if types_fn is None or "element_at(" not in sql:
+    if "element_at(" not in sql or (types_fn is None and analyze_fn is None):
         return sql
     mask = _top_level_mask(sql)
-    ft = re.search(r"\bFROM\s+([A-Za-z_]\w*)", mask, re.IGNORECASE)
-    if ft is None:
-        return sql
-    try:
-        types = types_fn(ft.group(1))
-    except Exception:
-        return sql
-    smask = _string_mask(sql)
-    out, i = [], 0
-    pat = re.compile(r"\belement_at\(\s*([A-Za-z_]\w*)\s*,")
-    while True:
-        m = pat.search(sql, i)
-        if m is None:
-            out.append(sql[i:])
-            break
-        col = m.group(1)
+    types: dict = {}
+    if types_fn is not None:
+        ftn = re.search(r"\bFROM\s+([A-Za-z_]\w*)", mask, re.IGNORECASE)
+        if ftn is not None:
+            try:
+                types = types_fn(ftn.group(1)) or {}
+            except Exception:
+                types = {}
+    from_txt = None
+    ftx = re.search(
+        r"\bFROM\b(.*?)(?=\bWHERE\b|\bGROUP\b|\bORDER\b|\bLIMIT\b|"
+        r"\bHAVING\b|\bSETTINGS\b|\bUNION\b|$)",
+        mask, re.IGNORECASE | re.DOTALL,
+    )
+    if ftx is not None:
+        from_txt = sql[ftx.start(1) : ftx.end(1)].strip()
+
+    def _column_etype(col: str, text: str) -> str | None:
         dtype = str(types.get(col, ""))
         em = re.fullmatch(r"array<(.+)>", dtype)
-        etype = em.group(1) if em else None
-        if etype is None:
-            # a select-aliased array LITERAL (`[1,2,3] AS arr, arr[id]` —
-            # 00036's third table): type the elements off the literal
-            lm = re.search(
-                rf"\barray\(([^()]*)\)\s+AS\s+{re.escape(col)}\b",
-                sql, re.IGNORECASE,
-            )
-            if lm:
-                elems = [e.strip() for e in lm.group(1).split(",") if e.strip()]
-                if elems and all(re.fullmatch(r"-?\d+", e) for e in elems):
-                    etype = "int"
-                elif elems and all(
-                    re.fullmatch(r"-?\d+(\.\d*)?", e) for e in elems
-                ):
-                    etype = "double"
-                elif elems and all(
-                    len(e) >= 2 and e[0] == "'" and e[-1] == "'" for e in elems
-                ):
-                    etype = "string"
-        # balanced scan for the index expression
-        depth, j = 1, m.end()
-        while j < len(sql) and depth:
-            if smask[j] == "(":
-                depth += 1
-            elif smask[j] == ")":
-                depth -= 1
-            j += 1
-        if etype is None or depth:
-            out.append(sql[i : m.end()])
-            i = m.end()
-            continue
-        default = _type_default(etype)
-        if default is None and etype.startswith("array<"):
-            default = "array()"
-        if default is None:
-            out.append(sql[i : m.end()])
-            i = m.end()
-            continue
-        idx = sql[m.end() : j - 1].strip()
-        out.append(sql[i : m.start()])
-        out.append(
-            f"(CASE WHEN ({idx}) = 0 OR abs(cast(({idx}) AS BIGINT)) > "
-            f"size({col}) THEN CAST({default} AS {etype}) "
-            f"ELSE element_at({col}, cast(({idx}) AS INT)) END)"
+        if em:
+            return em.group(1)
+        # a select-aliased array LITERAL (`[1,2,3] AS arr, arr[id]` —
+        # 00036's third table): type the elements off the literal
+        lm = re.search(
+            rf"\barray\(([^()]*)\)\s+AS\s+{re.escape(col)}\b",
+            text, re.IGNORECASE,
         )
-        i = j
-    return "".join(out)
+        if lm:
+            elems = [e.strip() for e in lm.group(1).split(",") if e.strip()]
+            if elems and all(re.fullmatch(r"-?\d+", e) for e in elems):
+                return "int"
+            if elems and all(re.fullmatch(r"-?\d+(\.\d*)?", e) for e in elems):
+                return "double"
+            if elems and all(
+                len(e) >= 2 and e[0] == "'" and e[-1] == "'" for e in elems
+            ):
+                return "string"
+        return None
+
+    def _probe_etype(base: str) -> str | None:
+        # expression bases (range(n)[-1], arrayMap(...)[i] — 00343): type
+        # the element by ANALYZING a probe select (plan-only, no execution)
+        if analyze_fn is None:
+            return None
+        probe = f"SELECT {base} AS _sdprobe"
+        if from_txt:
+            probe += f" FROM {from_txt}"
+        try:
+            schema = analyze_fn(probe)
+            dt = schema["_sdprobe"].dataType  # type: ignore[index]
+        except Exception:
+            return None
+        from pyspark.sql.types import ArrayType
+
+        if isinstance(dt, ArrayType):
+            return dt.elementType.simpleString()
+        return None
+
+    # repeat until fixpoint: guarded forms emit try_element_at (which the
+    # pattern does not match), so NESTED subscripts (arr[i][j][k]) each get
+    # their own guard on a later pass
+    for _ in range(6):
+        m = re.search(r"\belement_at\(", sql)
+        pos, changed = 0, False
+        while m is not None:
+            end = _find_call_end(sql, m.end() - 1)
+            args = _split_args(sql[m.end() : end - 1])
+            if len(args) != 2:
+                pos = m.end()
+                m = re.compile(r"\belement_at\(").search(sql, pos)
+                continue
+            base, idx = args[0].strip(), args[1].strip()
+            if re.fullmatch(r"[A-Za-z_]\w*", base):
+                etype = _column_etype(base, sql)
+            else:
+                etype = _probe_etype(base)
+            default = _type_default(etype) if etype else None
+            if default is None and etype and etype.startswith("array<"):
+                default = "array()"
+            if etype is None or default is None:
+                pos = m.end()
+                m = re.compile(r"\belement_at\(").search(sql, pos)
+                continue
+            repl = (
+                f"(CASE WHEN ({idx}) = 0 OR abs(cast(({idx}) AS BIGINT)) > "
+                f"size({base}) THEN CAST({default} AS {etype}) "
+                f"ELSE try_element_at({base}, cast(({idx}) AS INT)) END)"
+            )
+            sql = sql[: m.start()] + repl + sql[end:]
+            changed = True
+            m = re.compile(r"\belement_at\(").search(sql, m.start() + len(repl))
+        if not changed:
+            break
+    return sql
 
 
 #: ClickHouse type name → Spark SQL type, for CAST(x AS <ChType>) and the
@@ -4162,6 +5674,7 @@ _CAST_TYPES = {
     "uint8": "INT", "uint16": "INT", "uint32": "BIGINT", "uint64": "BIGINT",
     "float32": "FLOAT", "float64": "DOUBLE", "datetime": "TIMESTAMP",
     "datetime64": "TIMESTAMP", "date32": "DATE", "uuid": "STRING",
+    "nothing": "VOID",
 }
 
 _CAST_AS_RE = re.compile(
@@ -4174,12 +5687,34 @@ def _rewrite_cast_types(sql: str) -> str:
     numeric spelling Spark's parser rejects; `AS <alias>` collisions are
     impossible — these are type keywords, not valid aliases worth keeping).
     Nullable(T) unwraps to T first — Spark types are nullable already
-    (00255: Null::Nullable(String))."""
+    (00255: Null::Nullable(String)). Composite targets — Tuple(...),
+    Array(...), Map(...) — route through the full CH type mapper
+    (00547 named tuples)."""
     sql = _masked_sub(
         re.compile(r"(AS\s+|::\s*)Nullable\s*\(\s*(\w+)\s*\)", re.IGNORECASE),
         lambda m: m.group(1) + m.group(2),
         sql,
     )
+    if re.search(r"(AS\s+|::\s*)(Tuple|Array|Map|Nullable|FixedString|"
+                 r"LowCardinality)\s*\(", sql, re.IGNORECASE):
+        from myscaledb_spark.plans.table_ddl import ch_type_to_spark
+
+        mask = _string_mask(sql)
+        edits = []
+        for m in re.finditer(
+            r"(AS\s+|::\s*)(Tuple|Array|Map|Nullable|FixedString|"
+            r"LowCardinality)\s*\(",
+            mask, re.IGNORECASE,
+        ):
+            end = _find_call_end(sql, m.end() - 1)
+            ch_t = sql[m.start(2) : end]
+            try:
+                spark_t = ch_type_to_spark(ch_t)
+            except Exception:
+                continue
+            edits.append((m.start(2), end, spark_t))
+        for s0, e0, txt in sorted(edits, reverse=True):
+            sql = sql[:s0] + txt + sql[e0:]
     return _masked_sub(
         _CAST_AS_RE,
         lambda m: m.group(1) + _CAST_TYPES[m.group(2).lower()],
@@ -4317,7 +5852,16 @@ def _rewrite_array_literals(sql: str) -> str:
                 base = s_out[base_start:]
                 out = [s_out[:base_start], f"element_at({base}, {inner})"]
             else:
-                out.append(f"array({inner})")  # array literal
+                # array literal; paren-tuple ELEMENTS normalize to
+                # col1..colN structs so every element gets the SAME struct
+                # type (Spark derives field names per element otherwise —
+                # 00347 `[(a, b), (c, d)]`)
+                parts = _split_args(inner)
+                if len(parts) > 1 or (parts and parts[0].strip().startswith("(")):
+                    conv = [_tuplify_branch(p.strip()) for p in parts]
+                    if conv != [p.strip() for p in parts]:
+                        inner = ", ".join(conv)
+                out.append(f"array({inner})")
             i = j + 1
             continue
         out.append(c)
@@ -4416,7 +5960,12 @@ def _rewrite_calls(sql: str, depth: int = 0) -> str:
                     inner2 = _rewrite_calls(sql[k + 1 : call2_end - 1], depth)
                     real_args = _split_args(inner2)
                     t = PARAMETRIC[name]
+                    if callable(t):
+                        out.append(t(args, real_args))
+                        i = call2_end
+                        continue
                     t = t.replace("{p*}", ", ".join(args))
+                    t = t.replace("{a*}", ", ".join(real_args))
                     for n_, p in enumerate(args):
                         t = t.replace("{p" + str(n_) + "}", p)
                     for n_, a in enumerate(real_args):

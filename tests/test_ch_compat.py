@@ -245,7 +245,10 @@ def test_window_helpers_and_misc(spark):
 def test_prewhere_rewrite(spark):
     from myscaledb_spark.sql_dialect import rewrite
 
-    assert rewrite("SELECT x FROM t PREWHERE y > 1") == "SELECT x FROM t WHERE y > 1"
+    # PREWHERE ≡ WHERE; the body gains the CH UInt8→boolean cast (r8)
+    assert rewrite("SELECT x FROM t PREWHERE y > 1") == (
+        "SELECT x FROM t WHERE cast((y > 1) as boolean) "
+    )
 
 
 def test_map_and_ngram_family(spark):

@@ -212,6 +212,108 @@ PINNED = [
     "../0_stateless/00053_all_inner_join.sql",
     "../0_stateless/00120_join_and_group_by.sql",
     "../0_stateless/00066_group_by_in.sql",
+    # r8 SELECT-surface batch 9: the quantileTiming tiny/medium/large state
+    # machine (exact < 5672 elems, de-evened 16-wide grid above),
+    # quantile(s)ExactWeighted / InterpolatedWeighted (cumulative-weight
+    # walk + midpoint interpolation as aggregate() folds), UInt8→boolean
+    # condition casts for if/multiIf/CASE, isConstant() with multiIf
+    # constant folding, mixed String/FixedString branch trimming, tuple
+    # branches, first-seen DISTINCT ... LIMIT input order, shortest-float
+    # toString, INSERT SELECT FROM system.numbers
+    "../0_stateless/00315_quantile_off_by_one.sql",
+    "../0_stateless/00323_quantiles_timing_bug.sql",
+    "../0_stateless/00332_quantile_timing_memory_leak.sql",
+    "../0_stateless/00326_long_function_multi_if.sql",
+    "../0_stateless/00328_long_case_construction.sql",
+    "../0_stateless/00346_if_tuple.sql",
+    # r8 SELECT-surface batch 10: CH escape sequences as exact bytes
+    # (backslash-aware literal scanning, unhex fallback for non-UTF-8),
+    # plain CREATE VIEW via stored-query substitution, Log-family engines,
+    # typed expression-base subscript defaults (analyze-probed), tuple IN
+    # with scalar/tuple RHS normalization, has/indexOf tuple needles,
+    # chained `.N.M` access, rewrite-time visibleWidth, typed INSERT
+    # VALUES coercion, 3-arg range() empty guard, length() over arrays
+    "../0_stateless/00342_escape_sequences.sql",
+    "../0_stateless/00330_view_subqueries.sql",
+    "../0_stateless/00343_array_element_generic.sql",
+    "../0_stateless/00299_stripe_log_multiple_inserts.sql",
+    "../0_stateless/00316_rounding_functions_and_empty_block.sql",
+    "../0_stateless/00350_count_distinct.sql",
+    "../0_stateless/00353_join_by_tuple.sql",
+    "../0_stateless/00306_insert_values_and_expressions.sql",
+    "../0_stateless/00317_in_tuples_and_out_of_range_values.sql",
+    "../0_stateless/00347_has_tuple.sql",
+    "../0_stateless/00348_tuples.sql",
+    "../0_stateless/00349_visible_width.sql",
+    # r8 SELECT-surface batch 11: CH NULLS-LAST default ordering, WHERE /
+    # HAVING UInt8→boolean casts, NULL-dropping IN lists, nan/inf literals
+    # + literal-division folds, toTypeName via plan probes, polymorphic
+    # length(), SQL pointInPolygon/pointInEllipses, MAC codecs, byte-even
+    # hex, substring offset-0, capture-group extractAll, 2-arg
+    # toString/toHour, Null engine, fn-form CAST, declared-column CTAS,
+    # Tuple(...) column types
+    "../0_stateless/00320_between.sql",
+    "../0_stateless/00333_parser_number_bug.sql",
+    "../0_stateless/00345_index_accurate_comparison.sql",
+    "../0_stateless/00351_select_distinct_arrays_tuples.sql",
+    "../0_stateless/00352_external_sorting_and_constants.sql",
+    "../0_stateless/00355_array_of_non_const_convertible_types.sql",
+    "../0_stateless/00356_analyze_aggregations_and_union_all.sql",
+    "../0_stateless/00389_concat_operator.sql",
+    "../0_stateless/00394_replaceall_vector_fixed.sql",
+    "../0_stateless/00399_group_uniq_array_date_datetime.sql",
+    "../0_stateless/00403_to_start_of_day.sql",
+    "../0_stateless/00404_null_literal.sql",
+    "../0_stateless/00412_logical_expressions_optimizer.sql",
+    "../0_stateless/00413_distinct.sql",
+    "../0_stateless/00414_time_zones_direct_conversion.sql",
+    "../0_stateless/00423_storage_log_single_thread.sql",
+    "../0_stateless/00425_count_nullable.sql",
+    "../0_stateless/00426_nulls_sorting.sql",
+    "../0_stateless/00429_point_in_ellipses.sql",
+    "../0_stateless/00431_if_nulls.sql",
+    "../0_stateless/00436_fixed_string_16_comparisons.sql",
+    "../0_stateless/00439_fixed_string_filter.sql",
+    "../0_stateless/00440_nulls_merge_tree.sql",
+    "../0_stateless/00442_filter_by_nullable.sql",
+    "../0_stateless/00448_to_string_cut_to_zero.sql",
+    "../0_stateless/00449_filter_array_nullable_tuple.sql",
+    "../0_stateless/00450_higher_order_and_nullable.sql",
+    "../0_stateless/00472_compare_uuid_with_constant_string.sql",
+    "../0_stateless/00479_date_and_datetime_to_number.sql",
+    "../0_stateless/00480_mac_addresses.sql",
+    "../0_stateless/00481_create_view_for_null.sql",
+    "../0_stateless/00482_subqueries_and_aliases.sql",
+    "../0_stateless/00483_cast_syntax.sql",
+    "../0_stateless/00486_if_fixed_string.sql",
+    "../0_stateless/00487_if_array_fixed_string.sql",
+    "../0_stateless/00488_column_name_primary.sql",
+    "../0_stateless/00493_substring_of_fixedstring.sql",
+    "../0_stateless/00495_reading_const_zero_column.sql",
+    "../0_stateless/00496_substring_negative_offset.sql",
+    "../0_stateless/00498_bitwise_aggregate_functions.sql",
+    "../0_stateless/00500_point_in_polygon_bug.sql",
+    "../0_stateless/00500_point_in_polygon_bug_2.sql",
+    "../0_stateless/00500_point_in_polygon_nan.sql",
+    "../0_stateless/00502_string_concat_with_array.sql",
+    "../0_stateless/00504_mergetree_arrays_rw.sql",
+    "../0_stateless/00516_modulo.sql",
+    "../0_stateless/00518_extract_all_and_empty_matches.sql",
+    # r8 SELECT-surface batch 12: visitParam/simpleJSON family with CH
+    # missing-key defaults, toXOrZero/OrNull parse forms (NULL-preserving),
+    # calendar-boundary dateDiff (toRelative*Num differences), dynamic
+    # INTERVAL expressions, n-ary arrayIntersect, zip-tuple uniq*Array,
+    # composite CAST targets, toRelative*Num family
+    "../0_stateless/00530_arrays_of_nothing.sql",
+    "../0_stateless/00531_aggregate_over_nullable.sql",
+    "../0_stateless/00532_topk_generic.sql",
+    "../0_stateless/00533_uniq_array.sql",
+    "../0_stateless/00534_exp10.sql",
+    "../0_stateless/00535_parse_float_scientific.sql",
+    "../0_stateless/00543_null_and_prewhere.sql",
+    "../0_stateless/00549_join_use_nulls.sql",
+    "../0_stateless/00551_parse_or_null.sql",
+    "../0_stateless/00553_invalid_nested_name.sql",
 ]
 
 

@@ -21,8 +21,11 @@ def test_rewrite_simple_names():
 
 def test_rewrite_nested_and_strings():
     s = rewrite("SELECT uniqExact(toStartOfDay(ts)) FROM t WHERE s = 'toYear(x)'")
+    # the WHERE body gains the CH UInt8→boolean cast (r8); the literal
+    # containing function-call text stays unrewritten either way
     assert s == (
-        "SELECT count(distinct date_trunc('day', ts)) FROM t WHERE s = 'toYear(x)'"
+        "SELECT count(distinct date_trunc('day', ts)) FROM t "
+        "WHERE cast((s = 'toYear(x)') as boolean) "
     )
 
 
@@ -246,7 +249,8 @@ def test_clause_rewrite_errors():
     # LIMIT BY inside a subquery is rewritten in place (00743 parity)
     s = "SELECT * FROM t WHERE x IN (SELECT y FROM u ORDER BY y LIMIT 1 BY y)"
     out = rewrite(s)
-    assert "ROW_NUMBER" in out and out.startswith("SELECT * FROM t WHERE x IN (")
+    assert "ROW_NUMBER" in out
+    assert out.startswith("SELECT * FROM t WHERE cast((x IN (")
 
 
 def test_limit_by_subquery_mask_protects_parens():
@@ -268,7 +272,8 @@ def test_with_fill_rewrite_and_guards():
     # INTERPOLATE (bare columns) is supported since r6: carry-forward via
     # a last-IGNORE-NULLS window over a struct wrap
     out = rewrite("SELECT d, n FROM t ORDER BY d WITH FILL INTERPOLATE (n)")
-    assert "last(CASE WHEN _orig THEN struct(`n` AS v) END, true)" in out
+    # (the searched-CASE condition gains the CH UInt8→boolean cast — r8)
+    assert "last(CASE WHEN cast(( _orig ) as boolean) THEN struct(`n` AS v) END, true)" in out
     assert "ELSE _itp_0.v END AS `n`" in out
     # computed INTERPOLATE (r7/r8): seed = expr over the anchor row, then a
     # (k-1)-step aggregate fold — leading fills seed from the column default
@@ -288,7 +293,8 @@ def test_asof_join_rewrite_shapes():
         "WHERE l.k > 0"
     )
     assert "LEFT JOIN LATERAL" in out and "LIMIT 1" in out
-    assert "ORDER BY r.ts DESC" in out and out.rstrip().endswith("WHERE l.k > 0")
+    assert "ORDER BY r.ts DESC" in out
+    assert out.rstrip().endswith("WHERE cast((l.k > 0) as boolean)")
     # flipped inequality → ascending pick (first right row at-or-after left)
     out = rewrite("SELECT 1 FROM a l ASOF JOIN b r ON l.k = r.k AND r.ts >= l.ts")
     assert "ORDER BY r.ts ASC" in out and "LEFT JOIN LATERAL" not in out
@@ -382,7 +388,10 @@ def test_review_fixes_with_fill_tail():
 
 def test_special_handlers_datediff_multiif_formatdatetime():
     out = rewrite("SELECT dateDiff('day', a, b) FROM t")
-    assert "timestampdiff(day, a, b)" in out
+    # r8: calendar-boundary semantics — the difference of toRelativeDayNum
+    # values, not elapsed 24h periods (00538)
+    assert "datediff(to_date(cast(b as timestamp)), DATE '1970-01-01')" in out
+    assert " - datediff(to_date(cast(a as timestamp))" in out
     with pytest.raises(ChSqlError, match="unit"):
         rewrite("SELECT dateDiff('fortnight', a, b) FROM t")
     out = rewrite("SELECT multiIf(a > 1, 'x', a > 0, 'y', 'z') FROM t")
@@ -440,8 +449,10 @@ def test_toweek_mode0_and_formatdatetime_modern(spark):
     assert r.f == "March 08"
     with pytest.raises(ChSqlError, match="single quotes"):
         rewrite("SELECT formatDateTime(d, '%d''x') FROM t")
-    with pytest.raises(ChSqlError, match="timezone"):
-        rewrite("SELECT dateDiff('day', a, b, 'UTC') FROM t")
+    # r8: the tz argument is SUPPORTED now — operands convert to the
+    # zone's wall clock before the boundary count (00538)
+    out = rewrite("SELECT dateDiff('day', a, b, 'UTC') FROM t")
+    assert "convert_timezone('UTC', 'UTC', cast(a as timestamp))" in out
     # timeSlot floors (not truncates) for pre-epoch timestamps
     r = ch_sql(
         spark,
@@ -523,7 +534,8 @@ def test_with_totals_rewrite():
     out = rewrite(
         "SELECT a, b, sum(v) FROM t GROUP BY a, b WITH TOTALS HAVING sum(v) > 0"
     )
-    assert "GROUPING SETS((a, b), ())" in out and out.endswith("HAVING sum(v) > 0")
+    assert "GROUPING SETS((a, b), ())" in out
+    assert out.rstrip().endswith("HAVING cast((sum(v) > 0) as boolean)")
     with pytest.raises(ChSqlError, match="TOTALS"):
         rewrite("SELECT count(*) FROM t WITH TOTALS")
 
@@ -665,8 +677,12 @@ def test_every_template_rewrites_to_parseable_sql(spark):
         out = rewrite(f"SELECT {call} FROM t")
         parses(out)
 
+    # callable parametrics declare their own arity: the quantile*Weighted
+    # family takes (x, weight); the timing family takes one arg
+    one_arg = {"quantileTiming", "quantilesTiming", "medianTiming"}
     for name in sorted(PARAMETRIC):
-        out = rewrite(f"SELECT {name}(0.5)(a0, a1) FROM t")
+        args = "a0" if name in one_arg else "a0, a1"
+        out = rewrite(f"SELECT {name}(0.5)({args}) FROM t")
         parses(out)
 
     special_calls = {
@@ -676,6 +692,29 @@ def test_every_template_rewrites_to_parseable_sql(spark):
         "toWeek": "toWeek(a)",
         "numbers": "numbers(5)",
         "multiIf": "multiIf(a, b, c)",
+        "if": "if(a, b, c)",
+        "has": "has(a, b)",
+        "length": "length(a)",
+        "indexOf": "indexOf(a, b)",
+        "arraySort": "arraySort(a)",
+        "arrayReverseSort": "arrayReverseSort(a)",
+        "toString": "toString(a)",
+        "pointInEllipses": "pointInEllipses(a, b, 1, 2, 3, 4)",
+        "toStringCutToZero": "toStringCutToZero(a)",
+        "DATEDIFF": "DATEDIFF('day', a, b)",
+        "arrayIntersect": "arrayIntersect(a, b)",
+        "uniqArray": "uniqArray(a)",
+        "uniqExactArray": "uniqExactArray(a)",
+        "uniqCombinedArray": "uniqCombinedArray(a)",
+        "uniqHLL12Array": "uniqHLL12Array(a)",
+        "pointInPolygon": "pointInPolygon((a, b), [(0, 0), (10, 0), (10, 10)])",
+        "toHour": "toHour(a)",
+        "substring": "substring(a, 1, 2)",
+        "extractAll": "extractAll(a, 'x(y)')",
+        "quantileTiming": "quantileTiming(a)",
+        "medianTiming": "medianTiming(a)",
+        "quantileExactWeighted": "quantileExactWeighted(a, b)",
+        "quantileInterpolatedWeighted": "quantileInterpolatedWeighted(a, b)",
         "formatDateTime": "formatDateTime(a, '%Y-%m-%d')",
         "arrayResize": "arrayResize(a, 3)",
         "toStartOfInterval": "toStartOfInterval(a, INTERVAL 2 HOUR)",

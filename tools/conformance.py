@@ -117,10 +117,13 @@ def _split(script: str):
 
 def _strip_comment_lines(stmt: str) -> str:
     # `#`-prefixed lines appear in some 0_stateless files (clickhouse-test
-    # treats them as comments, e.g. 02233_interpolate_1.sql)
+    # treats them as comments, e.g. 02233_interpolate_1.sql); whole-line
+    # /* block */ comments prefix statements in the long generator files
+    # (00328_long_case_construction)
     return "\n".join(
         l for l in stmt.splitlines()
         if not l.strip().startswith("--") and not l.strip().startswith("#")
+        and not re.fullmatch(r"\s*/\*.*?\*/\s*", l)
     ).strip()
 
 
@@ -135,11 +138,14 @@ def _parse_cell(tok: str):
     try:
         return float(tok)
     except ValueError:
-        # ClickHouse TSV escaping: \' \\ \t \n inside string cells
+        # ClickHouse TSV escaping: \' \\ \t \n \r \0 \b inside string cells
         return (
             tok.replace("\\'", "'")
             .replace("\\t", "\t")
             .replace("\\n", "\n")
+            .replace("\\r", "\r")
+            .replace("\\0", "\0")
+            .replace("\\b", "\b")
             .replace("\\\\", "\\")
         )
 
@@ -158,10 +164,17 @@ def _cmp_cell(a, b) -> bool:
     if a is None:
         # ClickHouse TSV renders NULL as \N
         return b == "\\N"
+    if isinstance(a, (bytes, bytearray)):
+        # CH String/FixedString are byte strings — BINARY cells compare as
+        # their bytes' text (00394 FixedString columns)
+        a = bytes(a).decode("utf-8", "surrogateescape")
     if isinstance(a, decimal.Decimal):
         a = float(a)
     if isinstance(a, (int, float)) and isinstance(b, (int, float)):
         if a == b:
+            return True
+        if (isinstance(a, float) and isinstance(b, float)
+                and math.isnan(a) and math.isnan(b)):
             return True
         # reference math is Float32; ours is Float64 — compare at f32 grain
         return math.isclose(float(a), float(b), rel_tol=1e-4, abs_tol=1e-6)
@@ -218,6 +231,9 @@ def _parse_composite(s: str):
             out.append(_parse_composite(p))
         elif len(p) >= 2 and p[0] == "'" and p[-1] == "'":
             out.append(_parse_cell(p[1:-1]))
+        elif p == "NULL":
+            # NULL spells bare inside composites ('[NULL,1]' — 00450)
+            out.append("\\N")
         else:
             out.append(_parse_cell(p))
     return out
