@@ -92,6 +92,8 @@ _SIMPLE_TYPES = {
     "int8": "tinyint", "int16": "smallint", "int32": "int", "int64": "bigint",
     "uint8": "int", "uint16": "int", "uint32": "bigint", "uint64": "bigint",
     "float32": "float", "float64": "double", "string": "string",
+    # legacy LowCardinality(String) spelling (00688_low_cardinality_prewhere)
+    "stringwithdictionary": "string",
     "date": "date", "date32": "date", "datetime": "timestamp",
     "datetime64": "timestamp", "bool": "boolean", "boolean": "boolean",
     "uuid": "string",
@@ -190,6 +192,27 @@ def parse_agg_type(t: str) -> tuple[str, str] | None:
     raise ChSqlError(f"unsupported aggregate state type {t!r}")
 
 
+def enum_mapping(decl: str) -> list[tuple[str, int]]:
+    """Parse an Enum8/Enum16 declaration into (name, value) pairs —
+    [] when the declaration is not an enum."""
+    m = re.fullmatch(
+        r"\s*Enum(?:8|16)?\s*\((.*)\)\s*", decl or "", re.IGNORECASE | re.DOTALL
+    )
+    if not m:
+        return []
+    out = []
+    for part in _split_args(m.group(1)):
+        pm = re.match(r"\s*'((?:[^'\\]|\\.)*)'\s*=\s*(-?\d+)\s*$", part)
+        if pm:
+            raw = pm.group(1)
+            if "\\" in raw or "''" in raw:
+                from myscaledb_spark.sql_dialect import _ch_unescape_bytes
+
+                raw = _ch_unescape_bytes(raw).decode("utf-8", "surrogateescape")
+            out.append((raw, int(pm.group(2))))
+    return out
+
+
 def ch_type_to_spark(t: str) -> str:
     t = t.strip()
     low = t.lower()
@@ -198,9 +221,17 @@ def ch_type_to_spark(t: str) -> str:
     agg = parse_agg_type(t)
     if agg is not None:
         return agg[1]
-    m = re.fullmatch(r"(nullable|lowcardinality)\s*\((.*)\)", low, re.DOTALL)
+    m = re.fullmatch(
+        r"(nullable|lowcardinality|nullablewithdictionary)\s*\((.*)\)",
+        low, re.DOTALL,
+    )
     if m:
         return ch_type_to_spark(m.group(2))  # everything is nullable in Spark
+    m = re.fullmatch(r"(\w+?)withdictionary(?:\s*\((.*)\))?", low, re.DOTALL)
+    if m:
+        # legacy <T>WithDictionary ≡ LowCardinality(T) (00688)
+        inner = m.group(1) + (f"({m.group(2)})" if m.group(2) else "")
+        return ch_type_to_spark(inner)
     m = re.fullmatch(r"array\s*\((.*)\)", low, re.DOTALL)
     if m:
         return f"array<{ch_type_to_spark(m.group(1))}>"
@@ -209,9 +240,24 @@ def ch_type_to_spark(t: str) -> str:
         kv = _split_args(m.group(1))
         if len(kv) == 2:
             return f"map<{ch_type_to_spark(kv[0])},{ch_type_to_spark(kv[1])}>"
-    m = re.fullmatch(r"decimal\s*\((\d+)\s*,\s*(\d+)\)", low)
+    m = re.fullmatch(r"(?:decimal|dec)\s*\((\d+)\s*,\s*(\d+)\)", low)
     if m:
-        return f"decimal({m.group(1)},{m.group(2)})"
+        p, s = int(m.group(1)), int(m.group(2))
+        if not (1 <= p <= 38) or s > p:
+            raise ChSqlError(
+                f"Decimal precision {p} out of range 1..38 or scale {s} > "
+                "precision (ARGUMENT_OUT_OF_BOUND)"
+            )
+        return f"decimal({p},{s})"
+    m = re.fullmatch(r"decimal(32|64|128|256)\s*\((\d+)\)", low)
+    if m:
+        # Decimal32/64/128 fix the precision (DataTypeDecimalBase); 256
+        # clamps to Spark's 38-digit ceiling
+        p = {"32": 9, "64": 18, "128": 38, "256": 38}[m.group(1)]
+        s = int(m.group(2))
+        if s > p:
+            raise ChSqlError(f"Decimal scale {s} > precision {p}")
+        return f"decimal({p},{s})"
     m = re.fullmatch(r"tuple\s*\((.*)\)", low, re.DOTALL)
     if m:
         # Tuple(T1, T2, ...) → struct<col1:.., col2:..> (the col1..colN
@@ -253,7 +299,7 @@ _CTAS_RE = re.compile(
     # SELECT`)
     r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"(?:default\.)?(?P<table>\w+)\s*(?:\((?P<cols>[^()]*)\)\s*)?"
-    r"(?:ENGINE\s*=?\s*(?P<engine>\w+)\s*(?:\([^()]*\))?\s*)?"
+    r"(?:ENGINE\s*=?\s*(?P<engine>\w+)\s*(?:\((?P<eargs>[^()]*)\))?\s*)?"
     r"(?P<mid>[^;]*?)AS\s+(?P<select>(?:SELECT|WITH)\b.*)$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -293,7 +339,23 @@ def create_table_as_select(spark: SparkSession, sql: str) -> dict:
         [], f"{fields}, {ISEQ} bigint, {EXISTS} boolean"
     )
     empty_store.createOrReplaceTempView(f"{table}__store")
-    register_table_engine(table, "none", [])
+    eng0 = (m.group("engine") or "").lower()
+    if eng0 == "replacingmergetree" and m.group("eargs"):
+        # legacy CTAS engine args (date, key..., granularity[, version]) —
+        # 00616: `ReplacingMergeTree(date, x, 4096, ver) AS SELECT`
+        eargs0 = [a.strip() for a in m.group("eargs").split(",") if a.strip()]
+        gran = next(
+            (i for i, a in enumerate(eargs0) if re.fullmatch(r"\d+", a)),
+            len(eargs0),
+        )
+        keys0 = eargs0[1:gran]
+        ver0 = eargs0[gran + 1] if gran + 1 < len(eargs0) else ISEQ
+        register_table_engine(
+            table, "replacing", keys0 or [df.columns[0]], version=ver0,
+            order=ISEQ, store=f"{table}__store",
+        )
+    else:
+        register_table_engine(table, "none", [])
     TABLES[table] = {"schema": schema, "n_parts": 0, "parts": []}
     _SEQ[table] = 0
     SKIP_INDICES[table] = []
@@ -494,6 +556,8 @@ def _parse_engine(clause: str) -> tuple[str, list[str]]:
 
 def _parse_key_list(raw: str) -> list[str]:
     raw = raw.strip()
+    if re.fullmatch(r"tuple\s*\(\s*\)", raw, re.IGNORECASE):
+        return []  # ORDER BY tuple(): explicitly unsorted (00688)
     if raw.startswith("(") and raw.endswith(")"):
         raw = raw[1:-1]
     keys = [k.strip() for k in _split_args(raw) if k.strip()]
@@ -958,6 +1022,25 @@ def insert_into(spark: SparkSession, sql: str) -> int:
     out_cols = []
     for c in colnames:
         if c in ins_cols:
+            emap = enum_mapping(ch_types.get(c, ""))
+            if emap:
+                # Enum columns accept the NAME or the VALUE and store the
+                # display name; anything else raises like the reference's
+                # UNKNOWN_ELEMENT_OF_ENUM (00453 `-- {{ clientError }}`)
+                v = F.col(c).cast("string")
+                expr = F.when(F.col(c).isNull(), F.lit(None).cast("string"))
+                for nm, val in emap:
+                    expr = expr.when(v == nm, F.lit(nm)).when(
+                        v == str(val), F.lit(nm)
+                    )
+                expr = expr.otherwise(
+                    F.expr(
+                        "raise_error(concat('Unknown element ', "
+                        f"cast(`{c}` as string), ' for enum'))"
+                    )
+                )
+                out_cols.append(expr.alias(c))
+                continue
             out_cols.append(F.col(c).cast(types[c]).alias(c))
         else:
             # omitted columns land as their TYPE DEFAULT (0/''/[]) unless
@@ -1051,7 +1134,8 @@ _NOOP_SETTINGS = re.compile(
     r"optimize_move_to_prewhere_for_vector_search|optimize_move_to_prewhere|"
     r"min_bytes_to_build_vector_index|index_granularity|mutations_sync|"
     r"float_vector_search_metric_type|binary_vector_search_metric_type|"
-    r"max_threads|allow_experimental_[a-z_]+|vector_search_[a-z_]+|"
+    r"max_threads|allow_experimental_[a-z_]+|allow_suspicious_[a-z_]+|"
+    r"vector_search_[a-z_]+|"
     r"max_build_index_train_size|slow_mode_build_vector_index_in_merge|"
     r"max_rows_in_building_vector_index|enable_rebuild_for_decouple|"
     r"disable_rebuild_for_decouple|vector_index_parameter_check|"
@@ -1216,7 +1300,11 @@ def optimize_final(spark: SparkSession, sql: str) -> None:
     subsequent plain SELECTs (no FINAL) see merged rows, exactly the
     reference's post-OPTIMIZE behavior."""
     m = re.match(
-        r"^\s*OPTIMIZE\s+TABLE\s+(\w+)(?:\s+FINAL)?(?P<dedup>\s+DEDUPLICATE)?\s*$",
+        # PARTITION narrows which parts merge; this store is one logical
+        # part set, so the full merge is a superset of the asked work
+        # (00616 `OPTIMIZE TABLE t PARTITION '201803' FINAL`)
+        r"^\s*OPTIMIZE\s+TABLE\s+(\w+)(?:\s+PARTITION\s+\S+)?"
+        r"(?:\s+FINAL)?(?P<dedup>\s+DEDUPLICATE)?\s*$",
         sql.strip().rstrip(";"),
         re.IGNORECASE,
     )
@@ -1296,8 +1384,10 @@ def alter_table_columns(spark: SparkSession, sql: str):
     for action in _split_args(sql[m.end() :]):
         a = action.strip()
         am = re.match(
+            # nested type parens (LowCardinality(Nullable(Int8)) — 00688)
             r"ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+"
-            r"(?P<type>\w+(?:\s*\([^)]*\))?)(?:\s+DEFAULT\s+(?P<dflt>.+))?$",
+            r"(?P<type>\w+(?:\s*\((?:[^()]|\([^()]*\))*\))?)"
+            r"(?:\s+DEFAULT\s+(?P<dflt>.+))?$",
             a, re.IGNORECASE | re.DOTALL,
         )
         if am:

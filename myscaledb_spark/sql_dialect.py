@@ -227,13 +227,15 @@ TEMPLATES: dict[str, str] = {
     "parseDateTimeBestEffortOrNull": "try_to_timestamp({0})",
     "toDateTimeOrNull": "try_to_timestamp({0})",
     "toDateOrNull": "try_to_date({0})",
+    "toDateOrZero": "coalesce(try_to_date({0}), DATE '1970-01-01')",
     # arrays
     "arrayJoin": "explode({0})",
     "toUUID": "{0}",
     "hasAll": "(size(array_except({1}, {0})) = 0)",
     "hasAny": "arrays_overlap({0}, {1})",
     "indexOf": "array_position({0}, {1})",
-    "arrayDistinct": "array_distinct({0})",
+    # CH arrayDistinct DROPS NULLs (arrayDistinct.cpp — 00672/00691)
+    "arrayDistinct": "array_distinct(filter({0}, _ad -> _ad IS NOT NULL))",
     "arrayReverse": "reverse({0})",
     "arrayConcat": "concat({*})",
     "arraySlice": "slice({0}, {1}, {2})",
@@ -304,6 +306,9 @@ TEMPLATES: dict[str, str] = {
     "toIPv4": "{0}",
     "identity": "{0}",
     "countEqual": "size(filter({0}, _ce -> _ce <=> {1}))",
+    "toLowCardinality": "{0}",
+    "lowCardinalityIndices": "array_position(array_distinct(array({0})), {0})",
+    "lowCardinalityKeys": "{0}",
     # no-match yields NULL (documented deviation: the reference yields the
     # element type's default, 0/'' — unknowable in a purely textual rewrite;
     # NULL is the honest Spark-side answer and composes with coalesce)
@@ -350,6 +355,9 @@ TEMPLATES: dict[str, str] = {
     "simpleJSONExtractString": "get_json_object({0}, concat('$.', {1}))",
     # toRelative*Num: monotone counters since the epoch
     # (DateTimeTransforms.h — only DIFFERENCES are meaningful)
+    # display-zone shift: a DateTime is an instant; toTimeZone changes the
+    # RENDERED wall clock (sessions run UTC)
+    "toTimeZone": "convert_timezone('UTC', {1}, cast({0} as timestamp))",
     "toRelativeYearNum": "year({0})",
     "toRelativeQuarterNum": "((year({0}) * 12 + month({0}) - 1) div 3)",
     "toRelativeMonthNum": "(year({0}) * 12 + month({0}))",
@@ -639,6 +647,19 @@ UNSUPPORTED_SYNTAX = {
 }
 
 _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+_LOWER_NAMES: dict[str, str] | None = None
+
+
+def _resolve_ci_name(name: str) -> str | None:
+    """Case-insensitive lookup of a registered CH function spelling."""
+    global _LOWER_NAMES
+    if _LOWER_NAMES is None:
+        _LOWER_NAMES = {}
+        for d in (TEMPLATES, SPECIAL, PARAMETRIC):
+            for k in d:
+                _LOWER_NAMES.setdefault(k.lower(), k)
+    return _LOWER_NAMES.get(name.lower())
 
 #: user-defined SQL lambda functions: name → (param names, body text).
 #: The reference's `CREATE FUNCTION f AS (x, y) -> expr` registers an AST
@@ -2885,6 +2906,136 @@ def _rewrite_limit_by(sql: str) -> str:
     )
 
 
+_AGG_HEADS = {
+    "sum", "min", "max", "avg", "count", "percentile", "percentile_approx",
+    "collect_list", "collect_set", "approx_count_distinct", "first", "last",
+    "any_value", "bool_and", "bool_or", "corr", "skewness", "kurtosis",
+    "stddev", "stddev_pop", "stddev_samp", "variance", "var_pop", "var_samp",
+    "covar_pop", "covar_samp", "min_by", "max_by",
+}
+
+
+def _rewrite_nested_explode(sql: str) -> str:
+    """`f(arrayJoin(arr))` — CH applies f AFTER the expansion; Spark cannot
+    nest a generator inside an expression (00516 toFloat32(arrayJoin(...)),
+    00664 casts). Hoist: f(explode(A)) → explode(transform(A, _aj ->
+    f(_aj))). Aggregate-wrapped arrayJoins (sum(arrayJoin(x))) are left
+    alone — they aggregate the EXPANDED rows, which a transform cannot
+    express."""
+    if "explode(" not in sql:
+        return sql
+    # recurse into subqueries FIRST (the nested generator usually sits in
+    # an inner SELECT — 00516 stmt 2), innermost-out so splices stay valid
+    for _ in range(16):
+        mask_r = _string_mask(sql)
+        hit = None
+        for sm in re.finditer(r"\(\s*SELECT\b", mask_r, re.IGNORECASE):
+            end_r = _find_call_end(sql, sm.start())
+            inner_r = sql[sm.start() + 1 : end_r - 1]
+            if "explode(" in inner_r:
+                fixed = _rewrite_nested_explode(inner_r)
+                if fixed != inner_r:
+                    hit = (sm.start() + 1, end_r - 1, fixed)
+                    break
+        if hit is None:
+            break
+        s_r, e_r, txt_r = hit
+        sql = sql[:s_r] + txt_r + sql[e_r:]
+    mask = _top_level_mask(sql)
+    msel = re.search(r"\bSELECT\s+(?:DISTINCT\s+)?", mask, re.IGNORECASE)
+    if not msel:
+        return sql
+    fm = re.search(
+        r"\bFROM\b|\bWHERE\b|\bGROUP\b|\bORDER\b|\bLIMIT\b|\bSETTINGS\b",
+        mask[msel.end():], re.IGNORECASE,
+    )
+    items_end = msel.end() + fm.start() if fm else len(sql)
+    seg = sql[msel.end() : items_end]
+    items = _split_args(seg)
+    changed = False
+    lateral = []  # agg-wrapped explodes hoist to LATERAL VIEW sources
+    new_items = []
+    for item in items:
+        imask = _string_mask(item)
+        p = imask.find("explode(")
+        stripped = item.strip()
+        if p < 0 or stripped.startswith("explode("):
+            new_items.append(item.strip())
+            continue
+        # enclosing call names decide the hoist direction
+        stack = []
+        enclosing = []
+        for k2, c2 in enumerate(imask[:p]):
+            if c2 == "(":
+                stack.append(k2)
+            elif c2 == ")" and stack:
+                stack.pop()
+        in_subquery = False
+        for open_pos in stack:
+            if re.match(r"\(\s*SELECT\b", item[open_pos:], re.IGNORECASE):
+                in_subquery = True  # the subquery's own pass handles it
+                break
+            nm2 = re.search(r"([A-Za-z_]\w*)\s*$", item[:open_pos])
+            if nm2:
+                enclosing.append(nm2.group(1).lower())
+        if in_subquery:
+            new_items.append(item.strip())
+            continue
+        open_idx = p + len("explode")
+        cend = _find_call_end(item, open_idx)
+        inner = item[open_idx + 1 : cend - 1]
+        if any(n in _AGG_HEADS for n in enclosing):
+            # the aggregate consumes the EXPANDED rows: hoist the explode
+            # to a LATERAL VIEW (00649 quantileTDigest(arrayJoin(...)))
+            var = f"_ajx{len(lateral)}"
+            lateral.append(f" LATERAL VIEW explode({inner}) _ajlv{len(lateral)} AS {var}")
+            new_items.append((item[:p] + var + item[cend:]).strip())
+            changed = True
+            continue
+        am = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", imask, re.IGNORECASE)
+        core_end = am.start() if am else len(item)
+        alias = item[am.start():] if am else ""
+        body = item[:p] + "_aj" + item[cend:core_end]
+        new_items.append(
+            f"explode(transform({inner}, _aj -> {body.strip()})){alias}"
+        )
+        changed = True
+    if not changed:
+        return sql
+    out = sql[: msel.end()] + ", ".join(new_items) + " " + sql[items_end:]
+    if lateral:
+        omask = _top_level_mask(out)
+        fr = re.search(r"\bFROM\s+", omask, re.IGNORECASE)
+        if fr is None:
+            # FROM-less: synthesize a one-row source for the lateral views
+            stop = re.search(
+                r"\bWHERE\b|\bGROUP\b|\bORDER\b|\bLIMIT\b|\bSETTINGS\b|$",
+                omask, re.IGNORECASE,
+            )
+            k3 = stop.start()
+            out = (out[:k3].rstrip() + " FROM (SELECT 1 AS _ajone) _ajsrc"
+                   + "".join(lateral) + " " + out[k3:])
+        else:
+            # insert after the first FROM source token/group
+            k3 = fr.end()
+            kw = (r"(?!WHERE\b|GROUP\b|ORDER\b|LIMIT\b|SETTINGS\b|LEFT\b|"
+                  r"RIGHT\b|INNER\b|FULL\b|CROSS\b|JOIN\b|ON\b|UNION\b|"
+                  r"HAVING\b|LATERAL\b)")
+            if omask[k3] == "(":
+                k3 = _find_call_end(out, k3)
+                am2 = re.match(r"\s+" + kw + r"[A-Za-z_]\w*", omask[k3:])
+                if am2:
+                    k3 += am2.end()
+            else:
+                am2 = re.match(
+                    r"[A-Za-z_][\w.]*(\s+" + kw + r"[A-Za-z_]\w*)?", omask[k3:]
+                )
+                if am2:
+                    k3 += am2.end()
+            out = out[:k3] + "".join(lateral) + out[k3:]
+    return out
+
+
 _INTERVAL_POS = {"year": 0, "month": 1, "quarter": 1, "week": 2, "day": 3,
                  "hour": 4, "minute": 5, "second": 6}
 
@@ -3179,6 +3330,35 @@ def _special_date_diff(args: list[str]) -> str:
         "second": "unix_timestamp(cast({x} as timestamp))",
     }[unit]
     return f"({rel.format(x=b)} - {rel.format(x=a)})"
+
+
+def _special_to_decimal(args: list[str], precision: int) -> str:
+    if len(args) != 2 or not re.fullmatch(r"\d+", args[1].strip()):
+        raise ChSqlError("toDecimalN(x, constant_scale)")
+    s = int(args[1])
+    if s > precision:
+        raise ChSqlError(f"Decimal scale {s} > precision {precision}")
+    return f"cast({args[0]} as decimal({precision}, {s}))"
+
+
+def _special_gcd_lcm(args: list[str], lcm: bool) -> str:
+    if len(args) != 2:
+        raise ChSqlError("gcd/lcm take two integer arguments")
+    if any(re.search(r"\d\.\d|\.\s*\)|\d\.(?!\d)", a) for a in args):
+        raise ChSqlError("gcd/lcm arguments must be integers (ILLEGAL_TYPE)")
+    g = (
+        "aggregate(sequence(1, 92), struct(abs(cast({0} as bigint)) as g1, "
+        "abs(cast({1} as bigint)) as g2), (_gs, _gi) -> if(_gs.g2 = 0, _gs, "
+        "struct(_gs.g2 as g1, _gs.g1 % _gs.g2 as g2)), _gs -> _gs.g1)"
+    ).format(args[0], args[1])
+    if not lcm:
+        return g
+    # (|a| div gcd) * |b| keeps the intermediate small (00515's larger
+    # operands overflow the naive a*b/gcd under ANSI)
+    return (
+        f"((abs(cast({args[0]} as bigint)) div {g}) "
+        f"* abs(cast({args[1]} as bigint)))"
+    )
 
 
 def _special_uniq_array(args: list[str]) -> str:
@@ -4272,6 +4452,18 @@ SPECIAL = {
     "toStringCutToZero": lambda args: (
         f"regexp_replace({args[0]}, '(?s)\\\\x00.*', '')"
     ),
+    # OrZero/OrNull timestamp parses with an optional timezone (the string
+    # is the WALL CLOCK in that zone — 00664)
+    "toDateTimeOrZero": lambda args: (
+        f"coalesce(try_to_timestamp({args[0]}), TIMESTAMP '1970-01-01 00:00:00')"
+        if len(args) == 1
+        else "coalesce(convert_timezone({1}, 'UTC', try_to_timestamp({0})), "
+             "TIMESTAMP '1970-01-01 00:00:00')".format(args[0], args[1])
+    ),
+    "toDateTimeOrNull": lambda args: (
+        f"try_to_timestamp({args[0]})" if len(args) == 1
+        else f"convert_timezone({args[1]}, 'UTC', try_to_timestamp({args[0]}))"
+    ),
     "pointInPolygon": _special_point_in_polygon,
     # n-ary intersect folds left (arrayIntersect.cpp is variadic — 00556)
     "arrayIntersect": lambda args: (
@@ -4287,6 +4479,44 @@ SPECIAL = {
     "uniqCombinedArray": _special_uniq_array,
     "uniqHLL12Array": _special_uniq_array,
     "DATEDIFF": _special_date_diff,
+    # Euclid as a bounded fold (92 steps covers the 64-bit worst case —
+    # consecutive Fibonacci numbers); CH rejects float arguments (00515)
+    "gcd": lambda args: _special_gcd_lcm(args, lcm=False),
+    "lcm": lambda args: _special_gcd_lcm(args, lcm=True),
+    # fixed-precision decimal parses (DataTypeDecimalBase: 32→9 digits,
+    # 64→18, 128/256→Spark's 38 ceiling; constant scale required)
+    "toDecimal32": lambda args: _special_to_decimal(args, 9),
+    "toDecimal64": lambda args: _special_to_decimal(args, 18),
+    "toDecimal128": lambda args: _special_to_decimal(args, 38),
+    "toDecimal256": lambda args: _special_to_decimal(args, 38),
+    # retention(c1, c2, ...) → [max(c1), max(c2)&max(c1), ...] —
+    # AggregateFunctionRetention ORs each condition over the group then
+    # masks by the first (00688_aggregation_retention)
+    "retention": lambda args: (
+        "array("
+        + ", ".join(
+            f"cast(max(cast(({args[0]}) as int)) as int)" if i == 0 else
+            f"least(cast(max(cast(({a}) as int)) as int), "
+            f"cast(max(cast(({args[0]}) as int)) as int))"
+            for i, a in enumerate(args)
+        )
+        + ")"
+        if args
+        else (_ for _ in ()).throw(ChSqlError("retention(cond, ...)"))
+    ),
+    # maxIntersections(start, end): sweep-line max of concurrently open
+    # [start, end) intervals (AggregateFunctionMaxIntersections — ends
+    # close BEFORE starts at ties, the half-open reading; 00671)
+    "maxIntersections": lambda args: (
+        "aggregate(array_sort(flatten(collect_list(array("
+        f"struct(cast(({args[0]}) as double) as p, 1 as d), "
+        f"struct(cast(({args[1]}) as double) as p, -1 as d))))), "
+        "struct(0 as cur, 0 as mx), "
+        "(_mi, _me) -> struct(_mi.cur + _me.d, "
+        "greatest(_mi.mx, _mi.cur + _me.d)), _mi -> _mi.mx)"
+        if len(args) == 2
+        else (_ for _ in ()).throw(ChSqlError("maxIntersections(start, end)"))
+    ),
     # CH substring: offset 0 yields '' (GatherUtils sliceFromLeft offset
     # semantics — 00496); negative offsets count from the end (Spark same)
     "substring": lambda args: (
@@ -4587,12 +4817,29 @@ def _rewrite_tuple_in(sql: str) -> str:
         if re.match(r"^\s*SELECT\b", inner2, re.IGNORECASE):
             continue
         elems = _split_args(inner2)
-        if all(e.strip().startswith("(") for e in elems):
-            # already a tuple LIST — normalize each element and the LHS to
-            # col1..colN structs so the struct types line up (00317 stmt 6)
+
+        def _shape(parts: list[str]) -> list[bool]:
+            return [p.strip().startswith("(") for p in parts]
+
+        lhs_shape = _shape(lparts)
+
+        def _elem_matches_lhs(e: str) -> bool:
+            es = e.strip()
+            if not (es.startswith("(") and _find_call_end(es, 0) == len(es)):
+                return False
+            sub = _split_args(es[1:-1])
+            return len(sub) == len(lparts) and _shape(sub) == lhs_shape
+
+        if elems and all(_elem_matches_lhs(e) for e in elems):
+            # every element has the LHS's own tuple shape: a membership
+            # LIST — normalize each element and the LHS to col1..colN
+            # structs so the struct types line up (00317 stmt 6; 00626
+            # stmt 6 list of tuple-of-tuples)
             rhs = ", ".join(_tuplify_branch(e.strip()) for e in elems)
-        elif len(elems) == len(lparts):
-            # scalar list of matching arity: CH reads ONE tuple
+        elif len(elems) == len(lparts) and _shape(elems) == lhs_shape:
+            # element-shaped RHS: CH reads the whole parenthesis as ONE
+            # tuple (00626 `((1,2),(3,4)) in ((1,2),(3,4))` is equality;
+            # 00317 `(1,'') IN (-1,'')`)
             rhs = _tuplify_branch(f"({inner2})")
         else:
             continue
@@ -4602,6 +4849,64 @@ def _rewrite_tuple_in(sql: str) -> str:
         sql = (
             sql[:i] + lhs + sql[lk:open2 + 1] + rhs + sql[end2 - 1 :]
         )
+    return sql
+
+
+def _rewrite_tuple_compare(sql: str) -> str:
+    """`(a, d) = (b, e)` — paren-tuples on BOTH sides of a comparison
+    normalize to col1..colN structs: Spark derives struct field names from
+    the expressions and then refuses to compare differently-named structs
+    (00700_decimal_compare)."""
+    if ")" not in sql:
+        return sql
+    for _ in range(32):
+        mask = _string_mask(sql)
+        edit = None
+        for m in re.finditer(r"\)\s*(=|!=|<>|<=|>=|<|>)\s*\(", mask):
+            # left group
+            depth, i = 0, m.start()
+            while i >= 0:
+                if mask[i] == ")":
+                    depth += 1
+                elif mask[i] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i -= 1
+            if i < 0:
+                continue
+            prev = next(
+                (sql[p] for p in range(i - 1, -1, -1) if not sql[p].isspace()),
+                "",
+            )
+            pm = re.search(r"([A-Za-z_]\w*)\s*$", sql[:i])
+            prev_word = (pm.group(1) or "").lower() if pm else ""
+            kw = {"select", "when", "then", "else", "and", "or", "not",
+                  "where", "having", "on", "by", "as", "in", "from", "with"}
+            if (prev.isalnum() or prev in "_)]") and prev_word not in kw:
+                continue
+            lgroup = sql[i : m.start() + 1]
+            lparts = _split_args(lgroup[1:-1])
+            if len(lparts) < 2:
+                continue
+            # right group
+            ropen = m.end() - 1
+            rend = _find_call_end(sql, ropen)
+            rgroup = sql[ropen:rend]
+            rparts = _split_args(rgroup[1:-1])
+            if len(rparts) != len(lparts):
+                continue
+            if re.match(r"\(\s*SELECT\b", rgroup, re.IGNORECASE):
+                continue
+            lt, rt = _tuplify_branch(lgroup), _tuplify_branch(rgroup)
+            if lt == lgroup and rt == rgroup:
+                continue
+            op = sql[m.start() + 1 : m.end() - 1]
+            edit = (i, rend, f"{lt}{op}{rt}")
+        if edit is None:
+            return sql
+        s0, e0, txt = edit
+        sql = sql[:s0] + txt + sql[e0:]
     return sql
 
 
@@ -4769,12 +5074,22 @@ def rewrite(sql: str, schema_fn=None, types_fn=None, analyze_fn=None) -> str:
     )
     sql = _rewrite_in_null_literals(sql)
     sql = _rewrite_tuple_in(sql)
-    # `x IN f(...)` — a paren-less scalar RHS is an equality test in CH
-    # (single-element set; 00422 `cityHash64('abc') IN cityHash64('abc')`);
-    # tuple(...) RHS stays membership
+    sql = _rewrite_tuple_compare(sql)
+    # `x IN tuple(a, b)` spells a membership list (00626_in_syntax)
     sql = _masked_sub(
-        re.compile(r"\b(NOT\s+)?IN\s+(?=(?!tuple\b)[A-Za-z_]\w*\s*\()",
-                   re.IGNORECASE),
+        re.compile(r"\b(NOT\s+)?IN\s+tuple\s*\(", re.IGNORECASE),
+        lambda m: ("NOT IN (" if m.group(1) else "IN ("),
+        sql,
+    )
+    # `x IN f(...)` / `x IN 1` — a paren-less scalar RHS is an equality
+    # test in CH (single-element set; 00422 `cityHash64('abc') IN
+    # cityHash64('abc')`, 00626 `1 in 1`); tuple(...) RHS stays membership
+    # and a bare identifier stays a table-subquery reference
+    sql = _masked_sub(
+        re.compile(
+            r"\b(NOT\s+)?IN\s+(?=(?!tuple\b)[A-Za-z_]\w*\s*\(|\d|')",
+            re.IGNORECASE,
+        ),
         lambda m: ("!= " if m.group(1) else "= "),
         sql,
     )
@@ -4843,7 +5158,9 @@ def rewrite(sql: str, schema_fn=None, types_fn=None, analyze_fn=None) -> str:
     sql = _rewrite_array_literals(sql)
     sql = _rewrite_subscript_defaults(
         _rewrite_datetime_arith(
-            _rewrite_dyn_interval(_rewrite_case_bool(_rewrite_calls(sql)))
+            _rewrite_dyn_interval(
+                _rewrite_case_bool(_rewrite_nested_explode(_rewrite_calls(sql)))
+            )
         ),
         types_fn,
         analyze_fn,
@@ -5064,6 +5381,15 @@ def _rewrite_to_type_name(sql: str, analyze_fn=None) -> str:
                 a = aliases[a]
             else:
                 break
+        # aliases referenced INSIDE the expression resolve too
+        # (`toTypeName(length(s))` where s is a select alias — 00688)
+        for _ in range(4):
+            a2 = a
+            for al, ex in aliases.items():
+                a2 = re.sub(rf"\b{re.escape(al)}\b", f"({ex})", a2)
+            if a2 == a:
+                break
+            a = a2
         name = None
         lm = re.fullmatch(r"-?\d+", a)
         if lm:
@@ -5136,6 +5462,75 @@ def _rewrite_poly_length(sql: str, analyze_fn=None) -> str:
         i = m.end()
     out.append(sql[i:])
     return "".join(out)
+
+
+def _apply_enum_order(sql: str) -> str:
+    """Enum columns ORDER BY their numeric VALUES, not the display names
+    (DataTypeEnum comparison — 00453: 'session'=1 sorts before
+    'pageview'=2). A bare enum-column sort item becomes the name→value
+    CASE; applies when the top-level FROM table declares enums."""
+    from myscaledb_spark.plans.table_ddl import TABLES, enum_mapping
+
+    if not TABLES:
+        return sql
+    mask = _top_level_mask(sql)
+    ftn = re.search(r"\bFROM\s+([A-Za-z_]\w*)", mask, re.IGNORECASE)
+    if ftn is None:
+        return sql
+    enums = {
+        c: enum_mapping(d)
+        for c, d in (TABLES.get(ftn.group(1), {}).get("ch_types") or {}).items()
+    }
+    enums = {c: m for c, m in enums.items() if m}
+    if not enums:
+        return sql
+    # numeric casts of enum columns read the VALUE (toInt8(x) — 00298)
+    for c, pairs in enums.items():
+        whens_v = " ".join(
+            "WHEN '{}' THEN {}".format(
+                nm.replace("\\", "\\\\").replace("'", "''"), val
+            )
+            for nm, val in pairs
+        )
+        sql = _masked_sub(
+            re.compile(
+                rf"cast\(\s*{re.escape(c)}\s+as\s+"
+                r"(tinyint|smallint|int|bigint)\s*\)",
+                re.IGNORECASE,
+            ),
+            lambda m, c=c, w=whens_v: (
+                f"cast((CASE {c} {w} END) as {m.group(1)})"
+            ),
+            sql,
+        )
+    if not re.search(r"\bORDER\s+BY\b", sql, re.IGNORECASE):
+        return sql
+    mask = _top_level_mask(sql)
+    om = re.search(r"\bORDER\s+BY\b", mask, re.IGNORECASE)
+    end = _clause_end(
+        mask, om.end(), ("LIMIT", "SETTINGS", "FORMAT", "OFFSET", "UNION"),
+    )
+    parts = _split_args(sql[om.end() : end])
+    new = []
+    for p in parts:
+        pm = re.match(
+            r"^\s*([A-Za-z_]\w*)(\s+(?:ASC|DESC))?(\s+NULLS\s+\w+)?\s*$",
+            p, re.IGNORECASE,
+        )
+        if pm and pm.group(1) in enums:
+            whens = " ".join(
+                "WHEN '{}' THEN {}".format(
+                    nm.replace("\\", "\\\\").replace("'", "''"), val
+                )
+                for nm, val in enums[pm.group(1)]
+            )
+            new.append(
+                f"(CASE {pm.group(1)} {whens} END)"
+                + (pm.group(2) or "") + (pm.group(3) or "")
+            )
+        else:
+            new.append(p.strip())
+    return sql[: om.end()] + " " + ", ".join(new) + " " + sql[end:]
 
 
 def _fill_outer_join_defaults(spark, sql: str, out):
@@ -5690,20 +6085,77 @@ def _rewrite_cast_types(sql: str) -> str:
     (00255: Null::Nullable(String)). Composite targets — Tuple(...),
     Array(...), Map(...) — route through the full CH type mapper
     (00547 named tuples)."""
+    # CAST(x AS Nullable(T)) → try_cast: the Nullable cast yields NULL on
+    # parse failure in CH ('123a' → NULL, 00664) where the plain cast
+    # raises; CAST(x AS Enum8(...)) → the name↔value mapping CASE (00642)
+    for _ in range(16):
+        mask0 = _string_mask(sql)
+        edit0 = None
+        for cm in re.finditer(r"\bCAST\s*\(", mask0, re.IGNORECASE):
+            cend = _find_call_end(sql, cm.end() - 1)
+            body = sql[cm.end() : cend - 1]
+            bmask = _string_mask(body)
+            asm, depth = None, 0
+            for i2, ch2 in enumerate(bmask):
+                if ch2 == "(":
+                    depth += 1
+                elif ch2 == ")":
+                    depth -= 1
+                elif depth == 0 and bmask[i2 : i2 + 4].upper() == " AS ":
+                    asm = i2
+            if asm is None:
+                continue
+            op, ty = body[:asm].strip(), body[asm + 4 :].strip()
+            nm_ = re.fullmatch(r"Nullable\s*\((.*)\)", ty,
+                               re.IGNORECASE | re.DOTALL)
+            if nm_ and not re.match(r"Enum", nm_.group(1).strip(), re.IGNORECASE):
+                edit0 = (cm.start(), cend,
+                         f"try_cast({op} AS {nm_.group(1).strip()})")
+                continue
+            if re.match(r"(Nullable\s*\(\s*)?Enum(8|16)?\s*\(", ty, re.IGNORECASE):
+                from myscaledb_spark.plans.table_ddl import enum_mapping
+
+                inner_ty = ty
+                im = re.fullmatch(r"Nullable\s*\((.*)\)", ty,
+                                  re.IGNORECASE | re.DOTALL)
+                if im:
+                    inner_ty = im.group(1).strip()
+                pairs = enum_mapping(inner_ty)
+                if not pairs:
+                    continue
+                whens = " ".join(
+                    "WHEN cast(({op}) as string) = '{n}' THEN '{n}' "
+                    "WHEN cast(({op}) as string) = '{v}' THEN '{n}'".format(
+                        op=op,
+                        n=nm.replace("\\", "\\\\").replace("'", "''"),
+                        v=val,
+                    )
+                    for nm, val in pairs
+                )
+                edit0 = (
+                    cm.start(), cend,
+                    f"(CASE WHEN ({op}) IS NULL THEN NULL {whens} "
+                    f"ELSE raise_error(concat('Unknown element ', "
+                    f"cast(({op}) as string), ' for enum')) END)",
+                )
+        if edit0 is None:
+            break
+        s0, e0, txt = edit0
+        sql = sql[:s0] + txt + sql[e0:]
     sql = _masked_sub(
         re.compile(r"(AS\s+|::\s*)Nullable\s*\(\s*(\w+)\s*\)", re.IGNORECASE),
         lambda m: m.group(1) + m.group(2),
         sql,
     )
     if re.search(r"(AS\s+|::\s*)(Tuple|Array|Map|Nullable|FixedString|"
-                 r"LowCardinality)\s*\(", sql, re.IGNORECASE):
+                 r"LowCardinality|Enum8|Enum16|Enum)\s*\(", sql, re.IGNORECASE):
         from myscaledb_spark.plans.table_ddl import ch_type_to_spark
 
         mask = _string_mask(sql)
         edits = []
         for m in re.finditer(
             r"(AS\s+|::\s*)(Tuple|Array|Map|Nullable|FixedString|"
-            r"LowCardinality)\s*\(",
+            r"LowCardinality|Enum8|Enum16|Enum)\s*\(",
             mask, re.IGNORECASE,
         ):
             end = _find_call_end(sql, m.end() - 1)
@@ -5980,7 +6432,16 @@ def _rewrite_calls(sql: str, depth: int = 0) -> str:
                 elif name in TEMPLATES:
                     out.append(_apply(TEMPLATES[name], args, name))
                 else:
-                    out.append(f"{name}({', '.join(args)})")
+                    # SQL-standard spellings are case-insensitive in CH
+                    # (COUNT() — 00639); resolve against the registered
+                    # name before passing through
+                    canon = _resolve_ci_name(name)
+                    if canon is not None and canon in SPECIAL:
+                        out.append(SPECIAL[canon](args))
+                    elif canon is not None and canon in TEMPLATES:
+                        out.append(_apply(TEMPLATES[canon], args, canon))
+                    else:
+                        out.append(f"{name}({', '.join(args)})")
                 i = call_end
                 continue
             out.append(name)
@@ -6545,6 +7006,7 @@ def ch_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataFrame
         },
         analyze_fn=_analyze_select,
     )
+    translated = _apply_enum_order(translated)
     out = spark.sql(translated, args=args) if args else spark.sql(translated)
     out = _fill_outer_join_defaults(spark, sql, out)
     if _brute_force_blocked(spark, sql):

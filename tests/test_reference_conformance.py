@@ -314,6 +314,52 @@ PINNED = [
     "../0_stateless/00549_join_use_nulls.sql",
     "../0_stateless/00551_parse_or_null.sql",
     "../0_stateless/00553_invalid_nested_name.sql",
+    # r8 SELECT-surface batch 13: Enum8/16 columns (name/value inserts with
+    # UNKNOWN_ELEMENT raises, value-ordered ORDER BY, numeric casts read
+    # the value, CAST-to-Enum mapping), nested-arrayJoin hoisting
+    # (transform for scalar wrappers, LATERAL VIEW under aggregates),
+    # scalar IN equality, tuple-shape IN disambiguation, legacy
+    # ReplacingMergeTree CTAS args, OPTIMIZE PARTITION, case-insensitive
+    # SQL-standard call spellings, toTimeZone
+    "../0_stateless/00453_cast_enum.sql",
+    "../0_stateless/00516_is_inf_nan.sql",
+    "../0_stateless/00649_quantile_tdigest_negative.sql",
+    "../0_stateless/00422_hash_function_constexpr.sql",
+    "../0_stateless/00616_final_single_part.sql",
+    "../0_stateless/00639_startsWith.sql",
+    "../0_stateless/00640_endsWith.sql",
+    "../0_stateless/00624_length_utf8.sql",
+    "../0_stateless/00653_monotonic_integer_cast.sql",
+    "../0_stateless/00661_array_has_silviucpp.sql",
+    "../0_stateless/00663_tiny_log_empty_insert.sql",
+    "../0_stateless/00623_in_partition_key.sql",
+    "../0_stateless/00647_select_numbers_with_offset.sql",
+    # r8 SELECT-surface batch 14: SQL retention/maxIntersections/gcd/lcm
+    # (bounded Euclid fold, float-arg raises), LowCardinality /
+    # *WithDictionary types + ALTER with nested type parens, ORDER BY
+    # tuple(), subquery-safe arrayJoin hoisting, alias-resolved
+    # toTypeName probes
+    "../0_stateless/00515_gcd_lcm.sql",
+    "../0_stateless/00667_compare_arrays_of_different_types.sql",
+    "../0_stateless/00671_max_intersections.sql",
+    "../0_stateless/00679_uuid_in_key.sql",
+    "../0_stateless/00680_duplicate_columns_inside_union_all.sql",
+    "../0_stateless/00681_duplicate_columns_inside_union_all_stas_sviridov.sql",
+    "../0_stateless/00688_aggregation_retention.sql",
+    "../0_stateless/00688_case_without_else.sql",
+    "../0_stateless/00688_low_cardinality_in.sql",
+    "../0_stateless/00688_low_cardinality_nullable_cast.sql",
+    "../0_stateless/00688_low_cardinality_defaults.sql",
+    "../0_stateless/00692_if_exception_code.sql",
+    # r8 SELECT-surface batch 15: Decimal32/64/128 types + toDecimalN
+    # parses, tuple-literal comparisons normalized to col1..colN structs
+    "../0_stateless/00700_decimal_in_keys.sql",
+    "../0_stateless/00700_decimal_null.sql",
+    "../0_stateless/00700_decimal_gathers.sql",
+    "../0_stateless/00694_max_block_size_zero.sql",
+    # NULL-dropping arrayDistinct
+    "../0_stateless/00672_arrayDistinct.sql",
+    "../0_stateless/00691_array_distinct.sql",
 ]
 
 

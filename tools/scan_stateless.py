@@ -66,6 +66,14 @@ def main(argv):
         .getOrCreate()
     )
     counts = {"PASS": 0, "RAN": 0, "FAIL": 0, "SKIP": 0}
+
+    def _alive() -> bool:
+        try:
+            spark.sql("SELECT 1").collect()
+            return True
+        except Exception:
+            return False
+
     for f in files:
         if not include_skipped and SKIP.search(f):
             counts["SKIP"] += 1
@@ -80,6 +88,30 @@ def main(argv):
         counts[status] += 1
         if not failures_only or status != "PASS":
             print(f"{status:4} {f:60} {str(detail)[:110]}  [{dt:.0f}s]", flush=True)
+        if status == "FAIL" and not _alive():
+            # a stress statement killed the JVM — restart so one crash
+            # cannot poison every later file's verdict (same recovery as
+            # tools/conformance.main)
+            print(".... session died; restarting JVM", flush=True)
+            try:
+                spark.stop()
+            except Exception:
+                pass
+            from pyspark import SparkContext
+
+            SparkContext._active_spark_context = None
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+            SparkSession._instantiatedSession = None
+            SparkSession._activeSession = None
+            spark = (
+                SparkSession.builder.master("local[8]")
+                .appName("scan_stateless")
+                .config("spark.sql.shuffle.partitions", "8")
+                .config("spark.ui.enabled", "false")
+                .config("spark.driver.memory", "8g")
+                .getOrCreate()
+            )
     print(f"\ntotal: {counts}")
 
 
