@@ -278,6 +278,8 @@ def ch_type_to_spark(t: str) -> str:
         # round-trip them through UTF-8 and corrupt any byte > 0x7F
         # (00038_mqvs_binary_vector_feature)
         return "binary"
+    if re.fullmatch(r"datetime\s*\(\s*'[^']*'\s*\)", low):
+        return "timestamp"  # DateTime('UTC') — display-zone param (00753)
     m = re.fullmatch(r"datetime64\s*\(.*\)", low)
     if m:
         return "timestamp"
@@ -788,6 +790,22 @@ def create_table(spark: SparkSession, sql: str) -> dict:
             REPLICA_GROUPS[zk_path] = table
     kind, version, sign, sum_cols = "none", None, None, ()
     keys: list[str] = _parse_key_list(order_raw) if order_raw else []
+    if (
+        not keys
+        and eng.endswith("mergetree")
+        and len(eargs) >= 3
+        and any(re.fullmatch(r"\d+", a.strip()) for a in eargs)
+    ):
+        # deprecated engine-arg syntax: Engine(date, [sampling,] (keys),
+        # granularity[, version/sign]) — registerStorageMergeTree legacy
+        # layout (00732 `SummingMergeTree(date, (date), 8192)`)
+        gidx = max(
+            i for i, a in enumerate(eargs) if re.fullmatch(r"\d+", a.strip())
+        )
+        if gidx >= 2:
+            keys = _parse_key_list(eargs[gidx - 1])
+        tailargs = eargs[gidx + 1 :]
+        eargs = tailargs  # version/sign for the engine-kind branches below
     if eng in ("mergetree", "memory", "tinylog", "log", "stripelog", "null"):
         # the Log family (StorageLog/StorageStripeLog) are plain append-only
         # stores — same "no merge semantics" shape as Memory here; Null
@@ -925,6 +943,98 @@ def _comma_join_tuples(s: str) -> str:
     return "".join(out)
 
 
+#: batch materialized views: source table → [(mv_table, select_sql)] —
+#: every INSERT into the source pushes the SELECT applied to the inserted
+#: BLOCK into the mv's backing table (StorageMaterializedView push;
+#: 00726_materialized_view_concurrent)
+MV_HOOKS: dict[str, list[tuple[str, str]]] = {}
+
+
+def _fire_mv_hooks(spark: SparkSession, table: str, part, hooks=None) -> None:
+    from myscaledb_spark.sql_dialect import _masked_sub, ch_sql
+
+    part.createOrReplaceTempView("_mv_block")
+    for mv_name, select_sql in (hooks if hooks is not None
+                                else MV_HOOKS.get(table, [])):
+        block_sql = _masked_sub(
+            re.compile(rf"\b(FROM|JOIN)\s+{re.escape(table)}\b", re.IGNORECASE),
+            lambda m: f"{m.group(1)} _mv_block",
+            select_sql,
+        )
+        ch_sql(spark, block_sql).createOrReplaceTempView("_mv_res")
+        insert_into(spark, f"INSERT INTO {mv_name} SELECT * FROM _mv_res")
+
+
+def create_materialized_view(spark: SparkSession, s: str):
+    """CREATE MATERIALIZED VIEW name [TO target] [ENGINE = ...]
+    [ORDER BY ...] [POPULATE] AS SELECT ... — a backing table fed by every
+    INSERT into the SELECT's source (InterpreterCreateQuery +
+    StorageMaterializedView). TO-form writes land in the named target and
+    reads of the view resolve there."""
+    m = re.match(
+        r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"(?P<name>\w+)\s*(?:\((?P<cols>[^()]*)\)\s*)?"
+        r"(?:TO\s+(?P<to>\w+)\s*)?"
+        r"(?:ENGINE\s*=?\s*(?P<engine>\w+)\s*(?:\([^()]*\))?\s*)?"
+        r"(?P<mid>[^;]*?)(?P<populate>POPULATE\s+)?"
+        r"AS\s+(?P<select>(?:SELECT|WITH)\b.*)$",
+        s, re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ChSqlError(f"cannot parse CREATE MATERIALIZED VIEW {s[:80]!r}")
+    from myscaledb_spark.sql_dialect import _string_mask, ch_sql
+
+    name, select_sql = m.group("name"), m.group("select").strip()
+    src = re.search(
+        r"\bFROM\s+([A-Za-z_]\w*)", _string_mask(select_sql), re.IGNORECASE
+    )
+    if src is None or src.group(1) not in TABLES:
+        raise ChSqlError(
+            "MATERIALIZED VIEW source must be a ch_ddl table "
+            f"(got {select_sql[:60]!r})"
+        )
+    src_table = src.group(1)
+    target = m.group("to")
+    if target:
+        if target not in TABLES:
+            raise ChSqlError(f"MV TO target {target!r} was not created")
+        # the view name is a read-alias of the target
+        from myscaledb_spark.streaming.live_view import LIVE_VIEWS
+
+        LIVE_VIEWS[name] = {"sql": f"SELECT * FROM {target}", "epochs": {}}
+    else:
+        # backing table shaped by the SELECT (or the declared columns)
+        df = ch_sql(spark, select_sql).limit(0)
+        schema = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        if m.group("cols") and m.group("cols").strip():
+            decls = []
+            for piece in m.group("cols").split(","):
+                dm = re.match(r"\s*`?([\w.]+)`?\s+(.+?)\s*$", piece)
+                if dm:
+                    decls.append((dm.group(1), ch_type_to_spark(dm.group(2))))
+            if len(decls) == len(schema):
+                schema = decls
+        fields = ", ".join(f"`{c}` {t}" for c, t in schema)
+        empty_store = spark.createDataFrame(
+            [], f"{fields}, {ISEQ} bigint, {EXISTS} boolean"
+        )
+        empty_store.createOrReplaceTempView(f"{name}__store")
+        register_table_engine(name, "none", [])
+        TABLES[name] = {"schema": schema, "n_parts": 0, "parts": []}
+        _SEQ[name] = 0
+        SKIP_INDICES[name] = []
+        _refresh_view(spark, name)
+        target = name
+    MV_HOOKS.setdefault(src_table, []).append((target, select_sql))
+    if m.group("populate"):
+        # POPULATE backfills from the CURRENT contents — only this view
+        _fire_mv_hooks(
+            spark, src_table, spark.table(src_table),
+            hooks=[(target, select_sql)],
+        )
+    return {"view": name, "source": src_table, "target": target}
+
+
 def insert_into(spark: SparkSession, sql: str) -> int:
     """INSERT INTO t [(cols)] VALUES (...), ... | SELECT ... — appends one
     "part"; returns the number of rows inserted."""
@@ -936,11 +1046,6 @@ def insert_into(spark: SparkSession, sql: str) -> int:
         raise ChSqlError(
             f"table {table!r} was not created via create_table / ch_ddl"
         )
-    if TABLES[table].get("engine_null"):
-        # ENGINE = Null swallows writes (StorageNull — 00481); attached
-        # materialized views still fire in the reference, which the MV
-        # push path handles on its own source hook
-        return 0
     schema = TABLES[table]["schema"]
     colnames = [c for c, _ in schema]
     ins_cols = (
@@ -1060,6 +1165,12 @@ def insert_into(spark: SparkSession, sql: str) -> int:
                     F.expr(f"CAST({default} AS {types[c]})").alias(c)
                 )
     part = src.select(*out_cols)
+    if MV_HOOKS.get(table):
+        _fire_mv_hooks(spark, table, part)
+    if TABLES[table].get("engine_null"):
+        # ENGINE = Null swallows the write itself (StorageNull — 00481)
+        # AFTER attached materialized views consumed the block (00726)
+        return part.count()
 
     # assign the hidden insertion sequence: (part_number << 50) | row id,
     # where the row id is monotonically_increasing_id() — partition-major
@@ -1098,6 +1209,10 @@ def drop_table(spark: SparkSession, table: str) -> None:
     spark.catalog.dropTempView(table)
     spark.catalog.dropTempView(f"{table}__store")
     TABLES.pop(table, None)
+    # dropping a table detaches it both as an MV source and as a target
+    MV_HOOKS.pop(table, None)
+    for hooks in MV_HOOKS.values():
+        hooks[:] = [(t, q) for t, q in hooks if t != table]
     _SEQ.pop(table, None)
     TABLE_ENGINES.pop(table, None)
     SKIP_INDICES.pop(table, None)
@@ -1151,6 +1266,7 @@ _NOOP_SETTINGS = re.compile(
     r"min_insert_block_size_bytes|max_insert_block_size|"
     r"preferred_block_size_bytes|max_insert_threads|"
     r"any_join_distinct_right_table_keys|count_distinct_implementation|"
+    r"parallel_view_processing|"
     # recorded AND consulted: _fill_outer_join_defaults reads it per query
     r"join_use_nulls|"
     r"group_by_two_level_threshold[a-z_]*|max_bytes_before_external_group_by|"
@@ -1458,6 +1574,8 @@ def ch_ddl(spark: SparkSession, sql: str):
         from myscaledb_spark.streaming.live_view import watch_live_view
 
         return watch_live_view(spark, s)
+    if re.match(r"^\s*CREATE\s+MATERIALIZED\s+VIEW\b", s, re.IGNORECASE):
+        return create_materialized_view(spark, s)
     pvm = re.match(
         r"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
         r"(\w+)\s+AS\s+(.+)$",
@@ -1606,6 +1724,10 @@ def ch_ddl(spark: SparkSession, sql: str):
         # detached table disappears from the system tables until re-attach
         # (00031: its vector_index_segments rows vanish while detached)
         if am.group(2) not in TABLES:
+            from myscaledb_spark.streaming.live_view import LIVE_VIEWS
+
+            if am.group(2) in LIVE_VIEWS:
+                return None  # DETACH/ATTACH of a view alias: no-op (00508)
             raise ChSqlError(f"table {am.group(2)!r} was not created via ch_ddl")
         if am.group("verb").upper() == "DETACH":
             TABLES[am.group(2)]["detached"] = True
@@ -1939,7 +2061,8 @@ def ch_script(spark: SparkSession, script: str, artifact_dir: str | None = None)
                 r"ATTACH\s+TABLE|ALTER\s+TABLE\s+\w+\s+MODIFY\s+SETTING|"
                 r"ALTER\s+TABLE\s+\w+\s+MATERIALIZE\s+(INDEX|COLUMN)|"
                 r"CREATE\s+CONNECTION|DROP\s+CONNECTION|"
-                r"CREATE\s+LIVE\s+VIEW|CREATE\s+(?:OR\s+REPLACE\s+)?VIEW|"
+                r"CREATE\s+LIVE\s+VIEW|CREATE\s+MATERIALIZED\s+VIEW|"
+                r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW|"
                 r"WATCH|DROP\s+VIEW)\b",
                 s, re.IGNORECASE,
             )

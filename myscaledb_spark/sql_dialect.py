@@ -238,7 +238,6 @@ TEMPLATES: dict[str, str] = {
     "arrayDistinct": "array_distinct(filter({0}, _ad -> _ad IS NOT NULL))",
     "arrayReverse": "reverse({0})",
     "arrayConcat": "concat({*})",
-    "arraySlice": "slice({0}, {1}, {2})",
     "arrayFlatten": "flatten({0})",
     "arrayCompact": "array_compact({0})",
     "arrayMap": "transform({1}, {0})",
@@ -4489,6 +4488,25 @@ SPECIAL = {
     "toDecimal64": lambda args: _special_to_decimal(args, 18),
     "toDecimal128": lambda args: _special_to_decimal(args, 38),
     "toDecimal256": lambda args: _special_to_decimal(args, 38),
+    # 2-arg form slices to the end (arraySlice.cpp — 00759)
+    "arraySlice": lambda args: (
+        f"slice({args[0]}, {args[1]}, {args[2]})" if len(args) == 3
+        else f"slice({args[0]}, {args[1]}, size({args[0]}))" if len(args) == 2
+        else (_ for _ in ()).throw(
+            ChSqlError("arraySlice takes 2 or 3 arguments (arr, offset[, len])")
+        )
+    ),
+    # every 1800s slot boundary the [t, t+duration] span touches
+    # (FunctionsDateTime timeSlots — 00734)
+    "timeSlots": lambda args: (
+        "transform(sequence(unix_timestamp(cast({0} as timestamp)) div {2}, "
+        "(unix_timestamp(cast({0} as timestamp)) + cast({1} as bigint)) div {2}), "
+        "_tsl -> cast(from_unixtime(_tsl * {2}) as timestamp))".format(
+            args[0], args[1], args[2] if len(args) == 3 else 1800
+        )
+        if len(args) in (2, 3)
+        else (_ for _ in ()).throw(ChSqlError("timeSlots(t, duration[, size])"))
+    ),
     # retention(c1, c2, ...) → [max(c1), max(c2)&max(c1), ...] —
     # AggregateFunctionRetention ORs each condition over the group then
     # masks by the first (00688_aggregation_retention)

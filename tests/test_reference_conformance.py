@@ -360,6 +360,26 @@ PINNED = [
     # NULL-dropping arrayDistinct
     "../0_stateless/00672_arrayDistinct.sql",
     "../0_stateless/00691_array_distinct.sql",
+    # r8 SELECT-surface batch 16: batch MATERIALIZED VIEWs (insert-block
+    # push into the backing table, TO-form aliases, POPULATE, Null-engine
+    # sources fire views before swallowing), legacy MergeTree engine-arg
+    # key layout, timeSlots, 2-arg arraySlice, DateTime('tz') columns
+    "../0_stateless/00726_materialized_view_concurrent.sql",
+    "../0_stateless/00752_low_cardinality_mv_1.sql",
+    "../0_stateless/00732_decimal_summing_merge_tree.sql",
+    "../0_stateless/00734_timeslot.sql",
+    "../0_stateless/00727_concat.sql",
+    "../0_stateless/00733_if_datetime.sql",
+    "../0_stateless/00735_or_expr_optimize_bug.sql",
+    "../0_stateless/00741_client_comment_multiline.sql",
+    "../0_stateless/00750_merge_tree_merge_with_o_direct.sql",
+    "../0_stateless/00752_low_cardinality_array_result.sql",
+    "../0_stateless/00752_low_cardinality_lambda_argument.sql",
+    "../0_stateless/00753_with_with_single_alias.sql",
+    "../0_stateless/00754_first_significant_subdomain_more.sql",
+    "../0_stateless/00755_avg_value_size_hint_passing.sql",
+    "../0_stateless/00756_power_alias.sql",
+    "../0_stateless/00758_array_reverse.sql",
 ]
 
 
