@@ -193,6 +193,28 @@ def bm25_scores(
     if not terms:
         raise InvalidSearchQuery("empty text-search query after tokenization")
 
+    if tokenizer == "simple" and spec is None:
+        # fast path (r8 VERDICT finding #5 — the direct BM25 gates crept
+        # toward the 2× bar): the 'simple' analyzer needs no token ARRAY —
+        # dl is the count of [a-z0-9]+ runs and tf_t the count of t as a
+        # whole token, each ONE regexp_count scan per row instead of
+        # split + per-term array filters (the plan tokenizes the corpus
+        # twice: once under the stats agg, once under scoring — this
+        # halves the per-pass cost).  Counts are integers, so scores stay
+        # bit-identical to the tokenize()-based path.
+        low = F.lower(F.col(text_col))
+        tfed = df.select(
+            "*",
+            F.regexp_count(low, F.lit("[a-z0-9]+")).cast("double").alias("_dl"),
+            *[
+                F.regexp_count(
+                    low, F.lit(f"(?<![a-z0-9]){t}(?![a-z0-9])")
+                ).cast("double").alias(f"_tf_{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+        return bm25_scores_from_tf(tfed, len(terms), operator, score_name)
+
     toked = df.withColumn("_toks", tokenize(text_col, tokenizer, spec=spec)).withColumn(
         "_dl", F.size("_toks").cast("double")
     )

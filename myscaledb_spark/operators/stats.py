@@ -187,84 +187,273 @@ def rank_corr(
     spark = df.sparkSession
     nshuf = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     base = df.select(x.cast("double").alias("x"), y.cast("double").alias("y"))
-    mm = base.agg(
+    # One stats job replaces the old broadcast-build job (same job count):
+    # min/max drive the deterministic grid as LITERALS (no crossJoin), and
+    # a cardinality signal picks the per-axis rank strategy below.  The
+    # signal is a ~2% SAMPLED approx_count_distinct (a full-scan HLL on
+    # both axes measured +0.27 s at sf0.1 — more than the strategy can
+    # save there); sampling can only under-count, so a tiny-axis verdict
+    # is re-checked by the capped exact collect in axis_rank, and above
+    # 1 GB estimated input the full HLL is worth one linear pass to also
+    # enable the broadcast-join middle tier.
+    try:
+        est_bytes = int(
+            base._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        est_bytes = 0
+    full_acd = est_bytes >= 1024**3
+    sampled = base.withColumn("_smp", F.rand(42) < 0.02)
+    st = sampled.agg(
         F.min("x").alias("_xmn"), F.max("x").alias("_xmx"),
         F.min("y").alias("_ymn"), F.max("y").alias("_ymx"),
-    )
+        F.approx_count_distinct(
+            F.when(F.col("_smp") | F.lit(full_acd), F.col("x"))
+        ).alias("_dx"),
+        F.approx_count_distinct(
+            F.when(F.col("_smp") | F.lit(full_acd), F.col("y"))
+        ).alias("_dy"),
+        F.count(F.lit(1)).alias("_n"),
+    ).collect()[0]
 
-    def bucket(v, mn, mx):
+    one = F.lit(1)
+    #: a rank table of ≤ this many distinct values broadcasts comfortably
+    LOWCARD = 65536
+
+    def tier(dv: int) -> str:
+        # "value" — tiny axis: the cells are keyed by the VALUE itself, so
+        # its tie-averaged rank falls out of the cell marginals driver-side
+        # (constant per cell) — no rank job, no rank expression, no sort
+        # for this axis at all.  A 2% sample saturates ONLY near the sample
+        # size, so a ≤512 estimate can't hide a cardinality that would blow
+        # the cell cap (≤512·(grid+4) cells).
+        if (grid <= 512 and 0 < dv <= 512) or 0 < int(st["_n"]) <= 8192:
+            return "value"
+        if 0 < dv <= 4096:
+            return "literal"
+        if full_acd and 0 < dv <= LOWCARD:
+            return "broadcast"
+        return "window"
+
+    tiers = {"x": tier(int(st["_dx"])), "y": tier(int(st["_dy"]))}
+
+    def global_rank_expr(axis: str):
+        """GLOBAL tie-averaged rank of a tiny axis as a map literal — one
+        capped single-column collect, then the main pass gains an
+        expression, not a join/sort: the heavy side is never exchanged for
+        this axis at all.  The sampled dv can only UNDER-estimate, so the
+        collect is capped; a blown cap falls back to the window tier
+        (returns None).  A global rank needs no bucket and no offset, so
+        the axis's bucket column collapses to a constant (fewer cells)."""
+        import math as _math
+
+        rows = (
+            base.groupBy(axis).agg(F.count(one).alias("_w"))
+            .limit(16385).collect()
+        )
+        if len(rows) > 16384:
+            return None
+        # Spark sort order: NULLs first, NaN last
+        rows.sort(
+            key=lambda r: (0,) if r[axis] is None
+            else ((2,) if _math.isnan(r[axis]) else (1, r[axis]))
+        )
+        null_rank = nan_rank = None
+        entries = []
+        cum = 0.0
+        for r0 in rows:
+            v, w = r0[axis], float(r0["_w"])
+            grank = cum + (w + 1) / 2.0
+            cum += w
+            if v is None:
+                null_rank = grank
+            elif _math.isnan(v):
+                nan_rank = grank
+            else:
+                entries.extend([F.lit(v), F.lit(grank)])
+        vals = [
+            r0[axis] for r0 in rows
+            if r0[axis] is not None and not _math.isnan(r0[axis])
+        ]
+        dense = (
+            vals
+            and all(float(v).is_integer() for v in vals)
+            and (max(vals) - min(vals)) < 65536
+        )
+        if dense:
+            # dense integer domain: O(1) array-literal indexing instead of
+            # the map literal's O(|distinct|) per-row linear probe
+            vmn = int(min(vals))
+            cum2 = 0.0
+            rank_of = {}
+            for r0 in rows:
+                v, w = r0[axis], float(r0["_w"])
+                grank2 = cum2 + (w + 1) / 2.0
+                cum2 += w
+                if v is not None and not _math.isnan(v):
+                    rank_of[int(v)] = grank2
+            arr = [
+                F.lit(rank_of.get(vmn + i)) if vmn + i in rank_of
+                else F.lit(None).cast("double")
+                for i in range(int(max(vals)) - vmn + 1)
+            ]
+            expr = F.element_at(
+                F.array(*arr),
+                (F.col(axis) - F.lit(vmn) + 1).cast("int"),
+            )
+            # non-integer / out-of-domain values cannot occur: the table
+            # was built from the same column this expression is applied to
+        elif entries:
+            expr = F.create_map(*entries)[F.col(axis)]
+        else:
+            expr = F.lit(None).cast("double")
+        if nan_rank is not None:
+            expr = F.when(F.isnan(F.col(axis)), F.lit(nan_rank)).otherwise(expr)
+        if null_rank is not None:
+            expr = F.when(F.col(axis).isNull(), F.lit(null_rank)).otherwise(expr)
+        return expr
+
+    rank_exprs = {}
+    for axis in ("x", "y"):
+        if tiers[axis] == "literal":
+            e = global_rank_expr(axis)
+            if e is None:
+                tiers[axis] = "window"
+            else:
+                rank_exprs[axis] = e
+
+    def bucket(v, mn, mx, axis):
         # deterministic ordered bucketing: NULLs first (Spark sort order),
         # NaN last, constant column → one bucket; width_bucket is monotone
         # in v, so bucket-local ranks + per-bucket offsets compose to the
-        # exact global tie-averaged rank
+        # exact global tie-averaged rank.  A literal-tier axis carries a
+        # GLOBAL rank, so its bucket is constant (offset 0 by construction).
+        if tiers[axis] in ("literal", "value") or mn is None or mx is None:
+            return (
+                F.lit(1) if tiers[axis] in ("literal", "value") else F.lit(-1)
+            )
         return (
             F.when(v.isNull(), F.lit(-1))
             .when(F.isnan(v), F.lit(grid + 2))
-            .when(mn == mx, F.lit(1))
-            .otherwise(F.width_bucket(v, mn, mx, F.lit(grid)))
+            .when(F.lit(mn == mx), F.lit(1))
+            .otherwise(F.width_bucket(v, F.lit(mn), F.lit(mx), F.lit(grid)))
         )
 
     wb = (
-        base.crossJoin(F.broadcast(mm))
-        .withColumn("_px", bucket(F.col("x"), F.col("_xmn"), F.col("_xmx")))
-        .withColumn("_py", bucket(F.col("y"), F.col("_ymn"), F.col("_ymx")))
+        base
+        .withColumn("_px", bucket(F.col("x"), st["_xmn"], st["_xmx"], "x"))
+        .withColumn("_py", bucket(F.col("y"), st["_ymn"], st["_ymx"], "y"))
         .select("x", "y", "_px", "_py")
     )
-    one = F.lit(1)
-    # one exchange + sort per axis; the ties count rides the SAME sort as a
-    # RANGE [current, current] frame (all ties of v share v's bucket)
-    w_cx = Window.partitionBy("_px").orderBy("x").rangeBetween(
-        Window.unboundedPreceding, Window.currentRow)
-    w_tx = Window.partitionBy("_px").orderBy("x").rangeBetween(
-        Window.currentRow, Window.currentRow)
-    w_cy = Window.partitionBy("_py").orderBy("y").rangeBetween(
-        Window.unboundedPreceding, Window.currentRow)
-    w_ty = Window.partitionBy("_py").orderBy("y").rangeBetween(
-        Window.currentRow, Window.currentRow)
+
+    def axis_rank(frame, axis: str, bcol: str, lname: str):
+        """Attach the (bucket-local or global) tie-averaged rank for one
+        axis.  Three strategies, chosen per axis by its cardinality signal
+        (``tiers``):
+
+        * literal — tiny axis: GLOBAL rank as a map-literal expression
+          (global_rank_expr above); the heavy side gains an expression,
+          never an exchange.  This is the count-based hot-bucket guard
+          (r8 VERDICT finding #4): width_bucket sends every tie of a value
+          to one bucket, so a heavily-tied axis would otherwise funnel
+          through one window task — here ties collapse map-side in a
+          groupBy and the axis never sorts at all.
+        * broadcast — mid-cardinality (≤ LOWCARD distinct, trustworthy
+          full-scan HLL only): rank over the DISTINCT-value table and
+          broadcast-join it back — no exchange, no sort of the big side.
+        * window — high-cardinality: one exchange + sort; the ties count
+          rides the SAME sort as a RANGE [current,current] frame.  Skew
+          bound: a single value's tie run concentrates in one task, but a
+          high-cardinality axis by definition has small runs on average;
+          a pathological heavy hitter drags the distinct count down and
+          flips the axis to a collapsed tier.
+        """
+        if tiers[axis] == "literal":
+            return frame.withColumn(lname, rank_exprs[axis])
+        if tiers[axis] == "broadcast":
+            w_cum = Window.partitionBy("_b").orderBy("_v").rangeBetween(
+                Window.unboundedPreceding, Window.currentRow)
+            rt = (
+                wb.groupBy(F.col(bcol).alias("_b"), F.col(axis).alias("_v"))
+                .agg(F.count(one).alias("_w"))
+                .withColumn("_cm", F.sum("_w").over(w_cum))
+                .select(
+                    "_b", "_v",
+                    ((F.col("_cm") - F.col("_w")) + (F.col("_w") + 1) / 2.0
+                     ).alias(lname),
+                )
+            )
+            # eqNullSafe keeps the NULL-valued rows (bucket -1); Spark's
+            # NaN = NaN is true, so the NaN bucket joins with plain equality
+            return frame.join(
+                F.broadcast(rt),
+                (frame[bcol] == rt["_b"]) & frame[axis].eqNullSafe(rt["_v"]),
+            ).drop("_b", "_v")
+        w_c = Window.partitionBy(bcol).orderBy(axis).rangeBetween(
+            Window.unboundedPreceding, Window.currentRow)
+        w_t = Window.partitionBy(bcol).orderBy(axis).rangeBetween(
+            Window.currentRow, Window.currentRow)
+        return (
+            frame.repartition(nshuf, F.col(bcol))
+            .withColumn("_cm", F.count(one).over(w_c))
+            .withColumn("_ts", F.count(one).over(w_t))
+            .withColumn(
+                lname, (F.col("_cm") - F.col("_ts")) + (F.col("_ts") + 1) / 2.0
+            )
+            .drop("_cm", "_ts")
+        )
+
     if grid <= 512:
-        # cells path: bucket-LOCAL ranks only in-plan; the ≤(grid+4)² cell
-        # table (few MB, constant in data size) is collected and the global
-        # offsets applied in closed form driver-side — rx = lx + off(px) is
-        # linear, so every global moment expands over cell sums exactly
-        lr = (
-            wb.repartition(nshuf, F.col("_px"))
-            .withColumn("_cmx", F.count(one).over(w_cx))
-            .withColumn("_tsx", F.count(one).over(w_tx))
-            .withColumn(
-                "lx",
-                (F.col("_cmx") - F.col("_tsx")) + (F.col("_tsx") + 1) / 2.0,
-            )
-            .repartition(nshuf, F.col("_py"))
-            .withColumn("_cmy", F.count(one).over(w_cy))
-            .withColumn("_tsy", F.count(one).over(w_ty))
-            .withColumn(
-                "ly",
-                (F.col("_cmy") - F.col("_tsy")) + (F.col("_tsy") + 1) / 2.0,
-            )
-        )
-        cells = (
-            lr.groupBy("_px", "_py")
-            .agg(
-                F.count(one).cast("double").alias("n"),
+        # cells path: bucket-LOCAL ranks only in-plan; the cell table (few
+        # MB, constant in data size) is collected and the global offsets
+        # applied in closed form driver-side — rx = lx + off(px) is
+        # linear, so every global moment expands over cell sums exactly.
+        # A "value"-tier axis keys its cells by the VALUE itself: every
+        # row in such a cell shares the tie run, so its local rank is the
+        # CONSTANT (cnt+1)/2 and the per-cell rank sums are synthesized
+        # from the marginals here — that axis contributes no job, no
+        # expression and no sort to the plan at all (r8 finding #4's
+        # count-based guard taken to its limit).
+        vx, vy = tiers["x"] == "value", tiers["y"] == "value"
+        kx, ky = ("x" if vx else "_px"), ("y" if vy else "_py")
+        frame = wb
+        aggs = [F.count(one).cast("double").alias("n")]
+        if not vx:
+            frame = axis_rank(frame, "x", "_px", "lx")
+            aggs += [
                 F.sum("lx").alias("slx"),
-                F.sum("ly").alias("sly"),
                 F.sum(F.col("lx") * F.col("lx")).alias("slxx"),
+            ]
+        if not vy:
+            frame = axis_rank(frame, "y", "_py", "ly")
+            aggs += [
+                F.sum("ly").alias("sly"),
                 F.sum(F.col("ly") * F.col("ly")).alias("slyy"),
-                F.sum(F.col("lx") * F.col("ly")).alias("slxy"),
-            )
-            .collect()
-        )
+            ]
+        if not vx and not vy:
+            aggs.append(F.sum(F.col("lx") * F.col("ly")).alias("slxy"))
+        cells = frame.groupBy(kx, ky).agg(*aggs).collect()
+        import math as _math
+
         from collections import defaultdict
 
         cntx: dict = defaultdict(float)
         cnty: dict = defaultdict(float)
         for r in cells:
-            cntx[r["_px"]] += r["n"]
-            cnty[r["_py"]] += r["n"]
+            cntx[r[kx]] += r["n"]
+            cnty[r[ky]] += r["n"]
 
         def offsets(cnt: dict) -> dict:
+            # value keys sort like Spark: NULL first, NaN last
+            def key(b):
+                if b is None:
+                    return (0,)
+                if isinstance(b, float) and _math.isnan(b):
+                    return (2,)
+                return (1, b)
+
             m, run = {}, 0.0
-            for b in sorted(cnt):
+            for b in sorted(cnt, key=key):
                 m[b] = run
                 run += cnt[b]
             return m
@@ -272,14 +461,32 @@ def rank_corr(
         ox, oy = offsets(cntx), offsets(cnty)
         n = sx = sy = sxx = syy = sxy = 0.0
         for r in cells:
-            a, b = ox[r["_px"]], oy[r["_py"]]
-            nc, slx, sly = r["n"], r["slx"], r["sly"]
+            a, b = ox[r[kx]], oy[r[ky]]
+            nc = r["n"]
+            # value-tier axes: local rank is constant per cell — synthesize
+            # the rank sums the plan didn't need to compute
+            if vx:
+                lrx = (cntx[r[kx]] + 1) / 2.0
+                slx, slxx = nc * lrx, nc * lrx * lrx
+            else:
+                slx, slxx = r["slx"], r["slxx"]
+            if vy:
+                lry = (cnty[r[ky]] + 1) / 2.0
+                sly, slyy = nc * lry, nc * lry * lry
+            else:
+                sly, slyy = r["sly"], r["slyy"]
+            if vx:
+                slxy = lrx * sly
+            elif vy:
+                slxy = lry * slx
+            else:
+                slxy = r["slxy"]
             n += nc
             sx += slx + nc * a
             sy += sly + nc * b
-            sxx += r["slxx"] + 2 * a * slx + nc * a * a
-            syy += r["slyy"] + 2 * b * sly + nc * b * b
-            sxy += r["slxy"] + a * sly + b * slx + nc * a * b
+            sxx += slxx + 2 * a * slx + nc * a * a
+            syy += slyy + 2 * b * sly + nc * b * b
+            sxy += slxy + a * sly + b * slx + nc * a * b
     else:
         # large-grid path (cluster-scale parallelism without quadratic
         # driver cells): per-bucket offsets stay IN-PLAN as broadcast
@@ -298,25 +505,14 @@ def rank_corr(
                 .select(F.col("_b").alias(col), F.col("_o").alias(f"_o{col}"))
             )
 
+        lr = axis_rank(
+            axis_rank(wb, "x", "_px", "lx"), "y", "_py", "ly"
+        )
         r = (
-            wb.repartition(nshuf, F.col("_px"))
-            .withColumn("_cmx", F.count(one).over(w_cx))
-            .withColumn("_tsx", F.count(one).over(w_tx))
-            .join(off("_px"), "_px")
-            .withColumn(
-                "rx",
-                (F.col("_o_px") + F.col("_cmx") - F.col("_tsx"))
-                + (F.col("_tsx") + 1) / 2.0,
-            )
-            .repartition(nshuf, F.col("_py"))
-            .withColumn("_cmy", F.count(one).over(w_cy))
-            .withColumn("_tsy", F.count(one).over(w_ty))
+            lr.join(off("_px"), "_px")
+            .withColumn("rx", F.col("_o_px") + F.col("lx"))
             .join(off("_py"), "_py")
-            .withColumn(
-                "ry",
-                (F.col("_o_py") + F.col("_cmy") - F.col("_tsy"))
-                + (F.col("_tsy") + 1) / 2.0,
-            )
+            .withColumn("ry", F.col("_o_py") + F.col("ly"))
         )
         s = r.agg(
             F.count(one).cast("double").alias("n"),
@@ -798,10 +994,18 @@ def tdigest_quantiles_by(
     epsilon: float = TDIGEST_EPSILON,
     out_names: list[str] | None = None,
     mode: str = "auto",
+    check_tol: float | None = None,
 ) -> DataFrame:
     """quantileTDigest(level)(x) ... GROUP BY keys — the real per-group
     Dunning digest (`src/AggregateFunctions/QuantileTDigest.h` keeps one
     digest per aggregation state), not percentile_approx.
+
+    ``check_tol`` (single mode only): additionally emit one ``ok_<name>``
+    int column per level — the empirical-CDF accuracy indicator
+    F(v⁻) − tol ≤ q ≤ F(v) + tol, computed EXACTLY (numpy over the same
+    group values the digest was built from, in the same task) — so an
+    accuracy-pinned gate needs no second scan / broadcast-join pass over
+    the input.
 
     Two physical plans, chosen like an engine's cost-based agg choice
     (``mode``: "single" | "partial" | "auto"):
@@ -846,15 +1050,34 @@ def tdigest_quantiles_by(
         list(key_fields)
         + [StructField("_mean", DoubleType()), StructField("_cnt", DoubleType())]
     )
-    out_schema = StructType(
-        list(key_fields) + [StructField(o, DoubleType()) for o in out_names]
-    )
+    out_fields = list(key_fields) + [
+        StructField(o, DoubleType()) for o in out_names
+    ]
+    if check_tol is not None:
+        from pyspark.sql.types import IntegerType
+
+        out_fields += [
+            StructField(f"ok_{o}", IntegerType()) for o in out_names
+        ]
+    out_schema = StructType(out_fields)
     lvls = list(levels)
     eps = float(epsilon)
+    tol = check_tol
     knames = list(keys)
 
     if mode == "auto":
-        mode = "partial" if src.rdd.getNumPartitions() >= 64 else "single"
+        # Cost-base on the optimizer's size estimate, not getNumPartitions()
+        # (an RDD conversion that never crossed its threshold at gate scale —
+        # r8 VERDICT finding #2). The partial-digest path pays off once the
+        # raw-row shuffle payload dominates: ≥8 GB estimated input (~64
+        # default splits). Below that the single-shuffle shape wins the A/B.
+        try:
+            est_bytes = int(
+                src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est_bytes = 0
+        mode = "partial" if est_bytes >= 8 * 1024**3 else "single"
 
     if mode == "single":
         def per_group(pdf):
@@ -866,6 +1089,8 @@ def tdigest_quantiles_by(
             if vals.size == 0:
                 for o in out_names:
                     row[o] = float("nan")
+                    if tol is not None:
+                        row[f"ok_{o}"] = 0
             else:
                 # exact tie-folding via np.unique, then the same
                 # incremental greedy compress (QuantileTDigest.h add())
@@ -877,11 +1102,25 @@ def tdigest_quantiles_by(
                     cents.extend(zip(ul[i: i + 8192], cl[i: i + 8192]))
                     n += float(sum(cl[i: i + 8192]))
                     cents = _tdigest_compress(cents, n, eps)
+                cw = np.cumsum(c)
                 for o, lv in zip(out_names, lvls):
-                    row[o] = _tdigest_get_quantile(cents, n, lv)
+                    v = _tdigest_get_quantile(cents, n, lv)
+                    row[o] = v
+                    if tol is not None:
+                        # F(v⁻)/F(v) from the sorted unique values: the
+                        # cumulative count strictly below / at-or-below v
+                        lo = float(cw[np.searchsorted(u, v, "left") - 1]) \
+                            if np.searchsorted(u, v, "left") > 0 else 0.0
+                        hi = float(cw[np.searchsorted(u, v, "right") - 1]) \
+                            if np.searchsorted(u, v, "right") > 0 else 0.0
+                        row[f"ok_{o}"] = int(
+                            lo / n - tol <= lv <= hi / n + tol
+                        )
             return pd.DataFrame([row])
 
         return src.groupBy(*knames).applyInPandas(per_group, out_schema)
+    if check_tol is not None:
+        raise ValueError("check_tol is only supported with mode='single'")
 
     def partials(it):
         import numpy as np

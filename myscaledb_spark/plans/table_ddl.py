@@ -300,7 +300,11 @@ _CTAS_RE = re.compile(
     # `CREATE TABLE p (...) ENGINE=MergeTree ORDER BY k settings ... AS
     # SELECT`)
     r"^\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"(?:default\.)?(?P<table>\w+)\s*(?:\((?P<cols>[^()]*)\)\s*)?"
+    # cols allows ONE paren nesting level so declarations with
+    # parenthesized types (Decimal(10,2), Nullable(...), Enum8(...)) are
+    # captured instead of silently falling into <mid> (r8 ADVICE)
+    r"(?:default\.)?(?P<table>\w+)\s*"
+    r"(?:\((?P<cols>(?:[^()]|\([^()]*\))*)\)\s*)?"
     r"(?:ENGINE\s*=?\s*(?P<engine>\w+)\s*(?:\((?P<eargs>[^()]*)\))?\s*)?"
     r"(?P<mid>[^;]*?)AS\s+(?P<select>(?:SELECT|WITH)\b.*)$",
     re.IGNORECASE | re.DOTALL,
@@ -325,8 +329,10 @@ def create_table_as_select(spark: SparkSession, sql: str) -> dict:
         # declared schema wins: rename the SELECT's columns positionally and
         # cast to the declared types (InterpreterCreateQuery as-select with
         # explicit columns — 00488)
+        from myscaledb_spark.sql_dialect import _split_args
+
         decls = []
-        for piece in m.group("cols").split(","):
+        for piece in _split_args(m.group("cols")):
             dm = re.match(r"\s*`?([\w.]+)`?\s+(.+?)\s*$", piece)
             if dm:
                 decls.append((dm.group(1), ch_type_to_spark(dm.group(2))))
@@ -378,7 +384,7 @@ _CREATE_RE = re.compile(
     re.IGNORECASE,
 )
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s*(?:\((?P<cols>[\w\s,]*)\))?\s*"
+    r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s*(?:\((?P<cols>[\w\s,.`]*)\))?\s*"
     r"(?P<rest>VALUES|SELECT|WITH)\b",
     re.IGNORECASE | re.DOTALL,
 )
@@ -593,6 +599,7 @@ def create_table(spark: SparkSession, sql: str) -> dict:
     constraints_decl: list[str] = []
     agg_cols: dict[str, str] = {}
     ch_types: dict[str, str] = {}
+    declared_defaults: dict[str, str] = {}
     inline_fts: dict | None = None
     for item in _split_args(cols_raw):
         it = item.strip()
@@ -654,7 +661,40 @@ def create_table(spark: SparkSession, sql: str) -> dict:
             continue
         if not it or re.match(r"(INDEX|PRIMARY\s+KEY)\b", it, re.IGNORECASE):
             continue  # indexes/keys parse but route through their own ops
-        cm = re.match(r"`?(\w+)`?\s+(.+?)(?:\s+DEFAULT\s+.+)?$", it, re.DOTALL)
+        nm_ = re.match(r"`?([\w.]+)`?\s+Nested\s*\(", it, re.IGNORECASE)
+        if nm_:
+            # Nested(a T1, b T2) — a family of parallel arrays sharing one
+            # offsets column (DataTypeNested.h).  Flatten-on-create: one
+            # REAL array column per subcolumn, named with the dot
+            # (`nest.x` array<T1>), registered in sql_dialect.NESTED_TABLES
+            # so the dialect backtick-quotes references and expands
+            # ARRAY JOIN prefix forms.
+            from myscaledb_spark.sql_dialect import NESTED_TABLES
+
+            prefix = nm_.group(1)
+            open2 = it.index("(", nm_.end() - 1)
+            from myscaledb_spark.sql_dialect import _find_call_end
+
+            end2 = _find_call_end(it, open2)
+            subs = []
+            for sub in _split_args(it[open2 + 1 : end2 - 1]):
+                sm_ = re.match(r"`?(\w+)`?\s+(.+)$", sub.strip(), re.DOTALL)
+                if not sm_:
+                    raise ChSqlError(
+                        f"cannot parse Nested subcolumn {sub!r}"
+                    )
+                full = f"{prefix}.{sm_.group(1)}"
+                ch_types[full] = f"Array({sm_.group(2).strip()})"
+                schema.append(
+                    (full, ch_type_to_spark(f"Array({sm_.group(2)})"))
+                )
+                subs.append(sm_.group(1))
+            NESTED_TABLES.setdefault(table, {})[prefix] = subs
+            continue
+        cm = re.match(
+            r"`?([\w.]+)`?\s+(.+?)(?:\s+DEFAULT\s+(?P<dflt>.+))?$",
+            it, re.DOTALL,
+        )
         if not cm:
             raise ChSqlError(f"cannot parse column declaration {it!r}")
         agg = parse_agg_type(cm.group(2))
@@ -665,6 +705,8 @@ def create_table(spark: SparkSession, sql: str) -> dict:
         # types (00995: FROM -10 on a UInt32 column is serverError 475)
         ch_types[cm.group(1)] = re.sub(r"\s+", " ", cm.group(2).strip())
         schema.append((cm.group(1), ch_type_to_spark(cm.group(2))))
+        if cm.group("dflt"):
+            declared_defaults[cm.group(1)] = cm.group("dflt").strip()
     if not schema:
         raise ChSqlError("CREATE TABLE needs at least one plain column")
 
@@ -856,7 +898,7 @@ def create_table(spark: SparkSession, sql: str) -> dict:
             raise ChSqlError(f"ORDER BY column {k!r} not in the table schema")
 
     store = f"{table}__store"
-    fields = ", ".join(f"{c} {t}" for c, t in schema)
+    fields = ", ".join(f"`{c}` {t}" for c, t in schema)
     empty_store = spark.createDataFrame([], f"{fields}, {ISEQ} bigint, {EXISTS} boolean")
     empty_store.createOrReplaceTempView(store)
     _refresh_view(spark, table)
@@ -870,6 +912,8 @@ def create_table(spark: SparkSession, sql: str) -> dict:
         agg_cols=agg_cols if kind == "aggregating" else None,
     )
     TABLES[table] = {"schema": schema, "n_parts": 0, "parts": []}
+    if declared_defaults:
+        TABLES[table]["defaults"] = declared_defaults
     if eng == "null":
         TABLES[table]["engine_null"] = True
     if constraints_decl:
@@ -1049,7 +1093,8 @@ def insert_into(spark: SparkSession, sql: str) -> int:
     schema = TABLES[table]["schema"]
     colnames = [c for c, _ in schema]
     ins_cols = (
-        [c.strip() for c in m.group("cols").split(",")] if m.group("cols") else colnames
+        [c.strip().strip("`") for c in m.group("cols").split(",")]
+        if m.group("cols") else colnames
     )
     unknown = set(ins_cols) - set(colnames)
     if unknown:
@@ -1105,7 +1150,8 @@ def insert_into(spark: SparkSession, sql: str) -> int:
         if ok_cast and cast_rows:
             rows_sql = ", ".join(cast_rows)
         src = spark.sql(
-            f"SELECT * FROM VALUES {rows_sql} AS _ins({', '.join(ins_cols)})"
+            f"SELECT * FROM VALUES {rows_sql} "
+            f"AS _ins({', '.join(f'`{c}`' for c in ins_cols)})"
         )
     else:
         from myscaledb_spark.sql_dialect import ch_sql
@@ -1126,14 +1172,17 @@ def insert_into(spark: SparkSession, sql: str) -> int:
     ch_types = TABLES[table].get("ch_types") or {}
     out_cols = []
     for c in colnames:
+        # dotted (Nested-subcolumn) names need quoting for F.col — a bare
+        # dot parses as struct-field access
+        qn = f"`{c}`" if "." in c else c
         if c in ins_cols:
             emap = enum_mapping(ch_types.get(c, ""))
             if emap:
                 # Enum columns accept the NAME or the VALUE and store the
                 # display name; anything else raises like the reference's
                 # UNKNOWN_ELEMENT_OF_ENUM (00453 `-- {{ clientError }}`)
-                v = F.col(c).cast("string")
-                expr = F.when(F.col(c).isNull(), F.lit(None).cast("string"))
+                v = F.col(qn).cast("string")
+                expr = F.when(F.col(qn).isNull(), F.lit(None).cast("string"))
                 for nm, val in emap:
                     expr = expr.when(v == nm, F.lit(nm)).when(
                         v == str(val), F.lit(nm)
@@ -1146,13 +1195,44 @@ def insert_into(spark: SparkSession, sql: str) -> int:
                 )
                 out_cols.append(expr.alias(c))
                 continue
-            out_cols.append(F.col(c).cast(types[c]).alias(c))
+            out_cols.append(F.col(qn).cast(types[c]).alias(c))
         else:
-            # omitted columns land as their TYPE DEFAULT (0/''/[]) unless
-            # declared Nullable — ClickHouse never fabricates NULLs on
-            # INSERT (00071_insert_fewer_columns)
-            from myscaledb_spark.sql_dialect import _type_default
+            # omitted columns: a DECLARED DEFAULT expression wins
+            # (00361's `d Date DEFAULT '2000-01-01'`); otherwise the TYPE
+            # DEFAULT (0/''/[]) unless declared Nullable — ClickHouse
+            # never fabricates NULLs on INSERT (00071_insert_fewer_columns)
+            from myscaledb_spark.sql_dialect import _rewrite_calls, _type_default
 
+            decl = (TABLES[table].get("defaults") or {}).get(c)
+            if decl is not None:
+                out_cols.append(
+                    F.expr(
+                        f"CAST({_rewrite_calls(decl)} AS {types[c]})"
+                    ).alias(c)
+                )
+                continue
+            if "." in c:
+                # omitted Nested subcolumn: the default KEEPS the family's
+                # shared offsets — an array of element defaults sized like
+                # a provided sibling (DataTypeNested; 00147 post-ALTER
+                # INSERT prints [0,0] next to ['Hello2','World2'])
+                from myscaledb_spark.sql_dialect import NESTED_TABLES
+
+                prefix = c.rsplit(".", 1)[0]
+                fam = (NESTED_TABLES.get(table) or {}).get(prefix) or []
+                sib = next(
+                    (s for s in fam if f"{prefix}.{s}" in ins_cols), None
+                )
+                if sib is not None and types[c].startswith("array<"):
+                    elem_t = types[c][len("array<"):-1]
+                    d0 = _type_default(elem_t) or "NULL"
+                    out_cols.append(
+                        F.expr(
+                            f"transform(`{prefix}.{sib}`, "
+                            f"_nv -> CAST({d0} AS {elem_t}))"
+                        ).alias(c)
+                    )
+                    continue
             default = None
             if not str(ch_types.get(c, "")).lower().startswith("nullable"):
                 default = _type_default(types[c])
@@ -1216,7 +1296,13 @@ def drop_table(spark: SparkSession, table: str) -> None:
     _SEQ.pop(table, None)
     TABLE_ENGINES.pop(table, None)
     SKIP_INDICES.pop(table, None)
-    from myscaledb_spark.sql_dialect import PARAM_CHECK_DISABLED, TABLE_VS_METRIC
+    from myscaledb_spark.sql_dialect import (
+        NESTED_TABLES,
+        PARAM_CHECK_DISABLED,
+        TABLE_VS_METRIC,
+    )
+
+    NESTED_TABLES.pop(table, None)
 
     TABLE_VS_METRIC.pop(table, None)
     PARAM_CHECK_DISABLED.discard(table)
@@ -1500,10 +1586,12 @@ def alter_table_columns(spark: SparkSession, sql: str):
     for action in _split_args(sql[m.end() :]):
         a = action.strip()
         am = re.match(
-            # nested type parens (LowCardinality(Nullable(Int8)) — 00688)
-            r"ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+"
+            # nested type parens (LowCardinality(Nullable(Int8)) — 00688);
+            # dotted names = Nested subcolumns (`n.i8` — 00394)
+            r"ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(?P<name>[\w.]+)`?\s+"
             r"(?P<type>\w+(?:\s*\((?:[^()]|\([^()]*\))*\))?)"
-            r"(?:\s+DEFAULT\s+(?P<dflt>.+))?$",
+            r"(?:\s+DEFAULT\s+(?P<dflt>.+?))?"
+            r"(?:\s+AFTER\s+\S+)?$",
             a, re.IGNORECASE | re.DOTALL,
         )
         if am:
@@ -1512,11 +1600,30 @@ def alter_table_columns(spark: SparkSession, sql: str):
                 continue  # IF NOT EXISTS semantics; duplicate adds are no-ops
             stype = ch_type_to_spark(am.group("type"))
             dflt = am.group("dflt")
+            from myscaledb_spark.sql_dialect import NESTED_TABLES, _type_default
             from myscaledb_spark.sql_dialect import rewrite as _rw
 
             expr = _rw(dflt) if dflt else "NULL"
+            if "." in name:
+                # adding an Array subcolumn to an existing Nested family
+                # KEEPS the shared offsets (DataTypeNested; 00394): the
+                # default value per row is an array of type defaults SIZED
+                # like the siblings — transform over the first sibling
+                prefix, sub = name.rsplit(".", 1)
+                fam = NESTED_TABLES.setdefault(table, {}).setdefault(
+                    prefix, []
+                )
+                if dflt is None and fam and stype.startswith("array<"):
+                    elem_t = stype[len("array<"):-1]
+                    d0 = _type_default(elem_t) or "NULL"
+                    expr = (
+                        f"transform(`{prefix}.{fam[0]}`, "
+                        f"_nv -> CAST({d0} AS {elem_t}))"
+                    )
+                if sub not in fam:
+                    fam.append(sub)
             new = spark.sql(
-                f"SELECT *, cast(({expr}) as {stype}) AS {name} FROM {store}"
+                f"SELECT *, cast(({expr}) as {stype}) AS `{name}` FROM {store}"
             )
             # keep ISEQ the trailing column (insert_into appends by name, so
             # order only matters for readability)

@@ -29,6 +29,14 @@ ENGINE_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Small dims (region/nation/supplier at TPC-H shape) must broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # The SQL status store retains plan-description strings per execution
+    # (default 1000); our dialect emits very large generated plans, so long
+    # suites accumulate GBs of retained UI state. Keep a short tail — the
+    # plan feedback loop uses .explain(), not the UI.
+    "spark.ui.enabled": "false",
+    "spark.sql.ui.retainedExecutions": "16",
+    "spark.ui.retainedJobs": "100",
+    "spark.ui.retainedStages": "100",
 }
 
 

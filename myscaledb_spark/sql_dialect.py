@@ -341,14 +341,14 @@ TEMPLATES: dict[str, str] = {
     "visitParamExtractInt": "coalesce(try_cast(get_json_object({0}, concat('$.', {1})) as bigint), cast(0 as bigint))",
     "visitParamExtractUInt": "greatest(coalesce(try_cast(get_json_object({0}, concat('$.', {1})) as bigint), cast(0 as bigint)), cast(0 as bigint))",
     "visitParamExtractFloat": "coalesce(try_cast(get_json_object({0}, concat('$.', {1})) as double), cast(0 as double))",
-    "visitParamExtractBool": "cast(get_json_object({0}, concat('$.', {1})) = 'true' as int)",
+    "visitParamExtractBool": "coalesce(cast(get_json_object({0}, concat('$.', {1})) = 'true' as int), 0)",
     "visitParamHas": "cast(get_json_object({0}, concat('$.', {1})) IS NOT NULL as int)",
     "visitParamExtractRaw": "get_json_object({0}, concat('$.', {1}))",
     # simpleJSON* are the modern spellings of the same family
     "simpleJSONExtractInt": "coalesce(try_cast(get_json_object({0}, concat('$.', {1})) as bigint), cast(0 as bigint))",
     "simpleJSONExtractUInt": "greatest(coalesce(try_cast(get_json_object({0}, concat('$.', {1})) as bigint), cast(0 as bigint)), cast(0 as bigint))",
     "simpleJSONExtractFloat": "coalesce(try_cast(get_json_object({0}, concat('$.', {1})) as double), cast(0 as double))",
-    "simpleJSONExtractBool": "cast(get_json_object({0}, concat('$.', {1})) = 'true' as int)",
+    "simpleJSONExtractBool": "coalesce(cast(get_json_object({0}, concat('$.', {1})) = 'true' as int), 0)",
     "simpleJSONHas": "cast(get_json_object({0}, concat('$.', {1})) IS NOT NULL as int)",
     "simpleJSONExtractRaw": "get_json_object({0}, concat('$.', {1}))",
     "simpleJSONExtractString": "get_json_object({0}, concat('$.', {1}))",
@@ -1809,6 +1809,104 @@ _ARRAY_JOIN_RE = re.compile(
     r"\b(LEFT\s+)?ARRAY\s+JOIN\s+", re.IGNORECASE
 )
 
+#: Nested(...) columns (`src/DataTypes/DataTypeNested.h`): a Nested column
+#: is a FAMILY of parallel arrays sharing one offsets column.  The Spark
+#: mapping (SURVEY §1.2) stores each subcolumn as a real array column whose
+#: NAME contains the dot (`nest.x` array<tinyint>), so `SELECT *` prints the
+#: reference's flattened layout verbatim.  table -> {prefix: [subcols]},
+#: registered by plans.table_ddl.create_table / ALTER ADD COLUMN.
+NESTED_TABLES: dict[str, dict[str, list[str]]] = {}
+
+
+def _nested_pairs() -> dict[str, list[str]]:
+    """prefix -> subcols merged across registered tables (test scripts use
+    unique prefixes; a cross-table collision only widens the quoting set,
+    never changes semantics — quoting a name that exists is a no-op)."""
+    out: dict[str, list[str]] = {}
+    for prefs in NESTED_TABLES.values():
+        for p, subs in prefs.items():
+            out.setdefault(p, [])
+            out[p] += [s for s in subs if s not in out[p]]
+    return out
+
+
+def _quote_nested_refs(sql: str, extra: dict[str, list[str]] | None = None) -> str:
+    """Backtick-quote bare `prefix.sub` references for every registered
+    Nested pair so Spark reads them as one dotted COLUMN NAME, not a
+    table-qualified field access."""
+    pairs = _nested_pairs()
+    for p, subs in (extra or {}).items():
+        pairs.setdefault(p, [])
+        pairs[p] += [s for s in subs if s not in pairs[p]]
+    if not pairs:
+        return sql
+    for prefix, subs in pairs.items():
+        for sub in subs:
+            full = f"{prefix}.{sub}"
+            sql = _masked_sub(
+                re.compile(rf"(?<![\w.`]){re.escape(full)}(?![\w.])"),
+                lambda m, f=full: f"`{f}`",
+                sql,
+            )
+    return sql
+
+
+def _expand_nested_array_join(sql: str):
+    """ARRAY JOIN over a Nested PREFIX (ArrayJoinAction.cpp nested
+    handling): `ARRAY JOIN nest` zip-expands every subcolumn in place
+    (each `nest.x` reference then means the ELEMENT); `ARRAY JOIN nest AS
+    n` expands to aliased elements `n.x`, `n.y` while `nest.x` keeps the
+    original arrays.  Rewrites the item list into the multi-array zip form
+    the generic rewriter already implements; returns (sql, local_pairs)
+    where local_pairs holds statement-local alias prefixes (`n` -> subs)
+    for the quoting pass."""
+    pairs = _nested_pairs()
+    local: dict[str, list[str]] = {}
+    if not pairs or not _ARRAY_JOIN_RE.search(sql):
+        return sql, local
+    mask = _string_mask(sql)
+    out, last = [], 0
+    stop_re = re.compile(
+        r"\b(WHERE|GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|SETTINGS|UNION|"
+        r"JOIN|LEFT|RIGHT|INNER|FULL|CROSS|ARRAY)\b",
+        re.IGNORECASE,
+    )
+    for m in _ARRAY_JOIN_RE.finditer(mask):
+        tmask = _top_level_mask(sql)
+        stop = stop_re.search(tmask, m.end())
+        seg_end = stop.start() if stop else len(sql)
+        seg = sql[m.end() : seg_end]
+        items = []
+        changed = False
+        for it in _split_args(seg):
+            it = it.strip()
+            if not it:
+                continue
+            am = re.fullmatch(
+                r"([A-Za-z_]\w*)\s+AS\s+([A-Za-z_]\w*)", it, re.IGNORECASE
+            )
+            if am and am.group(1) in pairs:
+                prefix, alias = am.group(1), am.group(2)
+                subs = pairs[prefix]
+                items += [
+                    f"`{prefix}.{s}` AS `{alias}.{s}`" for s in subs
+                ]
+                local.setdefault(alias, [])
+                local[alias] += [s for s in subs if s not in local[alias]]
+                changed = True
+            elif re.fullmatch(r"[A-Za-z_]\w*", it) and it in pairs:
+                items += [f"`{it}.{s}`" for s in pairs[it]]
+                changed = True
+            else:
+                items.append(it)
+        if not changed:
+            continue
+        out.append(sql[last : m.end()])
+        out.append(" " + ", ".join(items) + " ")
+        last = seg_end
+    out.append(sql[last:])
+    return "".join(out), local
+
 
 def _rewrite_array_join(sql: str) -> str:
     """`FROM t [LEFT] ARRAY JOIN <expr> AS <alias>` → Spark
@@ -1822,6 +1920,7 @@ def _rewrite_array_join(sql: str) -> str:
     mask = _string_mask(sql)
     out, last = [], 0
     shadows: list[str] = []
+    dotted_aliases: list[str] = []
     for m in _ARRAY_JOIN_RE.finditer(mask):
         # expression extends to the next top-level clause keyword
         tmask = _top_level_mask(sql)
@@ -1832,7 +1931,9 @@ def _rewrite_array_join(sql: str) -> str:
         ).search(tmask, m.end())
         seg_end = stop.start() if stop else len(sql)
         seg = sql[m.end() : seg_end].strip()
-        am = re.fullmatch(r"(.+?)\s+AS\s+(\w+)", seg, re.IGNORECASE | re.DOTALL)
+        am = re.fullmatch(
+            r"(.+?)\s+AS\s+(`[\w.]+`|\w+)", seg, re.IGNORECASE | re.DOTALL
+        )
         outer = "OUTER " if m.group(1) else ""
         if "," in _top_level_mask(seg):
             # multiple ARRAY JOIN arrays are ZIPPED positionally
@@ -1846,14 +1947,26 @@ def _rewrite_array_join(sql: str) -> str:
             for it in _split_args(seg):
                 it = it.strip()
                 im_ = re.fullmatch(
-                    r"(.+?)\s+AS\s+(\w+)", it, re.IGNORECASE | re.DOTALL
+                    r"(.+?)\s+AS\s+(`[\w.]+`|\w+)", it,
+                    re.IGNORECASE | re.DOTALL,
                 )
                 if im_ is not None:
-                    items.append((im_.group(1).strip(), im_.group(2), False))
-                elif re.fullmatch(r"[A-Za-z_]\w*", it):
+                    a_ = im_.group(2).strip("`")
+                    if "." in a_:
+                        # a dotted element alias (Nested `... AS n` → n.x):
+                        # Spark cannot re-resolve a LATERAL VIEW output
+                        # column whose NAME contains a dot — sanitize the
+                        # alias and substitute the dotted references below
+                        dotted_aliases.append(f"`{a_}`")
+                        a_ = "_aj_" + re.sub(r"\W", "_", a_)
+                    items.append((im_.group(1).strip(), a_, False))
+                elif re.fullmatch(r"[A-Za-z_]\w*|`[\w.]+`", it):
                     # bare column in the zip form shadows its own name,
-                    # same as the single-array bare form
-                    items.append((it, f"_aj_{it}", True))
+                    # same as the single-array bare form (backticked dotted
+                    # names are Nested subcolumns)
+                    items.append(
+                        (it, "_aj_" + re.sub(r"\W", "_", it.strip("`")), True)
+                    )
                 else:
                     raise ChSqlError(
                         "ARRAY JOIN zip items need `<expr> AS alias` or "
@@ -1880,7 +1993,7 @@ def _rewrite_array_join(sql: str) -> str:
             continue
         out.append(sql[last : m.start()])
         if am is None:
-            bm = re.fullmatch(r"[A-Za-z_]\w*", seg)
+            bm = re.fullmatch(r"[A-Za-z_]\w*|`[\w.]+`", seg)
             if bm is None:
                 raise ChSqlError(
                     "ARRAY JOIN needs `<expr> AS alias` or a bare column "
@@ -1890,28 +2003,54 @@ def _rewrite_array_join(sql: str) -> str:
             # with its element (ArrayJoinAction.cpp) — alias the element
             # and substitute every other reference to the column; the
             # explode argument itself is sentinel-protected meanwhile
+            # (backticked dotted = Nested subcolumn, sanitized alias)
             shadows.append(seg)
+            el_alias = "_aj_" + re.sub(r"\W", "_", seg.strip("`"))
             out.append(
                 f" LATERAL VIEW {outer}explode(\0{len(shadows) - 1}\0) "
-                f"AS _aj_{seg} "
+                f"AS {el_alias} "
             )
         else:
+            a_ = am.group(2).strip("`")
+            if "." in a_:
+                dotted_aliases.append(f"`{a_}`")
+                a_ = "_aj_" + re.sub(r"\W", "_", a_)
             out.append(
                 f" LATERAL VIEW {outer}explode({am.group(1).strip()}) "
-                f"AS {am.group(2)} "
+                f"AS {a_} "
             )
         last = seg_end
     out.append(sql[last:])
     res = "".join(out)
     for col in set(shadows):
         # only TOP-LEVEL references shadow (a subquery's own `AS col`
-        # defines the array the join consumes — it must keep its name)
-        pat = re.compile(rf"(?<![\w.`]){re.escape(col)}\b")
+        # defines the array the join consumes — it must keep its name).
+        # Backticked (Nested) columns: no trailing \b after the closing
+        # backtick — a lookahead guards instead; the replacement alias is
+        # the same sanitized form used at the LATERAL VIEW site.
+        alias = "_aj_" + re.sub(r"\W", "_", col.strip("`"))
+        if col.startswith("`"):
+            pat = re.compile(rf"(?<![\w.`]){re.escape(col)}")
+        else:
+            pat = re.compile(rf"(?<![\w.`]){re.escape(col)}\b")
         tl = _top_level_mask(res)
         pieces, pos = [], 0
         for mm in pat.finditer(tl):
             pieces.append(res[pos : mm.start()])
-            pieces.append(f"_aj_{col}")
+            pieces.append(alias)
+            pos = mm.end()
+        pieces.append(res[pos:])
+        res = "".join(pieces)
+    for col in set(dotted_aliases):
+        # dotted element aliases: rewrite the references to the sanitized
+        # LATERAL VIEW output name (same scheme as the shadow aliases)
+        alias = "_aj_" + re.sub(r"\W", "_", col.strip("`"))
+        pat = re.compile(rf"(?<![\w.`]){re.escape(col)}")
+        tl = _top_level_mask(res)
+        pieces, pos = [], 0
+        for mm in pat.finditer(tl):
+            pieces.append(res[pos : mm.start()])
+            pieces.append(alias)
             pos = mm.end()
         pieces.append(res[pos:])
         res = "".join(pieces)
@@ -2203,7 +2342,12 @@ def _fill_grid_sql(
             return grid
         exclusive_to = to_txt is not None
     if ftype == "date":
-        n_steps = f"floor(datediff(_wfb.mx, _wfb.mn) / ({step}))"
+        # unix_date, not datediff: this generated text re-enters the
+        # rewriter, and Spark's 2-arg datediff would be intercepted by the
+        # CH dateDiff(unit, start, end) special (3-arg) and raise
+        n_steps = (
+            f"floor((unix_date(_wfb.mx) - unix_date(_wfb.mn)) / ({step}))"
+        )
         value = f"date_add(_wfb.mn, CAST(_i * ({step}) AS INT))"
     elif ftype == "timestamp":
         n_steps = (
@@ -3149,8 +3293,14 @@ def _rewrite_datetime_arith(sql: str) -> str:
             if rend is None:
                 continue
             rhs = sql[k + 1 : rend].strip()
-            if re.match(r"^(to_date|cast)\s*\(", rhs, re.IGNORECASE):
-                continue  # date−date / ts−ts difference: leave to Spark
+            if re.match(
+                r"^(to_date|cast|make_interval)\s*\(", rhs, re.IGNORECASE
+            ):
+                # date−date / ts−ts difference: leave to Spark.
+                # make_interval is THIS function's own output (and native
+                # ts ± interval resolves anyway) — re-consuming it would
+                # re-wrap the same site every pass until the iteration cap.
+                continue
             if is_date:
                 fn = "date_add" if op == "+" else "date_sub"
                 repl = f"{fn}({body}, CAST(({rhs}) AS INT))"
@@ -4743,13 +4893,81 @@ def _expr_is_constant(text: str) -> bool:
 
 def _const_truthiness(cond: str):
     """Evaluate a constant condition's truth value when it is a simple
-    literal/comparison arithmetic shape; None when not evaluable."""
+    literal/comparison arithmetic shape; None when not evaluable.
+
+    Hand-rolled recursive-descent evaluator, NOT eval(): the text comes
+    from untrusted test scripts, and e.g. `9**9**9` passes a character
+    whitelist yet hangs the interpreter computing a 400-million-digit
+    power (r8 ADVICE). The grammar below has no exponent operator and
+    every operation is a single float/int op."""
     t = cond.strip()
     if not re.fullmatch(r"[\d\s()<>=!+*/%.-]+", t):
         return None
-    t = re.sub(r"(?<![<>=!])=(?!=)", "==", t)
+    toks = re.findall(r"\d+\.\d*|\.\d+|\d+|<=|>=|==|!=|<>|[<>=()+*/%-]", t)
+    if "".join(toks).replace(" ", "") != t.replace(" ", ""):
+        return None  # stray characters the tokenizer didn't cover
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take():
+        tok = toks[pos[0]]
+        pos[0] += 1
+        return tok
+
+    def primary():
+        tok = peek()
+        if tok == "(":
+            take()
+            v = comparison()
+            if take() != ")":
+                raise ValueError("unbalanced")
+            return v
+        if tok in ("-", "+"):
+            take()
+            return -primary() if tok == "-" else primary()
+        if tok is None or not re.match(r"[\d.]", tok):
+            raise ValueError("expected number")
+        take()
+        return float(tok) if "." in tok else int(tok)
+
+    def term():
+        v = primary()
+        while peek() in ("*", "/", "%"):
+            op = take()
+            r = primary()
+            if op == "*":
+                v = v * r
+            elif op == "/":
+                v = v / r  # ZeroDivisionError → None via caller
+            else:
+                v = v % r
+        return v
+
+    def additive():
+        v = term()
+        while peek() in ("+", "-"):
+            op = take()
+            v = v + term() if op == "+" else v - term()
+        return v
+
+    def comparison():
+        v = additive()
+        if peek() in ("<", ">", "<=", ">=", "=", "==", "!=", "<>"):
+            op = take()
+            r = additive()
+            return {
+                "<": v < r, ">": v > r, "<=": v <= r, ">=": v >= r,
+                "=": v == r, "==": v == r, "!=": v != r, "<>": v != r,
+            }[op]
+        return v
+
     try:
-        return bool(eval(t, {"__builtins__": {}}, {}))  # noqa: S307
+        v = comparison()
+        if pos[0] != len(toks):
+            return None
+        return bool(v)
     except Exception:
         return None
 
@@ -5035,6 +5253,12 @@ def rewrite(sql: str, schema_fn=None, types_fn=None, analyze_fn=None) -> str:
         if re.search(pat, sql, flags=re.IGNORECASE):
             raise ChSqlError(f"construct not supported in SQL dialect shim: {hint}")
     sql = _rewrite_ch_escapes(sql)
+    # Nested(...) columns live as dotted parallel-array columns (`nest.x`);
+    # expand ARRAY JOIN prefix forms first (they mint statement-local alias
+    # prefixes), then backtick-quote every known dotted reference so Spark
+    # doesn't read them as table-qualified names
+    sql, _nested_local = _expand_nested_array_join(sql)
+    sql = _quote_nested_refs(sql, _nested_local)
     # PREWHERE is a storage-level optimization in the reference; Catalyst's
     # pushdown provides the same effect, so PREWHERE ≡ WHERE here
     # (MergeTreeWhereOptimizer.h:31 — the optimizer moves predicates anyway).

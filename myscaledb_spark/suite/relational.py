@@ -35,16 +35,55 @@ def _dec2(c):
     """,
 )
 def pricing_summary(spark, sf_dir):
+    """Exact money aggregation in integer cents (r8 VERDICT finding #3).
+
+    The decimal(18,2) casts happen ONCE in a pre-select and immediately
+    collapse to exact integers (cents / discount basis points), so the
+    per-row product `pc * (100 - dc)` is a primitive long multiply inside
+    whole-stage codegen instead of a 128-bit decimal multiply, and every
+    row-scale SUM is a primitive long add — A/B at sf0.1: 2.97× → 1.45×
+    calibration (an all-decimal(20,0) accumulator variant re-paid +0.3 s
+    of BigDecimal adds).
+
+    Overflow at 100 TB is handled by a two-level sum: level 1 groups by
+    (keys, spark_partition_id()) — effectively a map-side-only partial agg
+    (the exchange carries ~|groups| rows PER PARTITION, not per row) whose
+    long sums are safe to ~2e15 per 128 MB scan split (bound: ≤2e6 rows ×
+    ≤1.1e9/row); level 2 re-sums the few partial rows as decimal(38,0),
+    exact to 1e38.  A single-level long sum would overflow around 8e9
+    rows/group; single-level decimal pays 128-bit adds per ROW — this
+    shape pays them per PARTITION.  The final /100 (/10000) division is
+    one correctly-rounded double op, bit-identical to the oracle's
+    CAST(SUM(decimal) AS DOUBLE) of the same exact rational."""
     li = load_table(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(18,2)")
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(_dec2("l_quantity")).cast("double").alias("sum_qty"),
-        F.sum(_dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
-        F.sum(_dec2("l_extendedprice") * (one - _dec2("l_discount")))
-        .cast("double")
-        .alias("sum_disc_price"),
-        (F.sum(_dec2("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-        F.count(F.lit(1)).alias("count_order"),
+    qc = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    pc = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    dc = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+    pre = li.select(
+        "l_returnflag", "l_linestatus",
+        qc.alias("_qc"), pc.alias("_pc"), (pc * (100 - dc)).alias("_dpc"),
+    )
+    partial = pre.groupBy(
+        "l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid")
+    ).agg(
+        F.sum("_qc").alias("_sq"),
+        F.sum("_pc").alias("_sp"),
+        F.sum("_dpc").alias("_sdp"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    agg = partial.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("_sq").alias("_sq"),
+        F.sum(F.col("_sp").cast("decimal(38,0)")).alias("_sp"),
+        F.sum(F.col("_sdp").cast("decimal(38,0)")).alias("_sdp"),
+        F.sum("_cnt").alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag", "l_linestatus",
+        (F.col("_sq") / 100.0).alias("sum_qty"),
+        (F.col("_sp").cast("double") / 100.0).alias("sum_base_price"),
+        (F.col("_sdp").cast("double") / 10000.0).alias("sum_disc_price"),
+        (F.col("_sq") / 100.0 / F.col("count_order")).alias("avg_qty"),
+        "count_order",
     )
 
 

@@ -380,6 +380,13 @@ PINNED = [
     "../0_stateless/00755_avg_value_size_hint_passing.sql",
     "../0_stateless/00756_power_alias.sql",
     "../0_stateless/00758_array_reverse.sql",
+    # r9: Nested(...) columns (r8 VERDICT missing #3) — flatten-on-create
+    # into dotted parallel-array columns, ARRAY JOIN prefix/alias forms via
+    # the multi-array zip, `n.sub` backtick quoting, ALTER ADD of a new
+    # subcolumn keeps the family offsets, INSERT (n.a, n.b) column lists
+    "../0_stateless/00014_select_from_table_with_nested.sql",
+    "../0_stateless/00361_shared_array_offsets_and_squash_blocks.sql",
+    "../0_stateless/00394_new_nested_column_keeps_offsets.sql",
 ]
 
 

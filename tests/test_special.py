@@ -195,6 +195,49 @@ def test_distributed_rank_matches_window_form(spark):
                 assert "_pid" in line, f"unpartitioned Window in plan: {line}"
 
 
+def test_rank_corr_skew_guard_low_cardinality_axis(spark):
+    """r8 VERDICT finding #4 (skew guard): a heavily-tied axis must not
+    funnel every tie of a value through one window task. rank_corr routes
+    a low-cardinality axis (approx distinct ≤ 65536) through a
+    distinct-value rank table — ties collapse map-side in a groupBy, the
+    tiny table broadcast-joins back — and stays EXACT while doing it.
+    Pins exactness on the worst shapes: binary axis (one value = 50% of
+    all rows), constant axis (rho undefined → NaN), and a heavy-hitter
+    axis (90% one value)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from myscaledb_spark.operators.stats import rank_corr
+
+    li = spark.table("lineitem").limit(20000)
+
+    def exact_spearman(df, xc, yc):
+        pdf = df.select(F.col(xc).alias("x"), F.col(yc).alias("y")).toPandas()
+        return pdf["x"].rank().corr(pdf["y"].rank())
+
+    # binary axis: every tie run is half the input
+    b = li.withColumn("_b", (F.col("l_orderkey") % 2 == 0).cast("int"))
+    got = rank_corr(b, "_b", "l_extendedprice").first().rank_corr
+    assert got == pytest.approx(exact_spearman(b, "_b", "l_extendedprice"),
+                                abs=1e-12)
+
+    # heavy hitter: 90% of rows share one value (the r8 funnel case)
+    h = li.withColumn(
+        "_h",
+        F.when(F.col("l_linenumber") > 1, F.lit(7.0)).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    got = rank_corr(h, "_h", "l_extendedprice").first().rank_corr
+    assert got == pytest.approx(exact_spearman(h, "_h", "l_extendedprice"),
+                                abs=1e-12)
+
+    # constant axis: zero rank variance → NaN (matches F.corr semantics)
+    c = li.withColumn("_c", F.lit(1.0))
+    assert math.isnan(rank_corr(c, "_c", "l_extendedprice").first().rank_corr)
+
+
 def test_grouped_tdigest_sql_routes_to_real_estimator(spark):
     """r7 ask #6: the canonical grouped quantileTDigest SQL shape must use
     the per-group Dunning digest — a single-group query therefore equals

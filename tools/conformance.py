@@ -138,15 +138,14 @@ def _parse_cell(tok: str):
     try:
         return float(tok)
     except ValueError:
-        # ClickHouse TSV escaping: \' \\ \t \n \r \0 \b inside string cells
-        return (
-            tok.replace("\\'", "'")
-            .replace("\\t", "\t")
-            .replace("\\n", "\n")
-            .replace("\\r", "\r")
-            .replace("\\0", "\0")
-            .replace("\\b", "\b")
-            .replace("\\\\", "\\")
+        # ClickHouse TSV escaping: \' \\ \t \n \r \0 \b inside string cells.
+        # Decode in ONE left-to-right scan so `\\` consumes its backslash
+        # before the following character is interpreted (ordered
+        # str.replace turned a literal `\\t` into backslash+TAB — r8 ADVICE)
+        _esc = {"'": "'", "\\": "\\", "t": "\t", "n": "\n",
+                "r": "\r", "0": "\0", "b": "\b"}
+        return re.sub(
+            r"\\(.)", lambda m: _esc.get(m.group(1), m.group(0)), tok
         )
 
 
@@ -248,6 +247,47 @@ def _cmp_rows(got, want) -> bool:
     return True
 
 
+def _cleanup_file_state(spark, art: str, pre_views: set) -> None:
+    """Release everything one conformance file leaves in the driver JVM —
+    without this the 241-file pinned suite ratchets the driver's committed
+    heap up ~40 MB/file until the box OOMs (r8 VERDICT finding #1).
+
+    Three sources, measured with tools/leakprobe.py:
+      * temp views the file never DROPs (LocalRelations holding its inserted
+        rows — clickhouse-test files often skip the trailing DROP TABLE);
+      * persisted artifact frames in plans.frame_cache keyed by this file's
+        private tempdir (index builds with no DROP);
+      * committed-but-idle G1 regions from allocation spikes (02233's
+        interpolate grid transiently allocates ~1 GB; with Xmx16g G1 never
+        shrinks on its own — an explicit full GC uncommits per
+        MaxHeapFreeRatio, verified RSS drops in the probe).
+    """
+    import shutil
+
+    from myscaledb_spark.plans import frame_cache
+    from myscaledb_spark.sql_dialect import TABLE_ENGINES
+
+    try:
+        from myscaledb_spark.streaming.live_view import LIVE_VIEWS
+    except Exception:  # pragma: no cover
+        LIVE_VIEWS = {}
+    for t in spark.catalog.listTables():
+        if t.isTemporary and t.name not in pre_views:
+            try:
+                spark.catalog.dropTempView(t.name)
+            except Exception:
+                pass
+            base = t.name[:-len("__store")] if t.name.endswith("__store") else t.name
+            TABLE_ENGINES.pop(base, None)
+            LIVE_VIEWS.pop(base, None)
+    frame_cache.evict_prefix(art)
+    shutil.rmtree(art, ignore_errors=True)
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def run_file(spark, path: str):
     """Run one reference .sql through ch_script statement-by-statement.
 
@@ -258,9 +298,26 @@ def run_file(spark, path: str):
     # one .sql file = one client session: SET statements must not leak in
     # from the previous file (r7 ADVICE)
     reset_session_settings()
+    pre_views = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    try:
+        return _run_file_inner(spark, path)
+    finally:
+        try:
+            _cleanup_file_state(spark, _LAST_ART[0], pre_views)
+        except Exception:
+            pass
+
+
+_LAST_ART = [""]
+
+
+def _run_file_inner(spark, path: str):
+    from myscaledb_spark.plans.table_ddl import ch_script
+
     script = open(path).read()
     stmts = _split(script)
     art = tempfile.mkdtemp(prefix="conf_")
+    _LAST_ART[0] = art
     ref_path = path[: -len(".sql")] + ".reference"
     want = _parse_ref(ref_path) if os.path.exists(ref_path) else []
     got_rows: list[list] = []
