@@ -2481,6 +2481,17 @@ def _bind_system_tables(spark: SparkSession, s: str, artifact_dir: str | None) -
         elif name == "one":
             intro.system_one(spark).createOrReplaceTempView(view)
         elif name in ("numbers", "numbers_mt"):
+            if SESSION_SETTINGS.get("max_block_size", "").strip() == "0":
+                # the reference refuses to FORM blocks of size 0
+                # (PARAMETER_OUT_OF_BOUND, error 12 — 00694). Raising here
+                # matters beyond parity: the expected-error protocol
+                # otherwise force-collects the UNBOUNDED numbers stream to
+                # find an error, which blows the driver heap and was the
+                # r8 suite's JVM killer (death at the file AFTER 00694).
+                raise ChSqlError(
+                    "max_block_size = 0: block size must be positive "
+                    "(reference PARAMETER_OUT_OF_BOUND)"
+                )
             num = intro.system_numbers(spark)
             cap = SESSION_SETTINGS.get("max_rows_to_read")
             if (cap and str(cap).isdigit()

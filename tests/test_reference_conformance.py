@@ -387,6 +387,109 @@ PINNED = [
     "../0_stateless/00014_select_from_table_with_nested.sql",
     "../0_stateless/00361_shared_array_offsets_and_squash_blocks.sql",
     "../0_stateless/00394_new_nested_column_keeps_offsets.sql",
+    "../0_stateless/00147_alter_nested_default.sql",
+    # r9: non-literal division-by-zero → IEEE Inf/NaN via the typed CASE
+    # wrap (r8 VERDICT missing #4) + ifNotFinite
+    "../0_stateless/01065_if_not_finite.sql",
+    # r9: the BinaryMSTG approximate-traversal deviation, ADJUDICATED
+    # (r8 VERDICT missing #7): our exact top-k rows must be at least as
+    # near as the reference index's recorded approximations
+    "00038_mqvs_binary_vector_feature.sql",
+    # r9 batch: 0_stateless scan 00759-01399 (tools-scan survivors, each
+    # PASS verbatim in ≤6s) — grown per r8 VERDICT ask #9 after the suite
+    # could run to completion again
+    "../0_stateless/00761_lower_utf8_bug.sql",
+    "../0_stateless/00762_date_comparsion.sql",
+    "../0_stateless/00800_low_cardinality_empty_array.sql",
+    "../0_stateless/00804_rollup_with_having.sql",
+    "../0_stateless/00811_garbage.sql",
+    "../0_stateless/00814_parsing_ub.sql",
+    "../0_stateless/00817_with_simple.sql",
+    "../0_stateless/00834_date_datetime_cmp.sql",
+    "../0_stateless/00836_numbers_table_function_zero.sql",
+    "../0_stateless/00841_temporary_table_database.sql",
+    "../0_stateless/00842_array_with_constant_overflow.sql",
+    "../0_stateless/00844_join_lightee2.sql",
+    "../0_stateless/00860_unknown_identifier_bug.sql",
+    "../0_stateless/00877_memory_limit_for_new_delete.sql",
+    "../0_stateless/00880_decimal_in_key.sql",
+    "../0_stateless/00898_quantile_timing_parameter_check.sql",
+    "../0_stateless/00906_low_cardinality_const_argument.sql",
+    "../0_stateless/00906_low_cardinality_rollup.sql",
+    "../0_stateless/00910_crash_when_distributed_modify_order_by.sql",
+    "../0_stateless/00911_tautological_compare.sql",
+    "../0_stateless/00918_has_unsufficient_type_check.sql",
+    "../0_stateless/00931_low_cardinality_nullable_aggregate_function_type.sql",
+    "../0_stateless/00931_low_cardinality_read_with_empty_array.sql",
+    "../0_stateless/00931_low_cardinality_set_index_in_key_condition.sql",
+    "../0_stateless/00932_array_intersect_bug.sql",
+    "../0_stateless/00938_test_retention_function.sql",
+    "../0_stateless/00939_test_null_in.sql",
+    "../0_stateless/00944_minmax_null.sql",
+    "../0_stateless/00963_startsWith_force_primary_key.sql",
+    "../0_stateless/00971_merge_tree_uniform_read_distribution_and_max_rows_to_read.sql",
+    "../0_stateless/00972_live_view_select_1.sql",
+    "../0_stateless/00974_adaptive_granularity_secondary_index.sql",
+    "../0_stateless/00974_final_predicate_push_down.sql",
+    "../0_stateless/00974_full_outer_join.sql",
+    "../0_stateless/00974_live_view_select_with_aggregation.sql",
+    "../0_stateless/00975_live_view_create.sql",
+    "../0_stateless/00975_recursive_materialized_view.sql",
+    "../0_stateless/00976_shard_low_cardinality_achimbab.sql",
+    "../0_stateless/00979_set_index_not.sql",
+    "../0_stateless/00979_yandex_consistent_hash_fpe.sql",
+    "../0_stateless/00980_full_join_crash_fancyqlx.sql",
+    "../0_stateless/00982_low_cardinality_setting_in_mv.sql",
+    "../0_stateless/00983_summing_merge_tree_not_an_identifier.sql",
+    "../0_stateless/00990_request_splitting.sql",
+    "../0_stateless/00995_optimize_read_in_order_with_aggregation.sql",
+    "../0_stateless/00997_extract_all_crash_6627.sql",
+    "../0_stateless/00997_set_index_array.sql",
+    "../0_stateless/00997_trim.sql",
+    "../0_stateless/00999_test_skip_indices_with_alter_and_merge.sql",
+    "../0_stateless/01010_partial_merge_join_const_and_lc.sql",
+    "../0_stateless/01012_select_limit_x_0.sql",
+    "../0_stateless/01013_repeat_function.sql",
+    "../0_stateless/01016_index_tuple_field_type.sql",
+    "../0_stateless/01020_function_char.sql",
+    "../0_stateless/01020_having_without_group_by.sql",
+    "../0_stateless/01024__getScalar.sql",
+    "../0_stateless/01026_char_utf8.sql",
+    "../0_stateless/01030_final_mark_empty_primary_key.sql",
+    "../0_stateless/01032_duplicate_column_insert_query.sql",
+    "../0_stateless/01034_order_by_pk_prefix.sql",
+    "../0_stateless/01034_unknown_qualified_column_in_join.sql",
+    "../0_stateless/01034_with_fill_and_push_down_predicate.sql",
+    "../0_stateless/01036_union_different_columns.sql",
+    "../0_stateless/01038_array_of_unnamed_tuples.sql",
+    "../0_stateless/01045_bloom_filter_null_array.sql",
+    "../0_stateless/01051_random_printable_ascii.sql",
+    "../0_stateless/01051_scalar_optimization.sql",
+    "../0_stateless/01052_array_reduce_exception.sql",
+    "../0_stateless/01056_negative_with_bloom_filter.sql",
+    "../0_stateless/01062_pm_multiple_all_join_same_value.sql",
+    "../0_stateless/01064_pm_all_join_const_and_nullable.sql",
+    "../0_stateless/01065_array_zip_mixed_const.sql",
+    "../0_stateless/01067_join_null.sql",
+    "../0_stateless/01069_insert_float_as_nullable_unit8.sql",
+    "../0_stateless/01071_live_view_detach_dependency.sql",
+    "../0_stateless/01072_select_constant_limit.sql",
+    "../0_stateless/01074_h3_range_check.sql",
+    "../0_stateless/01077_yet_another_prewhere_test.sql",
+    "../0_stateless/01078_bloom_filter_operator_not_has.sql",
+    "../0_stateless/01083_cross_to_inner_with_in_bug.sql",
+    "../0_stateless/01087_index_set_ubsan.sql",
+    "../0_stateless/01089_alter_settings_old_format.sql",
+    "../0_stateless/01092_base64.sql",
+    "../0_stateless/01097_one_more_range_reader_test.sql",
+    "../0_stateless/01097_one_more_range_reader_test_wide_part.sql",
+    "../0_stateless/01097_pre_limit.sql",
+    "../0_stateless/01106_const_fixed_string_like.sql",
+    "../0_stateless/01116_cross_count_asterisks.sql",
+    "../0_stateless/01117_comma_and_others_join_mix.sql",
+    "../0_stateless/01117_greatest_least_case.sql",
+    "../0_stateless/01122_totals_rollup_having_block_header.sql",
+    "../0_stateless/01127_month_partitioning_consistency_select.sql",
 ]
 
 

@@ -687,6 +687,7 @@ def test_every_template_rewrites_to_parseable_sql(spark):
 
     special_calls = {
         "transform": "transform(a, [1, 2], [10, 20], 0)",
+        "ifNotFinite": "ifNotFinite(a, b)",
         "dateDiff": "dateDiff('day', a, b)",
         "date_diff": "date_diff('day', a, b)",
         "toWeek": "toWeek(a)",
