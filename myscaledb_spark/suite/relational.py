@@ -59,13 +59,15 @@ def pricing_summary(spark, sf_dir):
     qc = (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
     pc = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
     dc = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+    # materialize the partition id as a COLUMN before grouping: grouping
+    # directly by the nondeterministic expression makes Catalyst exchange
+    # the full input instead of map-side partial-aggregating first
     pre = li.select(
         "l_returnflag", "l_linestatus",
         qc.alias("_qc"), pc.alias("_pc"), (pc * (100 - dc)).alias("_dpc"),
+        F.spark_partition_id().alias("_pid"),
     )
-    partial = pre.groupBy(
-        "l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid")
-    ).agg(
+    partial = pre.groupBy("l_returnflag", "l_linestatus", "_pid").agg(
         F.sum("_qc").alias("_sq"),
         F.sum("_pc").alias("_sp"),
         F.sum("_dpc").alias("_sdp"),
@@ -106,24 +108,42 @@ def pricing_summary(spark, sf_dir):
     """,
 )
 def revenue_by_nation(spark, sf_dir):
+    """Exact revenue on integer cents with a two-level sum — the same
+    overflow-safe shape as pricing_summary (per-partition long partials →
+    decimal(38,0) re-sum): the per-row product is a primitive long multiply
+    instead of a 128-bit decimal multiply over the joined fact rows."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    one = F.lit(1).cast("decimal(18,2)")
-    return (
+    pc = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    dc = (F.col("l_discount").cast("decimal(18,2)") * 100).cast("long")
+    joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .filter(F.col("r_name").isin("ASIA", "EUROPE"))
-        .groupBy("n_name")
+        .select(
+            "n_name",
+            (pc * (100 - dc)).alias("_rc"),
+            F.spark_partition_id().alias("_pid"),
+        )
+    )
+    partial = joined.groupBy("n_name", "_pid").agg(
+        F.sum("_rc").alias("_src"), F.count(F.lit(1)).alias("_cnt")
+    )
+    return (
+        partial.groupBy("n_name")
         .agg(
-            F.sum(_dec2("l_extendedprice") * (one - _dec2("l_discount")))
-            .cast("double")
-            .alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("_src").cast("decimal(38,0)")).alias("_src"),
+            F.sum("_cnt").alias("n_items"),
+        )
+        .select(
+            "n_name",
+            (F.col("_src").cast("double") / 10000.0).alias("revenue"),
+            "n_items",
         )
     )
 
