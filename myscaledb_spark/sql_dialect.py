@@ -6902,6 +6902,19 @@ def _rewrite_calls(sql: str, depth: int = 0) -> str:
                     call2_end = _find_call_end(sql, k)
                     inner2 = _rewrite_calls(sql[k + 1 : call2_end - 1], depth)
                     real_args = _split_args(inner2)
+                    if name in ("topK", "topKWeighted"):
+                        # AggregateFunctionTopK validates k and load_factor
+                        # (ARGUMENT_OUT_OF_BOUND, error 69). Enforcing it
+                        # matters beyond parity: 01471 runs the bad call
+                        # over UNBOUNDED system.numbers expecting the error
+                        # — accepting it melts the driver instead.
+                        for p in args:
+                            pm_ = re.fullmatch(r"-?\d+", p.strip())
+                            if pm_ and not (1 <= int(p) <= 1_000_000):
+                                raise ChSqlError(
+                                    f"{name} parameter {p} out of bounds "
+                                    "(reference ARGUMENT_OUT_OF_BOUND)"
+                                )
                     t = PARAMETRIC[name]
                     if callable(t):
                         out.append(t(args, real_args))

@@ -490,6 +490,115 @@ PINNED = [
     "../0_stateless/01117_greatest_least_case.sql",
     "../0_stateless/01122_totals_rollup_having_block_header.sql",
     "../0_stateless/01127_month_partitioning_consistency_select.sql",
+    # r9 batch 2: 0_stateless scan 01400-01999 survivors (each PASS
+    # verbatim in <=6s; scanner uses the same run_file harness + cleanup)
+    "../0_stateless/01413_if_array_uuid.sql",
+    "../0_stateless/01418_index_analysis_bug.sql",
+    "../0_stateless/01419_skip_index_compact_parts.sql",
+    "../0_stateless/01421_array_nullable_element_nullable_index.sql",
+    "../0_stateless/01421_assert_in_in.sql",
+    "../0_stateless/01422_array_nullable_element_nullable_index.sql",
+    "../0_stateless/01428_h3_range_check.sql",
+    "../0_stateless/01430_fix_any_rewrite_aliases.sql",
+    "../0_stateless/01441_array_combinator.sql",
+    "../0_stateless/01450_set_null_const.sql",
+    "../0_stateless/01457_order_by_limit.sql",
+    "../0_stateless/01459_default_value_of_argument_type_nullptr_dereference.sql",
+    "../0_stateless/01463_resample_overflow.sql",
+    "../0_stateless/01491_nested_multiline_comments.sql",
+    "../0_stateless/01495_subqueries_in_with_statement_2.sql",
+    "../0_stateless/01503_fixed_string_primary_key.sql",
+    "../0_stateless/01503_if_const_optimization.sql",
+    "../0_stateless/01511_different_expression_with_same_alias.sql",
+    "../0_stateless/01512_create_replicate_merge_tree_one_arg.sql",
+    "../0_stateless/01513_ilike_like_cache.sql",
+    "../0_stateless/01518_nullable_aggregate_states1.sql",
+    "../0_stateless/01519_topK_distributed_parametrized.sql",
+    "../0_stateless/01522_validate_alter_default.sql",
+    "../0_stateless/01527_bad_aggregation_in_lambda.sql",
+    "../0_stateless/01533_distinct_depends_on_max_threads.sql",
+    "../0_stateless/01535_decimal_round_scale_overflow_check.sql",
+    "../0_stateless/01538_fuzz_aggregate.sql",
+    "../0_stateless/01548_with_totals_having.sql",
+    "../0_stateless/01549_low_cardinality_mv_fuzz.sql",
+    "../0_stateless/01552_alter_name_collision.sql",
+    "../0_stateless/01560_crash_in_agg_empty_arglist.sql",
+    "../0_stateless/01581_to_int_inf_nan.sql",
+    "../0_stateless/01582_distinct_subquery_groupby.sql",
+    "../0_stateless/01583_const_column_in_set_index.sql",
+    "../0_stateless/01586_columns_pruning.sql",
+    "../0_stateless/01592_window_functions.sql",
+    "../0_stateless/01600_min_max_compress_block_size.sql",
+    "../0_stateless/01605_skip_idx_compact_parts.sql",
+    "../0_stateless/01621_bar_nan_arguments.sql",
+    "../0_stateless/01631_date_overflow_as_partition_key.sql",
+    "../0_stateless/01632_nullable_string_type_convert_to_decimal_type.sql",
+    "../0_stateless/01632_select_all_syntax.sql",
+    "../0_stateless/01643_merge_tree_fsync_smoke.sql",
+    "../0_stateless/01649_with_alias_key_condition.sql",
+    "../0_stateless/01652_ttl_old_syntax.sql",
+    "../0_stateless/01655_sleep_infinite_float.sql",
+    "../0_stateless/01658_substring_ubsan.sql",
+    "../0_stateless/01659_h3_buffer_overflow.sql",
+    "../0_stateless/01662_join_mixed.sql",
+    "../0_stateless/01665_merge_tree_min_for_concurrent_read.sql",
+    "../0_stateless/01667_aes_args_check.sql",
+    "../0_stateless/01670_sign_function.sql",
+    "../0_stateless/01674_where_prewhere_array_crash.sql",
+    "../0_stateless/01677_bit_float.sql",
+    "../0_stateless/01680_predicate_pushdown_union_distinct_subquery.sql",
+    "../0_stateless/01682_gather_utils_ubsan.sql",
+    "../0_stateless/01683_intdiv_ubsan.sql",
+    "../0_stateless/01710_minmax_count_projection_constant_query.sql",
+    "../0_stateless/01710_projection_group_by_order_by.sql",
+    "../0_stateless/01711_cte_subquery_fix.sql",
+    "../0_stateless/01711_decimal_multiplication.sql",
+    "../0_stateless/01715_table_function_view_fix.sql",
+    "../0_stateless/01717_global_with_subquery_fix.sql",
+    "../0_stateless/01720_union_distinct_with_limit.sql",
+    "../0_stateless/01745_alter_delete_view.sql",
+    "../0_stateless/01746_lc_values_format_bug.sql",
+    "../0_stateless/01746_test_for_tupleElement_must_be_constant_issue.sql",
+    "../0_stateless/01752_distributed_query_sigsegv.sql",
+    "../0_stateless/01773_case_sensitive_version.sql",
+    "../0_stateless/01773_datetime64_add_ubsan.sql",
+    "../0_stateless/01774_bar_with_illegal_value.sql",
+    "../0_stateless/01774_tuple_null_in.sql",
+    "../0_stateless/01776_decrypt_aead_size_check.sql",
+    "../0_stateless/01777_map_populate_series_ubsan.sql",
+    "../0_stateless/01778_test_LowCardinality_FixedString_pk.sql",
+    "../0_stateless/01778_where_with_column_name.sql",
+    "../0_stateless/01780_range_msan.sql",
+    "../0_stateless/01782_field_oom.sql",
+    "../0_stateless/01802_rank_corr_mann_whitney_over_window.sql",
+    "../0_stateless/01809_inactive_parts_to_delay_throw_insert.sql",
+    "../0_stateless/01812_has_generic.sql",
+    "../0_stateless/01818_case_float_value_fangyc.sql",
+    "../0_stateless/01820_unhex_case_insensitive.sql",
+    "../0_stateless/01825_replacing_vertical_merge.sql",
+    "../0_stateless/01831_max_streams.sql",
+    "../0_stateless/01832_memory_write_suffix.sql",
+    "../0_stateless/01837_cast_to_array_from_empty_array.sql",
+    "../0_stateless/01881_create_as_tuple.sql",
+    "../0_stateless/01881_to_week_monotonic_fix.sql",
+    "../0_stateless/01888_read_int_safe.sql",
+    "../0_stateless/01890_cross_join_explain_crash.sql",
+    "../0_stateless/01891_echo.sql",
+    "../0_stateless/01891_not_in_partition_prune.sql",
+    "../0_stateless/01891_not_like_partition_prune.sql",
+    "../0_stateless/01902_self_aliases_in_columns.sql",
+    "../0_stateless/01906_partition_by_multiply_by_zero.sql",
+    "../0_stateless/01907_multiple_aliases.sql",
+    "../0_stateless/01910_memory_tracking_topk.sql",
+    "../0_stateless/01913_if_int_decimal.sql",
+    "../0_stateless/01914_index_bgranvea.sql",
+    "../0_stateless/01926_union_all_schmak.sql",
+    "../0_stateless/01936_three_parts_identifiers_in_wrong_places.sql",
+    "../0_stateless/01940_totimezone_operator_monotonicity.sql",
+    "../0_stateless/01943_non_deterministic_order_key.sql",
+    "../0_stateless/01944_insert_partition_by.sql",
+    "../0_stateless/01960_lambda_precedence.sql",
+    "../0_stateless/01961_roaring_memory_tracking.sql",
 ]
 
 
