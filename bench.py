@@ -64,15 +64,25 @@ HEADLINE = [
 
 
 #: gates whose driver-visible ratio this round watches (emitted at the
-#: tail of the JSON line — the driver's record truncates from the front)
+#: tail of the JSON line — the driver's record truncates from the front).
+#: r10: the four >2x r9 seats + the r9-rewritten money plans + BM25 direct.
 _PRIORITY_TAIL = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "rank_corr_qty_price",
     "bm25_topk",
     "bm25_phrase_topk",
-    "minhash_lsh_pairs",
-    "rank_corr_qty_price",
-    "pricing_summary",
+    "uniq_hll_state_events",
     "quantile_tdigest_grouped",
+    "pack_sequences_docs",
+    "minhash_lsh_pairs",
 ]
+
+#: gates with a per-session memo (MinHash sliver, rank_corr sampled stats):
+#: their FIRST invocation is structurally different from steady state, so
+#: the bench records both (r9 VERDICT ask #8) — drift analysis must not
+#: conflate a cold build with the memoized steady path.
+_MEMOIZED = ["minhash_lsh_pairs", "minhash_signatures", "rank_corr_qty_price"]
 
 
 def main() -> None:
@@ -404,6 +414,13 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "warmup_scan_sec": round(warm, 4),
                 "cold_total_sec": round(sum(cold.values()), 4),
+                # cold (first-invocation, memo empty) vs steady (memoized)
+                # for the per-session-memo gates — r9 VERDICT ask #8
+                "cold_memoized": {
+                    k: {"cold": cold[k], "steady": timings[k]}
+                    for k in _MEMOIZED
+                    if k in cold and timings.get(k, -1) >= 0
+                },
                 "calibration_sec": round(calibration, 4),
                 # the driver's BENCH record keeps the LINE TAIL: emit the
                 # round's watched gates LAST so their ratios stay

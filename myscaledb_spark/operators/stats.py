@@ -460,18 +460,30 @@ def rank_corr(
 
         from collections import defaultdict
 
+        # driver-side dict keys must collapse NaN to ONE key: each collected
+        # Row materializes a distinct float('nan') object and NaN != NaN, so
+        # raw keys would split a NaN tie-group spanning >1 cell of the other
+        # axis into separate entries with wrong offsets (Spark's groupBy
+        # already normalizes NaN, matching this)
+        _NAN_KEY = "\x00__nan__"
+
+        def _vkey(v):
+            if isinstance(v, float) and _math.isnan(v):
+                return _NAN_KEY
+            return v
+
         cntx: dict = defaultdict(float)
         cnty: dict = defaultdict(float)
         for r in cells:
-            cntx[r[kx]] += r["n"]
-            cnty[r[ky]] += r["n"]
+            cntx[_vkey(r[kx])] += r["n"]
+            cnty[_vkey(r[ky])] += r["n"]
 
         def offsets(cnt: dict) -> dict:
             # value keys sort like Spark: NULL first, NaN last
             def key(b):
                 if b is None:
                     return (0,)
-                if isinstance(b, float) and _math.isnan(b):
+                if b == _NAN_KEY:
                     return (2,)
                 return (1, b)
 
@@ -484,17 +496,17 @@ def rank_corr(
         ox, oy = offsets(cntx), offsets(cnty)
         n = sx = sy = sxx = syy = sxy = 0.0
         for r in cells:
-            a, b = ox[r[kx]], oy[r[ky]]
+            a, b = ox[_vkey(r[kx])], oy[_vkey(r[ky])]
             nc = r["n"]
             # value-tier axes: local rank is constant per cell — synthesize
             # the rank sums the plan didn't need to compute
             if vx:
-                lrx = (cntx[r[kx]] + 1) / 2.0
+                lrx = (cntx[_vkey(r[kx])] + 1) / 2.0
                 slx, slxx = nc * lrx, nc * lrx * lrx
             else:
                 slx, slxx = r["slx"], r["slxx"]
             if vy:
-                lry = (cnty[r[ky]] + 1) / 2.0
+                lry = (cnty[_vkey(r[ky])] + 1) / 2.0
                 sly, slyy = nc * lry, nc * lry * lry
             else:
                 sly, slyy = r["sly"], r["slyy"]

@@ -40,6 +40,8 @@ def evict_prefix(prefix: str) -> None:
     """Drop every cached artifact frame under ``prefix`` (an artifact root
     or <root>/<name> dir) — DETACH / DROP / TRUNCATE expire the reference's
     index cache the same way (VICacheManager; VIEventLog CacheExpire)."""
+    if not prefix:  # "" would match every key — never a valid artifact root
+        return
     for k in [k for k in _CACHE if k[0].startswith(prefix)]:
         _CACHE.pop(k).unpersist()
 

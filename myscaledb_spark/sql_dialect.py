@@ -5024,6 +5024,24 @@ def _const_truthiness(cond: str):
         return None
 
 
+# SQL keywords that may directly precede a parenthesized expression without
+# being a call head.  _rewrite_div_zero's left-operand scan must NOT absorb
+# these as function names: `SELECT (a+b)/(c-d)` would otherwise wrap
+# `SELECT (a+b)` into the CASE and emit an invalid scalar subquery
+# (r9 ADVICE, high).  Genuine function names that are also words (if, left,
+# right, array, …) are NOT here — they never precede a parenthesized
+# numerator except as its call head.
+_DIV_CLAUSE_KEYWORDS = frozenset(
+    """AS WHEN THEN ELSE CASE END AND OR NOT IN BY SELECT FROM WHERE
+    PREWHERE HAVING QUALIFY ON USING GROUP ORDER DISTINCT ALL
+    LIMIT OFFSET UNION INTERSECT EXCEPT SETTINGS BETWEEN LIKE ILIKE
+    ESCAPE IS JOIN CROSS INNER OUTER FULL SEMI ANTI ASOF GLOBAL WITH
+    VALUES SET EXISTS INTERVAL ASC DESC NULLS TIES FILL
+    INTERPOLATE PARTITION ROWS GROUPS TOTALS SAMPLE FINAL RETURNS
+    RETURN""".split()
+)
+
+
 def _rewrite_div_zero(sql: str) -> str:
     """Non-literal division by zero (r8 VERDICT missing #4): ClickHouse `/`
     is IEEE float division (`src/Functions/divide.cpp`) — x/0 is ±Inf and
@@ -5082,8 +5100,7 @@ def _rewrite_div_zero(sql: str) -> str:
                 if m2.group(0).upper() == "OVER":
                     # window function: `f(args) OVER (spec)` is ONE primary
                     return _consume_left(s, mask, m2.start())
-                if m2.group(0).upper() in ("AS", "WHEN", "THEN", "ELSE",
-                                           "AND", "OR", "NOT", "IN", "BY"):
+                if m2.group(0).upper() in _DIV_CLAUSE_KEYWORDS:
                     return j2  # keyword, not a call head
                 return m2.start()
             return j2

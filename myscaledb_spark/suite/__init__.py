@@ -74,112 +74,100 @@ def load_all() -> None:
 
 
 # The driver checks only a prefix window of the registry (first 50 of N), so
-# ordering decides which queries get a driver verdict of record.  Rounds 1-4
-# drove everything else to hash-green (r04: 50/50).  This round's window
-# leads with the 26 r4-chunk-5 entries whose only evidence is the judge's
-# strict gate-replica run (r4 VERDICT ask #1), the 2 entries whose only
-# driver record is a stale r01 fail (group_array_orders canonicalization,
-# q18_large_orders hash — both strict-green since r2 and judge-re-verified
-# r4), then every entry added in r5.  Three entries changed semantics in r5
-# and sit IN the window so the driver re-certifies them: ch_sql_with_totals
-# (totals keys now type defaults), versioned_collapsing_state (unpaired-row
-# emission), ch_sql_with_fill_daily (full-outer grid join).  Names absent
-# from the registry are skipped; registry entries absent from this list
-# follow in registration order.
+# ordering decides which queries get a driver verdict of record.  Names
+# absent from the registry are skipped; registry entries absent from this
+# list follow in registration order.
 PRIORITY: list[str] = [
-    # =========== r8 window ===========
-    # r7 came back 50/50.  This window leads with (a) entries ADDED in r8
-    # (the SELECT-surface/storage-semantics gates of suite/dialect4), then
-    # (b) entries whose PLAN or shared path was reworked after the r7
-    # driver window closed — concurrent hybrid candidate legs + join-free
-    # FTS scoring, one-action grid-bucketed rank_corr, hashed-shingle
-    # MinHash sliver, cost-based grouped t-digest, one-action
-    # pack_sequences prefix sum, WITH TOTALS ordering/defaults — then
-    # (c) the oldest standing driver records.
-    # --- (a) new in r8 ---
-    "ch_sql_array_join_zip",
-    "ch_sql_totals_subquery",
-    "ch_sql_left_join_defaults",
-    "ch_sql_insert_defaults",
-    "ch_sql_tuple_access",
-    # --- (b) reworked after the r7 window closed ---
-    "hybrid_search_indexed",
-    "hybrid_search_indexed_exhaustive",
-    "hybrid_search_rsf",
-    "hybrid_search_rrf",
+    # =========== r10 window ===========
+    # The r9 driver window was NOT rotated (CORRECTNESS_r09 is byte-identical
+    # to r08 — r9 VERDICT finding #2), so this window leads with (a) the
+    # entries whose PLANS were rewritten in r9/r10 and therefore carry no
+    # driver certification of the CURRENT code: pricing_summary /
+    # revenue_by_nation (integer-cents two-level sums, r10 decimal(38,0)
+    # _sq), rank_corr (per-axis tiers + r10 NaN-key normalization), the
+    # MinHash sliver pipeline, pack_sequences, cost-based t-digest,
+    # portable-HLL, and the BM25 direct gates (r9 single-scan fast path,
+    # r10 routing) — these are also the four >2x perf seats the r10 bench
+    # must re-measure on a quiet host; then (b) the stalest driver records:
+    # every entry whose latest record is r01, then r02 fill.
+    # --- (a) reworked after the last rotated window (r7) ---
+    "pricing_summary",
+    "revenue_by_nation",
     "rank_corr_qty_price",
     "minhash_lsh_pairs",
     "minhash_signatures",
-    "ngram_jaccard_pairs",
-    "quantile_tdigest_grouped",
-    "quantile_tdigest_qty",
     "pack_sequences_docs",
-    "ch_sql_with_totals",
-    "ch_sql_with_fill_multi_interpolate",
-    "ch_sql_with_fill_multi",
-    "ch_sql_with_fill_desc",
-    "ch_sql_with_fill_interpolate_expr",
+    "quantile_tdigest_grouped",
     "uniq_hll_state_events",
-    "mann_whitney_click_error",
-    "ch_sql_with_fill_interpolate",
-    "ch_sql_with_fill_off_grid",
-    "ch_sql_groups_frame",
-    "mv_agg_state_hourly",
-    "ch_sql_aggregating_mt",
-    "bm25_cjk_topk",
-    "ivf_search_topk",
-    "mstg_search_topk",
-    "text_search_routed",
-    "ch_sql_batch_distance",
-    # --- (c) oldest evidence: TPC-H analog sweep (r02/r03 records) ---
-    "q2_min_acctbal_supplier",
-    "q3_shipping_priority",
-    "q4_priority_late_ship",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q10_returned_items",
-    "q11_important_part_value",
-    "q12_linestatus_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q19_or_predicate_revenue",
-    "q20_part_promotion",
-    "q21_waiting_supplier",
-    "q22_acctbal_opportunity",
-    "correlated_subquery_above_cust_avg",
-    "full_outer_customers_suppliers",
-    "cross_join_region_status",
-    "multi_column_in",
-    "session_windows_30m",
-    # --- (c) oldest evidence: functions_gate + search2 ---
-    "math_bit_funcs",
-    "encoding_funcs",
-    "ip_funcs",
-    "tuple_funcs",
-    "dict_get_nation",
-    "hash_sip_int",
-    "ngram_similarity_topk",
-    "vec_search_join",
-    "ivf_search_exhaustive",
-    "hnsw_search_exhaustive",
-    # ======= past the window (position 51+): driver-green families from
-    # r4/r5 windows rotate back in later rounds; registry entries absent
-    # from this list follow in registration order =======
-    "pricing_summary",
-    "revenue_by_nation",
-    "vec_l2_topk",
     "bm25_topk",
-    "exact_dedup_groups",
+    "bm25_phrase_topk",
+    # --- (b) stalest driver records: latest = r01 ---
+    "array_join_token_counts",
+    "cte_top_nations",
+    "customers_without_recent_orders_anti",
+    "date_funcs_orders",
+    "delta_sum_per_user",
+    "exp_time_decayed_sum",
+    "final_latest_event",
+    "grouping_sets_events",
+    "having_distinct_suppliers",
+    "nonneg_derivative",
+    "offset_pagination",
+    "orders_above_avg",
+    "orders_with_early_ship_semi",
+    "parameterized_query",
+    "posexplode_tokens",
+    "q6_forecast_revenue",
+    "quantiles_quantity",
+    "setops_partkeys",
+    "simple_linear_regression",
+    "stats_lineitem",
+    "string_funcs_part",
+    "top_customers",
+    "top_event_type_per_user",
+    "union_distinct_keys",
+    "window_first_last_nth",
+    "window_moving_avg",
+    "window_range_30d",
+    "with_fill_daily",
+    # --- (b cont.) latest = r02, alphabetical fill to 50 ---
+    "batch_distance_l2",
+    "binary_hamming_topk",
+    "binary_jaccard_topk",
+    "bitmap_retention",
+    "cramers_v_status_priority",
     "curation_pipeline",
-    "stream_tumble_hourly",
-    "mv_push_hourly",
-    "multimodal_roundtrip",
-    "bm25_cjk_indexed",
+    "curation_stats",
+    "dedup_clusters",
+    "doc_fingerprints",
+    "doc_quality_scores",
+    "embedding_neardup_pairs",
+    "entropy_event_types",
+    # ======= past the window (position 51+): the remaining r02/r03 records
+    # rotate in next round; registry entries absent from this list follow
+    # in registration order =======
+    "exact_dedup_groups",
+    "geo_distance_topk",
+    "groups_frame_sum",
+    "histogram_totalprice",
+    "pq_rerank_topk",
+    "projection_rollup",
+    "retention_cohort",
+    "sample_deterministic",
+    "sequence_match_users",
+    "sequence_next_node",
+    "simhash_fingerprints",
+    "sq_rerank_topk",
+    "student_ttest_segments",
+    "theils_u_priority_status",
+    "token_counts",
+    "two_stage_l2",
+    "uniq_up_to",
+    "vec_ip_topk",
+    "vec_l2_filtered",
+    "welch_ttest_purchase_vs_view",
+    "window_funnel_levels",
+    "pii_scrub",
 ]
 
 

@@ -74,17 +74,18 @@ def pricing_summary(spark, sf_dir):
         F.count(F.lit(1)).alias("_cnt"),
     )
     agg = partial.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("_sq").alias("_sq"),
+        F.sum(F.col("_sq").cast("decimal(38,0)")).alias("_sq"),
         F.sum(F.col("_sp").cast("decimal(38,0)")).alias("_sp"),
         F.sum(F.col("_sdp").cast("decimal(38,0)")).alias("_sdp"),
         F.sum("_cnt").alias("count_order"),
     )
     return agg.select(
         "l_returnflag", "l_linestatus",
-        (F.col("_sq") / 100.0).alias("sum_qty"),
+        (F.col("_sq").cast("double") / 100.0).alias("sum_qty"),
         (F.col("_sp").cast("double") / 100.0).alias("sum_base_price"),
         (F.col("_sdp").cast("double") / 10000.0).alias("sum_disc_price"),
-        (F.col("_sq") / 100.0 / F.col("count_order")).alias("avg_qty"),
+        (F.col("_sq").cast("double") / 100.0 / F.col("count_order")).alias(
+            "avg_qty"),
         "count_order",
     )
 

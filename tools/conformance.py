@@ -299,7 +299,7 @@ def _cleanup_file_state(spark, art: str, pre_views: set) -> None:
     import shutil
 
     from myscaledb_spark.plans import frame_cache
-    from myscaledb_spark.sql_dialect import TABLE_ENGINES
+    from myscaledb_spark.plans.table_ddl import drop_table
 
     try:
         from myscaledb_spark.streaming.live_view import LIVE_VIEWS
@@ -307,15 +307,22 @@ def _cleanup_file_state(spark, art: str, pre_views: set) -> None:
         LIVE_VIEWS = {}
     for t in spark.catalog.listTables():
         if t.isTemporary and t.name not in pre_views:
-            try:
-                spark.catalog.dropTempView(t.name)
-            except Exception:
-                pass
             base = t.name[:-len("__store")] if t.name.endswith("__store") else t.name
-            TABLE_ENGINES.pop(base, None)
+            # drop_table pops EVERY per-table registry (TABLES, NESTED_TABLES,
+            # TABLE_ENGINES, MV_HOOKS, skip-indices, …) — a file that creates
+            # a Nested table without DROP must not leave its dotted-column
+            # prefixes to backtick-mangle later files' `alias.col` refs
+            try:
+                drop_table(spark, base)
+            except Exception:
+                try:
+                    spark.catalog.dropTempView(t.name)
+                except Exception:
+                    pass
             LIVE_VIEWS.pop(base, None)
-    frame_cache.evict_prefix(art)
-    shutil.rmtree(art, ignore_errors=True)
+    if art:
+        frame_cache.evict_prefix(art)
+        shutil.rmtree(art, ignore_errors=True)
     try:
         spark._jvm.System.gc()
     except Exception:
@@ -333,25 +340,24 @@ def run_file(spark, path: str):
     # from the previous file (r7 ADVICE)
     reset_session_settings()
     pre_views = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    # run_file owns the artifact-dir lifecycle so the finally always cleans
+    # THIS file's dir — the old module-global handoff left a stale (or
+    # empty, on raise-before-assign) path that evicted the whole frame cache
+    art = tempfile.mkdtemp(prefix="conf_")
     try:
-        return _run_file_inner(spark, path)
+        return _run_file_inner(spark, path, art)
     finally:
         try:
-            _cleanup_file_state(spark, _LAST_ART[0], pre_views)
+            _cleanup_file_state(spark, art, pre_views)
         except Exception:
             pass
 
 
-_LAST_ART = [""]
-
-
-def _run_file_inner(spark, path: str):
+def _run_file_inner(spark, path: str, art: str):
     from myscaledb_spark.plans.table_ddl import ch_script
 
     script = open(path).read()
     stmts = _split(script)
-    art = tempfile.mkdtemp(prefix="conf_")
-    _LAST_ART[0] = art
     ref_path = path[: -len(".sql")] + ".reference"
     want = _parse_ref(ref_path) if os.path.exists(ref_path) else []
     got_rows: list[list] = []
