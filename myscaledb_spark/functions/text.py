@@ -170,6 +170,96 @@ def tokenize_query(
     return list(seen)
 
 
+#: per-session resident tokenized corpora (weak keys: stopped sessions
+#: collect).  Each value is an insertion-ordered dict capped at
+#: _TOKED_MEMO_SLOTS entries — several corpora/tokenizers legitimately
+#: coexist in one session (simple + stopword-spec + CJK gates).
+import weakref as _weakref
+
+_TOKED_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+_TOKED_MEMO_SLOTS = 8
+#: only corpora under this estimated input size get a resident cache —
+#: the same cost-gate shape as the grouped-t-digest auto switch.  Above
+#: it, direct search stays a streaming scan (the FTS postings artifact is
+#: the intended scale path for repeated queries — build the index).
+_TOKED_MEMO_MAX_BYTES = 8 << 30
+
+
+def _resident_toked(df: DataFrame, text_col: str, tokenizer: str, spec):
+    """(df.*, _toks, _dl) with a per-session resident cache, or None when
+    the corpus is too big / unhashable and the caller should stream.
+
+    The reference's tantivy index keeps the analyzed corpus resident; the
+    direct (index-less) scan re-tokenized per query — and the per-query
+    regexp/HOF tokenization was the whole cost of the direct BM25 gates
+    (r9 VERDICT finding #4).  Keyed by the ANALYZED input plan + the full
+    analyzer config, so a different corpus, column, or tokenizer chain
+    builds its own entry; capped FIFO so a session cycling many corpora
+    doesn't pin them all."""
+    spark = df.sparkSession
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if est <= 0 or est > _TOKED_MEMO_MAX_BYTES:
+            return None
+        key = (
+            int(df._jdf.queryExecution().analyzed().semanticHash()),
+            text_col, tokenizer, repr(spec),
+        )
+        sess = _TOKED_MEMO.setdefault(spark, {})
+    except Exception:
+        return None
+    if key not in sess:
+        from pyspark import StorageLevel
+
+        while len(sess) >= _TOKED_MEMO_SLOTS:
+            old = next(iter(sess))
+            sess.pop(old).unpersist()
+            _BM25_STATS_MEMO.get(spark, {}).pop(old, None)
+        toked = df.withColumn(
+            "_toks", tokenize(text_col, tokenizer, spec=spec)
+        ).withColumn("_dl", F.size("_toks").cast("double"))
+        sess[key] = toked.persist(StorageLevel.MEMORY_AND_DISK)
+    return sess[key], key
+
+
+#: per-session BM25 corpus statistics (N, avgdl, df per clause) for the
+#: resident corpora — the reference's index serves precomputed stats the
+#: same way (BM25InfoInDataParts.h).  {corpus_key: {"n":…, "avgdl":…,
+#: "df": {clause_key: df}}}; the df dict is capped so a session streaming
+#: novel queries can't grow it unboundedly.
+_BM25_STATS_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+_BM25_STATS_MAX_TERMS = 4096
+
+
+def _resident_stats(resident: DataFrame, ckey, clauses) -> tuple:
+    """(n_docs, avgdl, [df per clause]) from the per-session stats memo,
+    computing only the MISSING clauses' df in one agg pass over the
+    resident corpus.  ``clauses`` is a list of (cache_key, tf_column)."""
+    spark = resident.sparkSession
+    memo = _BM25_STATS_MEMO.setdefault(spark, {})
+    base = memo.get(ckey)
+    need = [
+        (ck, tfc) for ck, tfc in clauses
+        if base is None or ck not in base["df"]
+    ]
+    if base is None or need:
+        aggs = [
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.avg("_dl").alias("_avg"),
+        ] + [
+            F.sum(F.when(tfc > 0, 1).otherwise(0)).cast("double").alias(f"_d{i}")
+            for i, (_, tfc) in enumerate(need)
+        ]
+        row = resident.agg(*aggs).collect()[0]
+        if base is None:
+            base = memo[ckey] = {"n": row["_n"], "avgdl": row["_avg"], "df": {}}
+        if len(base["df"]) + len(need) > _BM25_STATS_MAX_TERMS:
+            base["df"].clear()
+        for i, (ck, _) in enumerate(need):
+            base["df"][ck] = row[f"_d{i}"]
+    return base["n"], base["avgdl"], [base["df"][ck] for ck, _ in clauses]
+
+
 def bm25_scores(
     df: DataFrame,
     text_col: str,
@@ -192,6 +282,23 @@ def bm25_scores(
     terms = tokenize_query(query, tokenizer, spec=spec)
     if not terms:
         raise InvalidSearchQuery("empty text-search query after tokenization")
+
+    res = _resident_toked(df, text_col, tokenizer, spec)
+    if res is not None:
+        # tf from the cached token arrays (integer counts) + literal stats
+        # from the resident memo: a repeated query is ONE job — scoring +
+        # top-k — with no stats pass and no broadcast build
+        resident, ckey = res
+        stats = _resident_stats(
+            resident, ckey, [(t, term_tf("_toks", t)) for t in terms]
+        )
+        tfed = resident.select(
+            "*",
+            *[term_tf("_toks", t).alias(f"_tf_{i}") for i, t in enumerate(terms)],
+        )
+        return bm25_scores_from_tf(
+            tfed, len(terms), operator, score_name, stats=stats
+        ).drop("_toks")
 
     if tokenizer == "simple" and spec is None:
         # fast path (r8 VERDICT finding #5 — the direct BM25 gates crept
@@ -252,39 +359,47 @@ def bm25_scores_from_tf(
     n_terms: int,
     operator: str = "OR",
     score_name: str = "bm25_score",
+    stats: tuple[float, float, list[float]] | None = None,
 ) -> DataFrame:
     """BM25 from precomputed per-term frequencies: expects `_dl` (double)
     and `_tf_0.._tf_{n-1}` (double) columns. This is the narrowest corpus
     projection that can answer BM25 — fixed-width scalars, no token arrays —
     so callers (operators/hybrid.py) can persist it cheaply and scan the
     corpus exactly once. df_t = Σ [tf_t > 0] equals the array_contains count
-    of the tokenized form, so scores are bit-identical to bm25_scores."""
-    aggs = [
-        F.count(F.lit(1)).cast("double").alias("_n_docs"),
-        F.avg("_dl").alias("_avgdl"),
-    ]
-    for i in range(n_terms):
-        aggs.append(
-            F.sum(F.when(F.col(f"_tf_{i}") > 0, 1).otherwise(0))
-            .cast("double")
-            .alias(f"_df_{i}")
-        )
-    stats = tfed.agg(*aggs)
+    of the tokenized form, so scores are bit-identical to bm25_scores.
 
-    scored = tfed.crossJoin(F.broadcast(stats))
+    ``stats`` = (n_docs, avgdl, [df_0..df_{n-1}]) injects precomputed
+    corpus statistics as LITERALS — no stats pass, no broadcast join; the
+    reference's tantivy index serves stats the same way
+    (BM25InfoInDataParts).  The literal doubles feed the identical float
+    expression, so scores stay bit-identical to the two-pass plan."""
+    if stats is None:
+        aggs = [
+            F.count(F.lit(1)).cast("double").alias("_n_docs"),
+            F.avg("_dl").alias("_avgdl"),
+        ]
+        for i in range(n_terms):
+            aggs.append(
+                F.sum(F.when(F.col(f"_tf_{i}") > 0, 1).otherwise(0))
+                .cast("double")
+                .alias(f"_df_{i}")
+            )
+        scored = tfed.crossJoin(F.broadcast(tfed.agg(*aggs)))
+        nd, avgdl = F.col("_n_docs"), F.col("_avgdl")
+        dfs = [F.col(f"_df_{i}") for i in range(n_terms)]
+    else:
+        scored = tfed
+        nd, avgdl = F.lit(stats[0]), F.lit(stats[1])
+        dfs = [F.lit(d) for d in stats[2]]
 
     score = F.lit(0.0)
     match_any = F.lit(False)
     match_all = F.lit(True)
     for i in range(n_terms):
         tf = F.col(f"_tf_{i}")
-        idf = F.log(
-            F.lit(1.0)
-            + (F.col("_n_docs") - F.col(f"_df_{i}") + F.lit(0.5))
-            / (F.col(f"_df_{i}") + F.lit(0.5))
-        )
+        idf = F.log(F.lit(1.0) + (nd - dfs[i] + F.lit(0.5)) / (dfs[i] + F.lit(0.5)))
         norm = tf * (BM25_K1 + 1.0) / (
-            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("_dl") / F.col("_avgdl"))
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("_dl") / avgdl)
         )
         score = score + F.when(tf > 0, idf * norm).otherwise(F.lit(0.0))
         match_any = match_any | (tf > 0)
@@ -292,9 +407,9 @@ def bm25_scores_from_tf(
 
     matched = match_all if operator.upper() == "AND" else match_any
     out = scored.withColumn(score_name, score).filter(matched)
-    drop = ["_dl", "_n_docs", "_avgdl"] + [
-        f"_{p}_{i}" for i in range(n_terms) for p in ("df", "tf")
-    ]
+    drop = ["_dl"] + [f"_tf_{i}" for i in range(n_terms)]
+    if stats is None:
+        drop += ["_n_docs", "_avgdl"] + [f"_df_{i}" for i in range(n_terms)]
     return out.drop(*drop)
 
 
@@ -407,25 +522,43 @@ def nlq_scores(
     if not pos:
         raise InvalidSearchQuery("NLQ query needs at least one positive clause")
 
-    toked = df.withColumn("_toks", tokenize(text_col, tokenizer)).withColumn(
-        "_dl", F.size("_toks").cast("double")
-    )
+    res = _resident_toked(df, text_col, tokenizer, None)
+    lit_stats = None
+    if res is not None:
+        toked, ckey = res
+        # a clause's df memo key is its token tuple (phrase-tagged), so
+        # repeated NLQ queries reuse stats exactly like plain-term BM25
+        lit_stats = _resident_stats(
+            toked, ckey,
+            [(("p",) + tuple(c["tokens"]), _clause_tf("_toks", c["tokens"]))
+             for c in pos],
+        )
+    else:
+        toked = df.withColumn("_toks", tokenize(text_col, tokenizer)).withColumn(
+            "_dl", F.size("_toks").cast("double")
+        )
     for i, c in enumerate(pos):
         toked = toked.withColumn(f"_tf_{i}", _clause_tf("_toks", c["tokens"]))
     for j, c in enumerate(neg):
         toked = toked.withColumn(f"_ntf_{j}", _clause_tf("_toks", c["tokens"]))
 
-    aggs = [
-        F.count(F.lit(1)).cast("double").alias("_n_docs"),
-        F.avg("_dl").alias("_avgdl"),
-    ] + [
-        F.sum(F.when(F.col(f"_tf_{i}") > 0, 1).otherwise(0))
-        .cast("double")
-        .alias(f"_df_{i}")
-        for i in range(len(pos))
-    ]
-    stats = toked.agg(*aggs)
-    scored = toked.crossJoin(F.broadcast(stats))
+    if lit_stats is None:
+        aggs = [
+            F.count(F.lit(1)).cast("double").alias("_n_docs"),
+            F.avg("_dl").alias("_avgdl"),
+        ] + [
+            F.sum(F.when(F.col(f"_tf_{i}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"_df_{i}")
+            for i in range(len(pos))
+        ]
+        scored = toked.crossJoin(F.broadcast(toked.agg(*aggs)))
+        nd, avgdl = F.col("_n_docs"), F.col("_avgdl")
+        dfs = [F.col(f"_df_{i}") for i in range(len(pos))]
+    else:
+        scored = toked
+        nd, avgdl = F.lit(lit_stats[0]), F.lit(lit_stats[1])
+        dfs = [F.lit(d) for d in lit_stats[2]]
 
     score = F.lit(0.0)
     match_plain = F.lit(False)
@@ -434,12 +567,10 @@ def nlq_scores(
     for i, c in enumerate(pos):
         tf = F.col(f"_tf_{i}")
         idf = F.log(
-            F.lit(1.0)
-            + (F.col("_n_docs") - F.col(f"_df_{i}") + F.lit(0.5))
-            / (F.col(f"_df_{i}") + F.lit(0.5))
+            F.lit(1.0) + (nd - dfs[i] + F.lit(0.5)) / (dfs[i] + F.lit(0.5))
         )
         norm = tf * (BM25_K1 + 1.0) / (
-            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("_dl") / F.col("_avgdl"))
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("_dl") / avgdl)
         )
         score = score + F.when(tf > 0, idf * norm).otherwise(F.lit(0.0))
         if c["must"]:
@@ -453,11 +584,12 @@ def nlq_scores(
 
     out = scored.withColumn(score_name, score).filter(keep)
     drop = (
-        ["_toks", "_dl", "_n_docs", "_avgdl"]
+        ["_toks", "_dl"]
         + [f"_tf_{i}" for i in range(len(pos))]
-        + [f"_df_{i}" for i in range(len(pos))]
         + [f"_ntf_{j}" for j in range(len(neg))]
     )
+    if lit_stats is None:
+        drop += ["_n_docs", "_avgdl"] + [f"_df_{i}" for i in range(len(pos))]
     return out.drop(*drop)
 
 
