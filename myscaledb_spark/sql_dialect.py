@@ -3345,28 +3345,43 @@ def _rewrite_datetime_arith(sql: str) -> str:
 
 
 def _rewrite_distinct_limit(sql: str) -> str:
-    """Top-level `SELECT DISTINCT items FROM src LIMIT n` without ORDER BY:
-    ClickHouse's DistinctTransform streams and keeps the FIRST-seen row per
-    distinct key, so LIMIT picks the first n distinct values in INPUT order
-    (00326's tail `SELECT DISTINCT col1, multiIf(...) LIMIT 10`); Spark's
-    hash-distinct returns arbitrary rows. Rank distinct groups by
-    min(monotonically_increasing_id()) — faithful for ordered-by-
+    """Top-level `SELECT DISTINCT items FROM src [LIMIT n]` without ORDER
+    BY: ClickHouse's DistinctTransform streams and keeps the FIRST-seen row
+    per distinct key, so rows come out in INPUT order — with LIMIT that
+    picks the first n distinct values (00326's tail `SELECT DISTINCT col1,
+    multiIf(...) LIMIT 10`), and without it the full result is still
+    first-seen-ordered (00576's `SELECT DISTINCT n.b FROM nested PREWHERE
+    filter`); Spark's hash-distinct returns arbitrary rows. Rank distinct
+    groups by min(monotonically_increasing_id()) — faithful for ordered-by-
     construction sources (numbers(), Memory/MergeTree part unions)."""
     mask = _top_level_mask(sql)
     if re.search(
-        r"\bORDER\s+BY\b|\bGROUP\s+BY\b|\bUNION\b|\bHAVING\b|\bJOIN\b|\bBY\b",
+        r"\bORDER\s+BY\b|\bGROUP\s+BY\b|\bUNION\b|\bHAVING\b|\bJOIN\b"
+        r"|\bBY\b|\bSETTINGS\b",
         mask, re.IGNORECASE,
     ):
         return sql
+    # two alternatives, NOT one optional group: with `(?:LIMIT…)?` the lazy
+    # src group collapses to empty against the space-masked tail
     m = re.match(
         r"^\s*SELECT\s+DISTINCT\s+(.*?)\bFROM\b(.*?)\bLIMIT\s+(\d+)\s*$",
         mask, re.IGNORECASE | re.DOTALL,
     )
+    if m is None:
+        # greedy src capture: the whole tail is the source
+        m = re.match(
+            r"^\s*SELECT\s+DISTINCT\s+(.*?)\bFROM\b(.*)$",
+            mask, re.IGNORECASE | re.DOTALL,
+        )
     if not m:
         return sql
     items_txt = sql[m.start(1) : m.end(1)].strip().rstrip(",")
     src = sql[m.start(2) : m.end(2)].strip()
-    n = int(m.group(3))
+    if not src:
+        return sql
+    limit = (
+        f" LIMIT {int(m.group(3))}" if m.re.groups >= 3 and m.group(3) else ""
+    )
     if "*" in _string_mask(items_txt):
         return sql
     items = [it.strip() for it in _split_args(items_txt) if it.strip()]
@@ -3379,7 +3394,7 @@ def _rewrite_distinct_limit(sql: str) -> str:
         f"SELECT * EXCEPT (_dseq) FROM (SELECT {items_txt}, "
         f"min(_dmid) AS _dseq FROM (SELECT *, "
         f"monotonically_increasing_id() AS _dmid FROM {src}) _dsrc "
-        f"GROUP BY {ordinals}) _dls ORDER BY _dseq LIMIT {n}"
+        f"GROUP BY {ordinals}) _dls ORDER BY _dseq{limit}"
     )
 
 
@@ -5633,7 +5648,6 @@ def rewrite(sql: str, schema_fn=None, types_fn=None, analyze_fn=None) -> str:
         sql,
     )
     sql = _rewrite_limit_by(_rewrite_limit_by_nested(sql))
-    sql = _rewrite_distinct_limit(sql)
     sql = _rewrite_groups_frame(sql)
     sql = _rewrite_with_fill_nested(sql, analyze_fn)
     sql = _rewrite_limit_ties(sql)
@@ -5677,6 +5691,11 @@ def rewrite(sql: str, schema_fn=None, types_fn=None, analyze_fn=None) -> str:
     sql = _rewrite_poly_length(sql, analyze_fn)
     sql = _rewrite_where_bool(sql)
     sql = _rewrite_order_nulls(sql)
+    # runs near the END of the pipeline: the restructure nests the select
+    # items one subquery deeper, and the item-rewriting passes (tuple
+    # literals, array literals, CH calls) only handle top-level positions —
+    # by now the items are already Spark-valid wherever they sit
+    sql = _rewrite_distinct_limit(sql)
     # tuple element access `x.1` → `x.col1` — the field-name convention the
     # tuple()/tupleElement rewrites emit (runs last: `.colN` has no digit
     # after the dot, so already-rewritten text is a fixed point). The
