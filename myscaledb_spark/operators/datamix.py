@@ -47,6 +47,17 @@ def pack_sequences(
     nshuf = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    # The prefix sum reads the narrow projection 2-3 times (bounds, bucket
+    # totals, packing); when the count expression is expensive (tokenize)
+    # each pass re-runs it.  For small inputs, materialize the 3-column
+    # projection ONCE (same 8 GB cost gate as the grouped-t-digest auto
+    # switch); at scale, re-scanning columnar storage beats materializing.
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = 0
+    if 0 < est <= (8 << 30):
+        narrow = narrow.localCheckpoint(eager=True)
     dtypes = dict(narrow.dtypes)
     numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
     if len(order_cols) == 1 and (
@@ -62,39 +73,67 @@ def pack_sequences(
         okey = order_cols[0]
         grid = max(nshuf * 4, 64)
         v = F.col(okey).cast("double")
-        mm = narrow.agg(F.min(v).alias("_mn"), F.max(v).alias("_mx"))
-        pid = (
-            F.when(v.isNull(), F.lit(-1))
-            .when(F.isnan(v), F.lit(grid + 2))
-            .when(F.col("_mn") == F.col("_mx"), F.lit(1))
-            .otherwise(F.width_bucket(v, F.col("_mn"), F.col("_mx"), F.lit(grid)))
-        )
-        wb = (
-            narrow.crossJoin(F.broadcast(mm))
-            .withColumn("_pid", pid)
-            .drop("_mn", "_mx")
-        )
-        w_pref = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-        off = F.broadcast(
-            wb.groupBy(F.col("_pid").alias("_b"))
+        # collect the two scalar bounds and the grid-sized bucket totals
+        # (the ONLY driver traffic — value-scale, not data-scale); the r9
+        # broadcast-subtree variant kept these in-plan but re-executed the
+        # corpus scan under each broadcast build: 10 jobs per invocation
+        # where this shape needs 3 (bounds, totals, the packing action)
+        mmrow = narrow.agg(F.min(v).alias("_mn"), F.max(v).alias("_mx")).first()
+        mn, mx = mmrow["_mn"], mmrow["_mx"]
+
+        def pid_expr():
+            if mn is None or mx is None or mn == mx:
+                grid_expr = F.lit(1)
+            else:
+                grid_expr = F.width_bucket(
+                    v, F.lit(float(mn)), F.lit(float(mx)), F.lit(grid)
+                )
+            return (
+                F.when(v.isNull(), F.lit(-1))
+                .when(F.isnan(v), F.lit(grid + 2))
+                .otherwise(grid_expr)
+            )
+
+        totals = sorted(
+            (r["_pid"], int(r["_t"] or 0))
+            for r in narrow.withColumn("_pid", pid_expr())
+            .groupBy("_pid")
             .agg(F.sum("_n").alias("_t"))
-            .withColumn("_offset", F.coalesce(F.sum("_t").over(w_pref), F.lit(0)))
-            .select(F.col("_b").alias("_pid"), "_offset")
+            .collect()
         )
+        offs, running = {}, 0
+        for b, t in totals:
+            offs[b] = running
+            running += t
+        wb = narrow.withColumn("_pid", pid_expr())
+        if len(offs) <= 1024:
+            # literal lookup rides the packing stage — no join at all
+            omap = F.create_map(
+                *[F.lit(x) for bt in offs.items() for x in bt]
+            )
+            offset = F.element_at(omap, F.col("_pid"))
+        else:
+            off_df = narrow.sparkSession.createDataFrame(
+                list(offs.items()), "_pid int, _offset long"
+            )
+            wb = wb.join(F.broadcast(off_df), "_pid")
+            offset = F.col("_offset")
         w = (
             Window.partitionBy("_pid")
             .orderBy(okey, id_col)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        # no explicit repartition: Window.partitionBy("_pid") induces the
+        # hash exchange itself, and leaving it implicit lets AQE coalesce
+        # the post-shuffle partitions instead of pinning nshuf tasks
         cum = (
-            wb.repartition(nshuf, F.col("_pid"))
-            .withColumn("_local_cum", F.sum("_n").over(w))
-            .join(off, "_pid")
+            wb.withColumn("_local_cum", F.sum("_n").over(w))
+            .withColumn("_offset_v", offset)
         )
         return (
             cum.withColumn(
                 "_cum_before",
-                F.col("_offset") + F.col("_local_cum") - F.col("_n"),
+                F.col("_offset_v") + F.col("_local_cum") - F.col("_n"),
             )
             .select(
                 F.col(id_col),
