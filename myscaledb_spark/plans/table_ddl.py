@@ -1358,6 +1358,27 @@ _NOOP_SETTINGS = re.compile(
     r"group_by_two_level_threshold[a-z_]*|max_bytes_before_external_group_by|"
     r"totals_mode|extremes|enable_positional_arguments|"
     r"query_plan_[a-z_]+|optimize_read_in_order|optimize_aggregation_in_order|"
+    # pure rewrite/JIT toggles (02xxx sweep): each selects an internal CH
+    # optimization whose output is defined to be identical; Spark/Catalyst
+    # owns these decisions here
+    r"optimize_group_by_function_keys|optimize_functions_to_subcolumns|"
+    r"optimize_distinct_in_order|optimize_rewrite_sum_if_to_count_if|"
+    r"optimize_syntax_fuse_functions|optimize_if_chain_to_multiif|"
+    r"optimize_arithmetic_operations_in_aggregate_functions|"
+    r"optimize_injective_functions_inside_uniq|optimize_move_functions_out_of_any|"
+    r"optimize_normalize_count_variants|optimize_fuse_sum_count_avg|"
+    r"optimize_or_like_chain|optimize_sorting_by_input_stream_properties|"
+    r"optimize_group_by_constant_keys|query_plan_optimize_prewhere|"
+    r"compile_expressions|min_count_to_compile_expression|"
+    r"compile_aggregate_expressions|min_count_to_compile_aggregate_expression|"
+    r"compile_sort_description|min_count_to_compile_sort_description|"
+    r"read_in_order_two_level_merge_threshold|prefer_localhost_replica|"
+    r"max_analyze_depth|log_comment|log_formatted_queries|log_queries_min_type|"
+    r"max_bytes_in_join|max_rows_in_join|"
+    r"insert_keeper_fault_injection_probability|"
+    r"allow_deprecated_database_ordinary|allow_deprecated_error_prone_window_functions|"
+    r"local_filesystem_read_method|remote_filesystem_read_method|"
+    r"max_read_buffer_size|short_circuit_function_evaluation|"
     r"force_primary_key|force_index_by_date|log_queries|"
     # client/diagnostics knobs: log verbosity routed to the test client
     r"send_logs_level|"
@@ -1379,6 +1400,10 @@ _VALUE_PINNED_SETTINGS = {
     # our engines keep raw inserted rows and merge on read/FINAL — exactly
     # optimize_on_insert = 0 (the tests SET 0 to observe unmerged rows)
     "optimize_on_insert": {"0"},
+    # Nested(...) flattens to dotted parallel arrays on CREATE — exactly
+    # flatten_nested = 1 (the CH default); =0 keeps a real tuple-array
+    # column, a storage model this engine does not implement
+    "flatten_nested": {"1"},
 }
 
 

@@ -603,6 +603,82 @@ PINNED = [
     "../0_stateless/01944_insert_partition_by.sql",
     "../0_stateless/01960_lambda_precedence.sql",
     "../0_stateless/01961_roaring_memory_tracking.sql",
+    # r10 batch: 0_stateless scan 02000-02354 (tools-scan survivors, each
+    # PASS verbatim) - grown per r9 VERDICT ask #5
+    "../0_stateless/02002_global_subqueries_subquery_or_table_name.sql",
+    "../0_stateless/02006_client_test_hint_error_name.sql",
+    "../0_stateless/02008_test_union_distinct_in_subquery.sql",
+    "../0_stateless/02009_array_join_partition.sql",
+    "../0_stateless/02010_array_index_bad_cast.sql",
+    "../0_stateless/02015_order_by_with_fill_misoptimization.sql",
+    "../0_stateless/02016_order_by_with_fill_monotonic_functions_removal.sql",
+    "../0_stateless/02017_columns_with_dot.sql",
+    "../0_stateless/02018_multiple_with_fill_for_the_same_column.sql",
+    "../0_stateless/02020_cast_integer_overflow.sql",
+    "../0_stateless/02023_nullable_int_uint_where.sql",
+    "../0_stateless/02024_compile_expressions_with_short_circuit_evaluation.sql",
+    "../0_stateless/02024_merge_regexp_assert.sql",
+    "../0_stateless/02029_quantile_sanitizer.sql",
+    "../0_stateless/02041_test_fuzzy_alter.sql",
+    "../0_stateless/02044_exists_operator.sql",
+    "../0_stateless/02045_like_function.sql",
+    "../0_stateless/02049_lowcardinality_shortcircuit_crash.sql",
+    "../0_stateless/02100_limit_push_down_bug.sql",
+    "../0_stateless/02111_global_context_temporary_tables.sql",
+    "../0_stateless/02111_with_fill_no_rows.sql",
+    "../0_stateless/02112_skip_index_set_and_or.sql",
+    "../0_stateless/02113_base64encode_trailing_bytes_1.sql",
+    "../0_stateless/02113_format_row_bug.sql",
+    "../0_stateless/02124_uncompressed_cache.sql",
+    "../0_stateless/02125_fix_storage_filelog.sql",
+    "../0_stateless/02131_mv_many_chunks_bug.sql",
+    "../0_stateless/02131_remove_columns_in_subquery.sql",
+    "../0_stateless/02131_skip_index_not_materialized.sql",
+    "../0_stateless/02146_mv_non_phys.sql",
+    "../0_stateless/02148_cast_type_parsing.sql",
+    "../0_stateless/02150_replace_regexp_all_empty_match.sql",
+    "../0_stateless/02151_lc_prefetch.sql",
+    "../0_stateless/02151_replace_regexp_all_empty_match_alternative.sql",
+    "../0_stateless/02157_line_as_string_output_format.sql",
+    "../0_stateless/02167_columns_with_dots_default_values.sql",
+    "../0_stateless/02176_optimize_aggregation_in_order_empty.sql",
+    "../0_stateless/02177_issue_31009.sql",
+    "../0_stateless/02179_degrees_radians.sql",
+    "../0_stateless/02179_key_condition_no_common_type.sql",
+    "../0_stateless/02181_sql_user_defined_functions_invalid_lambda.sql",
+    "../0_stateless/02185_split_by_char.sql",
+    "../0_stateless/02189_join_type_conversion.sql",
+    "../0_stateless/02207_key_condition_floats.sql",
+    "../0_stateless/02232_partition_pruner_mixed_constant_type.sql",
+    "../0_stateless/02232_partition_pruner_single_point.sql",
+    "../0_stateless/02233_with_total_empty_chunk.sql",
+    "../0_stateless/02234_position_case_insensitive_utf8.sql",
+    "../0_stateless/02242_if_then_else_null_bug.sql",
+    "../0_stateless/02242_optimize_to_subcolumns_no_storage.sql",
+    "../0_stateless/02244_lowcardinality_hash_join.sql",
+    "../0_stateless/02252_reset_non_existing_setting.sql",
+    "../0_stateless/02264_format_insert_compression.sql",
+    "../0_stateless/02264_format_insert_infile.sql",
+    "../0_stateless/02265_cross_join_empty_list.sql",
+    "../0_stateless/02267_empty_arrays_read_reverse.sql",
+    "../0_stateless/02269_to_start_of_interval_overflow.sql",
+    "../0_stateless/02292_create_function_validate.sql",
+    "../0_stateless/02293_ilike_on_fixed_strings.sql",
+    "../0_stateless/02304_grouping_sets_with_rollup_cube.sql",
+    "../0_stateless/02311_create_table_with_unknown_format.sql",
+    "../0_stateless/02313_cross_join_dup_col_names.sql",
+    "../0_stateless/02316_const_string_intersact.sql",
+    "../0_stateless/02316_literal_no_octal.sql",
+    "../0_stateless/02316_values_table_func_bug.sql",
+    "../0_stateless/02317_functions_with_nothing.sql",
+    "../0_stateless/02317_like_with_trailing_escape.sql",
+    "../0_stateless/02336_sort_optimization_with_fill.sql",
+    "../0_stateless/02337_multiple_joins_original_names.sql",
+    "../0_stateless/02343_analyzer_lambdas_issue_28083.sql",
+    "../0_stateless/02344_distinct_limit_distiributed.sql",
+    "../0_stateless/02345_partial_sort_transform_optimization.sql",
+    "../0_stateless/02353_ascii.sql",
+    "../0_stateless/02354_with_statement_non_exist_column.sql",
 ]
 
 
