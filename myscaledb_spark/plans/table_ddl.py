@@ -385,9 +385,115 @@ _CREATE_RE = re.compile(
 )
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s*(?:\((?P<cols>[\w\s,.`]*)\))?\s*"
-    r"(?P<rest>VALUES|SELECT|WITH)\b",
+    r"(?:SETTINGS\s+[\w\s=,.'\-]*?)?\s*"
+    r"(?P<rest>VALUES|SELECT|WITH|FORMAT)\b",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _format_lit(v, t: str) -> str:
+    """One parsed payload cell → a SQL literal CAST to the column type."""
+    if v is None:
+        return f"CAST(NULL AS {t})"
+    if isinstance(v, bool):
+        return f"CAST({'true' if v else 'false'} AS {t})"
+    if isinstance(v, (int, float)):
+        return f"CAST({v!r} AS {t})"
+    if isinstance(v, str):
+        esc = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"CAST('{esc}' AS {t})"
+    if isinstance(v, list):
+        if not t.startswith("array<"):
+            raise ChSqlError(f"array payload for non-array column type {t}")
+        elem_t = t[len("array<"):-1]
+        inner = ", ".join(_format_lit(x, elem_t) for x in v)
+        return f"CAST(array({inner}) AS {t})"
+    raise ChSqlError(
+        f"unsupported inline-format value {type(v).__name__} for type {t}"
+    )
+
+
+def _format_payload_rows(
+    fmt: str, payload: str, ins_cols: list[str], types0: dict
+) -> str:
+    """Parse an INSERT inline payload (`INSERT INTO t FORMAT <fmt> <data>`)
+    into a `VALUES`-style row list with per-element CASTs.
+
+    Formats mirror the reference's input registry
+    (`src/Formats/registerFormats.cpp`): JSONEachRow (+ JSONLines/NDJSON
+    synonyms — each row one JSON object, missing fields take the column
+    TYPE default, unknown fields are skipped), CSV (RFC quoting), and
+    TSV/TabSeparated (backslash escapes).  Header-carrying variants
+    (…WithNames) and nested-object payloads raise rather than guess."""
+    rows: list[list] = []
+    if fmt in ("jsoneachrow", "jsonlines", "ndjson", "jsoncompacteachrow"):
+        import json
+
+        dec = json.JSONDecoder()
+        i, n = 0, len(payload)
+        while True:
+            while i < n and payload[i] in " \t\r\n,;":
+                i += 1
+            if i >= n:
+                break
+            obj, i = dec.raw_decode(payload, i)
+            if fmt == "jsoncompacteachrow":
+                if not isinstance(obj, list) or len(obj) != len(ins_cols):
+                    raise ChSqlError("JSONCompactEachRow row arity mismatch")
+                rows.append(obj)
+            else:
+                if not isinstance(obj, dict):
+                    raise ChSqlError("JSONEachRow payload row is not an object")
+                if any(isinstance(x, dict) for x in obj.values()):
+                    raise ChSqlError("nested JSON objects are not supported")
+                _MISSING = object()
+                rows.append([obj.get(c, _MISSING) for c in ins_cols])
+    elif fmt == "csv":
+        import csv
+        import io
+
+        for rec in csv.reader(io.StringIO(payload.strip())):
+            if rec:
+                rows.append(list(rec))
+    elif fmt in ("tsv", "tabseparated"):
+        unesc = {"\\t": "\t", "\\n": "\n", "\\\\": "\\", "\\r": "\r"}
+
+        def _u(s: str) -> str:
+            out = re.sub(
+                r"\\[tnr\\]", lambda mm: unesc[mm.group(0)], s
+            )
+            return out
+
+        for line in payload.strip("\n").splitlines():
+            if line != "":
+                rows.append([_u(c) for c in line.split("\t")])
+    else:
+        raise ChSqlError(f"unsupported INSERT input format {fmt!r}")
+    if not rows:
+        raise ChSqlError(f"empty inline payload for INSERT FORMAT {fmt}")
+    out = []
+    for r in rows:
+        if len(r) != len(ins_cols):
+            raise ChSqlError(
+                f"FORMAT {fmt} row has {len(r)} fields, expected "
+                f"{len(ins_cols)}"
+            )
+        cells = []
+        for v, c in zip(r, ins_cols):
+            t = types0[c]
+            if v.__class__ is object:
+                # missing JSON field: the column TYPE default
+                from myscaledb_spark.sql_dialect import _type_default
+
+                d = _type_default(t)
+                cells.append(
+                    f"CAST({d} AS {t})" if d is not None
+                    else f"CAST(NULL AS {t})"
+                )
+            else:
+                cells.append(_format_lit(v, t))
+        out.append("(" + ", ".join(cells) + ")")
+    return ", ".join(out)
 
 #: created tables: name → {"schema": [(col, spark_type)...], "n_parts": int}
 TABLES: dict[str, dict] = {}
@@ -1101,6 +1207,21 @@ def insert_into(spark: SparkSession, sql: str) -> int:
         raise ChSqlError(f"INSERT columns not in table: {sorted(unknown)}")
 
     body = sql[m.start("rest") :]
+    fmatch = re.match(r"FORMAT\s+([A-Za-z0-9]+)\s*", body, re.IGNORECASE)
+    if fmatch is not None:
+        fmt = fmatch.group(1).lower()
+        payload = body[fmatch.end() :]
+        if fmt == "values":
+            body = "VALUES " + payload
+        else:
+            rows_sql = _format_payload_rows(
+                fmt, payload, ins_cols, dict(schema)
+            )
+            src = spark.sql(
+                f"SELECT * FROM VALUES {rows_sql} "
+                f"AS _ins({', '.join(f'`{c}`' for c in ins_cols)})"
+            )
+            body = ""  # handled
     if body[:6].upper() == "VALUES":
         from myscaledb_spark.sql_dialect import (
             _rewrite_array_literals,
@@ -1153,7 +1274,7 @@ def insert_into(spark: SparkSession, sql: str) -> int:
             f"SELECT * FROM VALUES {rows_sql} "
             f"AS _ins({', '.join(f'`{c}`' for c in ins_cols)})"
         )
-    else:
+    elif body:  # empty body: src already built by the FORMAT branch
         from myscaledb_spark.sql_dialect import ch_sql
 
         if re.search(r"\bsystem\.\w+", body, re.IGNORECASE):

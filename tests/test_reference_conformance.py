@@ -603,6 +603,9 @@ PINNED = [
     "../0_stateless/01944_insert_partition_by.sql",
     "../0_stateless/01960_lambda_precedence.sql",
     "../0_stateless/01961_roaring_memory_tracking.sql",
+    # r10: INSERT inline-data formats (JSONEachRow/CSV/TSV payloads, 
+    # newline-terminated statements)
+    "../0_stateless/00462_json_true_false_literals.sql",
     # r10 batch: 0_stateless scan 02000-02354 (tools-scan survivors, each
     # PASS verbatim) - grown per r9 VERDICT ask #5
     "../0_stateless/02002_global_subqueries_subquery_or_table_name.sql",

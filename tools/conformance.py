@@ -68,6 +68,23 @@ def _split(script: str):
     protocol)."""
     from myscaledb_spark.sql_dialect import _string_mask
 
+    # clickhouse-client ends an INSERT with same-line inline data (FORMAT
+    # JSONEachRow/CSV/TSV ... <data>) at the NEWLINE, no ';' required —
+    # virtually terminate those lines so the next statement isn't swallowed
+    # as payload (02114_bool_type); a line that already ends with ';' or a
+    # bare `FORMAT <fmt>` header (data on following lines) is left alone
+    fixed = []
+    for ln in script.splitlines():
+        if (
+            re.match(r"^\s*INSERT\s+INTO\b", ln, re.IGNORECASE)
+            and re.search(
+                r"\bFORMAT\s+(?!Values\b)\w+\s+\S", ln, re.IGNORECASE
+            )
+            and not ln.rstrip().endswith(";")
+        ):
+            ln = ln + ";"
+        fixed.append(ln)
+    script = "\n".join(fixed)
     mask = _string_mask(script)
     pieces, last = [], 0
     for i, c in enumerate(mask):
@@ -403,6 +420,15 @@ def _run_file_inner(spark, path: str, art: str):
         except Exception as e:  # first failing statement is the verdict
             return "FAIL", f"stmt {i + 1}: {s.splitlines()[0][:90]!r} -> {type(e).__name__}: {str(e)[:160]}"
         if re.match(r"^\s*(SELECT|WITH|SHOW|EXPLAIN)\b", s, re.IGNORECASE) and res is not None:
+            if re.search(r"\bFORMAT\s+Null\b", s, re.IGNORECASE):
+                # FORMAT Null executes the query and discards the output
+                # (clickhouse-client prints nothing) — errors still count
+                try:
+                    if hasattr(res, "collect"):
+                        res.limit(10_000_000).collect()
+                except Exception as e:
+                    return "FAIL", f"stmt {i + 1} collect: {type(e).__name__}: {str(e)[:160]}"
+                continue
             if re.search(r"FORMAT\s+Vertical", s, re.IGNORECASE):
                 # replay clickhouse-client's Vertical rendering: per row a
                 # `Row N:` header, a ─ rule of the header's width, then
