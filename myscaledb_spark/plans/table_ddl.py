@@ -1229,12 +1229,20 @@ def insert_into(spark: SparkSession, sql: str) -> int:
             _rewrite_map_literals,
         )
 
-        # CH VALUES rows use bracket array / brace map literals and CH
-        # function names (char(...), toDate(...)) — rewrite like the SELECT
-        # path does (string literals are respected)
+        from myscaledb_spark.sql_dialect import substitute_query_params
+
+        # CH VALUES rows use bracket array / brace map literals, CH
+        # function names (char(...), toDate(...)) and {name:Type} query
+        # parameters — rewrite like the SELECT path does (string literals
+        # are respected; params substitute FIRST so `{x: Int32}` is not
+        # taken for a map literal)
         rows_sql = _rewrite_calls(
             _rewrite_array_literals(
-                _rewrite_map_literals(_comma_join_tuples(body[6:].strip()))
+                _rewrite_map_literals(
+                    substitute_query_params(
+                        _comma_join_tuples(body[6:].strip())
+                    )
+                )
             )
         )
         # per-element CAST to the declared column type: CH coerces each
@@ -1500,6 +1508,11 @@ _NOOP_SETTINGS = re.compile(
     r"allow_deprecated_database_ordinary|allow_deprecated_error_prone_window_functions|"
     r"local_filesystem_read_method|remote_filesystem_read_method|"
     r"max_read_buffer_size|short_circuit_function_evaluation|"
+    r"single_join_prefer_left_table|system_events_show_zero_values|"
+    r"enable_optimize_predicate_expression[a-z_]*|"
+    r"optimize_min_equality_disjunction_chain_length|"
+    r"cross_to_inner_join_rewrite|"
+    r"database_atomic_wait_for_drop_and_detach_synchronously|"
     r"force_primary_key|force_index_by_date|log_queries|"
     # client/diagnostics knobs: log verbosity routed to the test client
     r"send_logs_level|"
@@ -1554,6 +1567,12 @@ def set_statement(sql: str) -> None:
         am = re.match(r"\s*(\w+)\s*=\s*(.+?)\s*$", piece)
         if not am:
             raise ChSqlError(f"cannot parse SET assignment {piece!r}")
+        if am.group(1).lower().startswith("param_"):
+            # query parameter (SET param_x = v → {x:Type} placeholders,
+            # ReplaceQueryParameterVisitor) — recorded, substituted by
+            # ch_sql's placeholder pass
+            SESSION_SETTINGS[am.group(1).lower()] = am.group(2)
+            continue
         pinned = _VALUE_PINNED_SETTINGS.get(am.group(1).lower())
         if pinned is not None:
             if am.group(2).strip() not in pinned:

@@ -7427,6 +7427,42 @@ def _maybe_grouped_tdigest(spark: SparkSession, sql: str):
     return out.select(*order)
 
 
+def substitute_query_params(sql: str) -> str:
+    """Query parameters: `{name:Type}` placeholders bound by
+    `SET param_name = v` (ReplaceQueryParameterVisitor).  Only
+    identifier-colon-type shapes whose param IS bound are touched — map
+    literals (`{'k': v}`) and unbound braces pass through to the
+    map-literal rewrite untouched."""
+    if "{" not in sql:
+        return sql
+    from myscaledb_spark.plans.table_ddl import SESSION_SETTINGS
+
+    def _sub_param(pm):
+        name, typ = pm.group(1), pm.group(2).strip()
+        v = SESSION_SETTINGS.get(f"param_{name.lower()}")
+        if v is None:
+            return pm.group(0)
+        if typ.lower() == "identifier":
+            return v.strip().strip("'\"`")
+        if not (v.startswith("'") or re.fullmatch(r"[-\d.eE+]+", v)):
+            v = "'" + v.replace("'", "\\'") + "'"
+        # map the CH type here — callers outside ch_sql's pipeline (the
+        # INSERT VALUES path) never reach _rewrite_cast_types
+        from myscaledb_spark.plans.table_ddl import ch_type_to_spark
+
+        try:
+            typ = ch_type_to_spark(typ)
+        except Exception:
+            pass
+        return f"CAST({v} AS {typ})"
+
+    return _masked_sub(
+        re.compile(r"\{([A-Za-z_]\w*)\s*:\s*([A-Za-z_][\w(), ]*)\}"),
+        _sub_param,
+        sql,
+    )
+
+
 def ch_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataFrame:
     """Run a ClickHouse-flavored SQL query on Spark."""
     import time as _time
@@ -7443,6 +7479,7 @@ def ch_sql(spark: SparkSession, sql: str, args: dict | None = None) -> DataFrame
         from myscaledb_spark.streaming.live_view import substitute_live_views
 
         sql = substitute_live_views(sql)
+    sql = substitute_query_params(sql)
     # scalar WITH (`WITH (subquery|expr) AS ident SELECT ...`) inlines
     # BEFORE search-shape detection so `textsearch(doc, target_keywords)`
     # sees its argument (00040_with_subquery's WITH form)

@@ -606,6 +606,10 @@ PINNED = [
     # r10: INSERT inline-data formats (JSONEachRow/CSV/TSV payloads, 
     # newline-terminated statements)
     "../0_stateless/00462_json_true_false_literals.sql",
+    # r10: query parameters (SET param_* + {name:Type} placeholders,
+    # ReplaceQueryParameterVisitor) in SELECT and INSERT VALUES
+    "../0_stateless/02476_query_parameters_insert.sql",
+    "../0_stateless/02679_query_parameters_dangling_pointer.sql",
     # r10 batch: 0_stateless scan 02000-02354 (tools-scan survivors, each
     # PASS verbatim) - grown per r9 VERDICT ask #5
     "../0_stateless/02002_global_subqueries_subquery_or_table_name.sql",
