@@ -193,7 +193,6 @@ TEMPLATES: dict[str, str] = {
     "lagInFrame": "lag({*})",
     "leadInFrame": "lead({*})",
     "replaceAll": "replace({0}, {1}, {2})",
-    "replaceRegexpAll": "regexp_replace({0}, {1}, {2})",
     # first-occurrence-only literal replace (ReplaceStringImpl, replace one)
     "replaceOne": (
         "CASE WHEN locate({1}, {0}) > 0 THEN concat("
@@ -3989,6 +3988,25 @@ def _param_quantiles_interp_weighted(params, args):
     return _quantile_interp_weighted_sql(params, args[0], args[1])
 
 
+def _special_replace_regexp_all(args: list[str]) -> str:
+    """replaceRegexpAll / REGEXP_REPLACE — every match, with CH `\\N`
+    replacement backrefs translated to Spark's `$N` (ReplaceRegexpImpl.h
+    uses re2 `\\N` syntax; Java uses `$N` and treats `$` specially).  A
+    non-literal replacement passes through untranslated — backrefs can
+    only be renumbered at rewrite time."""
+    if len(args) != 3:
+        raise ChSqlError("replaceRegexpAll(haystack, pattern, replacement)")
+    s, pat, rep = args
+    rm = re.fullmatch(r"\s*'(.*)'\s*", rep, re.DOTALL)
+    if rm is None:
+        return f"regexp_replace({s}, {pat}, {rep})"
+    # a literal `$` must survive BOTH Spark's string-literal unescape
+    # (`\\$` -> `\$`) and Java's replacement parser (`\$` = literal $)
+    body = rm.group(1).replace("$", "\\\\$")
+    body = re.sub(r"\\\\([0-9])", lambda m: f"${m.group(1)}", body)
+    return f"regexp_replace({s}, {pat}, '{body}')"
+
+
 def _special_replace_regexp_one(args: list[str]) -> str:
     """replaceRegexpOne(s, pat, rep) — replace the FIRST match only
     (src/Functions/ReplaceRegexpImpl.h, replace one). Spark's
@@ -4006,7 +4024,9 @@ def _special_replace_regexp_one(args: list[str]) -> str:
             "replaceRegexpOne needs a literal replacement string "
             "(backrefs are translated at rewrite time)"
         )
-    body = rm.group(1).replace("$", "\\$")
+    # a literal `$` must survive BOTH Spark's string-literal unescape
+    # (`\\$` -> `\$`) and Java's replacement parser (`\$` = literal $)
+    body = rm.group(1).replace("$", "\\\\$")
     body = re.sub(r"\\\\([0-9])", lambda m: f"${int(m.group(1)) + 1}", body)
     return (
         f"regexp_replace({s}, concat('^(?s)(.*?)(?:', {pat}, ')'), "
@@ -4797,6 +4817,8 @@ SPECIAL = {
         ["0.5"], args[0], args[1]
     ),
     "replaceRegexpOne": _special_replace_regexp_one,
+    "replaceRegexpAll": _special_replace_regexp_all,
+    "REGEXP_REPLACE": _special_replace_regexp_all,
     "formatDateTime": _special_format_datetime,
     "arrayResize": _special_array_resize,
     "toStartOfInterval": _special_to_start_of_interval,
