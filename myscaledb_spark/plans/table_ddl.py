@@ -1227,6 +1227,7 @@ def insert_into(spark: SparkSession, sql: str) -> int:
             _rewrite_array_literals,
             _rewrite_calls,
             _rewrite_map_literals,
+            _rewrite_numeric_literals,
         )
 
         from myscaledb_spark.sql_dialect import substitute_query_params
@@ -1240,7 +1241,9 @@ def insert_into(spark: SparkSession, sql: str) -> int:
             _rewrite_array_literals(
                 _rewrite_map_literals(
                     substitute_query_params(
-                        _comma_join_tuples(body[6:].strip())
+                        _rewrite_numeric_literals(
+                            _comma_join_tuples(body[6:].strip())
+                        )
                     )
                 )
             )
@@ -1262,11 +1265,24 @@ def insert_into(spark: SparkSession, sql: str) -> int:
                 if len(elems) != len(ins_cols):
                     ok_cast = False
                     break
+                def _elem_sql(e: str, c: str) -> str:
+                    if e.strip().upper() == "DEFAULT":
+                        # the DEFAULT keyword in VALUES takes the column's
+                        # DECLARED default, else the type default
+                        # (02154_default_keyword_insert)
+                        from myscaledb_spark.sql_dialect import _type_default
+
+                        decl = (TABLES[table].get("defaults") or {}).get(c)
+                        if decl is not None:
+                            e = _rewrite_calls(decl)
+                        else:
+                            e = _type_default(types0[c]) or "NULL"
+                    return f"CAST(({e.strip()}) AS {types0[c]})"
+
                 cast_rows.append(
                     "("
                     + ", ".join(
-                        f"CAST(({e.strip()}) AS {types0[c]})"
-                        for e, c in zip(elems, ins_cols)
+                        _elem_sql(e, c) for e, c in zip(elems, ins_cols)
                     )
                     + ")"
                 )

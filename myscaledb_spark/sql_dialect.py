@@ -5079,6 +5079,45 @@ _DIV_CLAUSE_KEYWORDS = frozenset(
 )
 
 
+def _rewrite_numeric_literals(sql: str) -> str:
+    """ClickHouse numeric-literal forms Spark's lexer lacks: `_` digit
+    separators (1_000, 1.00_00_01), binary literals (0b0010_0100), and
+    hex floats with a binary exponent (0x12p1) — ParserNumber accepts all
+    of these (02354_numeric_literals_with_underscores).  Each token is
+    normalized to a plain literal; identifiers that merely START with
+    digits (table `02267_t`) never match because the char after the
+    consumed digits must not be a word char."""
+    if not re.search(r"\d_\d|0[bB][01]|0[xX][0-9a-fA-F_]+[pP]", sql):
+        return sql
+
+    def _hex(m):
+        body = m.group(1).replace("_", "")
+        p = m.group(2)
+        v = int(body, 16)
+        if p:
+            v = v * (2 ** int(p))
+        return str(v)
+
+    sql = _masked_sub(
+        re.compile(r"(?<![\w.])0[xX]([0-9a-fA-F_]+)(?:[pP](\d+))?(?![\w.])"),
+        _hex,
+        sql,
+    )
+    sql = _masked_sub(
+        re.compile(r"(?<![\w.])0[bB]([01_]+)(?![\w.])"),
+        lambda m: str(int(m.group(1).replace("_", ""), 2)),
+        sql,
+    )
+    return _masked_sub(
+        re.compile(
+            r"(?<![\w.])(\d[\d_]*(?:\.[\d_]+)?(?:[eE][+-]?[\d_]+)?)(?![\w.])"
+        ),
+        lambda m: m.group(1).replace("_", "")
+        if "_" in m.group(1) else m.group(1),
+        sql,
+    )
+
+
 def _rewrite_div_zero(sql: str) -> str:
     """Non-literal division by zero (r8 VERDICT missing #4): ClickHouse `/`
     is IEEE float division (`src/Functions/divide.cpp`) — x/0 is ±Inf and
@@ -5555,6 +5594,7 @@ def rewrite(sql: str, schema_fn=None, types_fn=None, analyze_fn=None) -> str:
         if re.search(pat, sql, flags=re.IGNORECASE):
             raise ChSqlError(f"construct not supported in SQL dialect shim: {hint}")
     sql = _rewrite_ch_escapes(sql)
+    sql = _rewrite_numeric_literals(sql)
     # Nested(...) columns live as dotted parallel-array columns (`nest.x`);
     # expand ARRAY JOIN prefix forms first (they mint statement-local alias
     # prefixes), then backtick-quote every known dotted reference so Spark
