@@ -297,7 +297,8 @@ def bm25_scores(
             *[term_tf("_toks", t).alias(f"_tf_{i}") for i, t in enumerate(terms)],
         )
         return bm25_scores_from_tf(
-            tfed, len(terms), operator, score_name, stats=stats
+            tfed, len(terms), operator, score_name, stats=stats,
+            match_col=match_predicate("_toks", terms, operator),
         ).drop("_toks")
 
     if tokenizer == "simple" and spec is None:
@@ -309,18 +310,32 @@ def bm25_scores(
         # twice: once under the stats agg, once under scoring — this
         # halves the per-pass cost).  Counts are integers, so scores stay
         # bit-identical to the tokenize()-based path.
-        low = F.lower(F.col(text_col))
-        tfed = df.select(
+        # lower(text) ONCE via a two-level select (a single select inlines
+        # the lower() into _dl and every per-term regexp_count); the match
+        # filter is a single alternation regex with early exit instead of
+        # the tf-derived OR, which would re-run every per-term regexp_count
+        # under the pushed-down filter.
+        lowered = df.select("*", F.lower(F.col(text_col)).alias("_low"))
+        tfed = lowered.select(
             "*",
-            F.regexp_count(low, F.lit("[a-z0-9]+")).cast("double").alias("_dl"),
+            F.regexp_count(F.col("_low"), F.lit("[a-z0-9]+")).cast("double").alias("_dl"),
             *[
                 F.regexp_count(
-                    low, F.lit(f"(?<![a-z0-9]){t}(?![a-z0-9])")
+                    F.col("_low"), F.lit(f"(?<![a-z0-9]){t}(?![a-z0-9])")
                 ).cast("double").alias(f"_tf_{i}")
                 for i, t in enumerate(terms)
             ],
         )
-        return bm25_scores_from_tf(tfed, len(terms), operator, score_name)
+        if operator.upper() == "AND":
+            match = F.lit(True)
+            for t in terms:
+                match = match & F.col("_low").rlike(f"(?<![a-z0-9]){t}(?![a-z0-9])")
+        else:
+            alt = "|".join(terms)
+            match = F.col("_low").rlike(f"(?<![a-z0-9])({alt})(?![a-z0-9])")
+        return bm25_scores_from_tf(
+            tfed, len(terms), operator, score_name, match_col=match
+        ).drop("_low")
 
     toked = df.withColumn("_toks", tokenize(text_col, tokenizer, spec=spec)).withColumn(
         "_dl", F.size("_toks").cast("double")
@@ -351,7 +366,30 @@ def bm25_scores_pretokenized(
     tfed = toked.select(
         "*", *[term_tf("_toks", t).alias(f"_tf_{i}") for i, t in enumerate(terms)]
     )
-    return bm25_scores_from_tf(tfed, len(terms), operator, score_name).drop("_toks")
+    return bm25_scores_from_tf(
+        tfed, len(terms), operator, score_name,
+        match_col=match_predicate("_toks", terms, operator),
+    ).drop("_toks")
+
+
+def match_predicate(
+    toks: Column | str, terms: list[str], operator: str = "OR"
+) -> Column:
+    """Cheap row-match predicate equivalent to the tf-based one.
+
+    ``any tf_t > 0`` ⟺ ``arrays_overlap(toks, terms)`` (one short-circuit
+    array pass) and ``all tf_t > 0`` ⟺ a conjunction of ``array_contains``
+    — vs the OR/AND over per-term ``size(filter(toks, ...))`` counts, which
+    Catalyst pushes below the tf projection and so evaluates every term's
+    full filter-count HOF a second time per row (guide §7.2 duplicated
+    subtrees).  Same rows pass by construction."""
+    c = F.col(toks) if isinstance(toks, str) else toks
+    if operator.upper() == "AND":
+        cond = F.lit(True)
+        for t in terms:
+            cond = cond & F.array_contains(c, t)
+        return cond
+    return F.arrays_overlap(c, F.array(*[F.lit(t) for t in terms]))
 
 
 def bm25_scores_from_tf(
@@ -360,6 +398,7 @@ def bm25_scores_from_tf(
     operator: str = "OR",
     score_name: str = "bm25_score",
     stats: tuple[float, float, list[float]] | None = None,
+    match_col: Column | None = None,
 ) -> DataFrame:
     """BM25 from precomputed per-term frequencies: expects `_dl` (double)
     and `_tf_0.._tf_{n-1}` (double) columns. This is the narrowest corpus
@@ -372,7 +411,11 @@ def bm25_scores_from_tf(
     corpus statistics as LITERALS — no stats pass, no broadcast join; the
     reference's tantivy index serves stats the same way
     (BM25InfoInDataParts).  The literal doubles feed the identical float
-    expression, so scores stay bit-identical to the two-pass plan."""
+    expression, so scores stay bit-identical to the two-pass plan.
+
+    ``match_col`` (see ``match_predicate``) replaces the tf-derived match
+    filter with an equivalent cheap predicate so the pushed-down filter does
+    not re-evaluate every per-term tf expression."""
     if stats is None:
         aggs = [
             F.count(F.lit(1)).cast("double").alias("_n_docs"),
@@ -405,7 +448,10 @@ def bm25_scores_from_tf(
         match_any = match_any | (tf > 0)
         match_all = match_all & (tf > 0)
 
-    matched = match_all if operator.upper() == "AND" else match_any
+    if match_col is not None:
+        matched = match_col
+    else:
+        matched = match_all if operator.upper() == "AND" else match_any
     out = scored.withColumn(score_name, score).filter(matched)
     drop = ["_dl"] + [f"_tf_{i}" for i in range(n_terms)]
     if stats is None:
@@ -503,6 +549,26 @@ def _clause_tf(toks_col: str, tokens: list[str]) -> Column:
     )
 
 
+def _clause_present(toks_col: str, tokens: list[str]) -> Column:
+    """Cheap predicate ⟺ ``_clause_tf(toks_col, tokens) > 0``.
+
+    Used for NLQ must/must_not/plain filtering so the pushed-down filter
+    does not re-evaluate the full occurrence-counting expression per row
+    (guide §7.2): single terms short-circuit with array_contains; phrases
+    check substring containment of the same separator-joined form the
+    counter uses (contains ⟺ count > 0 — identical occurrence definition);
+    self-overlapping phrases fall back to the counter."""
+    if len(tokens) == 1:
+        return F.array_contains(F.col(toks_col), tokens[0])
+    L = len(tokens)
+    if any(tokens[s:] == tokens[: L - s] for s in range(1, L)):
+        return _clause_tf(toks_col, tokens) > 0
+    sep = "\x01"
+    s = F.concat(F.lit(sep * 2), F.array_join(F.col(toks_col), sep * 2), F.lit(sep * 2))
+    p = sep + (sep * 2).join(tokens) + sep
+    return s.contains(p)
+
+
 def nlq_scores(
     df: DataFrame,
     text_col: str,
@@ -539,8 +605,8 @@ def nlq_scores(
         )
     for i, c in enumerate(pos):
         toked = toked.withColumn(f"_tf_{i}", _clause_tf("_toks", c["tokens"]))
-    for j, c in enumerate(neg):
-        toked = toked.withColumn(f"_ntf_{j}", _clause_tf("_toks", c["tokens"]))
+    # prohibited clauses need no counted tf — the keep filter below uses the
+    # cheap presence predicate directly
 
     if lit_stats is None:
         aggs = [
@@ -564,6 +630,9 @@ def nlq_scores(
     match_plain = F.lit(False)
     has_plain = any(not c["must"] for c in pos)
     keep = F.lit(True)
+    # keep/prohibit conditions use the cheap _clause_present predicates
+    # (⟺ tf > 0 / tf == 0) so the pushed-down filter does not re-evaluate
+    # every clause's full occurrence counter below the tf projection
     for i, c in enumerate(pos):
         tf = F.col(f"_tf_{i}")
         idf = F.log(
@@ -574,20 +643,16 @@ def nlq_scores(
         )
         score = score + F.when(tf > 0, idf * norm).otherwise(F.lit(0.0))
         if c["must"]:
-            keep = keep & (tf > 0)
+            keep = keep & _clause_present("_toks", c["tokens"])
         else:
-            match_plain = match_plain | (tf > 0)
+            match_plain = match_plain | _clause_present("_toks", c["tokens"])
     if has_plain:
         keep = keep & match_plain
-    for j in range(len(neg)):
-        keep = keep & (F.col(f"_ntf_{j}") == 0)
+    for c in neg:
+        keep = keep & ~_clause_present("_toks", c["tokens"])
 
     out = scored.withColumn(score_name, score).filter(keep)
-    drop = (
-        ["_toks", "_dl"]
-        + [f"_tf_{i}" for i in range(len(pos))]
-        + [f"_ntf_{j}" for j in range(len(neg))]
-    )
+    drop = ["_toks", "_dl"] + [f"_tf_{i}" for i in range(len(pos))]
     if lit_stats is None:
         drop += ["_n_docs", "_avgdl"] + [f"_df_{i}" for i in range(len(pos))]
     return out.drop(*drop)

@@ -126,6 +126,34 @@ def cosine_distance(col: Column | str, qvec: Sequence[float]) -> Column:
     )
 
 
+def distance_defined(
+    col: Column | str, qvec: Sequence[float], metric: str = "L2"
+) -> Column:
+    """Predicate equivalent to ``distance(col, qvec, metric).isNotNull()``
+    at a fraction of the cost.
+
+    Rationale (optimization guide §7.2 "duplicated subtrees"): filtering on
+    ``isnotnull(dist)`` after projecting the distance makes Catalyst push the
+    filter below the Project and RE-SUBSTITUTE the whole aggregate/zip_with
+    expression into the filter condition — the O(d) distance is then
+    evaluated twice per row (and higher-order functions run interpreted,
+    outside whole-stage codegen, so nothing de-duplicates them).  The
+    distance of the sum-accumulator metrics (L2/L2Squared/L1/IP/Cosine) is
+    NULL exactly when the array is NULL, has a different length than the
+    query (zip_with pads with NULL), or contains a NULL element — all
+    checkable with O(1)/O(d) primitives.  Linf folds NULL elements away
+    (``greatest`` skips NULLs), so its distance is NULL iff the column is
+    NULL.  Equivalence is pinned by tests/test_special.py."""
+    c = F.col(col) if isinstance(col, str) else col
+    if metric.lower() == "linf":
+        return c.isNotNull()
+    return (
+        c.isNotNull()
+        & (F.size(c) == len(qvec))
+        & ~F.exists(c, lambda x: x.isNull())
+    )
+
+
 def distance(col: Column | str, qvec: Sequence[float], metric: str = "L2") -> Column:
     """The reference's ``distance(vec_col, [q...])`` as a column expression.
 
@@ -201,6 +229,7 @@ __all__ = [
     "BINARY_METRICS",
     "METRIC_ASCENDING",
     "distance",
+    "distance_defined",
     "l2_distance",
     "l2_squared_distance",
     "l1_distance",

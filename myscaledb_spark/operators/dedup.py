@@ -333,22 +333,23 @@ def minhash_dedup_pairs(
         hashed_set = F.array_distinct(
             F.transform(shingles(tokens_col, n), lambda x: md5_48(x))
         )
-        # filter on the CHEAP precondition (size(_set) == 0 iff the doc has
-        # < n tokens) BEFORE the projection: a filter on the _set alias gets
-        # predicate-pushed below the project and re-evaluates the whole
-        # md5-shingle expression a second time per row
-        pre = (
-            fan_out(df, spark)
-            .filter(F.size(tokens_col) >= n)  # explode() dropped these too
-            .select(F.col(id_col), hashed_set.alias("_set"))
-        )
+        # NO pre-filter below the cache: filtering on size(tokens_col) >= n
+        # before the projection evaluates the tokenization a second time per
+        # row (the r9 shape), and filtering on the _set alias would get
+        # predicate-pushed below the project and re-evaluate the whole
+        # md5-shingle chain instead.  Short docs (< n tokens) hash to an
+        # EMPTY set (shingles() short-circuits), so the cache stores them as
+        # empty arrays (bytes-free) and the equivalent filter
+        # size(_set) > 0 ⟺ size(tokens) >= n runs on the CACHED column.
+        pre = fan_out(df, spark).select(F.col(id_col), hashed_set.alias("_set"))
         if npart is not None:
             pre = pre.coalesce(npart)
         pre = pre.persist(StorageLevel.MEMORY_AND_DISK)
+        pre_f = pre.filter(F.size("_set") > 0)
         # ndocs gates the hot-bucket pre-pass below; counting here also
         # materializes the index frame as its own job (cheap: npart tasks)
-        ndocs = pre.count()
-        sh = pre.select(F.col(id_col), F.explode("_set").alias("sh"))
+        ndocs = pre_f.count()
+        sh = pre_f.select(F.col(id_col), F.explode("_set").alias("sh"))
         def _seeded(s: int):
             # MUST be a one-arg lambda: F.transform inspects arity, and a
             # second parameter (even a default like s=s) is bound to the
@@ -368,7 +369,7 @@ def minhash_dedup_pairs(
             for b in range(bands)
         ])
         sig = (
-            pre.select(F.col(id_col), F.size("_set").alias("_setn"), *mins)
+            pre_f.select(F.col(id_col), F.size("_set").alias("_setn"), *mins)
             .select(
                 F.col(id_col), F.col("_setn"), band_keys.alias("_band_keys")
             )

@@ -177,12 +177,25 @@ def hybrid_search(
     # and one tf per query term — fixed-width scalars (the token array is
     # consumed inside the scan and never materialized), so the persisted set
     # is a sliver of the corpus even at 100 TB
-    toks = tokenize(text_col, tokenizer)
-    tf_cols = [term_tf(toks, t).alias(f"_tf_{i}") for i, t in enumerate(terms)]
-    narrow = df.select(
+    # TWO-level select so the token array is computed ONCE per row: a single
+    # select with size(toks) + one term_tf(toks) per term inlines the whole
+    # split/filter tokenization into every consumer (n_terms+1 evaluations
+    # per row — HOFs run interpreted, nothing de-duplicates them), while an
+    # aliased _toks referenced several times is kept as its own Project by
+    # CollapseProject's non-cheap-expression guard (measured: 4 tokenize
+    # evals/row → 1 at 3 query terms).
+    toked = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        tokenize(text_col, tokenizer).alias("_toks"),
+    )
+    tf_cols = [
+        term_tf(F.col("_toks"), t).alias(f"_tf_{i}") for i, t in enumerate(terms)
+    ]
+    narrow = toked.select(
         F.col(id_col),
         distance(vec_col, qvec, metric).alias("_vdist"),
-        F.size(toks).cast("double").alias("_dl"),
+        F.size("_toks").cast("double").alias("_dl"),
         *tf_cols,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:

@@ -45,7 +45,11 @@ from myscaledb_spark.errors import (
     InvalidSearchQuery,
     MAX_SEARCH_RESULT_WINDOW,
 )
-from myscaledb_spark.functions.vector import METRIC_ASCENDING, distance
+from myscaledb_spark.functions.vector import (
+    METRIC_ASCENDING,
+    distance,
+    distance_defined,
+)
 
 
 def _validate_k(k: int) -> None:
@@ -81,11 +85,15 @@ def vector_topk(
     _validate_k(k)
     if where is not None:
         df = df.filter(where)  # pre-filtered search: filter BEFORE candidates
-    scored = df.withColumn(dist_name, distance(vec_col, qvec, metric))
     # NULL/malformed vectors make the distance NULL; ascending sort would
     # put them FIRST and crowd out real neighbors — drop them (the
-    # reference skips rows its index cannot embed)
-    scored = scored.filter(F.col(dist_name).isNotNull())
+    # reference skips rows its index cannot embed).  The guard is the cheap
+    # structural predicate, NOT isnotnull(dist): a filter on the projected
+    # distance is pushed below the Project and re-evaluates the whole O(d)
+    # aggregate a second time per row (guide §7.2 duplicated subtrees).
+    scored = df.filter(distance_defined(vec_col, qvec, metric)).withColumn(
+        dist_name, distance(vec_col, qvec, metric)
+    )
     order = _order(F.col(dist_name), F.col(id_col) if id_col else None, metric)
     return scored.orderBy(*order).limit(k)
 

@@ -805,11 +805,16 @@ def _run(spark: SparkSession, sql: str, kind: str) -> DataFrame:
             alive = (F.col(EXISTS) if EXISTS in store_df.columns
                      else F.lit(True))
             keep = alive if where_col is None else (alive & where_col)
+            from myscaledb_spark.functions.vector import distance_defined
+
+            # structural null-guard BEFORE the projection: a filter on the
+            # projected distance is pushed below the Project and evaluates
+            # the O(d) aggregate twice per row (see vector.distance_defined)
             dense = (
                 store_df.filter(keep)
+                .filter(distance_defined(vec_col, qvec, "L2"))
                 .select(id_col, "_part",
                         distance(vec_col, qvec, "L2").alias("_vdist"))
-                .filter(F.col("_vdist").isNotNull())
             )
             wv = Window.partitionBy("_part").orderBy(
                 F.col("_vdist").asc(), F.col(id_col).asc())
@@ -848,13 +853,13 @@ def _run(spark: SparkSession, sql: str, kind: str) -> DataFrame:
             # (empty text leg → pure dense fusion, as the reference's
             # 'w/o tantivy index' blocks print)
             from myscaledb_spark.functions.text import text_search
-            from myscaledb_spark.functions.vector import distance
+            from myscaledb_spark.functions.vector import distance, distance_defined
             from myscaledb_spark.operators.hybrid import fuse_candidates
             from myscaledb_spark.operators.topk import _order
 
             vec_cand = (
-                df.select(id_col, distance(vec_col, qvec, "L2").alias("_vdist"))
-                .filter(F.col("_vdist").isNotNull())
+                df.filter(distance_defined(vec_col, qvec, "L2"))
+                .select(id_col, distance(vec_col, qvec, "L2").alias("_vdist"))
                 .orderBy(*_order(F.col("_vdist"), F.col(id_col), "L2"))
                 .limit(k)
             )

@@ -147,7 +147,10 @@ def minhash_lsh_pairs_q(spark, sf_dir):
     from myscaledb_spark.session import session_settings
 
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.withColumn("_toks", tokenize("text")).filter(F.size("_toks") >= 3)
+    # no size(_toks) pre-filter: the operator excludes short docs via the
+    # cached empty-set column — a filter here would cost one extra full
+    # tokenization per row below the operator's cache (r10 optimization)
+    toked = docs.withColumn("_toks", tokenize("text"))
     pairs = minhash_dedup_pairs(
         toked, "doc_id", F.col("_toks"), 3, NUM_HASHES, BANDS, 0.5
     )
@@ -273,7 +276,7 @@ def dedup_clusters_q(spark, sf_dir):
     from myscaledb_spark.operators.dedup import dedup_clusters, minhash_dedup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    toked = docs.withColumn("_toks", tokenize("text")).filter(F.size("_toks") >= 3)
+    toked = docs.withColumn("_toks", tokenize("text"))
     pairs = minhash_dedup_pairs(toked, "doc_id", F.col("_toks"), 3, NUM_HASHES, BANDS, 0.5)
     return dedup_clusters(pairs)
 
