@@ -143,7 +143,7 @@ def distance_defined(
     query (zip_with pads with NULL), or contains a NULL element — all
     checkable with O(1)/O(d) primitives.  Linf folds NULL elements away
     (``greatest`` skips NULLs), so its distance is NULL iff the column is
-    NULL.  Equivalence is pinned by tests/test_special.py."""
+    NULL.  Equivalence is pinned by tests/test_opt_r10.py."""
     c = F.col(col) if isinstance(col, str) else col
     if metric.lower() == "linf":
         return c.isNotNull()

@@ -209,19 +209,30 @@ def uniq_states(df: DataFrame, keys: list[str],
             names[a] = f"_v_{a}"
     if extra:
         df = df.select(*keys, *extra)
+    # Hoist each value column's md5-48 hash into its own select level: the
+    # cell expression references the hash 4 times (bucket, null guard, the
+    # two `rest` uses), so inlining the hash chain macro-expands it into 4
+    # md5 evaluations per column per row.  A non-cheap alias referenced
+    # several times is kept as its own Project by CollapseProject, so the
+    # hash runs ONCE (r10).  md5(NULL) = NULL ⟺ value NULL, so the null
+    # guard on the hash is equivalent (r6 ADVICE semantics preserved).
+    hdf = df.selectExpr(
+        *keys,
+        *[
+            (f"cast(conv(substr(md5(cast(cast(`{names[a]}` as string)"
+             f" as binary)),1,12),16,10) as bigint) as `_h_{j}`")
+            for j, a in enumerate(aliases)
+        ],
+    )
     pairs = []
     for j, a in enumerate(aliases):
-        h = (f"cast(conv(substr(md5(cast(cast(`{names[a]}` as string)"
-             f" as binary)),1,12),16,10) as bigint)")
+        h = f"`_h_{j}`"
         bucket = f"cast(pmod({h}, {HLL_M}) as int) + {HLL_M * j}"
         rest = f"cast(floor({h} / {HLL_M}) as bigint)"
-        # if(NULL > 0, a, b) yields b, so the NULL-input case must be
-        # guarded explicitly or a NULL value would get rho=41 with a NULL
-        # bucket, misaligning the collect_list pair (r6 ADVICE semantics)
-        rho = (f"cast(if(`{names[a]}` is null, null,"
+        rho = (f"cast(if({h} is null, null,"
                f" if({rest} > 0, 41 - length(bin({rest})), 41)) as int)")
         pairs.append(f"named_struct('_b', {bucket}, '_r', {rho})")
-    pre = df.selectExpr(*keys, f"inline(array({', '.join(pairs)}))")
+    pre = hdf.selectExpr(*keys, f"inline(array({', '.join(pairs)}))")
     per_bucket = pre.groupBy(*keys, "_b").agg(F.max("_r").alias("_r"))
     assembled = per_bucket.groupBy(*keys).agg(
         F.expr("map_from_arrays(collect_list(_b), collect_list(_r))")

@@ -119,7 +119,12 @@ def extract_features(df: DataFrame, use_real_decoder: bool = False) -> DataFrame
                 }
             )
 
-    return df.mapInPandas(_batches, _FEATURES_SCHEMA)
+    # pass ONLY the columns the function reads across the Arrow boundary:
+    # Spark cannot see inside mapInPandas, so an unprojected frame would
+    # ship (and read from storage) every column (guide §4.1)
+    return df.select("media_id", "kind", "content").mapInPandas(
+        _batches, _FEATURES_SCHEMA
+    )
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -125,12 +125,20 @@ def cosine_neardup_pairs(
     if block_col is not None:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
     sim = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    # The threshold filter on the projected cos_sim would be pushed below
+    # the Project into the join condition, re-evaluating the O(d) dot
+    # product a second time per candidate pair (guide §7.2 duplicated
+    # subtrees).  Emitting cos_sim through a single-element explode makes
+    # it GENERATOR output — Catalyst cannot push a predicate referencing
+    # generator output below the Generate — so the dot product runs ONCE
+    # per pair.  explode(array(x)) yields exactly one row with value x
+    # (including x = NULL), so results are unchanged.
     return (
         a.join(b, cond)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(sim, 4).alias("cos_sim"),
+            F.explode(F.array(F.round(sim, 4))).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

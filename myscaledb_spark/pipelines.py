@@ -49,8 +49,17 @@ def curate_documents(
          exceeds ``max_avg_neg_logprob`` (the KenLM-style quality gate of
          public LLM-data pipelines; operators/lm_quality.py).
     """
+    # _toks is emitted through a single-element explode: the language/
+    # quality/length filters below reference it, and plain-Project aliases
+    # get substituted under predicate pushdown — every filter would inline
+    # its own copy of the full tokenization (~5 evaluations per row).
+    # Predicates on GENERATOR output cannot be pushed below the Generate,
+    # so the corpus is tokenized exactly once; explode(array(x)) is one
+    # row per row, results unchanged (guide §7.2 duplicated subtrees).
     toked = docs.select(
-        F.col(id_col), F.col(text_col), tokenize(text_col).alias("_toks")
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(F.array(tokenize(text_col))).alias("_toks"),
     ).filter(F.size("_toks") >= 3)
 
     markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])

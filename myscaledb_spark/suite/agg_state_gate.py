@@ -150,21 +150,31 @@ def uniq_hll_state_events(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
 
-    def _cell(col: str, offset: int) -> str:
-        h = (f"cast(conv(substr(md5(cast(cast(`{col}` as string)"
-             f" as binary)),1,12),16,10) as bigint)")
-        bucket = f"cast(pmod({h}, 256) as bigint) + {offset}"
-        rest = f"cast(floor({h} / 256) as bigint)"
-        # NULL guard: if(NULL > 0, a, b) yields b, so a NULL value would
-        # otherwise get rho=41 against a NULL bucket (r6 ADVICE semantics)
-        rho = (f"cast(if(`{col}` is null, null,"
+    def _cell(hcol: str, offset: int) -> str:
+        # hcol is the PRE-HASHED md5-48 column (hoisted into its own select
+        # below) — inlining the hash chain here would macro-expand it into
+        # bucket + the rho guard + both rest uses: 4 md5 evaluations per
+        # cell per row instead of 1 (r10; md5(NULL)=NULL ⟺ value NULL, so
+        # the null guard on the hash is equivalent)
+        bucket = f"cast(pmod(`{hcol}`, 256) as bigint) + {offset}"
+        rest = f"cast(floor(`{hcol}` / 256) as bigint)"
+        rho = (f"cast(if(`{hcol}` is null, null,"
                f" if({rest} > 0, 41 - length(bin({rest})), 41)) as int)")
         return f"named_struct('_b', {bucket}, '_r', {rho})"
+
+    def _h48(col: str) -> str:
+        return (f"cast(conv(substr(md5(cast(cast(`{col}` as string)"
+                f" as binary)),1,12),16,10) as bigint)")
 
     user_cell = "named_struct('_b', cast(`user_id` as bigint) + 512, '_r', 0)"
     pre = ev.selectExpr(
         "event_type",
-        f"inline(array({_cell('user_id', 0)}, {_cell('event_id', 256)},"
+        "user_id",
+        f"{_h48('user_id')} as _hu",
+        f"{_h48('event_id')} as _he",
+    ).selectExpr(
+        "event_type",
+        f"inline(array({_cell('_hu', 0)}, {_cell('_he', 256)},"
         f" {user_cell}))",
     )
     merged = pre.groupBy("event_type", "_b").agg(

@@ -122,13 +122,8 @@ def dsir_importance_docs(spark, sf_dir):
         _DSIR_MODELS[sf_dir] = (tgt, raw)
     tgt, raw = _DSIR_MODELS[sf_dir]
     out = dsir_importance(docs, "text", tgt, raw)
-    has_tok = (
-        F.size(
-            F.filter(
-                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
-                lambda t: t != "",
-            )
-        )
-        > 0
-    )
+    # ≥1 token ⟺ the text contains ≥1 [a-z0-9] character — one early-exit
+    # regex instead of re-running the full split-tokenize under the
+    # pushed-down filter while the weight fold tokenizes again (r10)
+    has_tok = F.col("text").rlike("(?i)[a-z0-9]")
     return out.filter(has_tok).select("doc_id", "dsir_logweight")
