@@ -82,7 +82,16 @@ _PRIORITY_TAIL = [
 #: their FIRST invocation is structurally different from steady state, so
 #: the bench records both (r9 VERDICT ask #8) — drift analysis must not
 #: conflate a cold build with the memoized steady path.
-_MEMOIZED = ["minhash_lsh_pairs", "minhash_signatures", "rank_corr_qty_price"]
+_MEMOIZED = [
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "rank_corr_qty_price",
+    # r10: the direct-BM25 resident corpus/stats memo and the DSIR model
+    # memo make these gates' first invocation structurally different too
+    "bm25_topk",
+    "bm25_phrase_topk",
+    "dsir_importance_docs",
+]
 
 
 def main() -> None:

@@ -133,14 +133,21 @@ def group_array_moving(
         F.struct(*[F.col(o) for o in order]).alias("_ord"),
         F.sum(value).over(w).alias("_msum"),
     )
-    return per_row.groupBy(group).agg(
+    # ONE sorted collect: the two result expressions used to each run their
+    # own array_sort over the (deduplicated) collected list; moving_avg is
+    # element-wise moving_sum / window_size — the identical float division —
+    # so it derives from the already-sorted column instead (r10)
+    agged = per_row.groupBy(group).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("_ord", "_msum"))),
             lambda s: s["_msum"],
         ).alias("moving_sum"),
+    )
+    return agged.select(
+        group,
+        "moving_sum",
         F.transform(
-            F.array_sort(F.collect_list(F.struct("_ord", "_msum"))),
-            lambda s: s["_msum"] / F.lit(window_size),
+            "moving_sum", lambda v: v / F.lit(window_size)
         ).alias("moving_avg"),
     )
 
