@@ -746,6 +746,8 @@ def test_every_template_rewrites_to_parseable_sql(spark):
         "uniqMerge": "uniqMerge(a)",
         "uniqMergeState": "uniqMergeState(a)",
         "replaceRegexpOne": "replaceRegexpOne(a, 'x+', 'y')",
+        "replaceRegexpAll": "replaceRegexpAll(a, '(x+)', 'y\\\\1')",
+        "REGEXP_REPLACE": "REGEXP_REPLACE(a, '(x+)', 'y\\\\1')",
         "toDateTime": "toDateTime(a, 'UTC')",
         "sum": "sum(a = 2)",
         "floor": "floor(a, 1)",
