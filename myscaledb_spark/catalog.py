@@ -117,9 +117,24 @@ def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
     first stage on one core.  No-op when the source already has enough
     partitions — the 100 TB case, where a raw repartition would only
     double scan I/O.  AQE preserves explicit repartition(n) counts, so
-    the fan-out is not coalesced back down."""
+    the fan-out is not coalesced back down.
+
+    The partition estimate comes from the optimizer's size statistics
+    (bytes / maxPartitionBytes) — ``df.rdd.getNumPartitions()`` would be
+    exact but materializes the whole Python RDD conversion plan on every
+    call (~0.1 s of driver work per invocation); the heuristic only needs
+    "tiny scan vs big scan" (r10).  Falls back to the exact probe when
+    stats are unavailable."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        nparts = max(1, est // mpb) if est > 0 else None
+    except Exception:
+        nparts = None
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+    if nparts * 2 <= target:
         return df.repartition(target)
     return df
 

@@ -72,6 +72,34 @@ def _cached_index_frames(spark: SparkSession, base: str):
     return hit
 
 
+#: per-build document-frequency memo: {(base, stats mtime): {term: df|None}}
+#: (None = term absent from the index).  The r8 fast path collected the
+#: pruned dfreq rows on EVERY query — one whole Spark job per search just
+#: to fetch ≤|terms| floats; repeated terms now resolve driver-side.
+#: Same key discipline as _FRAMES_CACHE: append/rebuild rewrites
+#: stats.json, which invalidates the stale entry.
+_DFMAP_CACHE: dict[tuple, dict] = {}
+_DFMAP_MAX_TERMS = 4096
+
+
+def _cached_dfmap(dfreq, base: str, terms: list[str]) -> dict:
+    """{term: df} for the terms PRESENT in the index (absent terms omitted,
+    matching the pruned-collect behavior), collecting only cache misses."""
+    key = (base, os.path.getmtime(os.path.join(base, "stats.json")))
+    for stale in [k for k in _DFMAP_CACHE if k[0] == base and k != key]:
+        _DFMAP_CACHE.pop(stale)
+    memo = _DFMAP_CACHE.setdefault(key, {})
+    need = [t for t in set(terms) if t not in memo]
+    if need:
+        if len(memo) + len(need) > _DFMAP_MAX_TERMS:
+            memo.clear()
+        for r in dfreq.filter(F.col("term").isin(need)).collect():
+            memo[r["term"]] = float(r["df"])
+        for t in need:
+            memo.setdefault(t, None)
+    return {t: memo[t] for t in set(terms) if memo[t] is not None}
+
+
 def _spec_to_json(spec) -> dict | None:
     if spec is None:
         return None
@@ -189,10 +217,7 @@ def fts_search(
         # postings + executeTake — zero joins, one shuffle (map-side
         # partial-agg'd), vs the legacy plan's dfreq shuffle + broadcast
         # join + doclens join.
-        dfmap = {
-            r["term"]: float(r["df"])
-            for r in dfreq.filter(F.col("term").isin(list(set(terms)))).collect()
-        }
+        dfmap = _cached_dfmap(dfreq, base, terms)
         norm = (
             F.col("tf").cast("double")
             * (BM25_K1 + 1.0)
