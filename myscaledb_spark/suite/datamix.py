@@ -34,11 +34,15 @@ def pack_sequences_q(spark, sf_dir):
     prefix sum (range partition → local cumsum → broadcast offsets) — the
     oracle recomputes the same layout with a global window, proving the
     partition-parallel prefix sum equals the sequential one."""
-    from myscaledb_spark.functions.text import tokenize
     from myscaledb_spark.operators.datamix import pack_sequences
 
+    # token COUNT, not tokens: one codegen'd regexp_count scan — the number
+    # of maximal [a-z0-9]+ runs in lower(text) equals len(filter(split(...)))
+    # of the 'simple' tokenizer exactly, without the interpreted HOF chain
+    # or the token-array allocation (r10; oracle unchanged, proves equality)
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(tokenize("text", "simple")).alias("n")
+        "doc_id",
+        F.regexp_count(F.lower(F.col("text")), F.lit("[a-z0-9]+")).alias("n"),
     )
     packed = pack_sequences(docs, "doc_id", "n", _BUDGET, ["doc_id"])
     return (
