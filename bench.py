@@ -134,7 +134,17 @@ def main() -> None:
             best = min(best, time.time() - t)
         return best
 
-    calibration = _calibrate()
+    # Measurement note (r10, documented in OPTIMIZATION_r10.md): the
+    # start-of-run calibration sample is host-state-volatile (0.489 s vs
+    # 0.836 s on the same quiet box an hour apart — JIT/page-cache state)
+    # while absolute query times move <6%.  The headline `calibration_sec`
+    # stays the START sample — the r8/r9 records used exactly that, and the
+    # driver's round-over-round ratio comparison is only meaningful if the
+    # denominator's definition does not change mid-series.  The probe is
+    # ALSO re-sampled at end of run and emitted as `calibration_end_sec`
+    # (a fully-JIT-warm reference, far more reproducible across sessions)
+    # so drift analysis can separate host state from engine changes.
+    calibration_start = _calibrate()
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -406,6 +416,9 @@ def main() -> None:
     except Exception as e:
         print(f"# duckdb side-by-side error: {e}", file=sys.stderr)
 
+    calibration_end = _calibrate()
+    calibration = calibration_start
+
     # Gate index artifacts are built once per session (suite.artifact_cache);
     # the first (cold) invocation of each indexed query pays the build, the
     # steady-state timings above are search-only. Report builds separately.
@@ -431,6 +444,8 @@ def main() -> None:
                     if k in cold and timings.get(k, -1) >= 0
                 },
                 "calibration_sec": round(calibration, 4),
+                "calibration_start_sec": round(calibration_start, 4),
+                "calibration_end_sec": round(calibration_end, 4),
                 # the driver's BENCH record keeps the LINE TAIL: emit the
                 # round's watched gates LAST so their ratios stay
                 # driver-visible (r8 VERDICT ask #5 "PRIORITY window")
