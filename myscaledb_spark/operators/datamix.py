@@ -40,22 +40,54 @@ def pack_sequences(
     projection so both passes see identical partitions, per-partition
     totals collected (num_partitions rows — the only driver traffic),
     offsets broadcast back, intra-partition window cumsum. No global-order
-    window, no full shuffle to one partition.
+    window, no full shuffle to one partition — except below the
+    `spark.myscaledb.pack.smallInputBytes` cost gate (default 256 MB),
+    where a single-partition window IS the cheaper plan: one action, one
+    linear task, instead of the prefix sum's 8-10 fixed scheduling jobs.
     """
     cnt = F.col(count_col) if isinstance(count_col, str) else count_col
     narrow = df.select(F.col(id_col), *[F.col(c) for c in order_cols], cnt.alias("_n"))
     nshuf = num_partitions or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    # The prefix sum reads the narrow projection 2-3 times (bounds, bucket
-    # totals, packing); when the count expression is expensive (tokenize)
-    # each pass re-runs it.  For small inputs, materialize the 3-column
-    # projection ONCE (same 8 GB cost gate as the grouped-t-digest auto
-    # switch); at scale, re-scanning columnar storage beats materializing.
     try:
         est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         est = 0
+    # Small-input path: below this size the distributed prefix sum's fixed
+    # job count (checkpoint + bounds + bucket totals + packing ≈ 8-10 AQE
+    # jobs) costs more wall-clock than just running the textbook global
+    # cumsum in ONE action — a single-partition window over ≤ a few hundred
+    # MB is one task of linear work.  Identical layout by construction: the
+    # same (order_cols, id) ROWS-frame order, nulls first / NaN last, the
+    # same cum-before arithmetic (the oracle pins it).  Scale-adaptive per
+    # the optimization guide §2: the gate reads optimizer size stats, so any
+    # real corpus takes the distributed path; the threshold is a conf knob
+    # (bytes) so clusters can tune the crossover, 0 disables the small path.
+    small = int(
+        df.sparkSession.conf.get(
+            "spark.myscaledb.pack.smallInputBytes", str(256 << 20)
+        )
+    )
+    if 0 < est <= small:
+        w = (
+            Window.orderBy(*order_cols, id_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            narrow.withColumn("_cum_before", F.sum("_n").over(w) - F.col("_n"))
+            .select(
+                F.col(id_col),
+                F.floor(F.col("_cum_before") / budget).cast("long").alias("seq_id"),
+                (F.col("_cum_before") % budget).alias("offset_in_seq"),
+                F.col("_n").alias("n_tokens"),
+            )
+        )
+    # The prefix sum reads the narrow projection 2-3 times (bounds, bucket
+    # totals, packing); when the count expression is expensive (tokenize)
+    # each pass re-runs it.  For mid-size inputs, materialize the 3-column
+    # projection ONCE (same 8 GB cost gate as the grouped-t-digest auto
+    # switch); at scale, re-scanning columnar storage beats materializing.
     if 0 < est <= (8 << 30):
         narrow = narrow.localCheckpoint(eager=True)
     dtypes = dict(narrow.dtypes)

@@ -15,15 +15,61 @@ from myscaledb_spark.operators.datamix import (
 def test_pack_sequences_equals_sequential(spark):
     rows = [(i, (i * 37) % 90 + 10) for i in range(500)]
     df = spark.createDataFrame(rows, "id int, n int")
-    # force many range partitions so the offset machinery actually runs
-    packed = {
-        r.id: (r.seq_id, r.offset_in_seq)
-        for r in pack_sequences(df, "id", "n", 256, ["id"], num_partitions=13).collect()
-    }
+    # disable the small-input gate so the distributed offset machinery
+    # actually runs, and force many range partitions
+    spark.conf.set("spark.myscaledb.pack.smallInputBytes", "0")
+    try:
+        packed = {
+            r.id: (r.seq_id, r.offset_in_seq)
+            for r in pack_sequences(
+                df, "id", "n", 256, ["id"], num_partitions=13
+            ).collect()
+        }
+    finally:
+        spark.conf.unset("spark.myscaledb.pack.smallInputBytes")
     cum = 0
     for i, n in rows:
         assert packed[i] == (cum // 256, cum % 256), i
         cum += n
+
+
+def test_pack_sequences_small_input_path_equals_distributed(spark):
+    """The cost-gated small-input plan (single global-order window, one
+    action) must lay out every document exactly like the distributed prefix
+    sum — numeric and non-numeric order keys, including an overflow doc."""
+    # spark.range has REAL size stats (createDataFrame's RDD scan reports
+    # unknown/max size, which correctly keeps the gate off)
+    df = spark.range(301).select(
+        F.col("id"),
+        F.when(F.col("id") < 300, (F.col("id") * 37) % 90 + 10)
+        .otherwise(F.lit(700))  # overflow doc spans windows
+        .alias("n"),
+    )
+    small = pack_sequences(df, "id", "n", 256, ["id"])  # gate fires (<256 MB)
+    # the small plan is one Window, no checkpointed-RDD scan
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "ExistingRDD" not in plan
+    spark.conf.set("spark.myscaledb.pack.smallInputBytes", "0")
+    try:
+        dist = pack_sequences(df, "id", "n", 256, ["id"], num_partitions=7)
+        assert sorted(map(tuple, small.collect())) == sorted(
+            map(tuple, dist.collect())
+        )
+    finally:
+        spark.conf.unset("spark.myscaledb.pack.smallInputBytes")
+    # non-numeric (string) order key with ties: both paths, same layout
+    sdf = spark.range(50).select(
+        F.col("id"),
+        F.concat(F.lit("k"), (F.col("id") % 5).cast("string")).alias("k"),
+        (F.col("id") + 100).alias("n"),
+    )
+    small = sorted(map(tuple, pack_sequences(sdf, "id", "n", 256, ["k"]).collect()))
+    spark.conf.set("spark.myscaledb.pack.smallInputBytes", "0")
+    try:
+        dist = sorted(map(tuple, pack_sequences(sdf, "id", "n", 256, ["k"]).collect()))
+    finally:
+        spark.conf.unset("spark.myscaledb.pack.smallInputBytes")
+    assert small == dist
 
 
 def test_pack_sequences_oversized_doc_spans(spark):
