@@ -125,3 +125,25 @@ def test_minhash_excludes_short_docs_without_prefilter(spark):
         df, "doc_id", F.col("_toks"), 3, 12, 4, 0.5
     ).collect()
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_agg_state_small_input_scope_equals_distributed(spark):
+    """The r10 small-input execution scope (AQE off + stats-derived shuffle
+    partitions, materialized inside the scope) must return exactly the rows
+    the unscoped AQE plan returns — the scope changes execution confs only."""
+    from myscaledb_spark.suite.agg_state_gate import agg_state_merge_orders
+
+    sf = "/root/testdata/sf0.001"
+    scoped = agg_state_merge_orders(spark, sf)
+    # small path fired: the returned frame is the materialized checkpoint
+    plan = scoped._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+    spark.conf.set("spark.myscaledb.aggstate.smallInputBytes", "0")
+    try:
+        dist = agg_state_merge_orders(spark, sf)
+        assert "ExistingRDD" not in dist._jdf.queryExecution().executedPlan().toString()
+        assert sorted(map(tuple, scoped.collect()), key=repr) == sorted(
+            map(tuple, dist.collect()), key=repr
+        )
+    finally:
+        spark.conf.unset("spark.myscaledb.aggstate.smallInputBytes")
