@@ -110,6 +110,21 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def _parse_bytes(v) -> int:
+    """Parse a Spark byte conf value that may carry a size suffix
+    ('128MB', '1g') — int() on such values throws and silently routed
+    fan_out to its slow exact-probe fallback (r10 ADVICE)."""
+    s = str(v).strip().lower()
+    for suffix, mult in (
+        ("pb", 1 << 50), ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+        ("kb", 1 << 10), ("p", 1 << 50), ("t", 1 << 40), ("g", 1 << 30),
+        ("m", 1 << 20), ("k", 1 << 10), ("b", 1),
+    ):
+        if s.endswith(suffix):
+            return int(float(s[: -len(suffix)]) * mult)
+    return int(s)
+
+
 def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Spread a small scan across the session's cores before a
     per-row-heavy projection (hashing, tokenization): a single small
@@ -128,8 +143,14 @@ def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
     target = spark.sparkContext.defaultParallelism
     try:
         est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-        nparts = max(1, est // mpb) if est > 0 else None
+        mpb = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        # RDD-backed/in-memory relations report defaultSizeInBytes
+        # (Long.MaxValue) instead of raising — an implausibly large estimate
+        # means "unknown", not "huge" (r10 ADVICE): fall back to the exact
+        # probe rather than concluding the frame has plenty of partitions.
+        nparts = max(1, est // mpb) if 0 < est < (1 << 50) else None
     except Exception:
         nparts = None
     if nparts is None:

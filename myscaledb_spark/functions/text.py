@@ -301,7 +301,14 @@ def bm25_scores(
             match_col=match_predicate("_toks", terms, operator),
         ).drop("_toks")
 
-    if tokenizer == "simple" and spec is None:
+    if tokenizer == "simple" and spec is None and all(
+        re.fullmatch("[a-z0-9]+", t) for t in terms
+    ):
+        # the [a-z0-9]+ validation is structural for the simple analyzer
+        # (terms come from splitting on non-alphanumerics) but guards the
+        # regex interpolation below against any term carrying regex
+        # metacharacters — such a term falls through to the tokenize()
+        # path whose per-term equality filters need no escaping (r10 ADVICE)
         # fast path (r8 VERDICT finding #5 — the direct BM25 gates crept
         # toward the 2× bar): the 'simple' analyzer needs no token ARRAY —
         # dl is the count of [a-z0-9]+ runs and tf_t the count of t as a

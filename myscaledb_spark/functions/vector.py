@@ -143,15 +143,26 @@ def distance_defined(
     query (zip_with pads with NULL), or contains a NULL element — all
     checkable with O(1)/O(d) primitives.  Linf folds NULL elements away
     (``greatest`` skips NULLs), so its distance is NULL iff the column is
-    NULL.  Equivalence is pinned by tests/test_opt_r10.py."""
+    NULL.  Cosine additionally divides by the row/query norms, so a
+    zero-norm row vector (or query vector) makes the distance undefined
+    (NULL in non-ANSI sessions — which would sort FIRST ascending and
+    displace a real neighbor): require a nonzero element row-side and
+    return an all-false predicate when the query norm is zero, matching
+    the old isNotNull(dist) guard's drop behavior (r10 ADVICE, high).
+    Equivalence is pinned by tests/test_opt_r10.py."""
     c = F.col(col) if isinstance(col, str) else col
     if metric.lower() == "linf":
         return c.isNotNull()
-    return (
+    base = (
         c.isNotNull()
         & (F.size(c) == len(qvec))
         & ~F.exists(c, lambda x: x.isNull())
     )
+    if metric.lower() == "cosine":
+        if not any(float(x) != 0.0 for x in qvec):
+            return F.lit(False)
+        base = base & F.exists(c, lambda x: x != 0.0)
+    return base
 
 
 def distance(col: Column | str, qvec: Sequence[float], metric: str = "L2") -> Column:

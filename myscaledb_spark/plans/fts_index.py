@@ -92,7 +92,11 @@ def _cached_dfmap(dfreq, base: str, terms: list[str]) -> dict:
     need = [t for t in set(terms) if t not in memo]
     if need:
         if len(memo) + len(need) > _DFMAP_MAX_TERMS:
+            # eviction drops previously-cached terms of THIS query too, so
+            # the whole term set must be re-collected, not just the misses
+            # (r10 ADVICE: memo[t] below would KeyError otherwise)
             memo.clear()
+            need = list(set(terms))
         for r in dfreq.filter(F.col("term").isin(need)).collect():
             memo[r["term"]] = float(r["df"])
         for t in need:

@@ -189,9 +189,13 @@ def hybrid_search_indexed_gate(spark, sf_dir):
 
     baseline = cached_value(sf_dir, "hybrid_rsf_exact_topk", _exact)
     recall = len(got & baseline) / float(K)
-    return spark.createDataFrame(
-        [(K, len(got), 1 if recall >= 0.5 else 0)],
-        "k int, n_results bigint, recall_ok int",
+    # 1-row indicator as a VALUES LocalRelation — createDataFrame's
+    # parallelize path scheduled a 1-task job + pickle round-trip on every
+    # timed invocation (~0.2 s of the gate's bench seat was this row)
+    return spark.sql(
+        f"SELECT CAST({int(K)} AS INT) AS k,"
+        f" CAST({int(len(got))} AS BIGINT) AS n_results,"
+        f" CAST({1 if recall >= 0.5 else 0} AS INT) AS recall_ok"
     )
 
 

@@ -38,7 +38,7 @@ def main() -> None:
     targets = names or [n for n in HEADLINE if n in all_queries]
 
     outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                          "plans", "r10")
+                          "plans", os.environ.get("PLANS_ROUND", "r11"))
     os.makedirs(outdir, exist_ok=True)
 
     for name in targets:
