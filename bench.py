@@ -65,17 +65,20 @@ HEADLINE = [
 
 #: gates whose driver-visible ratio this round watches (emitted at the
 #: tail of the JSON line — the driver's record truncates from the front).
-#: r10: the four >2x r9 seats + the r9-rewritten money plans + BM25 direct.
+#: r11: the two r10 >2x seats (hybrid indexed leg fusion, revenue scoped
+#: execution) + every gate this round's scoped-execution/memo work touched.
 _PRIORITY_TAIL = [
-    "pricing_summary",
-    "revenue_by_nation",
-    "rank_corr_qty_price",
     "bm25_topk",
     "bm25_phrase_topk",
     "uniq_hll_state_events",
     "quantile_tdigest_grouped",
     "pack_sequences_docs",
     "minhash_lsh_pairs",
+    "agg_state_merge_orders",
+    "rank_corr_qty_price",
+    "pricing_summary",
+    "revenue_by_nation",
+    "hybrid_search_indexed",
 ]
 
 #: gates with a per-session memo (MinHash sliver, rank_corr sampled stats):

@@ -463,30 +463,46 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     clusters are tiny (diameter ≪ 25) so this converges fast; convergence is
     checked with a 1-row aggregate per round. Deterministic (min is
     order-free), so results are engine-reproducible.
+
+    r11 (VERDICT item 7 — the convergence protocol ran 2 jobs/round): the
+    per-round sum(label) rides the checkpoint materialization itself as an
+    ``observe()`` metric (ONE job per round instead of checkpoint + a
+    separate 1-row collect), and the edge frame is persisted once instead
+    of recomputing the pair pipeline's lineage every round.
     """
+    from pyspark import StorageLevel
+    from pyspark.sql import Observation
+
     edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    bidir = edges.unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    nodes = bidir.select(F.col("a").alias("id")).distinct()
-    labels = nodes.withColumn("label", F.col("id"))
-    prev_sum = None
-    for _ in range(max_iter):
-        nbr_min = (
-            bidir.join(labels, bidir["b"] == labels["id"])
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
-            .select(
-                F.col("id"),
-                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias(
-                    "label"
-                ),
+    bidir = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        nodes = bidir.select(F.col("a").alias("id")).distinct()
+        labels = nodes.withColumn("label", F.col("id"))
+        prev_sum = None
+        for i in range(max_iter):
+            nbr_min = (
+                bidir.join(labels, bidir["b"] == labels["id"])
+                .groupBy("a")
+                .agg(F.min("label").alias("nbr_label"))
             )
-        )
-        labels = labels.localCheckpoint()  # cut the iterative lineage
-        s = labels.agg(F.sum("label")).collect()[0][0]
-        if s == prev_sum:
-            break
-        prev_sum = s
-    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+            labels = (
+                labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+                .select(
+                    F.col("id"),
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    ).alias("label"),
+                )
+            )
+            obs = Observation(f"dedup_clusters_round_{i}")
+            labels = labels.observe(obs, F.sum("label").alias("s"))
+            labels = labels.localCheckpoint()  # cut the iterative lineage
+            s = obs.get["s"]
+            if s == prev_sum:
+                break
+            prev_sum = s
+        return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    finally:
+        bidir.unpersist()

@@ -270,10 +270,19 @@ def rank_corr(
         the axis's bucket column collapses to a constant (fewer cells)."""
         import math as _math
 
-        rows = (
-            base.groupBy(axis).agg(F.count(one).alias("_w"))
-            .limit(16385).collect()
-        )
+        # memoized per (session, plan-semantic-hash, axis) exactly like the
+        # stats row above (same immutable-input staleness argument): the
+        # steady state loses the per-invocation rank-table job — 3 jobs/run
+        # → 2 (r10 VERDICT item 5's rank_corr re-examination)
+        rt_key = (memo_key, "ranktab", axis) if memo_key is not None else None
+        rows = sess_memo.get(rt_key) if rt_key is not None else None
+        if rows is None:
+            rows = (
+                base.groupBy(axis).agg(F.count(one).alias("_w"))
+                .limit(16385).collect()
+            )
+            if rt_key is not None and len(rows) <= 16384:
+                sess_memo[rt_key] = rows
         if len(rows) > 16384:
             return None
         # Spark sort order: NULLs first, NaN last
@@ -455,7 +464,22 @@ def rank_corr(
             ]
         if not vx and not vy:
             aggs.append(F.sum(F.col("lx") * F.col("ly")).alias("slxy"))
-        cells = frame.groupBy(kx, ky).agg(*aggs).collect()
+        cells_df = frame.groupBy(kx, ky).agg(*aggs)
+        if 0 < est_bytes <= (256 << 20):
+            # small inputs: AQE's per-stage re-planning jobs cost more than
+            # this query's whole data path (3 jobs → 1); parallelism is
+            # unaffected — the window tier's explicit repartition(nshuf)
+            # pins the sort width either way (that pinned A/B was about
+            # AQE COALESCING the CPU-heavy sort, which the explicit
+            # repartition already prevents).  Execution confs only.
+            from myscaledb_spark.session import session_settings
+
+            with session_settings(
+                spark, **{"spark.sql.adaptive.enabled": "false"}
+            ):
+                cells = cells_df.collect()
+        else:
+            cells = cells_df.collect()
         import math as _math
 
         from collections import defaultdict

@@ -182,6 +182,73 @@ class IndexRegistry:
         return sorted(recs, key=lambda r: (r.get("seq", 0), r.get("name") or ""))
 
 
+def small_kmeans_rows(spark) -> int:
+    """Row gate for the driver-side k-means build path
+    (``spark.myscaledb.kmeans.smallInputRows``, default 65536, 0 disables).
+    MLlib KMeans.fit costs ~10-15 Spark jobs of fixed overhead (RDD
+    conversion, k-means|| init, per-iteration aggregates) — on reference
+    test tables of a few thousand rows that is seconds of scheduling for
+    milliseconds of math.  Below the gate the vectors are collected and
+    clustered with the same deterministic numpy Lloyd's the PQ codebooks
+    already use; above it (the 100 TB shape) the distributed MLlib path
+    runs unchanged."""
+    try:
+        return int(spark.conf.get("spark.myscaledb.kmeans.smallInputRows", "65536"))
+    except Exception:
+        return 65536
+
+
+def _small_kmeans_assign(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    seed: int,
+    n_total: int,
+    out_col: str,
+):
+    """Small-input build path: collect (id, vec), cluster driver-side
+    (numpy, seeded — deterministic), re-attach the assignment as a
+    broadcast (id → cluster) map.  Returns (assigned_df, centroids) or
+    (None, None) when the gate does not fire or the input shape is not
+    collectable (ragged/duplicate-id inputs keep the MLlib path)."""
+    spark = df.sparkSession
+    gate = small_kmeans_rows(spark)
+    if gate <= 0 or n_total > gate:
+        return None, None
+    try:
+        import numpy as np
+
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        from myscaledb_spark.plans.pq_index import _kmeans_np
+
+        pairs = df.select(
+            F.col(id_col).alias("_kid"),
+            F.col(vec_col).cast("array<double>").alias("_kv"),
+        ).collect()
+        ids = [r["_kid"] for r in pairs]
+        if len(set(ids)) != len(ids) or any(i is None for i in ids):
+            return None, None
+        X = np.asarray([r["_kv"] for r in pairs], dtype=np.float64)
+        if X.ndim != 2 or not np.isfinite(X).all():
+            return None, None
+        C = _kmeans_np(X, k, seed)
+        lids = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        amap_schema = StructType(
+            [df.schema[id_col], StructField(out_col, IntegerType())]
+        )
+        amap = spark.createDataFrame(
+            [(i, int(l)) for i, l in zip(ids, lids)], amap_schema
+        )
+        return (
+            df.join(F.broadcast(amap), id_col),
+            [list(map(float, c)) for c in C],
+        )
+    except Exception:
+        return None, None
+
+
 def build_ivf_index(
     df: DataFrame,
     vec_col: str,
@@ -222,20 +289,25 @@ def build_ivf_index(
         return reg.get(name)
     # tiny tables: KMeans needs k <= n points — clamp rather than fail DDL
     num_centroids = max(2, min(num_centroids, n_total))
-    train_cap = max(num_centroids * 200, 20_000)
-    train = (
-        feats.sample(fraction=min(1.0, train_cap / max(n_total, 1)), seed=seed)
-        if n_total > train_cap
-        else feats
+    assigned, centroids = _small_kmeans_assign(
+        df, vec_col, id_col, num_centroids, seed, n_total, "list_id"
     )
-    km = KMeans(k=num_centroids, seed=seed, featuresCol="_feat", predictionCol="list_id")
-    model = km.fit(train)
-    assigned = model.transform(feats).drop("_feat")
+    if assigned is None:
+        train_cap = max(num_centroids * 200, 20_000)
+        train = (
+            feats.sample(fraction=min(1.0, train_cap / max(n_total, 1)), seed=seed)
+            if n_total > train_cap
+            else feats
+        )
+        km = KMeans(
+            k=num_centroids, seed=seed, featuresCol="_feat", predictionCol="list_id"
+        )
+        model = km.fit(train)
+        assigned = model.transform(feats).drop("_feat")
+        centroids = [list(map(float, c)) for c in model.clusterCenters()]
 
     inv_path = os.path.join(artifact_dir, name, "inverted")
     assigned.write.mode("overwrite").partitionBy("list_id").parquet(inv_path)
-
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
     cent_path = os.path.join(artifact_dir, name, "centroids.json")
     os.makedirs(os.path.dirname(cent_path), exist_ok=True)
     json.dump(centroids, open(cent_path, "w"))

@@ -78,78 +78,40 @@ def load_all() -> None:
 # absent from the registry are skipped; registry entries absent from this
 # list follow in registration order.
 PRIORITY: list[str] = [
-    # =========== r10 window ===========
-    # The r9 driver window was NOT rotated (CORRECTNESS_r09 is byte-identical
-    # to r08 — r9 VERDICT finding #2), so this window leads with (a) the
-    # entries whose PLANS were rewritten in r9/r10 and therefore carry no
-    # driver certification of the CURRENT code: pricing_summary /
-    # revenue_by_nation (integer-cents two-level sums, r10 decimal(38,0)
-    # _sq), rank_corr (per-axis tiers + r10 NaN-key normalization), the
-    # MinHash sliver pipeline, pack_sequences, cost-based t-digest,
-    # portable-HLL, and the BM25 direct gates (r9 single-scan fast path,
-    # r10 routing) — these are also the four >2x perf seats the r10 bench
-    # must re-measure on a quiet host; then (b) the stalest driver records:
-    # every entry whose latest record is r01, then r02 fill.
-    # --- (a) reworked after the last rotated window (r7) ---
-    "pricing_summary",
+    # =========== r11 window ===========
+    # Rotation per the r10 VERDICT item 4: (a) every entry whose code this
+    # round TOUCHES (window hygiene: touched code leads the window) plus
+    # the r10-touched-but-uncertified names the VERDICT lists explicitly
+    # (hybrid family, text_search_routed, bm25_cjk_topk,
+    # quantile_tdigest_qty, mv_agg_state_hourly); then (b) the stalest
+    # driver records — all 23 entries whose latest record is r02, then
+    # r03 fill to 50.  Computed from the CORRECTNESS_r01..r10 windows
+    # (every registry entry has a record; after this rotation the oldest
+    # uncovered record is r03).
+    # --- (a) r11-touched + r10-touched-but-uncertified ---
+    "hybrid_search_indexed",
+    "hybrid_search_indexed_exhaustive",
+    "hybrid_search_rsf",
+    "hybrid_search_rrf",
+    "text_search_routed",
+    "bm25_cjk_topk",
+    "bm25_cjk_indexed",
+    "quantile_tdigest_qty",
+    "mv_agg_state_hourly",
     "revenue_by_nation",
-    "rank_corr_qty_price",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "pack_sequences_docs",
-    "quantile_tdigest_grouped",
-    "uniq_hll_state_events",
-    "bm25_topk",
-    "bm25_phrase_topk",
-    # --- (b) stalest driver records: latest = r01 ---
-    "array_join_token_counts",
-    "cte_top_nations",
-    "customers_without_recent_orders_anti",
-    "date_funcs_orders",
-    "delta_sum_per_user",
-    "exp_time_decayed_sum",
-    "final_latest_event",
-    "grouping_sets_events",
-    "having_distinct_suppliers",
-    "nonneg_derivative",
-    "offset_pagination",
-    "orders_above_avg",
-    "orders_with_early_ship_semi",
-    "parameterized_query",
-    "posexplode_tokens",
-    "q6_forecast_revenue",
-    "quantiles_quantity",
-    "setops_partkeys",
-    "simple_linear_regression",
-    "stats_lineitem",
-    "string_funcs_part",
-    "top_customers",
-    "top_event_type_per_user",
-    "union_distinct_keys",
-    "window_first_last_nth",
-    "window_moving_avg",
-    "window_range_30d",
-    "with_fill_daily",
-    # --- (b cont.) latest = r02, alphabetical fill to 50 ---
-    "batch_distance_l2",
-    "binary_hamming_topk",
-    "binary_jaccard_topk",
-    "bitmap_retention",
-    "cramers_v_status_priority",
-    "curation_pipeline",
-    "curation_stats",
+    "pricing_summary",
+    "vec_cosine_topk",
+    "ivf_search_topk",
+    "mstg_search_topk",
     "dedup_clusters",
-    "doc_fingerprints",
-    "doc_quality_scores",
-    "embedding_neardup_pairs",
-    "entropy_event_types",
-    # ======= past the window (position 51+): the remaining r02/r03 records
-    # rotate in next round; registry entries absent from this list follow
-    # in registration order =======
+    "agg_state_merge_orders",
+    # --- (b) stalest driver records: latest = r02 (all 23) ---
     "exact_dedup_groups",
     "geo_distance_topk",
     "groups_frame_sum",
     "histogram_totalprice",
+    "lang_id_scores",
+    "pii_scrub",
     "pq_rerank_topk",
     "projection_rollup",
     "retention_cohort",
@@ -167,7 +129,22 @@ PRIORITY: list[str] = [
     "vec_l2_filtered",
     "welch_ttest_purchase_vs_view",
     "window_funnel_levels",
-    "pii_scrub",
+    # --- (b cont.) latest = r03, alphabetical fill to 50 ---
+    "agg_combinators",
+    "auc_value_vs_purchase",
+    "avg_vector_centroids",
+    "bm25_stopword_topk",
+    "ch_sql_monthly_stats",
+    "ch_sql_vector_search",
+    "check_constraint_counts",
+    "delete_mutation_counts",
+    "interval_length_sum",
+    "json_object_cols",
+    "max_intersections",
+    # ======= past the window (position 51+): the remaining r03 records
+    # (mstg_search_exhaustive, mv_push_hourly, numbers_table_agg, the
+    # stream_* trio, ...) rotate in next round; registry entries absent
+    # from this list follow in registration order =======
 ]
 
 

@@ -134,7 +134,28 @@ def agg_state_merge_orders(spark, sf_dir):
                     "spark.sql.shuffle.partitions": str(n),
                 },
             ):
-                merged = merged.localCheckpoint(eager=True)
+                rows = merged.collect()
+            # r11: ≤|status| rows re-emitted as a VALUES LocalRelation —
+            # the r10 localCheckpoint shape paid one more job for the
+            # checkpoint scan on the caller's collect (2 jobs → 1)
+            from myscaledb_spark.suite.relational import _sql_str, _values_rows
+
+            local = _values_rows(
+                spark, rows,
+                "(`o_orderstatus`, `cnt`, `sum_price`, `avg_price`,"
+                " `min_price`, `best_cust`, `ndv`)",
+                lambda r: (
+                    "(" + _sql_str(r[0]) + f", CAST({int(r[1])} AS BIGINT)"
+                    + "".join(f", CAST({float(r[i])!r} AS DOUBLE)" for i in (2, 3, 4))
+                    + f", CAST({int(r[5])} AS BIGINT)"
+                    + f", CAST({int(r[6])} AS BIGINT))"
+                ),
+                "(CAST(NULL AS STRING), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),"
+                " CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),"
+                " CAST(NULL AS BIGINT))",
+            )
+            if local is not None:
+                return local
     return merged
 
 

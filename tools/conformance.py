@@ -298,6 +298,17 @@ def _adjudicate(fname: str, got, want):
     return True, ndev
 
 
+_GC_TICK = 0
+
+
+def _temp_views(spark) -> set:
+    """Temp-view names via SHOW VIEWS — 4x faster than
+    spark.catalog.listTables(), which materializes per-table metadata
+    objects over py4j (measured 0.285 vs 0.074 s/call; ×2 calls ×619
+    pinned files ≈ 4 min of the suite's budget)."""
+    return {r["viewName"] for r in spark.sql("SHOW VIEWS").collect()}
+
+
 def _cleanup_file_state(spark, art: str, pre_views: set) -> None:
     """Release everything one conformance file leaves in the driver JVM —
     without this the 241-file pinned suite ratchets the driver's committed
@@ -322,9 +333,9 @@ def _cleanup_file_state(spark, art: str, pre_views: set) -> None:
         from myscaledb_spark.streaming.live_view import LIVE_VIEWS
     except Exception:  # pragma: no cover
         LIVE_VIEWS = {}
-    for t in spark.catalog.listTables():
-        if t.isTemporary and t.name not in pre_views:
-            base = t.name[:-len("__store")] if t.name.endswith("__store") else t.name
+    for name in _temp_views(spark):
+        if name not in pre_views:
+            base = name[:-len("__store")] if name.endswith("__store") else name
             # drop_table pops EVERY per-table registry (TABLES, NESTED_TABLES,
             # TABLE_ENGINES, MV_HOOKS, skip-indices, …) — a file that creates
             # a Nested table without DROP must not leave its dotted-column
@@ -333,17 +344,25 @@ def _cleanup_file_state(spark, art: str, pre_views: set) -> None:
                 drop_table(spark, base)
             except Exception:
                 try:
-                    spark.catalog.dropTempView(t.name)
+                    spark.catalog.dropTempView(name)
                 except Exception:
                     pass
             LIVE_VIEWS.pop(base, None)
     if art:
         frame_cache.evict_prefix(art)
         shutil.rmtree(art, ignore_errors=True)
-    try:
-        spark._jvm.System.gc()
-    except Exception:
-        pass
+    # The explicit full GC bounds the driver's committed-heap ratchet (r8
+    # VERDICT finding #1) — but one full GC per FILE costs ~0.1-0.4 s × 619
+    # pinned files.  Every 16 files bounds the ratchet at ~16 files' worth
+    # of idle regions (measured ~40 MB/file → ≤0.7 GB between collections)
+    # for 1/16th of the pause cost.
+    global _GC_TICK
+    _GC_TICK += 1
+    if _GC_TICK % 16 == 0:
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
 
 
 def run_file(spark, path: str):
@@ -356,7 +375,7 @@ def run_file(spark, path: str):
     # one .sql file = one client session: SET statements must not leak in
     # from the previous file (r7 ADVICE)
     reset_session_settings()
-    pre_views = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    pre_views = _temp_views(spark)
     # run_file owns the artifact-dir lifecycle so the finally always cleans
     # THIS file's dir — the old module-global handoff left a stale (or
     # empty, on raise-before-assign) path that evicted the whole frame cache
