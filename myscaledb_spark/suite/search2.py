@@ -63,6 +63,27 @@ def sq_rerank_topk(spark, sf_dir):
     return out.select("vec_id", F.round("dist", 4).alias("dist"))
 
 
+def _recall_indicator(spark, got, exact, k: int, floor: float):
+    """(k, n_results, recall_ok) from two ≤k-row candidate frames with ONE
+    Spark job: tag + union the independent subtrees (each keeps its own
+    TakeOrderedAndProject), compute the overlap driver-side, and emit the
+    1-row indicator as a VALUES LocalRelation — the old
+    intersect().count() + count() + createDataFrame shape scheduled four
+    jobs per invocation for a ≤2k-row comparison."""
+    tagged = got.select(F.col(got.columns[0]).alias("_id"), F.lit(0).alias("_leg")).unionAll(
+        exact.select(F.col(exact.columns[0]).alias("_id"), F.lit(1).alias("_leg"))
+    )
+    rows = tagged.collect()
+    g = {r[0] for r in rows if r[1] == 0}
+    e = {r[0] for r in rows if r[1] == 1}
+    ok = 1 if len(g & e) / float(k) >= floor else 0
+    return spark.sql(
+        f"SELECT CAST({int(k)} AS INT) AS k,"
+        f" CAST({len(g)} AS BIGINT) AS n_results,"
+        f" CAST({ok} AS INT) AS recall_ok"
+    )
+
+
 @register(
     "ivf_search_topk",
     "SELECT 10 AS k, CAST(10 AS BIGINT) AS n_results, 1 AS recall_ok",
@@ -87,12 +108,7 @@ def ivf_search_topk(spark, sf_dir):
     exact = vector_topk(
         emb, "embedding", QV, 10, metric="L2", id_col="vec_id"
     ).select("vec_id")
-    hits = got.intersect(exact).count()
-    n = got.count()
-    return spark.createDataFrame(
-        [(10, n, 1 if hits / 10.0 >= 0.3 else 0)],
-        "k int, n_results bigint, recall_ok int",
-    )
+    return _recall_indicator(spark, got, exact, 10, 0.3)
 
 
 @register(
@@ -148,12 +164,7 @@ def mstg_search_topk(spark, sf_dir):
     exact = vector_topk(
         emb, "embedding", QV, 10, metric="L2", id_col="vec_id"
     ).select("vec_id")
-    hits = got.intersect(exact).count()
-    n = got.count()
-    return spark.createDataFrame(
-        [(10, n, 1 if hits / 10.0 >= 0.3 else 0)],
-        "k int, n_results bigint, recall_ok int",
-    )
+    return _recall_indicator(spark, got, exact, 10, 0.3)
 
 
 @register(
